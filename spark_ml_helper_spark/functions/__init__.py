@@ -1,0 +1,1 @@
+"""(stub — filled in as operators are implemented)"""

@@ -1,0 +1,15 @@
+"""Operator modules — importing this package populates the registry."""
+
+import spark_ml_helper_spark.operators.scans  # noqa: F401
+import spark_ml_helper_spark.operators.filters  # noqa: F401
+import spark_ml_helper_spark.operators.joins  # noqa: F401
+import spark_ml_helper_spark.operators.aggregates  # noqa: F401
+import spark_ml_helper_spark.operators.windows  # noqa: F401
+import spark_ml_helper_spark.operators.setops  # noqa: F401
+import spark_ml_helper_spark.functions.scalar  # noqa: F401
+import spark_ml_helper_spark.operators.text  # noqa: F401
+import spark_ml_helper_spark.operators.vectors  # noqa: F401
+import spark_ml_helper_spark.operators.mlprep  # noqa: F401
+import spark_ml_helper_spark.streaming.batch_equiv  # noqa: F401
+import spark_ml_helper_spark.streaming.runs  # noqa: F401
+import spark_ml_helper_spark.operators.udfs  # noqa: F401

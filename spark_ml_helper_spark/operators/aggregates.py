@@ -1,0 +1,317 @@
+"""Aggregations — SURVEY.md §2.D.
+
+All of these compile to Spark's partial (map-side) + final hash aggregate:
+the shuffle moves only per-group partial states, never raw rows. That is the
+property that makes them 100 TB-safe — group cardinality, not input size,
+bounds the shuffle. Skewed group keys are handled by AQE skew mitigation;
+`spark.sql.shuffle.partitions` sizes the reduce side.
+
+Float discipline: every floating aggregate is rounded to 6 decimals in both
+the Spark query and its DuckDB oracle so cross-engine summation-order
+differences cannot flip the value hash (SURVEY.md §7.4 hazard 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_ml_helper_spark.registry import query
+from spark_ml_helper_spark.sources.parquet import table
+
+
+@query(
+    "agg_global",
+    oracle="""
+        SELECT round(sum(l_quantity), 6)      AS sum_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               min(l_shipdate)                AS min_ship,
+               max(l_shipdate)                AS max_ship,
+               count(*)                       AS n_rows
+        FROM lineitem
+    """,
+    family="aggregates",
+)
+def agg_global(spark, sf_dir):
+    """Ungrouped global aggregate (single-row result; partial agg means the
+    shuffle carries one row per map task)."""
+    return table(spark, sf_dir, "lineitem").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "agg_group",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 6)      AS sum_qty,
+               round(sum(l_extendedprice), 6) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+               round(avg(l_quantity), 6)      AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               count(*)                       AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    family="aggregates",
+)
+def agg_group(spark, sf_dir):
+    """Flagship: TPC-H Q1-shape pricing summary (filter → grouped agg →
+    sort). The scan reads only the 6 needed columns of lineitem, the
+    shipdate filter pushes into parquet, and the groupBy is a 6-group hash
+    aggregate — the canonical map-combine plan."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey)                 AS n_custs,
+               CAST(sum(DISTINCT o_custkey) AS BIGINT)   AS sum_custkeys,
+               count(*)                                  AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    family="aggregates",
+)
+def agg_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) / SUM(DISTINCT) (expand + two-phase distinct agg in
+    Spark; scales as a two-shuffle plan). DuckDB's integer SUM returns
+    HUGEINT, so the oracle casts to BIGINT to match Spark's LongType."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_custs"),
+            F.sum_distinct(F.col("o_custkey")).alias("sum_custkeys"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query("agg_approx_distinct", oracle=None, family="aggregates")
+def agg_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ approximate distinct (rows-only: approx ≠ hash-match).
+    The paired exact count lives in `agg_distinct`; tests assert the HLL
+    estimate is within the configured rsd of the exact value. At 100 TB this
+    is THE distinct-count operator — fixed-size sketch per group, mergeable,
+    no expand."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_n_custs"))
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+        SELECT r_name, n_name,
+               count(*) AS n_cust,
+               round(sum(c_acctbal), 6) AS sum_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    family="aggregates",
+)
+def agg_rollup(spark, sf_dir):
+    """ROLLUP hierarchy (region ← nation ← grand total). Dim joins broadcast
+    (nation/region are tiny); rollup expands each row into its grouping
+    sets before the hash agg."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_cust"), F.round(F.sum("c_acctbal"), 6).alias("sum_bal"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 6) AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    family="aggregates",
+)
+def agg_cube(spark, sf_dir):
+    """CUBE over two dims (all 4 grouping sets)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 6).alias("sum_price"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INTEGER)   AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    family="aggregates",
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping() markers distinguishing which
+    dimension each output row aggregates over."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT)   AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "agg_filtered",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_quantity > 25.0 THEN l_extendedprice END), 6) AS sum_big_qty_price,
+               count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    family="aggregates",
+)
+def agg_filtered(spark, sf_dir):
+    """Conditional aggregation (sum over CASE, count_if)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.when(F.col("l_quantity") > 25.0, F.col("l_extendedprice"))), 6).alias("sum_big_qty_price"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+        SELECT c_nationkey,
+               list_sort(list(c_name)) AS names
+        FROM customer
+        WHERE c_custkey < 200
+        GROUP BY c_nationkey
+    """,
+    family="aggregates",
+)
+def agg_collect(spark, sf_dir):
+    """array_agg per group, sorted for cross-engine determinism (collect
+    order is partition-order-dependent in any distributed engine)."""
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .groupBy("c_nationkey")
+        .agg(F.sort_array(F.collect_list("c_name")).alias("names"))
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 6)            AS sd_qty,
+               round(var_samp(l_quantity), 6)               AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 6)  AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qty_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    family="aggregates",
+)
+def agg_stats(spark, sf_dir):
+    """Statistical aggregates (stddev/variance/corr/covar)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("cov_qty_price"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 6)  AS med_qty,
+               round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+               round(quantile_cont(l_quantity, 0.75), 6) AS p75_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    family="aggregates",
+)
+def agg_percentile(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`). Scale note: exact percentiles buffer per-group values;
+    at 100 TB swap in `approx_percentile` (t-digest-like sketch, mergeable)
+    — semantics then become approximate, which is why the exact form is the
+    oracle-checked one."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 6).alias("med_qty"),
+        F.round(F.percentile("l_quantity", 0.25), 6).alias("p25_qty"),
+        F.round(F.percentile("l_quantity", 0.75), 6).alias("p75_qty"),
+    )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+        SELECT c_nationkey,
+               arg_max(c_name, c_acctbal) AS richest,
+               arg_min(c_name, c_acctbal) AS poorest,
+               round(max(c_acctbal), 6)   AS max_bal
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+    family="aggregates",
+)
+def agg_minmax_by(spark, sf_dir):
+    """arg-max / arg-min (max_by / min_by). Deterministic here because
+    c_acctbal values are continuous doubles (no ties in the fixture)."""
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_name", "c_acctbal").alias("richest"),
+            F.min_by("c_name", "c_acctbal").alias("poorest"),
+            F.round(F.max("c_acctbal"), 6).alias("max_bal"),
+        )
+    )

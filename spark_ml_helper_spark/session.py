@@ -1,0 +1,65 @@
+"""SparkSession factory with the confs this engine requires.
+
+Scale design note (100 TB target): these confs are tuned for local[N]
+testing, but the *shape* holds on a cluster — AQE on (runtime shuffle
+coalescing + skew-join splitting), a sane broadcast threshold, Arrow for
+any Python exchange, and UTC/NTZ timestamp discipline everywhere. On a real
+cluster you would additionally set executor memory/cores and raise
+``spark.sql.shuffle.partitions`` to ~2-3x total cores; AQE coalesces the
+excess at runtime, so over-partitioning is cheap and under-partitioning is
+not.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs that our readers depend on. Applied both at
+# session build AND defensively in load_tables() (the driver may hand us a
+# session we didn't build).
+RUNTIME_CONFS = {
+    # events.ts is parquet TIMESTAMP(NANOS) — Spark 4 refuses it by default;
+    # with this conf it surfaces as LongType nanos which we convert ourselves
+    # (SURVEY.md §7.4 hazard 1).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # All test timestamps are timezone-naive; pin the session to UTC so
+    # ntz<->tz casts are identity w.r.t. the stored micros.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(app_name: str = "spark-ml-helper-spark", cpus: int | str | None = None) -> SparkSession:
+    """Build (or fetch) the local SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` (default 32) for local parallelism and sizes
+    ``spark.sql.shuffle.partitions`` to match — at local test scale the
+    default 200 partitions just burns task-scheduling overhead; AQE coalesces
+    further at runtime.
+    """
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def apply_runtime_confs(spark: SparkSession) -> None:
+    """Set the runtime-settable confs on an externally-provided session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf may be static in some deployments; readers will fail loudly if so

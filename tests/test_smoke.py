@@ -1,0 +1,32 @@
+"""t1-equivalent smoke tests: entry() runs and every registered query
+produces a schema-stable DataFrame at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_SMOKE
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns
+
+
+def test_registry_nonempty():
+    qs = entry_mod.queries()
+    assert len(qs) >= 9
+    oracles = entry_mod.oracle_sql()
+    # every oracle key must have a query
+    assert set(oracles) <= set(qs)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_query_runs_smoke(spark, name):
+    fn = entry_mod.queries()[name]
+    df = fn(spark, SF_SMOKE)
+    assert df.columns  # schema resolvable
+    df.limit(5).collect()  # executes
