@@ -1,1 +1,288 @@
-"""(stub — filled in as operators are implemented)"""
+"""Joins — SURVEY.md §2.C.
+
+Strategy discipline for 100 TB: declare the *logical* join, let Catalyst
+pick physical (broadcast-hash for small sides under the threshold, AQE
+converts sort-merge→broadcast at runtime when a side turns out small, AQE
+skew-join splits hot keys). Dimension tables (region/nation/customer at
+ratio scale) are always broadcast-able; fact-fact joins (orders⋈lineitem)
+shuffle on the join key — at scale you co-locate them by bucketing both
+tables on the key so the shuffle disappears entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spark_ml_helper_spark.registry import query
+from spark_ml_helper_spark.sources.parquet import table
+
+
+@query(
+    "join_inner",
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM customer JOIN orders ON c_custkey = o_custkey
+    """,
+    family="joins",
+)
+def join_inner(spark, sf_dir):
+    """Equi inner join customer⋈orders (1:N). customer is small at every
+    ratio → broadcast-hash join, no shuffle of the fact side."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "inner").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+    family="joins",
+)
+def join_left(spark, sf_dir):
+    """Left outer join — customers with no orders survive with NULL order
+    columns."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+        WITH lhs AS (
+            SELECT c_custkey, c_name FROM customer WHERE c_custkey < 800
+        ),
+        rhs AS (
+            SELECT o_custkey, count(*) AS n_orders
+            FROM orders WHERE o_custkey >= 700 GROUP BY o_custkey
+        )
+        SELECT coalesce(c_custkey, o_custkey) AS k, c_name, n_orders
+        FROM lhs FULL JOIN rhs ON c_custkey = o_custkey
+    """,
+    family="joins",
+)
+def join_full(spark, sf_dir):
+    """Full outer join over deliberately part-overlapping key ranges
+    (<800 vs >=700) so all three match classes appear."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 800).select("c_custkey", "c_name")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") >= 700)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        F.coalesce("c_custkey", "o_custkey").alias("k"), "c_name", "n_orders"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    family="joins",
+)
+def join_semi(spark, sf_dir):
+    """Left-semi join: customers having at least one order (no duplication,
+    right side only probed)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
+        )
+    """,
+    family="joins",
+)
+def join_anti(spark, sf_dir):
+    """Left-anti join: customers with no large (>300k) order. (Plain
+    "no orders at all" is empty at every sf — all customers order.)"""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+        SELECT c_custkey, c_name, n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    family="joins",
+)
+def join_broadcast(spark, sf_dir):
+    """Explicitly-pinned broadcast join of a 25-row dim table (the hint is
+    what you reach for when stats mislead the planner at scale)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_name", "n_name"
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+        SELECT s_suppkey, s_name, count(*) AS n_close
+        FROM supplier s JOIN customer c
+          ON c.c_acctbal BETWEEN s.s_acctbal - 10.0 AND s.s_acctbal + 10.0
+        GROUP BY s_suppkey, s_name
+    """,
+    family="joins",
+)
+def join_range(spark, sf_dir):
+    """Non-equi (theta/range) join: customers whose balance is within ±10 of
+    a supplier's. Physical plan is broadcast-nested-loop (supplier side is
+    tiny). Scale note: a pure theta join is O(n·m) — at 100 TB you band the
+    range (join on floor(bal/width) buckets ± 1, then filter) to make it an
+    equi-join; this operator documents the banding rewrite."""
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    cond = (c.c_acctbal >= s.s_acctbal - 10.0) & (c.c_acctbal <= s.s_acctbal + 10.0)
+    return (
+        s.join(c, cond)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_close"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+        WITH p AS (
+            SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT event_id AS click_id, user_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        ranked AS (
+            SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id, c.click_ts,
+                   row_number() OVER (
+                       PARTITION BY p.purchase_id
+                       ORDER BY c.click_ts DESC, c.click_id DESC
+                   ) AS rn
+            FROM p LEFT JOIN c
+              ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts
+        )
+        SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+        FROM ranked WHERE rn = 1
+    """,
+    family="joins",
+)
+def join_asof(spark, sf_dir):
+    """AS-OF join (Spark has no native one): for each purchase, the latest
+    click by the same user at-or-before the purchase time. Composition:
+    time-filtered equi-join on user_id + per-purchase top-1 window, with
+    (ts, event_id) tiebreak for determinism. Scale note: the shuffle is on
+    user_id for both sides; with heavily active users the window is bounded
+    by per-user event count — for true trades/quotes scale, pre-bucket both
+    sides by user and month so the join is co-located and the window sees
+    one month at a time."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts")
+    )
+    joined = p.join(c, (p.user_id == c.c_user_id) & (c.click_ts <= p.purchase_ts), "left")
+    w = Window.partitionBy("purchase_id").orderBy(F.col("click_ts").desc(), F.col("click_id").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+        SELECT a.r_name AS r1, b.r_name AS r2
+        FROM region a CROSS JOIN region b
+    """,
+    family="joins",
+)
+def join_cross(spark, sf_dir):
+    """Cartesian product of two tiny dims (25 rows). Only ever legitimate
+    when at least one side is broadcast-small."""
+    a = table(spark, sf_dir, "region").select(F.col("r_name").alias("r1"))
+    b = table(spark, sf_dir, "region").select(F.col("r_name").alias("r2"))
+    return a.crossJoin(b)
+
+
+@query(
+    "join_multi",
+    oracle="""
+        SELECT o.o_orderkey, o.o_orderdate,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o.o_orderkey
+        LIMIT 10
+    """,
+    family="joins",
+)
+def join_multi(spark, sf_dir):
+    """3-table star join (TPC-H Q3 shape): filter a dim, join two facts,
+    aggregate, top-10 with deterministic (revenue, orderkey) tiebreak.
+    Plan shape at scale: customer filter broadcast into orders, then
+    orders⋈lineitem shuffles on orderkey (or is free if both bucketed)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "join_self_pairs",
+    oracle="""
+        SELECT a.label, count(*) AS n_pairs
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        GROUP BY a.label
+    """,
+    family="joins",
+)
+def join_self_pairs(spark, sf_dir):
+    """Self-join generating within-label vector pairs (a.vec_id < b.vec_id).
+    The equi key (label) keeps this a hash join + filter, NOT a cross join —
+    the same skeleton the exact-similarity ops build on. Scale note: within-
+    group pairing is quadratic in group size; at 100 TB you LSH-bucket first
+    (see dedup_minhash / sim_ann_lsh)."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("label").alias("label"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("label").alias("b_label"))
+    return (
+        a.join(b, (a.label == b.b_label) & (a.a_id < b.b_id))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_pairs"))
+    )

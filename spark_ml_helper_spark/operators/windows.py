@@ -1,1 +1,218 @@
-"""(stub — filled in as operators are implemented)"""
+"""Window functions — SURVEY.md §2.E.
+
+Determinism discipline: row_number/ntile get full tiebreaker sort keys;
+rank/dense_rank/percent_rank may be ordered by tie-prone keys (their output
+depends only on key *values*, so ties are deterministic). Timestamps are
+compared as integer epoch-micros where gap arithmetic matters, so both
+engines floor identically.
+
+Scale note: a window partitioned by a key is one shuffle on that key plus a
+per-partition sort — same cost class as a groupBy. The anti-pattern is an
+UNPARTITIONED window (global order) — single reducer; we use it only in
+`sort_multi` (explicitly documented) where a global total order is the
+point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spark_ml_helper_spark.registry import query
+from spark_ml_helper_spark.sources.parquet import table
+
+
+@query(
+    "win_rank",
+    oracle="""
+        SELECT o_orderkey,
+               row_number() OVER w_price AS rn,
+               ntile(4)     OVER w_price AS quartile,
+               rank()       OVER w_year  AS rnk_year,
+               dense_rank() OVER w_year  AS drnk_year,
+               round(percent_rank() OVER w_year, 6) AS prank_year
+        FROM orders
+        WINDOW
+            w_price AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey),
+            w_year  AS (PARTITION BY o_orderstatus ORDER BY CAST(year(o_orderdate) AS INTEGER))
+    """,
+    family="windows",
+)
+def win_rank(spark, sf_dir):
+    """Ranking family: row_number/ntile over a fully-tiebroken order;
+    rank/dense_rank/percent_rank over a tie-heavy key (order year) to
+    exercise peer-group semantics."""
+    o = table(spark, sf_dir, "orders")
+    w_price = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    w_year = Window.partitionBy("o_orderstatus").orderBy(F.year("o_orderdate").cast("int"))
+    return o.select(
+        "o_orderkey",
+        F.row_number().over(w_price).alias("rn"),
+        F.ntile(4).over(w_price).alias("quartile"),
+        F.rank().over(w_year).alias("rnk_year"),
+        F.dense_rank().over(w_year).alias("drnk_year"),
+        F.round(F.percent_rank().over(w_year), 6).alias("prank_year"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+        SELECT event_id, user_id,
+               round(lag(value, 1, 0.0)  OVER w, 6) AS prev_v,
+               round(lead(value, 1, -1.0) OVER w, 6) AS next_v,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    family="windows",
+)
+def win_lag_lead(spark, sf_dir):
+    """lag/lead with defaults over each user's event timeline."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.lag("value", 1, 0.0).over(w), 6).alias("prev_v"),
+        F.round(F.lead("value", 1, -1.0).over(w), 6).alias("next_v"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+@query(
+    "win_running",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               round(sum(o_totalprice) OVER w, 6) AS run_spend,
+               round(avg(o_totalprice) OVER w, 6) AS run_avg,
+               count(*) OVER w AS run_n
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        )
+    """,
+    family="windows",
+)
+def win_running(spark, sf_dir):
+    """Running sum/avg/count per customer (rows frame, cumulative)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 6).alias("run_spend"),
+        F.round(F.avg("o_totalprice").over(w), 6).alias("run_avg"),
+        F.count("*").over(w).alias("run_n"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+        SELECT o_orderkey, o_totalprice,
+               count(*) OVER (
+                   PARTITION BY o_orderstatus ORDER BY o_totalprice
+                   RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
+               ) AS n_within_1k
+        FROM orders
+    """,
+    family="windows",
+)
+def win_range_frame(spark, sf_dir):
+    """Value-based (RANGE) frame: how many same-status orders fall within
+    $1000 below this order's price. Range frames are tie-deterministic by
+    construction (peers share the frame)."""
+    # PySpark's Window.rangeBetween only accepts integer offsets; a frame
+    # over a DOUBLE order key needs the SQL form (same Catalyst plan).
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               count(*) OVER (
+                   PARTITION BY o_orderstatus ORDER BY o_totalprice
+                   RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
+               ) AS n_within_1k
+        FROM orders
+        """
+    )
+
+
+@query(
+    "win_topk_group",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    family="windows",
+)
+def win_topk_group(spark, sf_dir):
+    """Top-3 orders per customer (the grouped top-k idiom: window + filter;
+    Spark pushes the k-limit into the sort within each partition)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "win_sessionize",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        ),
+        flagged AS (
+            SELECT user_id, event_id, ts_us,
+                   CASE WHEN lag(ts_us) OVER w IS NULL
+                             OR ts_us - lag(ts_us) OVER w >= 600000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        )
+        SELECT user_id, event_id,
+               CAST(sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_seq
+        FROM flagged
+    """,
+    family="windows",
+)
+def win_sessionize(spark, sf_dir):
+    """Gap-based sessionization (batch twin of stream_session): a ≥10-min
+    silence starts a new session; session_seq numbers each user's sessions.
+    Gap arithmetic runs on integer epoch-micros so both engines floor
+    identically. Classic islands algorithm: lag → new-session flag →
+    running sum. One shuffle on user_id serves both windows."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull() | (F.col("ts_us") - F.lag("ts_us").over(w) >= 600_000_000),
+            1,
+        ).otherwise(0),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("is_new").over(wsum).cast("bigint").alias("session_seq"),
+    )
