@@ -1,1 +1,277 @@
-"""(stub — filled in as operators are implemented)"""
+"""Scalar function families — SURVEY.md §2.G.
+
+One composite query per family; every function in the family contributes an
+aliased output column so the oracle hash covers each one. All expressions
+are built-in pyspark.sql.functions (JVM, whole-stage codegen) — no Python in
+any of these paths.
+
+Cross-engine alignment notes (verified against DuckDB 1.0.0):
+- dayofweek: Spark 1=Sunday, DuckDB 0=Sunday → Spark emits dayofweek-1.
+- length/size/ceil/floor: DuckDB returns BIGINT where Spark returns INT (or
+  v.v.) → explicit casts on whichever side is narrower.
+- date_trunc('month'): DuckDB → DATE, Spark → timestamp → Spark casts.
+- regexp_replace: DuckDB replaces first match only → 'g' flag in oracle.
+- sign(): both cast to INT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_ml_helper_spark.registry import query
+from spark_ml_helper_spark.sources.parquet import table
+
+
+@query(
+    "fn_string",
+    oracle="""
+        SELECT p_partkey,
+               concat(p_brand, '-', p_type)            AS brand_type,
+               substring(p_name, 1, 5)                 AS name5,
+               upper(p_name)                           AS name_up,
+               lower(p_brand)                          AS brand_lo,
+               trim('  ' || p_name || ' ')             AS name_trim,
+               CAST(length(p_name) AS INTEGER)         AS name_len,
+               lpad(p_brand, 12, '*')                  AS brand_pad,
+               string_split(p_name, ' ')[1]            AS first_word,
+               regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+               regexp_replace(p_name, ' ', '_', 'g')   AS name_snake,
+               replace(p_type, 'O', '0')               AS type_l33t,
+               starts_with(p_name, 'small')            AS is_small
+        FROM part
+    """,
+    family="functions",
+)
+def fn_string(spark, sf_dir):
+    """String function family over part names/brands/types."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.upper("p_name").alias("name_up"),
+        F.lower("p_brand").alias("brand_lo"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.length("p_name").alias("name_len"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.replace(F.col("p_type"), F.lit("O"), F.lit("0")).alias("type_l33t"),
+        F.col("p_name").startswith("small").alias("is_small"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER)     AS yr,
+               CAST(month(o_orderdate) AS INTEGER)    AS mo,
+               CAST(day(o_orderdate) AS INTEGER)      AS dy,
+               CAST(quarter(o_orderdate) AS INTEGER)  AS qtr,
+               CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               CAST(datediff('day', o_orderdate, TIMESTAMP '1998-09-02') AS INTEGER) AS days_to_cutoff,
+               CAST(CAST(o_orderdate AS DATE) + 5 AS TIMESTAMP)    AS plus5,
+               CAST(last_day(o_orderdate) AS TIMESTAMP)            AS eom,
+               CAST(epoch(o_orderdate) AS BIGINT)     AS epoch_s,
+               make_timestamp(CAST(epoch(o_orderdate) AS BIGINT) * 1000000) AS ts_roundtrip
+        FROM orders
+    """,
+    family="functions",
+)
+def fn_date(spark, sf_dir):
+    """Date/time family over o_orderdate (timestamp_ntz, midnight-aligned).
+    dow normalized to DuckDB's 0=Sunday; epoch round-trip goes through
+    integer seconds (NTZ + UTC session → identity)."""
+    o = table(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate")
+    epoch_s = F.unix_timestamp(ts.cast("timestamp")).alias("epoch_s")
+    return o.select(
+        "o_orderkey",
+        F.year(ts).alias("yr"),
+        F.month(ts).alias("mo"),
+        F.dayofmonth(ts).alias("dy"),
+        F.quarter(ts).alias("qtr"),
+        (F.dayofweek(ts) - 1).alias("dow"),
+        F.date_trunc("month", ts).cast("timestamp_ntz").alias("month_start"),
+        F.datediff(F.lit("1998-09-02").cast("date"), ts.cast("date")).alias("days_to_cutoff"),
+        F.date_add(ts.cast("date"), 5).cast("timestamp_ntz").alias("plus5"),
+        F.last_day(ts.cast("date")).cast("timestamp_ntz").alias("eom"),
+        F.unix_timestamp(ts.cast("timestamp")).alias("epoch_s"),
+        F.timestamp_seconds(F.unix_timestamp(ts.cast("timestamp"))).cast("timestamp_ntz").alias("ts_roundtrip"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice / 7.0, 4)                  AS price_div7,
+               round(abs(l_discount - 0.05), 6)                 AS disc_dev,
+               CAST(ceil(l_extendedprice / 1000.0) AS BIGINT)   AS price_k_ceil,
+               CAST(floor(l_extendedprice / 1000.0) AS BIGINT)  AS price_k_floor,
+               round(exp(l_discount), 6)                        AS exp_disc,
+               round(ln(l_extendedprice), 6)                    AS ln_price,
+               round(log10(l_extendedprice), 6)                 AS log10_price,
+               round(pow(l_quantity, 2.0), 6)                   AS qty_sq,
+               round(sqrt(l_extendedprice), 6)                  AS sqrt_price,
+               CAST(sign(l_extendedprice - 50000.0) AS INTEGER) AS price_side,
+               l_orderkey % 7                                   AS key_mod7,
+               round(greatest(l_tax, l_discount), 6)            AS max_rate,
+               round(least(l_tax, l_discount), 6)               AS min_rate
+        FROM lineitem
+    """,
+    family="functions",
+)
+def fn_math(spark, sf_dir):
+    """Math family over lineitem prices (all arguments strictly positive
+    where ln/sqrt require it — ANSI mode stays on)."""
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(price / 7.0, 4).alias("price_div7"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.ceil(price / 1000.0).alias("price_k_ceil"),
+        F.floor(price / 1000.0).alias("price_k_floor"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.round(F.log(price), 6).alias("ln_price"),
+        F.round(F.log10(price), 6).alias("log10_price"),
+        F.round(F.pow("l_quantity", F.lit(2.0)), 6).alias("qty_sq"),
+        F.round(F.sqrt(price), 6).alias("sqrt_price"),
+        F.signum(price - 50000.0).cast("int").alias("price_side"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.round(F.greatest("l_tax", "l_discount"), 6).alias("max_rate"),
+        F.round(F.least("l_tax", "l_discount"), 6).alias("min_rate"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' ')) AS INTEGER)        AS n_toks,
+               list_contains(string_split(d.text, ' '), 'spark')      AS has_spark,
+               string_split(d.text, ' ')[1:3]                         AS first3,
+               list_sort(list_distinct(string_split(d.text, ' ')))    AS vocab,
+               CAST(len(e.embedding) AS INTEGER)                      AS dim,
+               round(CAST(e.embedding[1] AS DOUBLE), 6)               AS e1
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    family="functions",
+)
+def fn_array(spark, sf_dir):
+    """Array family: size/contains/slice/sort/distinct over token arrays,
+    element_at over the embedding vector (docs⋈embeddings is 1:1)."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    toks = F.split(F.col("text"), " ")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_toks"),
+            F.array_contains(toks, "spark").alias("has_spark"),
+            F.slice(toks, 1, 3).alias("first3"),
+            F.sort_array(F.array_distinct(toks)).alias("vocab"),
+            F.size("embedding").alias("dim"),
+            F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e1"),
+        )
+    )
+
+
+@query(
+    "fn_higher_order",
+    oracle="""
+        SELECT vec_id,
+               round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 6) AS dot_self,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER)                  AS n_pos,
+               list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE) * 2, 6))      AS scaled3,
+               round(list_sum(list_transform(range(1, 65),
+                     i -> CAST(embedding[i] AS DOUBLE) * embedding[65 - i])), 6)         AS rev_dot
+        FROM embeddings
+    """,
+    family="functions",
+)
+def fn_higher_order(spark, sf_dir):
+    """Higher-order functions on arrays: transform / filter / aggregate /
+    zip_with — the UDF-free vector-math core every similarity operator
+    builds on (JVM-side, no Python, no shuffle)."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ),
+            6,
+        ).alias("dot_self"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
+        F.transform(F.slice(F.col("embedding"), 1, 3), lambda x: F.round(x.cast("double") * 2, 6)).alias("scaled3"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.reverse(F.col("embedding")),
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("rev_dot"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+        SELECT event_id,
+               LIST_VALUE('k')                                              AS prop_keys,
+               [CAST(json_extract_string(props, '$.k') AS INTEGER)]         AS prop_vals,
+               CAST(json_extract_string(props, '$.k') AS INTEGER)           AS k_val
+        FROM events
+    """,
+    family="functions",
+)
+def fn_map(spark, sf_dir):
+    """Map family: JSON string → map<string,int>, then map_keys/map_values/
+    element_at. (events.props is always a single-key object, so the oracle
+    can state the key list literally.)"""
+    e = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.map_values(m).alias("prop_vals"),
+        F.element_at(m, "k").alias("k_val"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+        SELECT event_id,
+               json_extract_string(props, '$.k')                    AS k_str,
+               CAST(json_extract_string(props, '$.k') AS INTEGER)   AS k_int,
+               to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INTEGER))) AS js
+        FROM events
+    """,
+    family="functions",
+)
+def fn_json(spark, sf_dir):
+    """JSON family: path extraction (string + typed), struct re-encoding
+    (round-trip '{"k":N}')."""
+    e = table(spark, sf_dir, "events")
+    k_int = F.from_json("props", "k INT").getField("k")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        k_int.alias("k_int"),
+        F.to_json(F.struct(k_int.alias("k"))).alias("js"),
+    )
