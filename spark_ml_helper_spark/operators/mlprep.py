@@ -1,1 +1,123 @@
-"""(stub — filled in as operators are implemented)"""
+"""ML data-prep operators — SURVEY.md §2.I (prep half).
+
+The MLlib-wrapper-style utilities, implemented natively where that keeps
+them exact and oracle-checkable (scaling, bucketizing, splitting), with
+seeded-sampling forms as rows-only twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_ml_helper_spark.registry import query
+from spark_ml_helper_spark.sources.parquet import table
+
+
+@query(
+    "class_balance",
+    oracle="""
+        SELECT label, count(*) AS n,
+               round(count(*) * 1.0 / (SELECT count(*) FROM embeddings), 6) AS pct
+        FROM embeddings
+        GROUP BY label
+    """,
+    family="mlprep",
+)
+def class_balance(spark, sf_dir):
+    """Label distribution (count + fraction of corpus) — the first thing a
+    training pipeline checks before sampling."""
+    e = table(spark, sf_dir, "embeddings")
+    total = e.agg(F.count("*").alias("total"))
+    return (
+        e.groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select("label", "n", F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("pct"))
+    )
+
+
+@query("class_sample_stratified", oracle=None, family="mlprep")
+def class_sample_stratified(spark, sf_dir):
+    """Stratified downsample: keep 50% of labels 0-4, all of labels 5-9
+    (seeded sampleBy — deterministic per seed but engine-specific RNG, so
+    rows-only; tests assert per-label proportions). At scale this is a
+    map-only pass — no shuffle."""
+    e = table(spark, sf_dir, "embeddings")
+    fractions = {lbl: (0.5 if lbl < 5 else 1.0) for lbl in range(10)}
+    return e.sampleBy("label", fractions, seed=42).select("vec_id", "label")
+
+
+@query(
+    "feature_scale",
+    oracle="""
+        SELECT c_custkey,
+               round((c_acctbal - s.m) / s.sd, 6) AS z,
+               round((c_acctbal - s.mn) / (s.mx - s.mn), 6) AS mm
+        FROM customer
+        CROSS JOIN (
+            SELECT avg(c_acctbal) AS m, stddev_samp(c_acctbal) AS sd,
+                   min(c_acctbal) AS mn, max(c_acctbal) AS mx
+            FROM customer
+        ) s
+    """,
+    family="mlprep",
+)
+def feature_scale(spark, sf_dir):
+    """Z-score + min-max scaling (StandardScaler/MinMaxScaler equivalent,
+    natively): global stats via a 1-row aggregate broadcast back over the
+    data — two passes, no shuffle of the fact table."""
+    c = table(spark, sf_dir, "customer")
+    stats = c.agg(
+        F.avg("c_acctbal").alias("m"),
+        F.stddev_samp("c_acctbal").alias("sd"),
+        F.min("c_acctbal").alias("mn"),
+        F.max("c_acctbal").alias("mx"),
+    )
+    return c.crossJoin(F.broadcast(stats)).select(
+        "c_custkey",
+        F.round((F.col("c_acctbal") - F.col("m")) / F.col("sd"), 6).alias("z"),
+        F.round((F.col("c_acctbal") - F.col("mn")) / (F.col("mx") - F.col("mn")), 6).alias("mm"),
+    )
+
+
+@query(
+    "feature_bucketize",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(least(greatest(floor(o_totalprice / 50000.0), 0), 9) AS INTEGER) AS bucket
+        FROM orders
+    """,
+    family="mlprep",
+)
+def feature_bucketize(spark, sf_dir):
+    """Fixed-width bucketing of a continuous column (Bucketizer equivalent;
+    explicit arithmetic — DuckDB has no width_bucket — clamped to [0, 9])."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.least(F.greatest(F.floor(F.col("o_totalprice") / 50000.0), F.lit(0)), F.lit(9))
+        .cast("int")
+        .alias("bucket"),
+    )
+
+
+@query(
+    "train_test_split",
+    oracle="""
+        SELECT o_orderkey,
+               (('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100) < 80 AS is_train
+        FROM orders
+    """,
+    family="mlprep",
+)
+def train_test_split(spark, sf_dir):
+    """Deterministic 80/20 split keyed on md5(key) — reproducible across
+    runs, engines, and data layout, unlike randomSplit (whose assignment
+    depends on partitioning). Engine-native hash() differs across engines,
+    so the bucket comes from the first 8 hex chars of md5 (SURVEY.md §7.4
+    hazard 6). Map-only — the split of 100 TB costs one scan."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return o.select("o_orderkey", (bucket < 80).alias("is_train"))

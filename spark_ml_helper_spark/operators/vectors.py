@@ -1,1 +1,308 @@
-"""(stub — filled in as operators are implemented)"""
+"""Vector / similarity-search operators — SURVEY.md §2.I (vector half).
+
+Embedding column is array<float> (64-dim). All exact math runs through the
+UDF-free HOF helpers in functions.vector_math (JVM-side, bitwise
+reproducible vs DuckDB). The exact pairwise forms are the oracle-checked
+ground truth; the LSH form is the sublinear 100 TB path whose recall is
+asserted against the exact twin in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spark_ml_helper_spark.functions.vector_math import dot, l2_norm, sq_norm
+from spark_ml_helper_spark.registry import query
+from spark_ml_helper_spark.sources.parquet import table
+
+# DuckDB-side exact dot product over the fixed 64-dim embedding, sequential
+# left-to-right like Spark's aggregate() — keeps both engines bitwise equal.
+_DUCK_DOT = "list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * {b}[i]))"
+_DUCK_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x)))"
+
+
+def _norms(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "embedding", "label", l2_norm(F.col("embedding")).alias("nrm"))
+
+
+@query(
+    "sim_cosine_pairs",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, embedding, {_DUCK_NORM.format(a='embedding')} AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round({_DUCK_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 6) AS sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        ORDER BY sim DESC, a_id, b_id
+        LIMIT 10
+    """,
+    family="vectors",
+)
+def sim_cosine_pairs(spark, sf_dir):
+    """Top-10 most cosine-similar vector pairs (exact, all-pairs).
+    Norms are computed once per vector BEFORE the pair join — never inside
+    it. Deterministic top-k: ordered by rounded sim with (a_id, b_id)
+    tiebreak. Scale note: all-pairs is O(n²) — the honest baseline; the
+    sublinear path is sim_ann_lsh."""
+    v = _norms(spark, sf_dir)
+    a = v.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm"))
+    b = v.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "a_id", "b_id")
+        .limit(10)
+    )
+
+
+@query(
+    "sim_knn",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, embedding, {_DUCK_NORM.format(a='embedding')} AS nrm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                   round({_DUCK_DOT.format(a='q.embedding', b='c.embedding')} / (q.nrm * c.nrm), 6) AS sim
+            FROM v q JOIN v c ON q.vec_id < 50 AND c.vec_id <> q.vec_id
+        )
+        SELECT q_id, n_id, sim, rn FROM (
+            SELECT q_id, n_id, sim,
+                   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    """,
+    family="vectors",
+)
+def sim_knn(spark, sf_dir):
+    """Exact k-NN (k=5, cosine) for the first 50 query vectors against the
+    full collection: brute-force score + grouped top-k window. At scale the
+    query side is small/broadcast and the candidate side streams — cost is
+    |Q|·|C|; sim_ann_lsh is the sublinear variant."""
+    v = _norms(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    c = v.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("c_emb"), F.col("nrm").alias("c_nrm")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "n_id")
+    return (
+        F.broadcast(q)
+        .join(c, F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 6).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@query("sim_ann_lsh", oracle=None, family="vectors")
+def sim_ann_lsh(spark, sf_dir):
+    """Approximate neighbor pairs via random-projection LSH (MLlib
+    BucketedRandomProjectionLSH, seeded; euclidean). Rows-only — recall vs
+    the exact sim_knn is asserted in tests. Candidate generation is an
+    equi-join on bucket ids: the shuffle key is the bucket, never the pair
+    — this is the 100 TB similarity-search path."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=6, seed=42
+    )
+    model = lsh.fit(e)
+    pairs = model.approxSimilarityJoin(e, e, 6.0, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("a_id"),
+            F.col("datasetB.vec_id").alias("b_id"),
+            F.round("dist", 6).alias("dist"),
+        )
+    )
+
+
+@query(
+    "vec_normalize",
+    oracle="""
+        SELECT vec_id,
+               list_transform(
+                   embedding,
+                   x -> round(CAST(x AS DOUBLE)
+                        / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * y))), 6)
+               ) AS unit
+        FROM embeddings
+    """,
+    family="vectors",
+)
+def vec_normalize(spark, sf_dir):
+    """L2-normalize each embedding (per-row transform, shuffle-free)."""
+    e = table(spark, sf_dir, "embeddings")
+    nrm = l2_norm(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: F.round(x.cast("double") / nrm, 6)).alias("unit"),
+    )
+
+
+@query(
+    "vec_centroids",
+    oracle="""
+        WITH ex AS (
+            SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, range(1, 65) r(i)
+        ),
+        dims AS (
+            SELECT label, pos, round(avg(v), 6) AS mv
+            FROM ex GROUP BY label, pos
+        ),
+        sizes AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+        SELECT d.label, list(d.mv ORDER BY d.pos) AS centroid, s.n_vecs
+        FROM dims d JOIN sizes s ON d.label = s.label
+        GROUP BY d.label, s.n_vecs
+    """,
+    family="vectors",
+)
+def vec_centroids(spark, sf_dir):
+    """Per-label mean vector (cluster centroids): posexplode → per-(label,
+    dim) avg → ordered reassembly via struct-sort. The shuffle key is
+    (label, dim) — 640 groups regardless of row count, the right shape for
+    100 TB. (MLlib KMeans init equivalent for labeled data.)"""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select("label", "vec_id", F.posexplode("embedding").alias("pos0", "v"))
+    dims = (
+        ex.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mv"))
+    )
+    sizes = e.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    return (
+        dims.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s.getField("mv")
+            ).alias("centroid")
+        )
+        .join(F.broadcast(sizes), "label")
+        .select("label", "centroid", "n_vecs")
+    )
+
+
+@query(
+    "knn_classify",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, embedding, label, {_DUCK_NORM.format(a='embedding')} AS nrm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS q_id, q.label AS own_label, c.label AS n_label,
+                   round({_DUCK_DOT.format(a='q.embedding', b='c.embedding')} / (q.nrm * c.nrm), 6) AS sim,
+                   c.vec_id AS n_id
+            FROM v q JOIN v c ON q.vec_id < 50 AND c.vec_id <> q.vec_id
+        ),
+        nn AS (
+            SELECT q_id, own_label, n_label FROM (
+                SELECT q_id, own_label, n_label, sim, n_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+                FROM scored
+            ) WHERE rn <= 5
+        ),
+        votes AS (
+            SELECT q_id, own_label, n_label, count(*) AS n_votes
+            FROM nn GROUP BY q_id, own_label, n_label
+        )
+        SELECT q_id, own_label, n_label AS pred_label, (n_label = own_label) AS correct
+        FROM (
+            SELECT q_id, own_label, n_label, n_votes,
+                   row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, n_label) AS vr
+            FROM votes
+        ) WHERE vr = 1
+    """,
+    family="vectors",
+)
+def knn_classify(spark, sf_dir):
+    """k-NN majority-vote classification (k=5) with deterministic
+    tie-breaking (most votes, then smallest label). Composition of sim_knn
+    + a vote aggregation — no new physical machinery."""
+    v = _norms(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("label").alias("own_label"),
+    )
+    c = v.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        F.col("label").alias("n_label"),
+    )
+    w_sim = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "n_id")
+    nn = (
+        F.broadcast(q)
+        .join(c, F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "own_label",
+            "n_label",
+            "n_id",
+            F.round(dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 6).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_sim))
+        .filter(F.col("rn") <= 5)
+    )
+    votes = nn.groupBy("q_id", "own_label", "n_label").agg(F.count("*").alias("n_votes"))
+    w_vote = Window.partitionBy("q_id").orderBy(F.col("n_votes").desc(), "n_label")
+    return (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select(
+            "q_id",
+            "own_label",
+            F.col("n_label").alias("pred_label"),
+            (F.col("n_label") == F.col("own_label")).alias("correct"),
+        )
+    )
+
+
+@query(
+    "multimodal_join",
+    oracle=f"""
+        SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label,
+               CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_toks,
+               round({_DUCK_NORM.format(a='e.embedding')}, 6) AS emb_norm
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    family="vectors",
+)
+def multimodal_join(spark, sf_dir):
+    """Multimodal enrichment: one frame carrying text stats + vector norm +
+    scalars (documents ⋈ embeddings, 1:1 on doc_id=vec_id). The pattern
+    behind image/audio tables too: opaque payload column + typed metadata,
+    joined on content id."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "label",
+        F.size(F.split(F.col("text"), " ")).alias("n_toks"),
+        F.round(l2_norm(F.col("embedding")), 6).alias("emb_norm"),
+    )

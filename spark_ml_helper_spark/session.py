@@ -27,6 +27,10 @@ RUNTIME_CONFS = {
     # All test timestamps are timezone-naive; pin the session to UTC so
     # ntz<->tz casts are identity w.r.t. the stored micros.
     "spark.sql.session.timeZone": "UTC",
+    # Runtime-settable: callers that hand us a default session would
+    # otherwise run every shuffle at 200 partitions — wasteful at test
+    # scale (AQE coalesces, but scheduling overhead remains).
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }
 
 

@@ -1,1 +1,184 @@
-"""(stub — filled in as operators are implemented)"""
+"""True Structured Streaming runs — SURVEY.md §2.H (rows-only).
+
+Each operator here actually executes a streaming query: file-source stream
+over the events parquet → transformation under test → memory sink, with
+Trigger.AvailableNow so the run is bounded. Semantics are oracle-checked via
+the batch twins in streaming/batch_equiv.py; these entries prove the same
+programs run under the streaming engine (state store, watermarks,
+micro-batches).
+
+Scale design: identical code runs against kafka/file sources on a cluster —
+watermark + windowed state keeps state bounded regardless of stream length;
+the state store shuffles by grouping key exactly like a batch groupBy.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from spark_ml_helper_spark.registry import query
+from spark_ml_helper_spark.sources.parquet import table
+
+_MULTIFILE_CACHE: dict[str, str] = {}
+
+
+def _events_stream(spark, sf_dir, path=None):
+    """events as a file-source stream. The file source requires a
+    *directory*, so events is staged once per sf_dir into a temp dir of
+    time-ranged files (which also gives watermark runs real multi-batch
+    behavior)."""
+    path = path or _multifile_events(spark, sf_dir)
+    raw = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    return raw
+
+
+def _run(df, mode="complete"):
+    """Execute to a memory sink under AvailableNow; return the result table."""
+    name = "m" + uuid.uuid4().hex[:12]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def _multifile_events(spark, sf_dir, n_files=8):
+    """Rewrite events as n time-ranged files so maxFilesPerTrigger yields a
+    multi-batch stream (lets the watermark actually advance mid-run)."""
+    if sf_dir in _MULTIFILE_CACHE:
+        return _MULTIFILE_CACHE[sf_dir]
+    out = os.path.join(tempfile.mkdtemp(prefix="smhs_stream_"), "events_files")
+    (
+        table(spark, sf_dir, "events")  # ts already normalized to timestamp_ntz
+        .repartitionByRange(n_files, "ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    _MULTIFILE_CACHE[sf_dir] = out
+    return out
+
+
+@query("stream_run_tumbling", oracle=None, family="streaming")
+def stream_run_tumbling(spark, sf_dir):
+    """Streaming 1h tumbling count/sum per event_type (complete mode).
+    Same program as stream_tumbling's batch twin."""
+    e = _events_stream(spark, sf_dir)
+    agg = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_v"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_v")
+    )
+    return _run(agg, "complete")
+
+
+@query("stream_run_session", oracle=None, family="streaming")
+def stream_run_session(spark, sf_dir):
+    """Streaming 10-min-gap session windows per user (complete mode) —
+    exercises the merging-session state store."""
+    e = _events_stream(spark, sf_dir)
+    agg = (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("s_start"), F.col("w.end").alias("s_end"), "n")
+    )
+    return _run(agg, "complete")
+
+
+@query("stream_run_dedup", oracle=None, family="streaming")
+def stream_run_dedup(spark, sf_dir):
+    """Streaming stateful dedup within a watermark: first (user_id,
+    event_type, ts-bucket) occurrence survives; dedup state is dropped once
+    the watermark passes (bounded state — THE requirement for infinite
+    streams)."""
+    # withWatermark requires tz-aware TimestampType; session tz is pinned
+    # to UTC so the cast is identity on the stored instant.
+    e = _events_stream(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", "1 hour"
+    )
+    dedup = e.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    return _run(dedup, "append")
+
+
+@query("stream_run_watermark", oracle=None, family="streaming")
+def stream_run_watermark(spark, sf_dir):
+    """Watermarked windowed aggregation in APPEND mode over a multi-batch
+    file stream: windows emit only once the 30-min watermark passes their
+    end — the late-data/finality contract. Bounded state; rows-only by
+    nature (what emits depends on batch boundaries)."""
+    path = _multifile_events(spark, sf_dir)
+    e = _events_stream(spark, sf_dir, path=path)
+    agg = (
+        e.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    name = "m" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("maxFilesPerTrigger", 1)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query("stream_run_stateful", oracle=None, family="streaming")
+def stream_run_stateful(spark, sf_dir):
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running total + event count carried in explicit state across
+    micro-batches (the arbitrary-state API — what you reach for when
+    windows/dedup can't express the state machine)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            total, n = state.get
+        else:
+            total, n = 0.0, 0
+        for pdf in pdf_iter:
+            total += float(pdf["value"].sum())
+            n += len(pdf)
+        state.update((total, n))
+        yield pd.DataFrame({"user_id": [key[0]], "total_v": [round(total, 6)], "n_events": [n]})
+
+    e = _events_stream(spark, sf_dir).select("user_id", "value")
+    out = e.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id bigint, total_v double, n_events bigint",
+        stateStructType="total_v double, n_events bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run(out, "update")
+
+
+@query("stream_run_static_join", oracle=None, family="streaming")
+def stream_run_static_join(spark, sf_dir):
+    """Stream⋈static-dim join + aggregation under the streaming engine
+    (static side broadcast per micro-batch)."""
+    e = _events_stream(spark, sf_dir)
+    c = table(spark, sf_dir, "customer")
+    agg = (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_v"))
+    )
+    return _run(agg, "complete")
