@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <float>}
+
+Protocol: one warm-up execution per query (JIT + code cache + file
+listing), then the timed run. Each run materializes the full result through
+the noop sink (count() alone lets Spark skip column decode). Spark logs go
+to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+HEADLINE = [
+    "agg_group",        # TPC-H Q1 shape: filter + 6-group agg over lineitem
+    "join_multi",       # TPC-H Q3 shape: 3-table star join + agg + top-10
+    "win_topk_group",   # window top-k per customer
+    "join_asof",        # as-of join events->events
+    "stream_tumbling",  # hourly tumbling agg (batch twin)
+    "win_sessionize",   # gap sessionization
+    "text_wordcount",   # explode + agg over documents
+    "text_tfidf",       # full TF-IDF pipeline
+    "dedup_exact",      # exact text dedup
+    "dedup_minhash",    # MinHash-LSH near-dup (approx path)
+    "sim_cosine_pairs", # exact all-pairs cosine top-10
+    "sim_knn",          # exact kNN for 50 queries
+    "train_test_split", # md5 hash split over orders
+    "source_json_col",  # JSON extraction over events
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from spark_ml_helper_spark.registry import REGISTRY, load_all_operators
+    from spark_ml_helper_spark.session import get_spark
+
+    load_all_operators()
+    spark = get_spark(app_name="smhs-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def materialize(name: str) -> None:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        materialize(name)  # warm-up: plan cache, JIT, file listing
+        t0 = time.perf_counter()
+        materialize(name)
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "headline_queries_total_warm",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -13,3 +13,5 @@ import spark_ml_helper_spark.operators.mlprep  # noqa: F401
 import spark_ml_helper_spark.streaming.batch_equiv  # noqa: F401
 import spark_ml_helper_spark.streaming.runs  # noqa: F401
 import spark_ml_helper_spark.operators.udfs  # noqa: F401
+import spark_ml_helper_spark.operators.pipeline  # noqa: F401
+import spark_ml_helper_spark.operators.multimodal  # noqa: F401

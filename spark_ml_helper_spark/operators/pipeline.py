@@ -1,0 +1,495 @@
+"""Training-data-pipeline operators: language ID, quality scoring, token
+counting, document fingerprinting, SimHash / n-gram / embedding near-dup,
+and IVF approximate nearest neighbors.
+
+These extend the §2.I surface with the operations a large-scale LLM
+training-data pipeline needs. Every hash used in an oracle-checked operator
+is engine-neutral (md5-prefix → bigint, or a polynomial rolling hash over
+character codes) — never Spark's xxhash64/hash, which DuckDB can't
+reproduce (SURVEY.md §7.4 hazard 6).
+
+Scale notes are per-operator docstrings; the common theme: per-row feature
+extraction is shuffle-free, near-dup pair generation goes through a banded
+equi-join (LSH) so the shuffle key is a band hash, never the pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spark_ml_helper_spark.functions.vector_math import dot, l2_norm
+from spark_ml_helper_spark.registry import query
+from spark_ml_helper_spark.sources.parquet import table
+
+# ---------------------------------------------------------------------------
+# Language-ID marker profiles. The corpus vocabulary is synthetic (31
+# bag-of-words tokens), so these profiles are tuned to that vocabulary: a
+# stopword-overlap scorer, the classic cheap lang-ID heuristic (real corpora
+# would use char-trigram profiles; identical plumbing, bigger marker maps).
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["batch", "merge", "group", "hash", "window"],
+    "en": ["the", "a", "data", "value", "row", "fast"],
+    "es": ["table", "sort", "line", "part", "order"],
+    "fr": ["query", "scan", "slow", "filter", "column"],
+    "zh": ["spark", "stream", "vector", "join", "key"],
+}
+
+
+def _toks(col: str = "text"):
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _spark_arr(words: list[str]):
+    return F.array(*[F.lit(w) for w in words])
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   {', '.join(
+                       f"round(CAST(len(list_intersect(ts, {_sql_list(ws)})) AS DOUBLE) / len(ts), 6) AS s_{lang}"
+                       for lang, ws in LANG_PROFILES.items()
+                   )}
+            FROM t
+        )
+        SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+               CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                    WHEN s_fr >= s_zh THEN 'fr'
+                    ELSE 'zh' END AS pred_lang
+        FROM s
+    """,
+    family="pipeline",
+)
+def text_langid(spark, sf_dir):
+    """Language ID via stopword-profile overlap: score(lang) = |distinct
+    tokens ∩ profile| / |distinct tokens|; argmax with lexicographic
+    tiebreak (the CASE chain checks langs in sorted order with >=).
+    Per-row, shuffle-free; profiles are literals folded into codegen."""
+    d = table(spark, sf_dir, "documents")
+    ts = F.array_distinct(_toks())
+    df = d.select("doc_id", ts.alias("ts"))
+    for lang, ws in LANG_PROFILES.items():
+        df = df.withColumn(
+            f"s_{lang}",
+            F.round(
+                F.size(F.array_intersect(F.col("ts"), _spark_arr(ws))).cast("double")
+                / F.size("ts"),
+                6,
+            ),
+        )
+    pred = (
+        F.when(
+            (F.col("s_de") >= F.col("s_en")) & (F.col("s_de") >= F.col("s_es"))
+            & (F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_zh")),
+            "de",
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_zh")),
+            "en",
+        )
+        .when((F.col("s_es") >= F.col("s_fr")) & (F.col("s_es") >= F.col("s_zh")), "es")
+        .when(F.col("s_fr") >= F.col("s_zh"), "fr")
+        .otherwise("zh")
+    )
+    return df.select("doc_id", "s_de", "s_en", "s_es", "s_fr", "s_zh", pred.alias("pred_lang"))
+
+
+@query(
+    "text_quality",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, n_chars,
+                   len(string_split(text, ' ')) AS n_toks,
+                   len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
+                   len(list_filter(string_split(lower(text), ' '), t -> t IN ('the', 'a'))) AS n_stop
+            FROM documents
+        )
+        SELECT doc_id, n_toks,
+               round((n_chars - (n_toks - 1)) / CAST(n_toks AS DOUBLE), 6) AS avg_tok_len,
+               round(n_stop / CAST(n_toks AS DOUBLE), 6) AS stop_ratio,
+               round(1.0 - n_uniq / CAST(n_toks AS DOUBLE), 6) AS dup_ratio,
+               round(0.4 * ln(1 + n_chars) / ln(600.0)
+                     + 0.3 * (1.0 - n_stop / CAST(n_toks AS DOUBLE))
+                     + 0.3 * (n_uniq / CAST(n_toks AS DOUBLE)), 6) AS quality
+        FROM t
+    """,
+    family="pipeline",
+)
+def text_quality(spark, sf_dir):
+    """Heuristic document-quality score: length signal + stopword ratio +
+    token-repetition ratio, combined into one [0,1]-ish scalar — the
+    standard cheap pre-filter before expensive dedup/training steps.
+    Per-row, shuffle-free, all JVM expressions."""
+    d = table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_toks = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    stop_ratio = n_stop / n_toks.cast("double")
+    uniq_ratio = n_uniq / n_toks.cast("double")
+    return d.select(
+        "doc_id",
+        n_toks.alias("n_toks"),
+        F.round((F.col("n_chars") - (n_toks - 1)) / n_toks.cast("double"), 6).alias("avg_tok_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(1.0 - uniq_ratio, 6).alias("dup_ratio"),
+        F.round(
+            0.4 * F.log(1 + F.col("n_chars")) / F.log(F.lit(600.0))
+            + 0.3 * (1.0 - stop_ratio)
+            + 0.3 * uniq_ratio,
+            6,
+        ).alias("quality"),
+    )
+
+
+@query(
+    "text_tokens",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+               CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_est4,
+               round(n_chars / CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE), 6) AS chars_per_tok
+        FROM documents
+    """,
+    family="pipeline",
+)
+def text_tokens(spark, sf_dir):
+    """Token counting three ways: whitespace, BPE-ish regex pieces
+    (letter-runs | digit-runs | single symbols — the classic pre-tokenizer
+    shape), and the chars/4 estimator. Per-row regex, shuffle-free; regex
+    is RE2-compatible so Spark (Java regex) and DuckDB (RE2) agree."""
+    d = table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)))
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws"),
+        bpe.alias("n_bpe"),
+        F.ceil(F.col("n_chars") / 4.0).alias("n_est4"),
+        F.round(F.col("n_chars") / bpe.cast("double"), 6).alias("chars_per_tok"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                   list_transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+                   (acc, x) -> (acc * 131 + x) % 1000000007
+               ) AS roll_hash,
+               list_min(list_transform(
+                   range(1, length(text) - 6),
+                   i -> CAST(concat('0x', substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT)
+               )) AS min_shingle
+        FROM documents
+    """,
+    family="pipeline",
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprints: (a) a polynomial rolling hash over the whole
+    text (base 131 mod 1e9+7 — pure int64 arithmetic, identical in any
+    engine), and (b) the minimum over all 8-char rolling windows of an
+    md5-derived 60-bit shingle hash (the winnowing/min-hash fingerprint
+    used for content-defined dedup). Per-row, shuffle-free."""
+    d = table(spark, sf_dir, "documents")
+    roll = F.expr(
+        """aggregate(
+               transform(slice(split(text, ''), 2, length(text) - 1), c -> cast(ascii(c) as bigint)),
+               cast(ascii(substr(text, 1, 1)) as bigint),
+               (acc, x) -> (acc * 131 + x) % 1000000007
+           )"""
+    )
+    min_shingle = F.expr(
+        """array_min(transform(
+               sequence(1, length(text) - 7),
+               i -> cast(conv(substr(md5(cast(substr(text, i, 8) as binary)), 1, 15), 16, 10) as bigint)
+           ))"""
+    )
+    return d.select("doc_id", roll.alias("roll_hash"), min_shingle.alias("min_shingle"))
+
+
+# SimHash: 60-bit (bits 0..59 — staying clear of int64 sign games), token
+# hash = first 15 hex chars of md5 (engine-neutral). Shared constants:
+_SIMHASH_BITS = 60
+_BAND_BITS = 15  # 4 bands × 15 bits; hamming ≤ 3 ⇒ ≥1 identical band
+
+_SPARK_SIMHASH = """
+    aggregate(
+        transform(sequence(0, 59), b -> IF(
+            aggregate(
+                transform(array_distinct(split(lower(text), ' ')),
+                          t -> cast(conv(substr(md5(cast(t as binary)), 1, 15), 16, 10) as bigint)),
+                cast(0 as bigint),
+                (acc, h) -> acc + IF((shiftright(h, b) & 1) = 1, 1, -1)
+            ) > 0,
+            shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
+        cast(0 as bigint), (a, x) -> a + x)
+"""
+
+_DUCK_SIMHASH = """
+    list_sum(list_transform(range(0, 60), b -> CASE WHEN
+        list_sum(list_transform(
+            list_transform(list_distinct(string_split(lower(text), ' ')),
+                           t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)),
+            h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))
+"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+        WITH sh AS (SELECT doc_id, {_DUCK_SIMHASH} AS sh FROM documents)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               bit_count(xor(a.sh, b.sh)) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+    family="pipeline",
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (60-bit signature over distinct tokens,
+    hamming ≤ 3). The Spark plan is the SCALE plan: split the signature
+    into 4 bands of 15 bits and equi-join on (band_no, band_value) — by
+    pigeonhole every pair at hamming ≤ 3 agrees on ≥1 band, so the banded
+    join is EXACT for this threshold while shuffling on band hashes, never
+    enumerating the O(n²) pair space. The quadratic oracle proves it."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.expr(_SPARK_SIMHASH).alias("sh"))
+    bands = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, 3), k -> named_struct("
+                f"'band_no', k, 'band_val', shiftright(sh, k * {_BAND_BITS}) & {2**_BAND_BITS - 1}))"
+            )
+        ).alias("band"),
+    ).select("doc_id", "sh", "band.band_no", "band.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"), "band_no", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"), "band_no", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_no", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sh", "b_sh")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    return cand.withColumn("hamming", hamming).filter(hamming <= 3).select("a_id", "b_id", "hamming")
+
+
+@query(
+    "dedup_ngram",
+    oracle="""
+        WITH ts AS (
+            SELECT doc_id, list_sort(list_distinct(list_transform(
+                       range(1, len(string_split(lower(text), ' '))),
+                       i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i + 1]
+                   ))) AS bg
+            FROM documents
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+                     / (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))), 6) AS jac
+        FROM ts a JOIN ts b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+              / (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) >= 0.5
+    """,
+    family="pipeline",
+)
+def dedup_ngram(spark, sf_dir):
+    """Word-bigram Jaccard near-dup pairs (≥ 0.5): order-sensitive token
+    overlap — catches shuffled-bag false positives that unigram Jaccard
+    admits. Quadratic exact form (the ground truth); the scale path is the
+    same MinHash-LSH banding as dedup_minhash applied to bigram shingles."""
+    d = table(spark, sf_dir, "documents")
+    bg = d.select(
+        "doc_id",
+        F.expr(
+            """sort_array(array_distinct(CASE WHEN size(split(lower(text), ' ')) < 2
+                   THEN cast(array() as array<string>)
+                   ELSE transform(sequence(0, size(split(lower(text), ' ')) - 2),
+                        i -> concat(split(lower(text), ' ')[i], ' ', split(lower(text), ' ')[i + 1]))
+               END))"""
+        ).alias("bg"),
+    )
+    a = bg.select(F.col("doc_id").alias("a_id"), F.col("bg").alias("a_bg"))
+    b = bg.select(F.col("doc_id").alias("b_id"), F.col("bg").alias("b_bg"))
+    inter = F.size(F.array_intersect("a_bg", "b_bg")).cast("double")
+    union = F.size("a_bg") + F.size("b_bg") - F.size(F.array_intersect("a_bg", "b_bg"))
+    jac = inter / union
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("jac", F.round(jac, 6))
+        .filter(jac >= 0.5)
+        .select("a_id", "b_id", "jac")
+    )
+
+
+_DUCK_DOT = "list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * {b}[i]))"
+_DUCK_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x)))"
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, embedding, {_DUCK_NORM.format(a='embedding')} AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round({_DUCK_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 6) AS sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE {_DUCK_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= 0.4
+    """,
+    family="pipeline",
+)
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (sim ≥ 0.4): semantic dedup — the
+    step after exact/MinHash dedup in a training pipeline. Exact all-pairs
+    form; at 100 TB the candidate set comes from sim_ann_lsh / sim_ann_ivf
+    bucketing and only candidates get the exact cosine."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+    a = v.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm"))
+    b = v.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm"))
+    sim = dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("sim", F.round(sim, 6))
+        .filter(sim >= 0.4)
+        .select("a_id", "b_id", "sim")
+    )
+
+
+@query(
+    "sim_ann_ivf",
+    oracle=f"""
+        WITH ex AS (
+            SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, range(1, 65) r(i)
+        ),
+        cent AS (
+            SELECT label AS c_label, list(round(avg_v, 6) ORDER BY pos) AS centroid
+            FROM (SELECT label, pos, avg(v) AS avg_v FROM ex GROUP BY label, pos)
+            GROUP BY label
+        ),
+        vn AS (
+            SELECT vec_id, embedding, {_DUCK_NORM.format(a='embedding')} AS nrm
+            FROM embeddings
+        ),
+        ranked AS (
+            SELECT v.vec_id, v.embedding, v.nrm, c.c_label,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_sum(list_transform(range(1, 65),
+                           i -> (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i])
+                                * (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i]))), 6),
+                           c.c_label
+                   ) AS crn
+            FROM vn v CROSS JOIN cent c
+        ),
+        assigned AS (SELECT vec_id, embedding, nrm, c_label FROM ranked WHERE crn = 1),
+        probes AS (SELECT vec_id, embedding, nrm, c_label FROM ranked WHERE crn <= 2 AND vec_id < 50)
+        SELECT q_id, n_id, sim, rn FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                   round({_DUCK_DOT.format(a='q.embedding', b='c.embedding')} / (q.nrm * c.nrm), 6) AS sim,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_DUCK_DOT.format(a='q.embedding', b='c.embedding')} / (q.nrm * c.nrm), 6) DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM probes q JOIN assigned c
+              ON q.c_label = c.c_label AND c.vec_id <> q.vec_id
+        ) WHERE rn <= 5
+    """,
+    family="pipeline",
+)
+def sim_ann_ivf(spark, sf_dir):
+    """IVF approximate nearest neighbors: coarse-quantize every vector to
+    its nearest centroid (per-label mean vectors as the deterministic
+    codebook — production would train k-means, identical plumbing), then
+    search only the query's nprobe=2 nearest cells. The neighbor join key
+    is the CELL id — an equi-join, the sublinear 100 TB path — vs
+    sim_knn's full cross product. Recall vs sim_knn is measured in tests;
+    nprobe is the recall/cost dial. Distances are rounded to 6dp before
+    ranking so the argmin/top-k is engine-stable; ties break on label /
+    vec_id."""
+    e = table(spark, sf_dir, "embeddings")
+    # codebook: per-label mean, rounded — deterministic across engines
+    ex = e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+    cent = (
+        ex.groupBy(F.col("label").alias("c_label"), (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mv"))
+        .groupBy("c_label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s.getField("mv")
+            ).alias("centroid")
+        )
+    )
+    vn = e.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("centroid"),
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("c_label"))
+    ranked = (
+        vn.crossJoin(F.broadcast(cent))
+        .withColumn("d2", d2)
+        .withColumn("crn", F.row_number().over(w_assign))
+    )
+    assigned = ranked.filter(F.col("crn") == 1).select("vec_id", "embedding", "nrm", "c_label")
+    probes = ranked.filter((F.col("crn") <= 2) & (F.col("vec_id") < 50)).select(
+        "vec_id", "embedding", "nrm", "c_label"
+    )
+    q = probes.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("c_label").alias("cell"),
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        F.col("c_label").alias("cell"),
+    )
+    sim = F.round(dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 6)
+    w_top = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "n_id")
+    return (
+        F.broadcast(q)
+        .join(c, "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "n_id", "sim", "rn")
+    )

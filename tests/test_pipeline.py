@@ -1,0 +1,123 @@
+"""Pipeline-operator tests: approx-op recall vs exact twins, multimodal
+plumbing invariants, and physical-plan shape assertions (pushdown,
+broadcast, no accidental cartesian products)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_ORACLE
+
+QUERIES = entry_mod.queries()
+
+
+def _plan(spark, name: str, sf: str = SF_ORACLE) -> str:
+    return QUERIES[name](spark, sf)._sc._jvm.PythonSQLUtils.explainString(
+        QUERIES[name](spark, sf)._jdf.queryExecution(), "formatted"
+    )
+
+
+# ---------------------------------------------------------------------- recall
+
+
+def test_minhash_recall_vs_exact(spark):
+    mh = {(r.a_id, r.b_id) for r in QUERIES["dedup_minhash"](spark, SF_ORACLE).collect()}
+    ex = {(r.a_id, r.b_id) for r in QUERIES["dedup_jaccard"](spark, SF_ORACLE).collect()}
+    assert ex, "exact twin returned nothing — fixture changed?"
+    recall = len(mh & ex) / len(ex)
+    assert recall >= 0.95, f"banded MinHash recall {recall:.3f} < 0.95"
+    # exact rescore on candidates → no false positives at the threshold
+    assert mh <= ex
+
+
+def test_ivf_recall_vs_exact_knn(spark):
+    ivf = {(r.q_id, r.n_id) for r in QUERIES["sim_ann_ivf"](spark, SF_ORACLE).collect()}
+    knn = {(r.q_id, r.n_id) for r in QUERIES["sim_knn"](spark, SF_ORACLE).collect()}
+    assert len(knn) == 250  # 50 queries × k=5
+    recall = len(ivf & knn) / len(knn)
+    # nprobe=1 over a 10-cell label codebook: moderate recall by design
+    assert recall >= 0.3, f"IVF recall {recall:.3f} suspiciously low"
+    # every query returns exactly k neighbors (cells are larger than k)
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in ivf)
+    assert all(v == 5 for v in per_q.values())
+
+
+def test_simhash_pairs_within_threshold(spark):
+    rows = QUERIES["dedup_simhash"](spark, SF_ORACLE).collect()
+    assert rows
+    assert all(0 <= r.hamming <= 3 for r in rows)
+    pairs = [(r.a_id, r.b_id) for r in rows]
+    assert len(pairs) == len(set(pairs)), "banded join emitted duplicate pairs"
+
+
+# ------------------------------------------------------------------ multimodal
+
+
+def test_mm_image_features_shape(spark):
+    rows = QUERIES["mm_image_features"](spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        assert 1 <= r.width <= 64 and 1 <= r.height <= 64
+        assert r.n_pixels == r.width * r.height
+        assert r.fmt in ("png", "jpeg", "webp")
+
+
+def test_mm_frame_sample_shape(spark):
+    rows = QUERIES["mm_frame_sample"](spark, SF_ORACLE).collect()
+    assert rows
+    assert all(len(r.frame_hex) == 32 for r in rows[:100])  # 16 bytes → 32 hex
+    # frame numbers are dense per doc starting at 0
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_no)
+    for doc_id, frames in list(by_doc.items())[:20]:
+        assert sorted(frames) == list(range(len(frames)))
+
+
+def test_decode_stubs_raise():
+    from spark_ml_helper_spark.operators.multimodal import decode_audio, decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF")
+
+
+def test_langid_outputs_valid(spark):
+    rows = QUERIES["text_langid"](spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    assert all(r.pred_lang in ("de", "en", "es", "fr", "zh") for r in rows)
+
+
+# ------------------------------------------------------------------ plan shape
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_pushdown_reaches_parquet(spark):
+    plan = _formatted(QUERIES["scan_pruned"](spark, SF_ORACLE))
+    assert "PushedFilters: [" in plan
+    assert "PushedFilters: []" not in plan, "no filter reached the parquet scan"
+
+
+def test_dim_join_broadcasts(spark):
+    plan = _formatted(QUERIES["join_broadcast"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_join_is_not_cartesian(spark):
+    plan = _formatted(QUERIES["dedup_minhash"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_agg_group_has_partial_agg(spark):
+    plan = _formatted(QUERIES["agg_group"](spark, SF_ORACLE))
+    assert plan.count("HashAggregate") >= 2, "map-side partial aggregation missing"
