@@ -208,17 +208,18 @@ def dedup_jaccard(spark, sf_dir):
     )
 
 
-# Native banded MinHash-LSH. 32 signature rows, 8 bands × 4 rows: a pair is
-# a candidate iff ALL 4 sig rows of some band agree (AND-amplification), so
-# P(candidate | jaccard j) = 1 - (1 - j⁴)⁸ — ≈ 0.99 at j=0.8, ≈ 0.05 at
-# j=0.3. MLlib's MinHashLSH amplifies with OR only (bands of width 1), which
-# on a highly-self-similar corpus makes nearly EVERY pair a candidate —
-# measured: it wedged single-threaded for >10 min at sf0.1 where this banded
-# form finishes in seconds. Token hashes are md5-derived (engine-neutral);
-# permutations are fixed (a·h+b) mod p with seeded constants.
+# Native banded MinHash-LSH. 40 signature rows, 8 bands × 5 rows: a pair is
+# a candidate iff ALL 5 sig rows of some band agree (AND-amplification), so
+# P(candidate | jaccard j) = 1 - (1 - j⁵)⁸ — ≈ 0.96 at the j=0.8 threshold
+# (higher above it), ≈ 0.03 at j=0.5. MLlib's MinHashLSH amplifies with OR
+# only (bands of width 1), which on a highly-self-similar corpus makes
+# nearly EVERY pair a candidate — measured: it wedged single-threaded for
+# >10 min at sf0.1 where this banded form finishes in seconds. Token hashes
+# are md5-derived (engine-neutral); permutations are fixed (a·h+b) mod p
+# with seeded constants.
 _MINHASH_P = 2147483647  # 2^31 - 1; (p-1)² < 2^63, so a·h+b stays in int64
-_MINHASH_K = 32
-_MINHASH_BAND_ROWS = 4
+_MINHASH_K = 40
+_MINHASH_BAND_ROWS = 5
 
 
 def _minhash_params() -> list[tuple[int, int]]:
@@ -245,25 +246,37 @@ def dedup_minhash(spark, sf_dir):
     only. Rows-only: recall vs the exact dedup_jaccard twin is asserted in
     tests (banding keeps ~99% of j≥0.8 pairs).
 
-    Scale design: the shuffle key is always the band hash or the doc id —
-    never the pair space. Candidate volume is tunable via band geometry
-    (more rows/band → fewer false candidates); the exact-Jaccard rescore
-    touches candidates only."""
+    Scale design: the pipeline collapses EXACT-duplicate token sets first
+    (groupBy the sorted token-id array → one representative per distinct
+    set), runs LSH over distinct sets only, and re-expands set-level pairs
+    to doc-level pairs through membership hash joins at the end — the
+    standard dedup ordering (exact before near) that shrinks every
+    LSH/rescore stage. The shuffle key is always the band hash, the set
+    key, or the doc id — never the pair space. Candidate volume is tunable
+    via band geometry; the exact-Jaccard rescore touches candidates only.
+    No broadcast hints: every joined side is corpus-sized at 100 TB; the
+    auto-threshold broadcasts them at test scale."""
     n_bands = _MINHASH_K // _MINHASH_BAND_ROWS
-    ts = (
+    docs = (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.array_distinct(_tokens()).alias("tokset"))
         .withColumn(
             "tok_hashes",
             F.expr(
-                f"transform(tokset, t -> cast(conv(substr(md5(cast(t as binary)), 1, 15), 16, 10) as bigint) % {_MINHASH_P}L)"
+                f"sort_array(transform(tokset, t -> cast(conv(substr(md5(cast(t as binary)), 1, 15), 16, 10) as bigint) % {_MINHASH_P}L))"
             ),
         )
     )
+    # exact-dup collapse: one representative per distinct token set
+    members = docs.select("doc_id", "tok_hashes")
+    reps = members.groupBy("tok_hashes").agg(F.min("doc_id").alias("set_id"))
+    membership = members.join(reps, "tok_hashes").select("doc_id", "set_id")
+    rep_sets = reps.select("set_id", "tok_hashes")
+
     bands = (
-        ts.withColumn("sigs", F.expr(_minhash_sigs_expr()))
+        rep_sets.withColumn("sigs", F.expr(_minhash_sigs_expr()))
         .select(
-            "doc_id",
+            "set_id",
             F.explode(
                 F.expr(
                     f"""transform(sequence(0, {n_bands - 1}), j -> named_struct(
@@ -273,24 +286,45 @@ def dedup_minhash(spark, sf_dir):
                 )
             ).alias("band"),
         )
-        .select("doc_id", "band.band_no", "band.band_val")
+        .select("set_id", "band.band_no", "band.band_val")
     )
-    a = bands.select(F.col("doc_id").alias("a_id"), "band_no", "band_val")
-    b = bands.select(F.col("doc_id").alias("b_id"), "band_no", "band_val")
+    a = bands.select(F.col("set_id").alias("sa"), "band_no", "band_val")
+    b = bands.select(F.col("set_id").alias("sb"), "band_no", "band_val")
     cand = (
         a.join(b, ["band_no", "band_val"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        .filter(F.col("sa") < F.col("sb"))
+        .select("sa", "sb")
         .distinct()
     )
-    sets = ts.select("doc_id", "tokset")
+    # exact-Jaccard rescore between distinct sets (int intersects are ~2-3x
+    # cheaper than string intersects; set-identical to the string toksets
+    # barring 60-bit md5 collisions)
     inter = F.size(F.array_intersect("a_set", "b_set")).cast("double")
     union = F.size("a_set") + F.size("b_set") - F.size(F.array_intersect("a_set", "b_set"))
     jac = inter / union
-    return (
-        cand.join(sets.select(F.col("doc_id").alias("a_id"), F.col("tokset").alias("a_set")), "a_id")
-        .join(sets.select(F.col("doc_id").alias("b_id"), F.col("tokset").alias("b_set")), "b_id")
+    set_pairs = (
+        cand.join(rep_sets.select(F.col("set_id").alias("sa"), F.col("tok_hashes").alias("a_set")), "sa")
+        .join(rep_sets.select(F.col("set_id").alias("sb"), F.col("tok_hashes").alias("b_set")), "sb")
         .withColumn("jac_approx", F.round(jac, 6))
         .filter(jac >= 0.8)
-        .select("a_id", "b_id", "jac_approx")
+        .select("sa", "sb", "jac_approx")
     )
+    # expand back to doc pairs: cross-set pairs carry the set-level jaccard;
+    # same-set doc pairs are exact dups (jaccard 1.0) found without LSH
+    cross = (
+        set_pairs.join(membership.select(F.col("set_id").alias("sa"), F.col("doc_id").alias("da")), "sa")
+        .join(membership.select(F.col("set_id").alias("sb"), F.col("doc_id").alias("db")), "sb")
+        .select(
+            F.least("da", "db").alias("a_id"),
+            F.greatest("da", "db").alias("b_id"),
+            "jac_approx",
+        )
+    )
+    m1 = membership.select("set_id", F.col("doc_id").alias("a_id"))
+    m2 = membership.select("set_id", F.col("doc_id").alias("b_id"))
+    within = (
+        m1.join(m2, "set_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.lit(1.0).alias("jac_approx"))
+    )
+    return cross.unionByName(within)

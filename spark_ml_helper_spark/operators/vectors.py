@@ -43,16 +43,76 @@ def _norms(spark, sf_dir):
     family="vectors",
 )
 def sim_cosine_pairs(spark, sf_dir):
-    """Top-10 most cosine-similar vector pairs (exact, all-pairs).
-    Norms are computed once per vector BEFORE the pair join — never inside
-    it. Deterministic top-k: ordered by rounded sim with (a_id, b_id)
-    tiebreak. Scale note: all-pairs is O(n²) — the honest baseline; the
-    sublinear path is sim_ann_lsh."""
+    """Top-10 most cosine-similar vector pairs (exact, all-pairs) via a
+    distributed block-matrix plan: partition vectors into G blocks, form the
+    G·(G+1)/2 block pairs, and inside each block pair run a vectorized
+    numpy matmul (Arrow-batched cogroup → applyInPandas) that preselects a
+    generous local top-K. The short candidate list is then RE-scored with
+    the sequential JVM fold (functions.vector_math.dot) so the final values
+    are bit-identical to the naive all-pairs form — numpy is only a
+    preselection filter, never the source of truth.
+
+    Scale: work is O(n²/G²) per task over G² tasks with numpy/BLAS inner
+    loops — the canonical exact path when ANN recall bounds aren't
+    acceptable; the sublinear alternative is sim_ann_lsh / sim_ann_ivf.
+    Each task holds two blocks (n/G vectors each) in memory — G is the
+    memory dial. Deterministic: preselection margin (K=30 per block pair
+    for a global top-10) absorbs float-order perturbation; final order is
+    (rounded sim DESC, a_id, b_id)."""
+    import pandas as pd
+
+    G = 8
+    PRE_K = 30
     v = _norms(spark, sf_dir)
-    a = v.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm"))
-    b = v.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm"))
+    blocks = v.withColumn("g", (F.col("vec_id") % G).cast("int"))
+    def gpairs():
+        return (
+            spark.range(G)
+            .select(F.col("id").cast("int").alias("gi"))
+            .crossJoin(spark.range(G).select(F.col("id").cast("int").alias("gj")))
+            .filter(F.col("gi") <= F.col("gj"))
+        )
+
+    ga, gb = gpairs(), gpairs()
+    a_side = ga.join(blocks, blocks.g == ga.gi).select(
+        "gi", "gj", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm")
+    )
+    b_side = gb.join(blocks, blocks.g == gb.gj).select(
+        "gi", "gj", F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm")
+    )
+
+    def block_topk(key, pa: pd.DataFrame, pb: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if pa.empty or pb.empty:
+            return pd.DataFrame({"a_id": [], "b_id": []}).astype({"a_id": "int64", "b_id": "int64"})
+        A = np.vstack(pa["a_emb"].to_numpy()).astype("float64")
+        B = np.vstack(pb["b_emb"].to_numpy()).astype("float64")
+        sims = (A @ B.T) / np.outer(pa["a_nrm"].to_numpy(), pb["b_nrm"].to_numpy())
+        a_ids = pa["a_id"].to_numpy()
+        b_ids = pb["b_id"].to_numpy()
+        if key[0] == key[1]:
+            # diagonal block: both orientations present — keep a_id < b_id
+            sims[a_ids[:, None] >= b_ids[None, :]] = -np.inf
+        k = min(PRE_K, sims.size)
+        flat = np.argpartition(sims, -k, axis=None)[-k:]
+        ai, bj = np.unravel_index(flat, sims.shape)
+        keep = sims[ai, bj] > -np.inf
+        lo = np.minimum(a_ids[ai[keep]], b_ids[bj[keep]])
+        hi = np.maximum(a_ids[ai[keep]], b_ids[bj[keep]])
+        return pd.DataFrame({"a_id": lo, "b_id": hi})
+
+    cand = (
+        a_side.groupby("gi", "gj")
+        .cogroup(b_side.groupby("gi", "gj"))
+        .applyInPandas(block_topk, schema="a_id bigint, b_id bigint")
+        .distinct()
+    )
+    av = v.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm"))
+    bv = v.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm"))
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
+        cand.join(F.broadcast(av), "a_id")
+        .join(F.broadcast(bv), "b_id")
         .select(
             "a_id",
             "b_id",
