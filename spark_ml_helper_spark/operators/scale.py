@@ -1,0 +1,167 @@
+"""Scale-pattern operators: the shuffle-management techniques a 100 TB
+deployment leans on, demonstrated as oracle-checked queries so the
+techniques themselves are correctness-tested.
+
+- salted join: breaks hot keys across S sub-keys (skew mitigation when AQE
+  skew-splitting isn't enough or the engine predates it)
+- bucketed join: co-located storage join — both sides pre-bucketed on the
+  key so the join runs with ZERO shuffle at read time
+- partitioned sink: hive-style partition layout + partition-pruned re-read
+- csv/json sinks: interchange-format round trips
+
+Each produces the same rows as its unsalted/unbucketed twin, which is
+exactly what the DuckDB oracle asserts.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from spark_ml_helper_spark.registry import query
+from spark_ml_helper_spark.sources.parquet import table
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+        SELECT o.o_custkey, count(*) AS n_li, round(sum(l.l_extendedprice), 6) AS revenue
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_custkey
+    """,
+    family="scale",
+)
+def join_skew_salted(spark, sf_dir):
+    """Skew-salted join + two-phase aggregation: the probe side gets a
+    random-free DETERMINISTIC salt (hash of the line number % S) appended
+    to its join key, the build side is exploded S ways, and the aggregate
+    runs partial-per-salt then final — so one hot o_orderkey spreads over S
+    reducers instead of melting one. Result is provably identical to the
+    plain join (the oracle). At test scale this is pure demonstration; at
+    100 TB with a power-law key it is the difference between a job and a
+    stuck executor. (AQE skew-join does this adaptively; explicit salting
+    is the portable form and composes with aggregation.)"""
+    S = 8
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_extendedprice",
+        (F.pmod(F.col("l_linenumber").cast("bigint"), F.lit(S))).alias("l_salt"),
+    )
+    o_salted = o.withColumn("salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(S)])))
+    joined = o_salted.join(li, (o_salted.o_orderkey == li.l_orderkey) & (o_salted.salt == li.l_salt))
+    partial = joined.groupBy("o_custkey", "salt").agg(
+        F.count("*").alias("n_li_p"), F.sum("l_extendedprice").alias("rev_p")
+    )
+    return (
+        partial.groupBy("o_custkey")
+        .agg(F.sum("n_li_p").alias("n_li"), F.round(F.sum("rev_p"), 6).alias("revenue"))
+    )
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+        SELECT o.o_orderkey, o.o_totalprice, count(*) AS n_items
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+    family="scale",
+)
+def join_bucketed(spark, sf_dir):
+    """Co-located bucketed join: both sides written bucketBy(8, key) into
+    the warehouse, then joined — Spark reads bucket i of each side into the
+    same task, so the join (and the follow-up groupBy on the same key)
+    needs NO shuffle at query time. This is the 100 TB pattern for fact⋈fact
+    joins that repeat across jobs: pay the shuffle once at write time,
+    amortize it over every subsequent join. Plan shape (no Exchange before
+    SortMergeJoin) is asserted in tests."""
+    import shutil
+
+    o_tbl, l_tbl = "smhs_bkt_orders", "smhs_bkt_lineitem"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (o_tbl, l_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)  # stale location from a prior session
+    table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice").write.bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").mode("overwrite").saveAsTable(o_tbl)
+    table(spark, sf_dir, "lineitem").select("l_orderkey").write.bucketBy(
+        8, "l_orderkey"
+    ).sortBy("l_orderkey").mode("overwrite").saveAsTable(l_tbl)
+    o = spark.table(o_tbl)
+    # merge hint: at test scale the planner would broadcast the lineitem
+    # side, which is exactly what a fact⋈fact join cannot do at 100 TB —
+    # pin sort-merge so the plan demonstrates the zero-shuffle bucket path
+    li = spark.table(l_tbl).hint("merge")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count("*").alias("n_items"))
+    )
+
+
+@query(
+    "sink_partitioned",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE year(o_orderdate) = 1997
+    """,
+    family="scale",
+)
+def sink_partitioned(spark, sf_dir):
+    """Hive-partitioned sink + partition-pruned re-read: write orders
+    partitioned by order year, read back with a partition filter — the scan
+    must touch ONLY the matching directory (PartitionFilters in the plan,
+    asserted in tests). At 100 TB partition layout is the first and
+    cheapest pruning lever, ahead of row-group stats and indexes."""
+    out = tempfile.mkdtemp(prefix="smhs_part_") + "/orders_by_year"
+    (
+        table(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("o_year") == 1997)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+@query(
+    "sink_csv",
+    oracle="SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 6) AS acctbal FROM customer",
+    family="scale",
+)
+def sink_csv(spark, sf_dir):
+    """CSV round trip (header + explicit schema on re-read; CSV carries no
+    types, so the re-read schema is pinned rather than inferred — inference
+    is a full extra pass at scale and non-deterministic under sampling)."""
+    out = tempfile.mkdtemp(prefix="smhs_csv_") + "/customer_csv"
+    df = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 6).alias("acctbal")
+    )
+    df.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema("c_custkey bigint, c_name string, c_mktsegment string, acctbal double").option(
+        "header", True
+    ).csv(out)
+
+
+@query(
+    "sink_json",
+    oracle="SELECT event_id, event_type, round(value, 6) AS val FROM events",
+    family="scale",
+)
+def sink_json(spark, sf_dir):
+    """JSON-lines round trip with pinned re-read schema (same rationale as
+    sink_csv; JSONL is the interchange format of most LLM data tooling)."""
+    out = tempfile.mkdtemp(prefix="smhs_json_") + "/events_json"
+    df = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value", 6).alias("val")
+    )
+    df.write.mode("overwrite").json(out)
+    return spark.read.schema("event_id bigint, event_type string, val double").json(out)

@@ -121,3 +121,21 @@ def test_minhash_join_is_not_cartesian(spark):
 def test_agg_group_has_partial_agg(spark):
     plan = _formatted(QUERIES["agg_group"](spark, SF_ORACLE))
     assert plan.count("HashAggregate") >= 2, "map-side partial aggregation missing"
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    plan = _formatted(QUERIES["join_bucketed"](spark, SF_ORACLE))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join should read co-located buckets, not shuffle"
+
+
+def test_partitioned_sink_prunes(spark):
+    plan = _formatted(QUERIES["sink_partitioned"](spark, SF_ORACLE))
+    assert "PartitionFilters: [" in plan
+    assert "o_year" in plan.split("PartitionFilters:")[1][:200], "year filter did not prune partitions"
+
+
+def test_salted_join_no_skewed_key(spark):
+    # the join key must be the composite (orderkey, salt), never bare orderkey
+    plan = _formatted(QUERIES["join_skew_salted"](spark, SF_ORACLE))
+    assert "salt" in plan
