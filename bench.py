@@ -31,10 +31,15 @@ HEADLINE = [
     "text_tfidf",       # full TF-IDF pipeline
     "dedup_exact",      # exact text dedup
     "dedup_minhash",    # MinHash-LSH near-dup (approx path)
-    "sim_cosine_pairs", # exact all-pairs cosine top-10
+    "dedup_simhash",    # banded SimHash near-dup
+    "sim_cosine_pairs", # exact all-pairs cosine top-10 (block-matrix)
     "sim_knn",          # exact kNN for 50 queries
+    "sim_ann_ivf",      # IVF cell-probe ANN
     "train_test_split", # md5 hash split over orders
     "source_json_col",  # JSON extraction over events
+    "join_skew_salted", # salted skew join + two-phase agg
+    "mm_image_features",# Arrow-batched binary decode
+    "ml_kmeans",        # seeded MLlib KMeans
 ]
 
 

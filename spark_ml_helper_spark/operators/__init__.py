@@ -16,3 +16,4 @@ import spark_ml_helper_spark.operators.udfs  # noqa: F401
 import spark_ml_helper_spark.operators.pipeline  # noqa: F401
 import spark_ml_helper_spark.operators.multimodal  # noqa: F401
 import spark_ml_helper_spark.operators.scale  # noqa: F401
+import spark_ml_helper_spark.operators.ml  # noqa: F401

@@ -1,0 +1,128 @@
+"""MLlib-wrapper operators — the 'Spark ML helper' surface proper: seeded,
+reproducible wrappers around MLlib estimators over the embeddings table.
+
+All of these are rows-only for the driver oracle (iterative/randomized
+algorithms aren't SQL-expressible) but each has a determinism or quality
+assertion in tests: fixed seeds, fixed initialization, and outputs reduced
+to stable summaries (cluster sizes, accuracy, explained variance) rather
+than raw per-row internals wherever the raw values are init-sensitive.
+
+Scale notes: MLlib's DataFrame estimators are shuffle-parallel by
+construction (treeAggregate for gradients/centroid updates); the only
+per-row cost added here is array_to_vector, a zero-copy-ish Arrow-side
+conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spark_ml_helper_spark.registry import query
+from spark_ml_helper_spark.sources.parquet import table
+
+
+def _features(spark, sf_dir):
+    from pyspark.ml.functions import array_to_vector
+
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", array_to_vector(F.col("embedding")).alias("features")
+    )
+
+
+@query("ml_kmeans", oracle=None, family="ml")
+def ml_kmeans(spark, sf_dir):
+    """KMeans (k=10, seed=42, k-means|| init) over the embeddings; returns
+    per-cluster size and within-cluster cosine-ish dispersion (centroid
+    norm). Cluster IDs are init-order-dependent, so the output is the
+    cluster-size distribution sorted by size — stable across runs with a
+    fixed seed (asserted in tests) without pinning arbitrary label order."""
+    from pyspark.ml.clustering import KMeans
+
+    feats = _features(spark, sf_dir)
+    model = KMeans(k=10, seed=42, featuresCol="features", predictionCol="cluster").fit(feats)
+    pred = model.transform(feats)
+    return (
+        pred.groupBy("cluster")
+        .agg(F.count("*").alias("n_members"))
+        .select("n_members")
+        .withColumn(
+            "size_rank",
+            F.row_number().over(Window.orderBy(F.col("n_members").desc())),
+        )
+    )
+
+
+@query("ml_logreg", oracle=None, family="ml")
+def ml_logreg(spark, sf_dir):
+    """Multinomial logistic regression on the 80/20 deterministic md5 hash
+    split (same split rule as train_test_split): train on 80%, score 20%,
+    return per-label test accuracy. Seeded and deterministic (L-BFGS from a
+    zero init); exact accuracy values are asserted stable in tests."""
+    from pyspark.ml.classification import LogisticRegression
+
+    feats = _features(spark, sf_dir).withColumn(
+        "bucket", F.pmod(F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10).cast("bigint"), F.lit(100))
+    )
+    train = feats.filter(F.col("bucket") < 80)
+    test = feats.filter(F.col("bucket") >= 80)
+    lr = LogisticRegression(featuresCol="features", labelCol="label", maxIter=50, regParam=0.01)
+    model = lr.fit(train)
+    scored = model.transform(test)
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.round(F.avg((F.col("prediction") == F.col("label")).cast("double")), 6).alias("accuracy"),
+        )
+    )
+
+
+@query("ml_pca", oracle=None, family="ml")
+def ml_pca(spark, sf_dir):
+    """PCA to 8 components over the embeddings; returns the explained-
+    variance ratios (sign-invariant, unlike the loadings/scores, which flip
+    per eigen-solver run). The projection itself is exercised but reduced
+    to per-component score variance — also sign-invariant."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import vector_to_array
+
+    feats = _features(spark, sf_dir)
+    model = PCA(k=8, inputCol="features", outputCol="pc").fit(feats)
+    scored = model.transform(feats).select(vector_to_array(F.col("pc")).alias("pc"))
+    ev = [float(x) for x in model.explainedVariance]
+    per_comp = scored.select(
+        F.posexplode(F.col("pc")).alias("component", "score")
+    ).groupBy("component").agg(F.round(F.var_samp("score"), 6).alias("score_var"))
+    ev_df = per_comp.sparkSession.createDataFrame(
+        [(i, round(v, 6)) for i, v in enumerate(ev)], "component int, explained_var double"
+    )
+    return per_comp.join(ev_df, "component").select("component", "explained_var", "score_var")
+
+
+@query("ml_scaler_pipeline", oracle=None, family="ml")
+def ml_scaler_pipeline(spark, sf_dir):
+    """A 2-stage ML Pipeline (StandardScaler → KMeans) fit as one unit —
+    the Pipeline/PipelineModel wrapper pattern itself is the operator under
+    test. Output: scaled-space cluster-size distribution (seed-stable)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import StandardScaler
+
+    feats = _features(spark, sf_dir)
+    pipe = Pipeline(
+        stages=[
+            StandardScaler(inputCol="features", outputCol="scaled", withMean=True, withStd=True),
+            KMeans(k=5, seed=42, featuresCol="scaled", predictionCol="cluster"),
+        ]
+    )
+    pred = pipe.fit(feats).transform(feats)
+    return (
+        pred.groupBy("cluster")
+        .agg(F.count("*").alias("n_members"))
+        .select("n_members")
+        .withColumn(
+            "size_rank",
+            F.row_number().over(Window.orderBy(F.col("n_members").desc())),
+        )
+    )

@@ -228,17 +228,26 @@ def text_fingerprint(spark, sf_dir):
 _SIMHASH_BITS = 60
 _BAND_BITS = 15  # 4 bands × 15 bits; hamming ≤ 3 ⇒ ≥1 identical band
 
-_SPARK_SIMHASH = """
-    aggregate(
-        transform(sequence(0, 59), b -> IF(
-            aggregate(
-                transform(array_distinct(split(lower(text), ' ')),
-                          t -> cast(conv(substr(md5(cast(t as binary)), 1, 15), 16, 10) as bigint)),
-                cast(0 as bigint),
-                (acc, h) -> acc + IF((shiftright(h, b) & 1) = 1, 1, -1)
-            ) > 0,
-            shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
-        cast(0 as bigint), (a, x) -> a + x)
+# Three-step Spark form, each hoisted into its own column so token hashing
+# happens ONCE per doc (inlining the token hash inside the per-bit loop
+# re-ran split+md5 60x per doc — measured 50 s vs ~4 s at sf0.1):
+#   th     : md5-derived 60-bit id per distinct token
+#   bitsum : single pass over tokens accumulating the 60 signed bit counts
+#   sh     : sign of each bit count packed into a 60-bit signature
+_SPARK_TH = """
+    transform(array_distinct(split(lower(text), ' ')),
+              t -> cast(conv(substr(md5(cast(t as binary)), 1, 15), 16, 10) as bigint))
+"""
+_SPARK_BITSUM = """
+    aggregate(th, array_repeat(cast(0 as bigint), 60),
+              (acc, h) -> zip_with(acc, sequence(0, 59),
+                                   (x, b) -> x + IF((shiftright(h, b) & 1) = 1,
+                                                    cast(1 as bigint), cast(-1 as bigint))))
+"""
+_SPARK_SH = """
+    aggregate(zip_with(bitsum, sequence(0, 59),
+                       (s, b) -> IF(s > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
+              cast(0 as bigint), (a, x) -> a + x)
 """
 
 _DUCK_SIMHASH = """
@@ -268,11 +277,21 @@ def dedup_simhash(spark, sf_dir):
     into 4 bands of 15 bits and equi-join on (band_no, band_value) — by
     pigeonhole every pair at hamming ≤ 3 agrees on ≥1 band, so the banded
     join is EXACT for this threshold while shuffling on band hashes, never
-    enumerating the O(n²) pair space. The quadratic oracle proves it."""
+    enumerating the O(n²) pair space. Docs with IDENTICAL signatures are
+    collapsed to one representative before banding (identical signatures
+    otherwise grow band buckets quadratically — measured 48 s → ~5 s at
+    sf0.1) and re-expanded through membership joins at the end. The
+    quadratic oracle proves the whole construction."""
     d = table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.expr(_SPARK_SIMHASH).alias("sh"))
-    bands = sh.select(
-        "doc_id",
+    sh = (
+        d.withColumn("th", F.expr(_SPARK_TH))
+        .withColumn("bitsum", F.expr(_SPARK_BITSUM))
+        .select("doc_id", F.expr(_SPARK_SH).alias("sh"))
+    )
+    reps = sh.groupBy("sh").agg(F.min("doc_id").alias("rep_id"))
+    membership = sh.join(reps, "sh").select("doc_id", "rep_id", "sh")
+    bands = reps.select(
+        "rep_id",
         "sh",
         F.explode(
             F.expr(
@@ -280,21 +299,32 @@ def dedup_simhash(spark, sf_dir):
                 f"'band_no', k, 'band_val', shiftright(sh, k * {_BAND_BITS}) & {2**_BAND_BITS - 1}))"
             )
         ).alias("band"),
-    ).select("doc_id", "sh", "band.band_no", "band.band_val")
-    a = bands.select(
-        F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"), "band_no", "band_val"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"), "band_no", "band_val"
-    )
-    cand = (
-        a.join(b, ["band_no", "band_val"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sh", "b_sh")
-        .distinct()
-    )
+    ).select("rep_id", "sh", "band.band_no", "band.band_val")
+    a = bands.select(F.col("rep_id").alias("ra"), F.col("sh").alias("a_sh"), "band_no", "band_val")
+    b = bands.select(F.col("rep_id").alias("rb"), F.col("sh").alias("b_sh"), "band_no", "band_val")
     hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
-    return cand.withColumn("hamming", hamming).filter(hamming <= 3).select("a_id", "b_id", "hamming")
+    sig_pairs = (
+        a.join(b, ["band_no", "band_val"])
+        .filter(F.col("ra") < F.col("rb"))
+        .select("ra", "rb", "a_sh", "b_sh")
+        .distinct()
+        .withColumn("hamming", hamming)
+        .filter(hamming <= 3)
+        .select("ra", "rb", "hamming")
+    )
+    cross = (
+        sig_pairs.join(membership.select(F.col("rep_id").alias("ra"), F.col("doc_id").alias("da")), "ra")
+        .join(membership.select(F.col("rep_id").alias("rb"), F.col("doc_id").alias("db")), "rb")
+        .select(F.least("da", "db").alias("a_id"), F.greatest("da", "db").alias("b_id"), "hamming")
+    )
+    m1 = membership.select("rep_id", F.col("doc_id").alias("a_id"))
+    m2 = membership.select("rep_id", F.col("doc_id").alias("b_id"))
+    within = (
+        m1.join(m2, "rep_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.lit(0).cast("int").alias("hamming"))
+    )
+    return cross.unionByName(within)
 
 
 @query(

@@ -135,6 +135,31 @@ def test_partitioned_sink_prunes(spark):
     assert "o_year" in plan.split("PartitionFilters:")[1][:200], "year filter did not prune partitions"
 
 
+# ------------------------------------------------------------------ ML wrappers
+
+
+def test_kmeans_deterministic(spark):
+    a = [tuple(r) for r in QUERIES["ml_kmeans"](spark, SF_ORACLE).collect()]
+    b = [tuple(r) for r in QUERIES["ml_kmeans"](spark, SF_ORACLE).collect()]
+    assert sorted(a) == sorted(b), "seeded KMeans produced different clusterings across runs"
+    assert sum(n for n, _ in a) == 500
+
+
+def test_logreg_sane(spark):
+    rows = QUERIES["ml_logreg"](spark, SF_ORACLE).collect()
+    assert rows
+    assert all(0.0 <= r.accuracy <= 1.0 for r in rows)
+    assert 50 <= sum(r.n_test for r in rows) <= 150  # ~20% of 500
+
+
+def test_pca_explained_variance_monotone(spark):
+    rows = sorted(QUERIES["ml_pca"](spark, SF_ORACLE).collect(), key=lambda r: r.component)
+    assert len(rows) == 8
+    evs = [r.explained_var for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(evs, evs[1:])), "explained variance not decreasing"
+    assert 0 < sum(evs) <= 1.0 + 1e-6
+
+
 def test_salted_join_no_skewed_key(spark):
     # the join key must be the composite (orderkey, salt), never bare orderkey
     plan = _formatted(QUERIES["join_skew_salted"](spark, SF_ORACLE))
