@@ -93,13 +93,27 @@ def check_one(spark, con, name: str, sf_dir: str, verbose: bool = True):
     opdf = con.execute(spec.oracle).fetchdf()
     t_duck = time.time() - t0
 
+    def _canon_dtype(dt: str) -> str:
+        # Arrow hands Spark timestamps back as ns and DuckDB's as us — the
+        # values are identical micros either way, so unify the unit. All
+        # other dtypes must match exactly (int width divergence between the
+        # engines is a real query bug: align casts in the query + oracle).
+        return "datetime64" if dt.startswith("datetime64") else dt
+
     issues = []
     scols, ocols = sorted(spdf.columns), sorted(opdf.columns)
     if scols != ocols:
         issues.append(f"columns differ: spark={scols} oracle={ocols}")
-    elif len(spdf) != len(opdf):
-        issues.append(f"row count differs: spark={len(spdf)} oracle={len(opdf)}")
     else:
+        for c in scols:
+            sd, od = _canon_dtype(str(spdf[c].dtype)), _canon_dtype(str(opdf[c].dtype))
+            # 'object' covers strings/arrays on both sides — compare only
+            # when both engines produced a concrete numeric/temporal dtype
+            if sd != od and "object" not in (sd, od):
+                issues.append(f"dtype differs on {c}: spark={sd} oracle={od}")
+    if not issues and len(spdf) != len(opdf):
+        issues.append(f"row count differs: spark={len(spdf)} oracle={len(opdf)}")
+    if not issues:
         srows, orows = canon_rows(spdf), canon_rows(opdf)
         if srows != orows:
             n_bad = sum(1 for a, b in zip(srows, orows) if a != b)

@@ -143,7 +143,7 @@ def text_quality(spark, sf_dir):
     uniq_ratio = n_uniq / n_toks.cast("double")
     return d.select(
         "doc_id",
-        n_toks.alias("n_toks"),
+        n_toks.cast("bigint").alias("n_toks"),
         F.round((F.col("n_chars") - (n_toks - 1)) / n_toks.cast("double"), 6).alias("avg_tok_len"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(1.0 - uniq_ratio, 6).alias("dup_ratio"),
@@ -177,8 +177,8 @@ def text_tokens(spark, sf_dir):
     bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)))
     return d.select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("n_ws"),
-        bpe.alias("n_bpe"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_ws"),
+        bpe.cast("bigint").alias("n_bpe"),
         F.ceil(F.col("n_chars") / 4.0).alias("n_est4"),
         F.round(F.col("n_chars") / bpe.cast("double"), 6).alias("chars_per_tok"),
     )
@@ -265,7 +265,7 @@ _DUCK_SIMHASH = """
     oracle=f"""
         WITH sh AS (SELECT doc_id, {_DUCK_SIMHASH} AS sh FROM documents)
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-               bit_count(xor(a.sh, b.sh)) AS hamming
+               CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sh, b.sh)) <= 3
     """,
@@ -519,7 +519,7 @@ def sim_ann_ivf(spark, sf_dir):
         .join(c, "cell")
         .filter(F.col("n_id") != F.col("q_id"))
         .withColumn("sim", sim)
-        .withColumn("rn", F.row_number().over(w_top))
+        .withColumn("rn", F.row_number().over(w_top).cast("bigint"))
         .filter(F.col("rn") <= 5)
         .select("q_id", "n_id", "sim", "rn")
     )

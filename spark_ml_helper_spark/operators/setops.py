@@ -33,7 +33,7 @@ def sort_multi(spark, sf_dir):
     c = table(spark, sf_dir, "customer")
     w = Window.orderBy(F.col("c_nationkey").asc(), F.col("c_acctbal").desc(), F.col("c_custkey").asc())
     return c.select(
-        "c_custkey", "c_nationkey", "c_acctbal", F.rank().over(w).alias("global_pos")
+        "c_custkey", "c_nationkey", "c_acctbal", F.rank().over(w).cast("bigint").alias("global_pos")
     )
 
 

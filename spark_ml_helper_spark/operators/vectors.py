@@ -164,7 +164,7 @@ def sim_knn(spark, sf_dir):
             "n_id",
             F.round(dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 6).alias("sim"),
         )
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 5)
     )
 

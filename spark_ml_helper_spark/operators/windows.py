@@ -47,10 +47,10 @@ def win_rank(spark, sf_dir):
     w_year = Window.partitionBy("o_orderstatus").orderBy(F.year("o_orderdate").cast("int"))
     return o.select(
         "o_orderkey",
-        F.row_number().over(w_price).alias("rn"),
-        F.ntile(4).over(w_price).alias("quartile"),
-        F.rank().over(w_year).alias("rnk_year"),
-        F.dense_rank().over(w_year).alias("drnk_year"),
+        F.row_number().over(w_price).cast("bigint").alias("rn"),
+        F.ntile(4).over(w_price).cast("bigint").alias("quartile"),
+        F.rank().over(w_year).cast("bigint").alias("rnk_year"),
+        F.dense_rank().over(w_year).cast("bigint").alias("drnk_year"),
         F.round(F.percent_rank().over(w_year), 6).alias("prank_year"),
     )
 
@@ -164,7 +164,7 @@ def win_topk_group(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
