@@ -53,6 +53,27 @@ def test_simhash_pairs_within_threshold(spark):
     assert len(pairs) == len(set(pairs)), "banded join emitted duplicate pairs"
 
 
+def test_lsh_radius_recall(spark):
+    import numpy as np
+
+    lsh = {(r.a_id, r.b_id) for r in QUERIES["sim_ann_lsh"](spark, SF_ORACLE).collect()}
+    rows = (
+        spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows], dtype="float64")
+    d2 = ((M[:, None, :] - M[None, :, :]) ** 2).sum(-1)
+    ai, bj = np.nonzero((d2 <= 1.2**2) & (ids[:, None] < ids[None, :]))
+    exact = {(int(ids[i]), int(ids[j])) for i, j in zip(ai, bj)}
+    assert exact, "no exact pairs within radius — distribution changed?"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.5, f"BRP-LSH radius recall {recall:.3f} < 0.5"
+    # every reported pair must genuinely be within the radius (exact rescore)
+    assert lsh <= exact
+
+
 # ------------------------------------------------------------------ multimodal
 
 
