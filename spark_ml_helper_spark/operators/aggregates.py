@@ -315,3 +315,68 @@ def agg_minmax_by(spark, sf_dir):
             F.round(F.max("c_acctbal"), 6).alias("max_bal"),
         )
     )
+
+
+@query("agg_approx_percentile", oracle=None, family="aggregates")
+def agg_approx_percentile(spark, sf_dir):
+    """Approximate percentiles via Spark's mergeable quantile sketch
+    (`approx_percentile`, accuracy 10000) — the 100 TB form of
+    agg_percentile: fixed-size state per group, no per-group value buffer.
+    Rows-only (sketch estimates aren't hash-stable across engines); tests
+    assert each estimate lands within 1% of the exact `agg_percentile`
+    twin."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("approx_percentile(l_quantity, 0.5, 10000)"), 6).alias("med_qty"),
+        F.round(F.expr("approx_percentile(l_quantity, 0.25, 10000)"), 6).alias("p25_qty"),
+        F.round(F.expr("approx_percentile(l_quantity, 0.75, 10000)"), 6).alias("p75_qty"),
+    )
+
+
+@query(
+    "rollup_time_multires",
+    oracle="""
+        WITH base AS (
+            SELECT date_trunc('day', o_orderdate) AS d,
+                   date_trunc('month', o_orderdate) AS m,
+                   o_totalprice
+            FROM orders WHERE year(o_orderdate) = 1997
+        )
+        SELECT strftime(m, '%Y-%m') AS month_key,
+               CASE WHEN d IS NULL THEN NULL ELSE strftime(d, '%Y-%m-%d') END AS day_key,
+               count(o_totalprice) AS n_orders,
+               round(sum(o_totalprice), 6) AS revenue
+        FROM base
+        GROUP BY ROLLUP (m, d)
+        HAVING m IS NOT NULL
+    """,
+    family="aggregates",
+)
+def rollup_time_multires(spark, sf_dir):
+    """Hypertable-style multi-resolution time rollup: one pass produces the
+    daily AND monthly continuous-aggregate levels via GROUP BY ROLLUP over
+    (month, day) — the map-side partial agg is shared across resolutions,
+    so adding a coarser level costs no extra scan. Keys are emitted as
+    strings so the NULL-padding of super-aggregate rows is unambiguous.
+    At 100 TB this pairs with sink_partitioned's layout: rollup written
+    back partitioned by month is the materialized-view refresh unit."""
+    o = table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    base = o.select(
+        F.date_trunc("day", "o_orderdate").alias("d"),
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        "o_totalprice",
+    )
+    return (
+        base.rollup("m", "d")
+        .agg(
+            F.count("o_totalprice").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+        )
+        .filter(F.col("m").isNotNull())
+        .select(
+            F.date_format("m", "yyyy-MM").alias("month_key"),
+            F.date_format("d", "yyyy-MM-dd").alias("day_key"),
+            "n_orders",
+            "revenue",
+        )
+    )

@@ -182,3 +182,35 @@ def stream_run_static_join(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_v"))
     )
     return _run(agg, "complete")
+
+
+@query("stream_run_file_sink", oracle=None, family="streaming")
+def stream_run_file_sink(spark, sf_dir):
+    """End-to-end streaming ETL shape: file-source stream → windowed agg →
+    PARQUET file sink with a checkpoint dir (exactly-once via checkpoint +
+    sink manifest), Trigger.AvailableNow. This is the production
+    batch-as-a-stream backfill pattern; the memory-sink runs above test
+    semantics, this one tests the durable-sink path. Returns the re-read
+    sink output (rows-only; semantics match stream_tumbling's oracle)."""
+    base = tempfile.mkdtemp(prefix="smhs_fsink_")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    ev = _events_stream(spark, sf_dir)
+    # withWatermark requires tz-aware TimestampType; session tz is pinned
+    # to UTC so the cast is identity on the stored instant.
+    agg = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)

@@ -156,6 +156,33 @@ def test_partitioned_sink_prunes(spark):
     assert "o_year" in plan.split("PartitionFilters:")[1][:200], "year filter did not prune partitions"
 
 
+def test_approx_percentile_close_to_exact(spark):
+    exact = {r.l_returnflag: r for r in QUERIES["agg_percentile"](spark, SF_ORACLE).collect()}
+    approx = {r.l_returnflag: r for r in QUERIES["agg_approx_percentile"](spark, SF_ORACLE).collect()}
+    assert set(exact) == set(approx)
+    for k in exact:
+        for col in ("med_qty", "p25_qty", "p75_qty"):
+            e, a = getattr(exact[k], col), getattr(approx[k], col)
+            assert abs(a - e) <= max(0.01 * abs(e), 0.51), f"{k}.{col}: approx {a} vs exact {e}"
+
+
+def test_file_sink_stream_matches_batch_twin(spark):
+    sink = QUERIES["stream_run_file_sink"](spark, SF_ORACLE)
+    batch = QUERIES["stream_tumbling"](spark, SF_ORACLE)
+    # append-mode + 1h watermark may hold back the final (unclosed) windows;
+    # everything emitted must match the batch twin exactly
+    def naive(ts):  # sink ts is tz-aware UTC (watermark cast); twin is NTZ
+        return ts.replace(tzinfo=None)
+
+    s = {(naive(r.w_start), r.event_type): (r.n, r.sum_value) for r in sink.collect()}
+    b = {(r.w_start, r.event_type): (r.n, r.sum_v) for r in batch.collect()}
+    assert s, "file sink emitted nothing"
+    assert len(s) >= 0.9 * len(b)
+    mismatches = [k for k in s if k in b and s[k] != b[k]]
+    assert not mismatches, f"sink rows diverge from batch twin: {mismatches[:3]}"
+    assert all(k in b for k in s)
+
+
 # ------------------------------------------------------------------ ML wrappers
 
 
