@@ -396,53 +396,12 @@ def dedup_embedding(spark, sf_dir):
     absorbs matmul reassociation error, ~1e-13). At 100 TB the candidate
     set instead comes from sim_ann_lsh / sim_ann_ivf bucketing; this is
     the exact mid-scale path."""
-    import pandas as pd
+    from spark_ml_helper_spark.functions.blockpairs import block_pair_candidates, threshold_kernel
 
-    G = 8
     TAU = 0.4
     e = table(spark, sf_dir, "embeddings")
     v = e.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
-    blocks = v.withColumn("g", (F.col("vec_id") % G).cast("int"))
-
-    def gpairs():
-        return (
-            spark.range(G)
-            .select(F.col("id").cast("int").alias("gi"))
-            .crossJoin(spark.range(G).select(F.col("id").cast("int").alias("gj")))
-            .filter(F.col("gi") <= F.col("gj"))
-        )
-
-    ga, gb = gpairs(), gpairs()
-    a_side = ga.join(blocks, blocks.g == ga.gi).select(
-        "gi", "gj", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm")
-    )
-    b_side = gb.join(blocks, blocks.g == gb.gj).select(
-        "gi", "gj", F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm")
-    )
-
-    def block_thresh(key, pa: pd.DataFrame, pb: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        if pa.empty or pb.empty:
-            return pd.DataFrame({"a_id": [], "b_id": []}).astype({"a_id": "int64", "b_id": "int64"})
-        A = np.vstack(pa["a_emb"].to_numpy()).astype("float64")
-        B = np.vstack(pb["b_emb"].to_numpy()).astype("float64")
-        sims = (A @ B.T) / np.outer(pa["a_nrm"].to_numpy(), pb["b_nrm"].to_numpy())
-        a_ids = pa["a_id"].to_numpy()
-        b_ids = pb["b_id"].to_numpy()
-        if key[0] == key[1]:
-            sims[a_ids[:, None] >= b_ids[None, :]] = -np.inf
-        ai, bj = np.nonzero(sims >= TAU - 1e-6)
-        lo = np.minimum(a_ids[ai], b_ids[bj])
-        hi = np.maximum(a_ids[ai], b_ids[bj])
-        return pd.DataFrame({"a_id": lo, "b_id": hi})
-
-    cand = (
-        a_side.groupby("gi", "gj")
-        .cogroup(b_side.groupby("gi", "gj"))
-        .applyInPandas(block_thresh, schema="a_id bigint, b_id bigint")
-        .distinct()
-    )
+    cand = block_pair_candidates(spark, v, threshold_kernel(TAU))
     av = v.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm"))
     bv = v.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm"))
     sim = dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm"))

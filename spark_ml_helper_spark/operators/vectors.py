@@ -59,55 +59,10 @@ def sim_cosine_pairs(spark, sf_dir):
     memory dial. Deterministic: preselection margin (K=30 per block pair
     for a global top-10) absorbs float-order perturbation; final order is
     (rounded sim DESC, a_id, b_id)."""
-    import pandas as pd
+    from spark_ml_helper_spark.functions.blockpairs import block_pair_candidates, topk_kernel
 
-    G = 8
-    PRE_K = 30
     v = _norms(spark, sf_dir)
-    blocks = v.withColumn("g", (F.col("vec_id") % G).cast("int"))
-    def gpairs():
-        return (
-            spark.range(G)
-            .select(F.col("id").cast("int").alias("gi"))
-            .crossJoin(spark.range(G).select(F.col("id").cast("int").alias("gj")))
-            .filter(F.col("gi") <= F.col("gj"))
-        )
-
-    ga, gb = gpairs(), gpairs()
-    a_side = ga.join(blocks, blocks.g == ga.gi).select(
-        "gi", "gj", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm")
-    )
-    b_side = gb.join(blocks, blocks.g == gb.gj).select(
-        "gi", "gj", F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm")
-    )
-
-    def block_topk(key, pa: pd.DataFrame, pb: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        if pa.empty or pb.empty:
-            return pd.DataFrame({"a_id": [], "b_id": []}).astype({"a_id": "int64", "b_id": "int64"})
-        A = np.vstack(pa["a_emb"].to_numpy()).astype("float64")
-        B = np.vstack(pb["b_emb"].to_numpy()).astype("float64")
-        sims = (A @ B.T) / np.outer(pa["a_nrm"].to_numpy(), pb["b_nrm"].to_numpy())
-        a_ids = pa["a_id"].to_numpy()
-        b_ids = pb["b_id"].to_numpy()
-        if key[0] == key[1]:
-            # diagonal block: both orientations present — keep a_id < b_id
-            sims[a_ids[:, None] >= b_ids[None, :]] = -np.inf
-        k = min(PRE_K, sims.size)
-        flat = np.argpartition(sims, -k, axis=None)[-k:]
-        ai, bj = np.unravel_index(flat, sims.shape)
-        keep = sims[ai, bj] > -np.inf
-        lo = np.minimum(a_ids[ai[keep]], b_ids[bj[keep]])
-        hi = np.maximum(a_ids[ai[keep]], b_ids[bj[keep]])
-        return pd.DataFrame({"a_id": lo, "b_id": hi})
-
-    cand = (
-        a_side.groupby("gi", "gj")
-        .cogroup(b_side.groupby("gi", "gj"))
-        .applyInPandas(block_topk, schema="a_id bigint, b_id bigint")
-        .distinct()
-    )
+    cand = block_pair_candidates(spark, v, topk_kernel(30))
     av = v.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm"))
     bv = v.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm"))
     return (
