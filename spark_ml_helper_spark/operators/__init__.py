@@ -17,3 +17,4 @@ import spark_ml_helper_spark.operators.pipeline  # noqa: F401
 import spark_ml_helper_spark.operators.multimodal  # noqa: F401
 import spark_ml_helper_spark.operators.scale  # noqa: F401
 import spark_ml_helper_spark.operators.ml  # noqa: F401
+import spark_ml_helper_spark.operators.reshape  # noqa: F401
