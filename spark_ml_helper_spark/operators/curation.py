@@ -1,0 +1,307 @@
+"""Corpus-curation operators — the steps between "near-dup pairs exist"
+and "here is the cleaned training set", plus storage-layout utilities:
+
+- dedup_clusters: connected components over near-dup pairs (pairs alone
+  don't dedup a corpus — A~B and B~C must collapse to ONE cluster).
+- text_vocab_prune: document-frequency vocabulary pruning (CountVectorizer
+  minDF/maxDF equivalent, natively).
+- vec_quantize: int8 symmetric embedding quantization (4x storage cut for
+  ANN at scale) with per-vector reconstruction error.
+- fuzzy_match: blocked edit-distance entity matching.
+- ts_gap_fill: dense time-series grid with zero-filled gaps.
+- compact_small_files: the small-files compaction pattern.
+
+All SQL-oracled (dedup_clusters via a recursive-CTE min-label closure in
+DuckDB — the iterative Spark propagation must reach the identical
+fixpoint, which is the strongest check an iterative algorithm can get).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from spark_ml_helper_spark.registry import query
+from spark_ml_helper_spark.sources.parquet import table
+
+_CLUSTER_TAU = 0.95
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE ts AS (
+            SELECT doc_id, list_sort(list_distinct(string_split(lower(text), ' '))) AS tokset
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM ts a JOIN ts b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+                  / (len(a.tokset) + len(b.tokset) - len(list_intersect(a.tokset, b.tokset)))
+                  >= {_CLUSTER_TAU}
+        ),
+        edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION ALL
+            SELECT b_id, a_id FROM pairs
+        ),
+        walk(node, lab) AS (
+            SELECT doc_id, doc_id FROM ts
+            UNION
+            SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node
+        )
+        SELECT node AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY node
+    """,
+    family="curation",
+)
+def dedup_clusters(spark, sf_dir):
+    """Connected components over the exact Jaccard ≥ 0.95 near-dup graph:
+    every document labeled with the min doc_id reachable through near-dup
+    edges (singletons label themselves). This is the collapse step a real
+    dedup pipeline needs — pairwise output alone can't answer "which one
+    row do I keep" once chains A~B~C appear.
+
+    Implementation: iterative min-label propagation (each round, every node
+    takes the min of its own and its neighbors' labels) until the global
+    label sum — a monotonically non-increasing integer — stops changing.
+    Rounds needed = graph diameter, small for near-dup clusters.
+    localCheckpoint each round truncates the lineage so the plan doesn't
+    grow with iterations. At extreme scale swap the propagation for the
+    large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — same DataFrame shape, fewer
+    rounds on high-diameter graphs; the per-round shuffles are keyed on
+    node id, never the pair space."""
+    from spark_ml_helper_spark.functions.setsim import exact_jaccard_pairs
+    from spark_ml_helper_spark.operators.text import _tokens
+
+    d = table(spark, sf_dir, "documents")
+    ts = d.select("doc_id", F.array_distinct(_tokens()).alias("elems"))
+    pairs = exact_jaccard_pairs(ts, tau=_CLUSTER_TAU, out_col="jac").select("a_id", "b_id")
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("lab")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("lab")).first()[0]
+    for _ in range(50):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lab").alias("nbr_lab"))
+        )
+        labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select("doc_id", F.least("lab", F.coalesce("nbr_lab", "lab")).alias("lab"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lab")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("doc_id", F.col("lab").alias("cluster_id"))
+
+
+@query(
+    "text_vocab_prune",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token
+            FROM documents
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT token, count(*) AS doc_freq,
+               round(count(*) / (SELECT n_docs FROM n), 6) AS df_frac
+        FROM tok
+        GROUP BY token
+        HAVING count(*) >= 5 AND count(*) <= 0.6 * (SELECT n_docs FROM n)
+    """,
+    family="curation",
+)
+def text_vocab_prune(spark, sf_dir):
+    """Document-frequency vocabulary pruning (CountVectorizer minDF/maxDF
+    equivalent, natively): keep tokens appearing in ≥5 docs but ≤60% of
+    the corpus — kills typos/rarities at the low end and stopwords at the
+    high end. One explode + one hash agg over the vocabulary (bounded,
+    ≪ corpus); the corpus size joins in as a broadcast single-row agg, no
+    collect."""
+    d = table(spark, sf_dir, "documents")
+    from spark_ml_helper_spark.operators.text import _tokens
+
+    n = d.agg(F.count("*").alias("n_docs"))
+    tok = d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
+    df = tok.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    return (
+        df.crossJoin(F.broadcast(n))
+        .filter((F.col("doc_freq") >= 5) & (F.col("doc_freq") <= 0.6 * F.col("n_docs")))
+        .select("token", "doc_freq", F.round(F.col("doc_freq") / F.col("n_docs"), 6).alias("df_frac"))
+    )
+
+
+@query(
+    "vec_quantize",
+    oracle="""
+        WITH scaled AS (
+            SELECT vec_id,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+            FROM embeddings
+        ),
+        q AS (
+            SELECT e.vec_id, s.s,
+                   list_transform(e.embedding,
+                                  x -> CAST(round(CAST(x AS DOUBLE) / s.s) AS INTEGER)) AS qvec
+            FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
+        )
+        SELECT q.vec_id, round(q.s, 6) AS scale_v, q.qvec,
+               round(list_max(list_transform(list_zip(e.embedding, q.qvec),
+                              p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * q.s))), 6)
+                   AS max_err
+        FROM q JOIN embeddings e ON q.vec_id = e.vec_id
+    """,
+    family="curation",
+)
+def vec_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of embeddings (per-vector max-abs
+    scale): q[i] = round(x[i]/s), s = max|x|/127 — a 4x storage cut that
+    makes billion-vector ANN indexes fit in memory; max_err reports the
+    per-vector reconstruction bound. Pure per-row higher-order functions:
+    shuffle-free, whole-stage-codegen, no UDF."""
+    e = table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    s = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x)))) / F.lit(127.0)
+    with_s = e.select("vec_id", "embedding", s.alias("s"))
+    qvec = F.transform("embedding", lambda x: F.round(xd(x) / F.col("s")).cast("int"))
+    with_q = with_s.select("vec_id", "embedding", "s", qvec.alias("qvec"))
+    err = F.array_max(
+        F.zip_with("embedding", "qvec", lambda x, q: F.abs(xd(x) - q.cast("double") * F.col("s")))
+    )
+    return with_q.select(
+        "vec_id",
+        F.round("s", 6).alias("scale_v"),
+        "qvec",
+        F.round(err, 6).alias("max_err"),
+    )
+
+
+@query(
+    "fuzzy_match",
+    oracle="""
+        SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+               a.p_name AS a_name, b.p_name AS b_name,
+               levenshtein(a.p_name, b.p_name) AS dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    family="curation",
+)
+def fuzzy_match(spark, sf_dir):
+    """Blocked fuzzy entity matching: within each brand block, part-name
+    pairs at edit distance ≤ 3. Blocking is the scale story — the
+    equi-join on the block key keeps the pair space at Σ(block²) instead
+    of n², and each block co-locates in one shuffle partition; at 100 TB
+    the block key graduates to q-gram or length+prefix signatures (same
+    plan shape). Edit distance is JVM-side (F.levenshtein), no UDF."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.select(
+        F.col("p_partkey").alias("a_key"), F.col("p_brand").alias("brand"), F.col("p_name").alias("a_name")
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b_key"), F.col("p_brand").alias("brand"), F.col("p_name").alias("b_name")
+    )
+    return (
+        a.join(b, "brand")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .withColumn("dist", F.levenshtein("a_name", "b_name").cast("long"))
+        .filter(F.col("dist") <= 3)
+        .select("a_key", "b_key", "a_name", "b_name", "dist")
+    )
+
+
+@query(
+    "ts_gap_fill",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   count(*) AS n, sum(value) AS sv
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT min(date_trunc('hour', ts)) AS mn, max(date_trunc('hour', ts)) AS mx
+            FROM events
+        ),
+        grid AS (
+            SELECT t.event_type, g.hr
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+                        FROM bounds) g
+        )
+        SELECT grid.event_type, grid.hr,
+               coalesce(h.n, 0) AS n_events,
+               round(coalesce(h.sv, 0.0), 6) AS sum_value
+        FROM grid LEFT JOIN hourly h
+          ON grid.event_type = h.event_type AND grid.hr = h.hr
+    """,
+    family="curation",
+)
+def ts_gap_fill(spark, sf_dir):
+    """Dense time-series regularization: the hourly (event_type × hour)
+    grid over the observed range with zero-filled gaps — the step that
+    makes downstream window/lag arithmetic correct when some hours have
+    no events (~7% of hours per type in this data). The hour spine is
+    generated (sequence + explode) from a single-row min/max agg — never
+    collected, broadcast into the cross join; the left join to actual
+    counts shuffles on (type, hour), a bounded key space."""
+    e = table(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    hourly = (
+        e.groupBy(F.col("event_type"), hr.alias("hr"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    )
+    bounds = e.agg(F.min(hr).alias("mn"), F.max(hr).alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    return (
+        grid.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_events"),
+            F.round(F.coalesce(F.col("sv"), F.lit(0.0)), 6).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "compact_small_files",
+    oracle="""
+        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    family="curation",
+)
+def compact_small_files(spark, sf_dir):
+    """The small-files compaction pattern: a fragmented table (64 tiny
+    files — what streaming ingestion leaves behind) rewritten to a few
+    right-sized files with coalesce (no shuffle — partitions merge
+    in-place), then verified by aggregating the compacted copy against
+    the source-of-truth oracle. At scale, target ~128MB-1GB per file and
+    drive the coalesce factor from input bytes / target size; too many
+    small files is the #1 silent scan-throughput killer on object
+    stores."""
+    base = tempfile.mkdtemp(prefix="smhs_compact_")
+    frag, compact = base + "/fragmented", base + "/compacted"
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(compact)
+    return (
+        spark.read.parquet(compact)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
