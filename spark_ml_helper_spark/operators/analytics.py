@@ -1,0 +1,157 @@
+"""Event-analytics operators over the `events` stream table: ordered
+funnel conversion, retention cohorts, and path-transition matrices — the
+product-analytics staples every event warehouse ends up re-implementing.
+
+All three shuffle only on `user_id` (or the tiny transition key space),
+so they scale linearly with event volume: no self-join over the event
+pair space, no driver-side iteration, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spark_ml_helper_spark.registry import query
+from spark_ml_helper_spark.sources.parquet import table
+
+_FUNNEL_WINDOW = "INTERVAL 24 HOURS"
+
+
+@query(
+    "funnel_ordered",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN v ON e.user_id = v.user_id
+             AND e.ts >= v.t1 AND e.ts <= v.t1 + INTERVAL 24 HOUR
+            WHERE e.event_type = 'click' GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN c ON e.user_id = c.user_id
+             AND e.ts >= c.t2 AND e.ts <= c.t2 + INTERVAL 24 HOUR
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_click,
+               (SELECT count(*) FROM p) AS n_purchase,
+               round((SELECT count(*) FROM c) / (SELECT count(*) FROM v), 6) AS rate_click,
+               round((SELECT count(*) FROM p) / (SELECT count(*) FROM c), 6) AS rate_purchase
+    """,
+    family="analytics",
+)
+def funnel_ordered(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase with a 24h
+    per-step conversion window: step N counts users whose earliest
+    qualifying step-N event falls within 24h AFTER their step-(N-1) time
+    (ordering enforced, not just set membership). Each step is one
+    filtered aggregate plus one equi-join on user_id with a residual
+    range predicate — the join key carries the shuffle, the time window
+    is a post-join filter, so the plan is a chain of user_id-partitioned
+    hash joins that scales to any event volume. The step frames are tiny
+    (one row per user) next to the event table; AQE broadcasts them."""
+    e = table(spark, sf_dir, "events")
+    win = F.expr(_FUNNEL_WINDOW)
+
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click").alias("e")
+        .join(v.alias("v"), "user_id")
+        .filter((F.col("e.ts") >= F.col("v.t1")) & (F.col("e.ts") <= F.col("v.t1") + win))
+        .groupBy("user_id").agg(F.min("e.ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase").alias("e")
+        .join(c.alias("c"), "user_id")
+        .filter((F.col("e.ts") >= F.col("c.t2")) & (F.col("e.ts") <= F.col("c.t2") + win))
+        .groupBy("user_id").agg(F.min("e.ts").alias("t3"))
+    )
+    counts = (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+    )
+    return counts.select(
+        "n_view", "n_click", "n_purchase",
+        F.round(F.col("n_click") / F.col("n_view"), 6).alias("rate_click"),
+        F.round(F.col("n_purchase") / F.col("n_click"), 6).alias("rate_purchase"),
+    )
+
+
+@query(
+    "retention_cohort",
+    oracle="""
+        WITH f AS (
+            SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+        SELECT f.cohort_day, datediff('day', f.cohort_day, act.d) AS day_offset,
+               count(DISTINCT act.user_id) AS n_active
+        FROM act JOIN f ON act.user_id = f.user_id
+        WHERE datediff('day', f.cohort_day, act.d) BETWEEN 0 AND 7
+        GROUP BY f.cohort_day, day_offset
+    """,
+    family="analytics",
+)
+def retention_cohort(spark, sf_dir):
+    """Retention cohort matrix: users grouped by first-seen day, counted
+    as active at day offsets 0..7. Two user_id-keyed aggregates + one
+    user_id equi-join; the output key space is cohorts × 8, so the final
+    agg is tiny. The distinct-activity prepass collapses the event table
+    to (user, day) BEFORE the join — at 100 TB that is the difference
+    between joining billions of events and joining millions of user-days."""
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    first = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    act = e.select("user_id", day.alias("d")).distinct()
+    offs = F.datediff(F.col("d"), F.col("cohort_day")).cast("long")
+    return (
+        act.join(first, "user_id")
+        .select("user_id", "cohort_day", offs.alias("day_offset"))
+        .filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "path_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    """,
+    family="analytics",
+)
+def path_transitions(spark, sf_dir):
+    """First-order path-transition matrix: counts of consecutive
+    event-type pairs within each user's timeline (the Markov-chain view
+    of user behavior). One window (partitioned by user_id — parallel, no
+    global sort) + one hash agg over a #types² key space. The (ts,
+    event_id) order key is fully tiebroken so the lag is deterministic."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n_trans"))
+    )
