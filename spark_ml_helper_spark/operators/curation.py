@@ -214,6 +214,11 @@ def fuzzy_match(spark, sf_dir):
     return (
         a.join(b, "brand")
         .filter(F.col("a_key") < F.col("b_key"))
+        # measured: a |len(a)-len(b)|<=3 prefilter and the thresholded
+        # levenshtein(a, b, 3) variant were BOTH slower here (names are
+        # ~9 chars and near-uniform length, so the filter prunes nothing
+        # and the banded DP's bookkeeping exceeds the full DP's cost);
+        # with long strings (documents, URLs) prefer both guards
         .withColumn("dist", F.levenshtein("a_name", "b_name").cast("long"))
         .filter(F.col("dist") <= 3)
         .select("a_key", "b_key", "a_name", "b_name", "dist")
