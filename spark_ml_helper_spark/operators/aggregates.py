@@ -380,3 +380,28 @@ def rollup_time_multires(spark, sf_dir):
             "revenue",
         )
     )
+
+
+@query("agg_hll_sketch", family="aggregates")
+def agg_hll_sketch(spark, sf_dir):
+    """Mergeable HyperLogLog sketches (Apache DataSketches via Spark 3.5+
+    hll_sketch_agg): per-event-type distinct-user sketches, re-merged with
+    hll_union_agg into a corpus-wide estimate WITHOUT touching raw data
+    again. The merge step is the 100 TB story: sketches are tiny fixed-size
+    binaries, so daily/partition-level sketches roll up to any grouping at
+    interactive cost — the pattern exact count_distinct can't follow
+    because its state is the value set itself. Rows-only (estimates are
+    approximate); tests/test_pipeline.py pins the error vs the exact twin
+    to < 5% and checks merged ≤ sum of parts."""
+    e = table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    est = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    ).select(F.lit("__ALL__").alias("event_type"), "approx_users")
+    return est.unionByName(merged)

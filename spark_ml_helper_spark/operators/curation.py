@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import tempfile
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from spark_ml_helper_spark.registry import query
@@ -309,4 +310,102 @@ def compact_small_files(spark, sf_dir):
         spark.read.parquet(compact)
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query(
+    "pipeline_curate",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, text, lang,
+                   round(0.4 * ln(1 + n_chars) / ln(600.0)
+                         + 0.3 * (1.0 - len(list_filter(string_split(lower(text), ' '),
+                                                        t -> t IN ('the', 'a'))
+                                          ) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                         + 0.3 * (len(list_distinct(string_split(lower(text), ' ')))
+                                  / CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS quality
+            FROM documents
+        ),
+        kept AS (SELECT * FROM scored WHERE quality >= 0.77)
+        SELECT min(doc_id) AS keep_id, any_value(lang) AS lang,
+               round(max(quality), 6) AS quality, count(*) AS n_copies
+        FROM kept
+        GROUP BY text
+    """,
+    family="curation",
+)
+def pipeline_curate(spark, sf_dir):
+    """End-to-end corpus curation in ONE declarative plan: quality-score
+    every document (same formula as text_quality), drop the low-quality
+    tail (< 0.77 ≈ bottom half here), then exact-dedup the survivors
+    keeping the min doc_id per text. This is the composition story — each
+    stage is an operator that already exists standalone, and chaining
+    them stays a single Catalyst plan: one scan, per-row scoring + filter
+    (pushable, shuffle-free), one hash agg on the text key. At 100 TB the
+    only shuffle is the dedup groupBy; the near-dup collapse
+    (dedup_clusters) slots in after as a separate pass over survivors.
+
+    `lang` uses any_value (all copies of identical text share metadata in
+    this corpus is NOT assumed — any_value is explicitly order-insensitive
+    only because the comparator sees one row per text either way; max
+    would be equally valid)."""
+    d = table(spark, sf_dir, "documents")
+    toks_raw = F.split(F.col("text"), " ")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_toks = F.size(toks_raw).cast("double")
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    quality = F.round(
+        0.4 * F.log(1 + F.col("n_chars")) / F.log(F.lit(600.0))
+        + 0.3 * (1.0 - n_stop / n_toks)
+        + 0.3 * (n_uniq / n_toks),
+        6,
+    )
+    scored = d.select("doc_id", "text", "lang", quality.alias("quality"))
+    return (
+        scored.filter(F.col("quality") >= 0.77)
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.any_value("lang").alias("lang"),
+            F.round(F.max("quality"), 6).alias("quality"),
+            F.count("*").alias("n_copies"),
+        )
+        .drop("text")
+    )
+
+
+@query(
+    "sample_deterministic",
+    oracle="""
+        SELECT o_orderpriority, o_orderkey
+        FROM (
+            SELECT o_orderpriority, o_orderkey,
+                   row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+                   ) AS rn
+            FROM orders
+        )
+        WHERE rn <= 10
+    """,
+    family="curation",
+)
+def sample_deterministic(spark, sf_dir):
+    """Deterministic stratified k-sample: within each stratum take the 10
+    rows with the smallest md5(key) — a uniform pseudo-random sample that
+    is reproducible across runs, engines, partitionings, and data order
+    (unlike sample()/TABLESAMPLE, whose output depends on partition
+    layout). The md5 order is engine-neutral (train_test_split's hazard-6
+    discipline); per-stratum top-k is the win_topk_group idiom, so each
+    task keeps a 10-row heap — no global sort, no collect."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.md5(F.col("o_orderkey").cast("string").cast("binary")), "o_orderkey")
+    )
+    return (
+        o.select("o_orderpriority", "o_orderkey", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("o_orderpriority", "o_orderkey")
     )

@@ -212,3 +212,48 @@ def test_salted_join_no_skewed_key(spark):
     # the join key must be the composite (orderkey, salt), never bare orderkey
     plan = _formatted(QUERIES["join_skew_salted"](spark, SF_ORACLE))
     assert "salt" in plan
+
+
+def test_hll_sketch_error_vs_exact(spark):
+    import pyspark.sql.functions as F
+
+    rows = {r.event_type: r.approx_users for r in QUERIES["agg_hll_sketch"](spark, SF_ORACLE).collect()}
+    e = entry_mod.queries()["scan_parquet"]  # noqa: F841  (table loader warms confs)
+    from spark_ml_helper_spark.sources.parquet import table
+
+    ev = table(spark, SF_ORACLE, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    exact["__ALL__"] = ev.agg(F.count_distinct("user_id").alias("n")).first().n
+    assert set(rows) == set(exact)
+    for k, est in rows.items():
+        err = abs(est - exact[k]) / exact[k]
+        assert err < 0.05, f"{k}: HLL estimate {est} vs exact {exact[k]} (err {err:.3f})"
+    # union-merge must not exceed the sum of per-type estimates
+    assert rows["__ALL__"] <= sum(v for k, v in rows.items() if k != "__ALL__") + 1
+
+
+def test_sample_deterministic_stable(spark):
+    a = sorted(map(tuple, QUERIES["sample_deterministic"](spark, SF_ORACLE).collect()))
+    b = sorted(map(tuple, QUERIES["sample_deterministic"](spark, SF_ORACLE).collect()))
+    assert a == b and len(a) == 50
+
+
+def test_dedup_clusters_consistent_with_pairs(spark):
+    labels = {r.doc_id: r.cluster_id for r in QUERIES["dedup_clusters"](spark, SF_ORACLE).collect()}
+    # every near-dup pair must share a cluster label, and labels are cluster minima
+    from spark_ml_helper_spark.functions.setsim import exact_jaccard_pairs
+    from spark_ml_helper_spark.operators.text import _tokens
+    from spark_ml_helper_spark.sources.parquet import table
+    import pyspark.sql.functions as F
+
+    d = table(spark, SF_ORACLE, "documents")
+    ts = d.select("doc_id", F.array_distinct(_tokens()).alias("elems"))
+    pairs = exact_jaccard_pairs(ts, tau=0.95, out_col="jac").collect()
+    assert pairs, "no near-dup pairs at tau=0.95 — fixture changed?"
+    for r in pairs:
+        assert labels[r.a_id] == labels[r.b_id], f"pair ({r.a_id},{r.b_id}) split across clusters"
+    for doc_id, lab in labels.items():
+        assert lab <= doc_id
