@@ -20,3 +20,4 @@ import spark_ml_helper_spark.operators.ml  # noqa: F401
 import spark_ml_helper_spark.operators.reshape  # noqa: F401
 import spark_ml_helper_spark.operators.curation  # noqa: F401
 import spark_ml_helper_spark.operators.analytics  # noqa: F401
+import spark_ml_helper_spark.operators.sqlapi  # noqa: F401
