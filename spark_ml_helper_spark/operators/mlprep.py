@@ -7,6 +7,7 @@ seeded-sampling forms as rows-only twins.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from spark_ml_helper_spark.registry import query
@@ -121,3 +122,39 @@ def train_test_split(spark, sf_dir):
         "bigint"
     ) % 100
     return o.select("o_orderkey", (bucket < 80).alias("is_train"))
+
+
+@query(
+    "feature_quantile_bucket",
+    oracle="""
+        WITH t AS (
+            SELECT o_totalprice,
+                   ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+            FROM orders
+        )
+        SELECT bucket, count(*) AS n,
+               round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+        FROM t GROUP BY bucket
+    """,
+    family="mlprep",
+)
+def feature_quantile_bucket(spark, sf_dir):
+    """Equal-frequency (quantile) bucketing — QuantileDiscretizer
+    equivalent with exact quartiles: ntile(4) over a fully-tiebroken
+    order, then per-bucket count and value range. The unpartitioned
+    window forces a global sort here, which is the EXACT formulation;
+    at 100 TB compute approximate boundaries first (agg_approx_percentile
+    — one pass, mergeable sketch) and assign buckets with width_bucket
+    per row, shuffle-free — the standard exactness/scale trade both
+    formulations of which this registry carries."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(4).over(w).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

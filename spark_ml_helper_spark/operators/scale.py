@@ -165,3 +165,67 @@ def sink_json(spark, sf_dir):
     )
     df.write.mode("overwrite").json(out)
     return spark.read.schema("event_id bigint, event_type string, val double").json(out)
+
+
+@query(
+    "upsert_scd1",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ),
+        updates AS (
+            SELECT o_orderkey, 'U' AS o_orderstatus,
+                   round(o_totalprice + 1000.0, 2) AS o_totalprice
+            FROM orders WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, 'N', round(o_totalprice, 2)
+            FROM orders WHERE o_orderkey % 1000 = 0
+        )
+        SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+               coalesce(u.o_orderstatus, b.o_orderstatus) AS status,
+               round(coalesce(u.o_totalprice, b.o_totalprice), 2) AS price
+        FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+    family="scale",
+)
+def upsert_scd1(spark, sf_dir):
+    """SCD-type-1 upsert (the MERGE INTO pattern) on plain Spark: a batch
+    of changes — updates to existing keys plus brand-new keys — applied
+    onto a base snapshot via one full outer join on the key, update
+    winning per column. This is the CDC-apply shape every lakehouse job
+    runs; without a transactional table format the merged result is
+    written as the next snapshot (blind overwrite), which stays correct
+    because the join is deterministic. One shuffle each side on the
+    upsert key; at 100 TB partition/bucket both sides by key so repeated
+    daily merges skip the re-shuffle, and switch the full outer join to a
+    broadcast variant when the change batch is small (it usually is)."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = (
+        base.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            # additive adjustment, not multiplicative: a ×1.1 product lands
+            # on exact .005 rounding boundaries where Spark's HALF_UP (on
+            # the exact decimal expansion) and DuckDB's scaled-double round
+            # disagree; +1000.00 keeps values on the 2-decimal grid
+            F.lit("U").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") + 1000.0, 2).alias("o_totalprice"),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 1000 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+            )
+        )
+    )
+    b, u = base.alias("b"), updates.alias("u")
+    return (
+        b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full")
+        .select(
+            F.coalesce("u.o_orderkey", "b.o_orderkey").alias("o_orderkey"),
+            F.coalesce("u.o_orderstatus", "b.o_orderstatus").alias("status"),
+            F.round(F.coalesce("u.o_totalprice", "b.o_totalprice"), 2).alias("price"),
+        )
+    )
