@@ -275,3 +275,35 @@ def fn_json(spark, sf_dir):
         k_int.alias("k_int"),
         F.to_json(F.struct(k_int.alias("k"))).alias("js"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey & 255 AS b_and,
+               o_orderkey | 16 AS b_or,
+               xor(o_orderkey, 255) AS b_xor,
+               o_orderkey << 2 AS b_shl,
+               o_orderkey >> 1 AS b_shr,
+               CAST(bit_count(o_orderkey) AS BIGINT) AS b_pop
+        FROM orders
+    """,
+    family="functions",
+)
+def fn_bitwise(spark, sf_dir):
+    """Bitwise family over int64 keys: and/or/xor, shifts, popcount —
+    the primitives under hash partitioners, bitmap indexes, and the
+    SimHash/MinHash signatures elsewhere in this repo. Per-row, codegen,
+    shuffle-free."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(16)).alias("b_or"),
+        k.bitwiseXOR(F.lit(255)).alias("b_xor"),
+        F.shiftleft(k, 2).cast("long").alias("b_shl"),
+        F.shiftright(k, 1).cast("long").alias("b_shr"),
+        F.bit_count(k).cast("long").alias("b_pop"),
+    )

@@ -155,3 +155,38 @@ def path_transitions(spark, sf_dir):
         .groupBy("prev_type", "next_type")
         .agg(F.count("*").alias("n_trans"))
     )
+
+
+@query(
+    "events_anomaly",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+               round((e.value - s.mu) / s.sd, 6) AS z
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        WHERE abs((e.value - s.mu) / s.sd) > 3
+    """,
+    family="analytics",
+)
+def events_anomaly(spark, sf_dir):
+    """Z-score outlier detection per event type: flag events more than 3
+    sample standard deviations from their type's mean. The per-type
+    stats frame is a 5-row aggregate broadcast back onto the event
+    stream, so the whole operator is one partial→final agg plus a
+    map-side join — no second shuffle of the events. (Borderline rows
+    within one double ulp of |z|=3 could differ cross-engine; none exist
+    in this data, and at scale the cutoff is a heuristic, not a
+    contract.)"""
+    e = table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", F.round("value", 6).alias("value"), F.round(z, 6).alias("z"))
+    )

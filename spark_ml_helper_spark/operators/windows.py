@@ -216,3 +216,39 @@ def win_sessionize(spark, sf_dir):
         "event_id",
         F.sum("is_new").over(wsum).cast("bigint").alias("session_seq"),
     )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+        SELECT o_orderkey,
+               round(first_value(o_totalprice) OVER w, 2) AS first_price,
+               round(last_value(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ), 2) AS last_price,
+               round(nth_value(o_totalprice, 2) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ), 2) AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    family="windows",
+)
+def win_first_last(spark, sf_dir):
+    """Navigation functions with explicit frames: each order annotated
+    with its customer's first, last, and second order price. last_value
+    and nth_value REQUIRE the unbounded-following frame (the default
+    frame ends at the current row, silently yielding the current/partial
+    value — the classic window-frame bug); order keys are fully
+    tiebroken. One shuffle on the partition key."""
+    o = table(spark, sf_dir, "orders")
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = wc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(wc), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(wfull), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(wfull), 2).alias("second_price"),
+    )
