@@ -214,3 +214,19 @@ def stream_run_file_sink(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.parquet(out)
+
+
+@query("stream_run_sliding", oracle=None, family="streaming")
+def stream_run_sliding(spark, sf_dir):
+    """Streaming 1h windows sliding every 15 min per event_type (complete
+    mode): each event updates 4 overlapping windows, so the state store
+    carries 4x the tumbling key space — the canonical smoothed-rate
+    query. Same program as stream_sliding's batch twin, which the test
+    suite asserts it matches exactly."""
+    e = _events_stream(spark, sf_dir)
+    agg = (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+    return _run(agg, "complete")

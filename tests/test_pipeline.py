@@ -257,3 +257,9 @@ def test_dedup_clusters_consistent_with_pairs(spark):
         assert labels[r.a_id] == labels[r.b_id], f"pair ({r.a_id},{r.b_id}) split across clusters"
     for doc_id, lab in labels.items():
         assert lab <= doc_id
+
+
+def test_sliding_stream_matches_batch_twin(spark):
+    stream = sorted(map(tuple, QUERIES["stream_run_sliding"](spark, SF_ORACLE).collect()))
+    batch = sorted(map(tuple, QUERIES["stream_sliding"](spark, SF_ORACLE).collect()))
+    assert stream == batch
