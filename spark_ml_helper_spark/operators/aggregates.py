@@ -405,3 +405,28 @@ def agg_hll_sketch(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     ).select(F.lit("__ALL__").alias("event_type"), "approx_users")
     return est.unionByName(merged)
+
+
+@query(
+    "agg_bool",
+    oracle="""
+        SELECT o_orderstatus,
+               bool_and(o_totalprice > 1000) AS all_over_1k,
+               bool_or(o_totalprice > 400000) AS any_over_400k,
+               CAST(count(*) FILTER (o_totalprice > 200000) AS BIGINT) AS n_over_200k
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    family="aggregates",
+)
+def agg_bool(spark, sf_dir):
+    """Boolean aggregates (every/any + filtered count) per status —
+    short-circuitable partials: bool_and/bool_or partial state is one
+    bit, so the map-side combine reduces each partition to a single row
+    per group before the shuffle."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_over_200k"),
+    )
