@@ -430,3 +430,29 @@ def agg_bool(spark, sf_dir):
         F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
         F.count_if(F.col("o_totalprice") > 200000).alias("n_over_200k"),
     )
+
+
+@query(
+    "agg_weighted",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
+                   AS wavg_price,
+               round(sum(l_quantity), 2) AS total_w
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    family="aggregates",
+)
+def agg_weighted(spark, sf_dir):
+    """Quantity-weighted average price per return flag — the weighted
+    mean every sampling/importance pipeline needs, expressed as two
+    plain sums (both map-side combinable) rather than any special
+    aggregate, so the shuffle carries one partial row per group."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")) / F.sum("l_quantity"), 6
+        ).alias("wavg_price"),
+        F.round(F.sum("l_quantity"), 2).alias("total_w"),
+    )

@@ -190,3 +190,41 @@ def events_anomaly(spark, sf_dir):
         .filter(F.abs(z) > 3)
         .select("event_id", "event_type", F.round("value", 6).alias("value"), F.round(z, 6).alias("z"))
     )
+
+
+@query(
+    "yoy_growth",
+    oracle="""
+        WITH monthly AS (
+            SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+                   CAST(date_part('month', o_orderdate) AS BIGINT) AS mo,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY yr, mo
+        )
+        SELECT yr, mo, revenue,
+               round(revenue / lag(revenue, 12) OVER (ORDER BY yr, mo) - 1, 6)
+                   AS yoy
+        FROM monthly
+    """,
+    family="analytics",
+)
+def yoy_growth(spark, sf_dir):
+    """Year-over-year growth: monthly revenue with a lag-12 comparison
+    over the AGGREGATED series. The window runs on the monthly rollup —
+    dozens of rows — not the fact table, so the unpartitioned sort is
+    free; the heavy lifting is the one partial→final hash agg underneath.
+    This stage-the-aggregate-then-window shape is how every KPI
+    time-series should be built at scale."""
+    o = table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("yr", "mo")
+    return monthly.select(
+        "yr", "mo", "revenue",
+        F.round(F.col("revenue") / F.lag("revenue", 12).over(w) - 1, 6).alias("yoy"),
+    )
