@@ -229,3 +229,42 @@ def upsert_scd1(spark, sf_dir):
             F.round(F.coalesce("u.o_totalprice", "b.o_totalprice"), 2).alias("price"),
         )
     )
+
+
+@query(
+    "sink_clustered",
+    oracle="""
+        SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+          AND o_orderdate <  TIMESTAMP '1999-07-01'
+    """,
+    family="scale",
+)
+def sink_clustered(spark, sf_dir):
+    """Range-clustered data layout for stat-based skipping: rewrite
+    orders range-partitioned AND sorted by o_orderdate, then serve a
+    date-range query from the clustered copy. Because each file (and
+    each parquet row group) now covers a narrow, disjoint date range,
+    the min/max footer stats let the scan skip everything outside the
+    predicate — the intra-file complement to hive-partition pruning
+    (sink_partitioned), and the lever that turns a 100 TB full scan
+    into a few-GB read for time-ranged queries. The rewrite costs one
+    range shuffle (sampled boundaries, even output files) + a local
+    sort; repartitionByRange is the two-column z-order-lite that covers
+    the single-dimension case exactly."""
+    out = tempfile.mkdtemp(prefix="smhs_cluster_") + "/orders_by_date"
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
+    (
+        o.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    lo = F.lit("1999-01-01").cast("timestamp_ntz")
+    hi = F.lit("1999-07-01").cast("timestamp_ntz")
+    return (
+        spark.read.parquet(out)
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_orderdate", F.round("o_totalprice", 2).alias("price"))
+    )

@@ -263,3 +263,8 @@ def test_sliding_stream_matches_batch_twin(spark):
     stream = sorted(map(tuple, QUERIES["stream_run_sliding"](spark, SF_ORACLE).collect()))
     batch = sorted(map(tuple, QUERIES["stream_sliding"](spark, SF_ORACLE).collect()))
     assert stream == batch
+
+
+def test_clustered_sink_pushes_date_filter(spark):
+    plan = _plan(spark, "sink_clustered")
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters")[1][:200]
