@@ -321,3 +321,37 @@ def dedup_minhash(spark, sf_dir):
         .select("a_id", "b_id", F.lit(1.0).alias("jac_approx"))
     )
     return cross.unionByName(within)
+
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+@query(
+    "text_stopfilter",
+    oracle=f"""
+        SELECT doc_id,
+               list_sort(list_filter(string_split(lower(text), ' '),
+                         t -> t NOT IN {_STOPWORDS})) AS kept,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_total,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                        t -> t NOT IN {_STOPWORDS})) AS BIGINT) AS n_kept
+        FROM documents
+    """,
+    family="text",
+)
+def text_stopfilter(spark, sf_dir):
+    """Stopword removal (StopWordsRemover equivalent, natively): drop a
+    pinned stopword list from each document's token stream, reporting
+    kept tokens (sorted for cross-engine determinism) and before/after
+    counts. Per-row higher-order filter — shuffle-free, codegen; the
+    stopword list is a literal in the plan, not a join (a broadcast join
+    is the form once the list is itself data, e.g. per-language lists)."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    kept = F.filter(toks, lambda t: ~t.isin(*_STOPWORDS))
+    return d.select(
+        "doc_id",
+        F.sort_array(kept).alias("kept"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_total"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )
