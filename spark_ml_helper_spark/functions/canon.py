@@ -1,0 +1,45 @@
+"""Cross-engine canonical serialization of array columns.
+
+The driver's comparator loads both result sets into pandas and sorts by
+every column before hashing; a list-valued cell makes that sort raise
+``TypeError: unhashable type: 'list'`` (observed in CORRECTNESS_r01
+``agg_collect``). So no SQL-oracled query may return an array column —
+instead both sides serialize arrays to one canonical string:
+
+- delimiter ``|`` (absent from all fixture token/name domains),
+- numeric elements rendered via DECIMAL(38,6) → string, which formats
+  identically in Spark and DuckDB (verified: ``1.000000``, ``0.123457``,
+  ``0.000000`` for -0.0, no scientific notation),
+- empty array → ``''`` and NULL → NULL on both engines.
+
+DuckDB twins (paste into oracle SQL):
+- strings:  ``array_to_string(X, '|')``
+- doubles:  ``array_to_string(list_transform(X,
+              x -> CAST(CAST(round(x, 6) AS DECIMAL(38,6)) AS VARCHAR)), '|')``
+- integers: ``array_to_string(list_transform(X, x -> CAST(x AS VARCHAR)), '|')``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SEP = "|"
+
+
+def join_str_array(a: Column) -> Column:
+    """array<string> → canonical '|'-joined string."""
+    return F.array_join(a, SEP)
+
+
+def join_double_array(a: Column) -> Column:
+    """array<double-ish> → '|'-joined string of round-6 DECIMAL renderings."""
+    return F.array_join(
+        F.transform(a, lambda x: F.round(x.cast("double"), 6).cast("decimal(38,6)").cast("string")),
+        SEP,
+    )
+
+
+def join_int_array(a: Column) -> Column:
+    """array<int-ish> → '|'-joined string."""
+    return F.array_join(F.transform(a, lambda x: x.cast("string")), SEP)

@@ -18,6 +18,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from spark_ml_helper_spark.functions.canon import (
+    join_double_array,
+    join_int_array,
+    join_str_array,
+)
 from spark_ml_helper_spark.registry import query
 from spark_ml_helper_spark.sources.parquet import table
 
@@ -155,8 +160,8 @@ def fn_math(spark, sf_dir):
         SELECT d.doc_id,
                CAST(len(string_split(d.text, ' ')) AS INTEGER)        AS n_toks,
                list_contains(string_split(d.text, ' '), 'spark')      AS has_spark,
-               string_split(d.text, ' ')[1:3]                         AS first3,
-               list_sort(list_distinct(string_split(d.text, ' ')))    AS vocab,
+               array_to_string(string_split(d.text, ' ')[1:3], '|')   AS first3,
+               array_to_string(list_sort(list_distinct(string_split(d.text, ' '))), '|') AS vocab,
                CAST(len(e.embedding) AS INTEGER)                      AS dim,
                round(CAST(e.embedding[1] AS DOUBLE), 6)               AS e1
         FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
@@ -175,8 +180,8 @@ def fn_array(spark, sf_dir):
             "doc_id",
             F.size(toks).alias("n_toks"),
             F.array_contains(toks, "spark").alias("has_spark"),
-            F.slice(toks, 1, 3).alias("first3"),
-            F.sort_array(F.array_distinct(toks)).alias("vocab"),
+            join_str_array(F.slice(toks, 1, 3)).alias("first3"),
+            join_str_array(F.sort_array(F.array_distinct(toks))).alias("vocab"),
             F.size("embedding").alias("dim"),
             F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e1"),
         )
@@ -189,7 +194,8 @@ def fn_array(spark, sf_dir):
         SELECT vec_id,
                round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 6) AS dot_self,
                CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER)                  AS n_pos,
-               list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE) * 2, 6))      AS scaled3,
+               array_to_string(list_transform(embedding[1:3],
+                   x -> CAST(CAST(round(CAST(x AS DOUBLE) * 2, 6) AS DECIMAL(38,6)) AS VARCHAR)), '|') AS scaled3,
                round(list_sum(list_transform(range(1, 65),
                      i -> CAST(embedding[i] AS DOUBLE) * embedding[65 - i])), 6)         AS rev_dot
         FROM embeddings
@@ -212,7 +218,9 @@ def fn_higher_order(spark, sf_dir):
             6,
         ).alias("dot_self"),
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
-        F.transform(F.slice(F.col("embedding"), 1, 3), lambda x: F.round(x.cast("double") * 2, 6)).alias("scaled3"),
+        join_double_array(
+            F.transform(F.slice(F.col("embedding"), 1, 3), lambda x: x.cast("double") * 2)
+        ).alias("scaled3"),
         F.round(
             F.aggregate(
                 F.zip_with(
@@ -232,8 +240,8 @@ def fn_higher_order(spark, sf_dir):
     "fn_map",
     oracle="""
         SELECT event_id,
-               LIST_VALUE('k')                                              AS prop_keys,
-               [CAST(json_extract_string(props, '$.k') AS INTEGER)]         AS prop_vals,
+               'k'                                                          AS prop_keys,
+               CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS VARCHAR) AS prop_vals,
                CAST(json_extract_string(props, '$.k') AS INTEGER)           AS k_val
         FROM events
     """,
@@ -247,8 +255,8 @@ def fn_map(spark, sf_dir):
     m = F.from_json("props", "map<string,int>")
     return e.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
-        F.map_values(m).alias("prop_vals"),
+        join_str_array(F.map_keys(m)).alias("prop_keys"),
+        join_int_array(F.map_values(m)).alias("prop_vals"),
         F.element_at(m, "k").alias("k_val"),
     )
 

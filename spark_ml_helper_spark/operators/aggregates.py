@@ -223,7 +223,7 @@ def agg_filtered(spark, sf_dir):
     "agg_collect",
     oracle="""
         SELECT c_nationkey,
-               list_sort(list(c_name)) AS names
+               array_to_string(list_sort(list(c_name)), '|') AS names
         FROM customer
         WHERE c_custkey < 200
         GROUP BY c_nationkey
@@ -232,12 +232,16 @@ def agg_filtered(spark, sf_dir):
 )
 def agg_collect(spark, sf_dir):
     """array_agg per group, sorted for cross-engine determinism (collect
-    order is partition-order-dependent in any distributed engine)."""
+    order is partition-order-dependent in any distributed engine), then
+    serialized to a '|'-joined string — the driver comparator cannot sort
+    list-valued cells (functions/canon.py)."""
+    from spark_ml_helper_spark.functions.canon import join_str_array
+
     return (
         table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") < 200)
         .groupBy("c_nationkey")
-        .agg(F.sort_array(F.collect_list("c_name")).alias("names"))
+        .agg(join_str_array(F.sort_array(F.collect_list("c_name"))).alias("names"))
     )
 
 

@@ -23,6 +23,7 @@ import tempfile
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from spark_ml_helper_spark.functions.canon import join_int_array
 from spark_ml_helper_spark.registry import query
 from spark_ml_helper_spark.sources.parquet import table
 
@@ -155,7 +156,8 @@ def text_vocab_prune(spark, sf_dir):
                                   x -> CAST(round(CAST(x AS DOUBLE) / s.s) AS INTEGER)) AS qvec
             FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
         )
-        SELECT q.vec_id, round(q.s, 6) AS scale_v, q.qvec,
+        SELECT q.vec_id, round(q.s, 6) AS scale_v,
+               array_to_string(list_transform(q.qvec, x -> CAST(x AS VARCHAR)), '|') AS qvec,
                round(list_max(list_transform(list_zip(e.embedding, q.qvec),
                               p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * q.s))), 6)
                    AS max_err
@@ -181,7 +183,7 @@ def vec_quantize(spark, sf_dir):
     return with_q.select(
         "vec_id",
         F.round("s", 6).alias("scale_v"),
-        "qvec",
+        join_int_array(F.col("qvec")).alias("qvec"),
         F.round(err, 6).alias("max_err"),
     )
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from spark_ml_helper_spark.functions.canon import join_str_array
 from spark_ml_helper_spark.registry import query
 from spark_ml_helper_spark.sources.parquet import table
 
@@ -24,24 +25,27 @@ def _tokens(col="text"):
 @query(
     "text_tokenize",
     oracle="""
-        SELECT doc_id, string_split(lower(text), ' ') AS toks
+        SELECT doc_id, array_to_string(string_split(lower(text), ' '), '|') AS toks
         FROM documents
     """,
     family="text",
 )
 def text_tokenize(spark, sf_dir):
-    """Lowercase + whitespace tokenization (per-row, shuffle-free)."""
-    return table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    """Lowercase + whitespace tokenization (per-row, shuffle-free); token
+    array serialized '|'-joined for the driver comparator (canon.py)."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", join_str_array(_tokens()).alias("toks")
+    )
 
 
 @query(
     "text_ngrams",
     oracle="""
         SELECT doc_id,
-               list_transform(
+               array_to_string(list_transform(
                    range(1, len(string_split(lower(text), ' '))),
                    i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i + 1]
-               ) AS bigrams
+               ), '|') AS bigrams
         FROM documents
     """,
     family="text",
@@ -49,16 +53,12 @@ def text_tokenize(spark, sf_dir):
 def text_ngrams(spark, sf_dir):
     """Word bigrams via sequence+transform (Spark array indexing is 0-based
     in SQL expressions; guarded for <2-token docs where sequence() would
-    reverse)."""
+    reverse); bigram array serialized '|'-joined (canon.py)."""
     d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
-    return d.select(
-        "doc_id",
-        F.when(F.size("toks") < 2, F.expr("cast(array() as array<string>)"))
-        .otherwise(
-            F.expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))")
-        )
-        .alias("bigrams"),
+    bigrams = F.when(F.size("toks") < 2, F.expr("cast(array() as array<string>)")).otherwise(
+        F.expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))")
     )
+    return d.select("doc_id", join_str_array(bigrams).alias("bigrams"))
 
 
 @query(
@@ -330,8 +330,8 @@ _STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
     "text_stopfilter",
     oracle=f"""
         SELECT doc_id,
-               list_sort(list_filter(string_split(lower(text), ' '),
-                         t -> t NOT IN {_STOPWORDS})) AS kept,
+               array_to_string(list_sort(list_filter(string_split(lower(text), ' '),
+                         t -> t NOT IN {_STOPWORDS})), '|') AS kept,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_total,
                CAST(len(list_filter(string_split(lower(text), ' '),
                         t -> t NOT IN {_STOPWORDS})) AS BIGINT) AS n_kept
@@ -351,7 +351,7 @@ def text_stopfilter(spark, sf_dir):
     kept = F.filter(toks, lambda t: ~t.isin(*_STOPWORDS))
     return d.select(
         "doc_id",
-        F.sort_array(kept).alias("kept"),
+        join_str_array(F.sort_array(kept)).alias("kept"),
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_total"),
         F.size(kept).cast("long").alias("n_kept"),
     )

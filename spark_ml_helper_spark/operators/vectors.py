@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from spark_ml_helper_spark.functions.canon import join_double_array
 from spark_ml_helper_spark.functions.vector_math import dot, l2_norm, sq_norm
 from spark_ml_helper_spark.registry import query
 from spark_ml_helper_spark.sources.parquet import table
@@ -162,22 +163,27 @@ def sim_ann_lsh(spark, sf_dir):
     "vec_normalize",
     oracle="""
         SELECT vec_id,
-               list_transform(
+               array_to_string(list_transform(
                    embedding,
-                   x -> round(CAST(x AS DOUBLE)
+                   x -> CAST(CAST(round(CAST(x AS DOUBLE)
                         / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * y))), 6)
-               ) AS unit
+                        AS DECIMAL(38,6)) AS VARCHAR)
+               ), '|') AS unit
         FROM embeddings
     """,
     family="vectors",
 )
 def vec_normalize(spark, sf_dir):
-    """L2-normalize each embedding (per-row transform, shuffle-free)."""
+    """L2-normalize each embedding (per-row transform, shuffle-free); the
+    unit vector is serialized '|'-joined DECIMAL(38,6) (canon.py) because
+    the driver comparator cannot sort list cells."""
     e = table(spark, sf_dir, "embeddings")
     nrm = l2_norm(F.col("embedding"))
     return e.select(
         "vec_id",
-        F.transform(F.col("embedding"), lambda x: F.round(x.cast("double") / nrm, 6)).alias("unit"),
+        join_double_array(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") / nrm)
+        ).alias("unit"),
     )
 
 
@@ -193,7 +199,10 @@ def vec_normalize(spark, sf_dir):
             FROM ex GROUP BY label, pos
         ),
         sizes AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
-        SELECT d.label, list(d.mv ORDER BY d.pos) AS centroid, s.n_vecs
+        SELECT d.label,
+               array_to_string(list(CAST(CAST(d.mv AS DECIMAL(38,6)) AS VARCHAR)
+                                    ORDER BY d.pos), '|') AS centroid,
+               s.n_vecs
         FROM dims d JOIN sizes s ON d.label = s.label
         GROUP BY d.label, s.n_vecs
     """,
@@ -214,8 +223,10 @@ def vec_centroids(spark, sf_dir):
     return (
         dims.groupBy("label")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s.getField("mv")
+            join_double_array(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s.getField("mv")
+                )
             ).alias("centroid")
         )
         .join(F.broadcast(sizes), "label")

@@ -26,13 +26,17 @@ from spark_ml_helper_spark.sources.parquet import table
 _MULTIFILE_CACHE: dict[str, str] = {}
 
 
-def _events_stream(spark, sf_dir, path=None):
+def _events_stream(spark, sf_dir, path=None, max_files_per_trigger=None):
     """events as a file-source stream. The file source requires a
     *directory*, so events is staged once per sf_dir into a temp dir of
     time-ranged files (which also gives watermark runs real multi-batch
-    behavior)."""
+    behavior). maxFilesPerTrigger is a *source* option — it must be set on
+    readStream (setting it on writeStream is silently ignored)."""
     path = path or _multifile_events(spark, sf_dir)
-    raw = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    reader = spark.readStream.schema(spark.read.parquet(path).schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(path)
     if dict(raw.dtypes).get("ts") == "bigint":
         raw = raw.withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
     return raw
@@ -117,8 +121,7 @@ def stream_run_watermark(spark, sf_dir):
     file stream: windows emit only once the 30-min watermark passes their
     end — the late-data/finality contract. Bounded state; rows-only by
     nature (what emits depends on batch boundaries)."""
-    path = _multifile_events(spark, sf_dir)
-    e = _events_stream(spark, sf_dir, path=path)
+    e = _events_stream(spark, sf_dir, max_files_per_trigger=1)
     agg = (
         e.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "30 minutes")
@@ -132,7 +135,6 @@ def stream_run_watermark(spark, sf_dir):
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .option("maxFilesPerTrigger", 1)
         .start()
     )
     q.awaitTermination()
