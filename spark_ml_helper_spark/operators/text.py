@@ -233,11 +233,20 @@ def _minhash_sigs_expr() -> str:
 @query("dedup_minhash", oracle=None, family="text")
 def dedup_minhash(spark, sf_dir):
     """Near-dup pairs (Jaccard ≥ 0.8) via native banded MinHash-LSH:
-    tokenize → 32 minhash signatures (seeded universal hashing over
-    md5-derived token ids, all JVM-side HOFs) → 8 bands of 4 rows →
+    tokenize → 40 minhash signatures (seeded universal hashing over
+    md5-derived token ids, all JVM-side HOFs) → 8 bands of 5 rows →
     equi-join on (band_no, band_value) → exact Jaccard on the candidates
     only. Rows-only: recall vs the exact dedup_jaccard twin is asserted in
-    tests (banding keeps ~99% of j≥0.8 pairs).
+    tests (banding keeps ~96% of j≥0.8 pairs).
+
+    Plan-shape note: candidates are DEDUPED (distinct on (sa, sb)) BEFORE
+    the exact-Jaccard rescore. The inverse shape — rescoring inline in the
+    band-join stage to filter before the shuffle, which is the winning move
+    in dedup_simhash — was measured 4x SLOWER here (28s vs 6s at sf0.1):
+    array_intersect over ~31-element arrays per RAW candidate (6.4M of
+    them, each seen in ~2 bands) costs far more than shuffling the 3.1M
+    deduped pairs. Filter-before-shuffle wins only when the rescore
+    predicate is cheap scalar math (simhash: xor+bit_count on two int64s).
 
     Scale design: the pipeline collapses EXACT-duplicate token sets first
     (groupBy the sorted token-id array → one representative per distinct
