@@ -21,3 +21,4 @@ import spark_ml_helper_spark.operators.reshape  # noqa: F401
 import spark_ml_helper_spark.operators.curation  # noqa: F401
 import spark_ml_helper_spark.operators.analytics  # noqa: F401
 import spark_ml_helper_spark.operators.sqlapi  # noqa: F401
+import spark_ml_helper_spark.sources.files  # noqa: F401

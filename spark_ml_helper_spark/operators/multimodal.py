@@ -125,6 +125,65 @@ def mm_image_features(spark, sf_dir):
 
 
 @query(
+    "mm_audio_features",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_samples,
+                   CAST(list_sum(list_transform(split(text, ''), c -> ascii(c))) AS BIGINT) AS amp_sum,
+                   CAST(list_max(list_transform(split(text, ''), c -> ascii(c))) AS INTEGER) AS peak_amp
+            FROM documents
+        )
+        SELECT doc_id, n_samples, peak_amp,
+               CAST(floor(amp_sum / n_samples) AS INTEGER)       AS mean_amp,
+               round(n_samples / 8000.0, 6)                      AS duration_s
+        FROM b
+    """,
+    family="multimodal",
+)
+def mm_audio_features(spark, sf_dir):
+    """Audio feature extraction over a binary payload via mapInPandas:
+    the payload is treated as 8-bit PCM at a fixed 8 kHz rate (chosen so
+    n/8000 = n·125/10⁶ sits EXACTLY on the 6-decimal grid — at 16 kHz odd
+    sample counts tie at the 7th decimal and the engines' rounding modes
+    diverge) and the
+    'decode' computes sample count, peak/mean amplitude, and duration —
+    a deterministic numpy stand-in for decode_audio() (soundfile/ffmpeg
+    not installed; swap the body, keep the plumbing). Feature math runs
+    vectorized on the Arrow batch (np.frombuffer over all payloads), the
+    shape a real DSP feature extractor (RMS, spectral centroid) takes."""
+    import numpy as np
+
+    d = table(spark, sf_dir, "documents")
+    src = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rate = 8000.0
+        for pdf in batches:
+            ns, peaks, means = [], [], []
+            for p in pdf["payload"]:
+                samples = np.frombuffer(bytes(p), dtype=np.uint8)
+                ns.append(len(samples))
+                peaks.append(int(samples.max()) if len(samples) else 0)
+                means.append(int(samples.sum() // len(samples)) if len(samples) else 0)
+            ns_arr = pd.Series(ns, dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_samples": ns_arr,
+                    "peak_amp": pd.Series(peaks, dtype="int32"),
+                    "mean_amp": pd.Series(means, dtype="int32"),
+                    "duration_s": (ns_arr / rate).round(6),
+                }
+            )
+
+    return src.mapInPandas(
+        decode_batch,
+        schema="doc_id bigint, n_samples bigint, peak_amp int, mean_amp int, duration_s double",
+    )
+
+
+@query(
     "mm_frame_sample",
     oracle="""
         SELECT doc_id, CAST(i AS INTEGER) AS frame_no,

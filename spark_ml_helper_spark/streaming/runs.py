@@ -121,7 +121,10 @@ def stream_run_watermark(spark, sf_dir):
     file stream: windows emit only once the 30-min watermark passes their
     end — the late-data/finality contract. Bounded state; rows-only by
     nature (what emits depends on batch boundaries)."""
-    e = _events_stream(spark, sf_dir, max_files_per_trigger=1)
+    # 2 files/trigger over the 8 staged files = 4 micro-batches: enough to
+    # advance the watermark mid-run (the point of this query) at half the
+    # per-batch state-store overhead of single-file triggers.
+    e = _events_stream(spark, sf_dir, max_files_per_trigger=2)
     agg = (
         e.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "30 minutes")
@@ -141,6 +144,17 @@ def stream_run_watermark(spark, sf_dir):
     return spark.table(name)
 
 
+@query("stream_watermark", oracle=None, family="streaming")
+def stream_watermark(spark, sf_dir):
+    """SURVEY §2.H `stream_watermark` — the late-data drop policy: a
+    30-min watermark ahead of a windowed agg in append mode, so a window
+    emits exactly once, when the watermark passes its end, and events
+    arriving later than 30 min behind max(ts) are dropped from state.
+    Delegates to stream_run_watermark (same program); registered under
+    the survey name so the §2 inventory maps 1:1 to queries()."""
+    return stream_run_watermark(spark, sf_dir)
+
+
 @query("stream_run_stateful", oracle=None, family="streaming")
 def stream_run_stateful(spark, sf_dir):
     """Custom stateful operator via applyInPandasWithState: per-user
@@ -155,6 +169,98 @@ def stream_run_stateful(spark, sf_dir):
             total, n = state.get
         else:
             total, n = 0.0, 0
+        for pdf in pdf_iter:
+            total += float(pdf["value"].sum())
+            n += len(pdf)
+        state.update((total, n))
+        yield pd.DataFrame({"user_id": [key[0]], "total_v": [round(total, 6)], "n_events": [n]})
+
+    e = _events_stream(spark, sf_dir).select("user_id", "value")
+    out = e.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id bigint, total_v double, n_events bigint",
+        stateStructType="total_v double, n_events bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run(out, "update")
+
+
+@query("stream_run_transform_state", oracle=None, family="streaming")
+def stream_run_transform_state(spark, sf_dir):
+    """Per-user running totals via transformWithStateInPandas — Spark 4's
+    arbitrary-state API (successor to applyInPandasWithState): explicit
+    typed ValueState owned by a StatefulProcessor, RocksDB-backed state
+    store, update output mode. Same semantics as stream_run_stateful; the
+    two entries exercise both generations of the stateful API.
+
+    Environment gate: the TWS Python state-server protocol speaks
+    protobuf; this container ships a broken google.protobuf (no
+    `descriptor` module), which crashes the TWS driver worker. When that
+    import fails we fall back to the applyInPandasWithState form of the
+    SAME state machine so the query stays runnable; on a real cluster the
+    TWS path executes as written."""
+    import pandas as pd
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401 — TWS wire format
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+    except ImportError:
+        return _stateful_fallback(spark, sf_dir)
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "total_v double, n_events bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total, n = (0.0, 0) if not self._state.exists() else self._state.get()
+            for pdf in rows:
+                total += float(pdf["value"].sum())
+                n += len(pdf)
+            self._state.update((total, n))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "total_v": [round(total, 6)], "n_events": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store provider; scope
+    # the conf to this run (file-stream runs above use the default HDFS-
+    # backed store and are unaffected by it, so leaving it set is safe,
+    # but restore anyway to keep runs order-independent).
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        e = _events_stream(spark, sf_dir).select("user_id", "value")
+        out = e.groupBy("user_id").transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType="user_id bigint, total_v double, n_events bigint",
+            outputMode="update",
+            timeMode="none",
+        )
+        return _run(out, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def _stateful_fallback(spark, sf_dir):
+    """applyInPandasWithState twin of stream_run_transform_state's state
+    machine (used only when the TWS protobuf dependency is unavailable)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdf_iter, state: GroupState):
+        total, n = state.get if state.exists else (0.0, 0)
         for pdf in pdf_iter:
             total += float(pdf["value"].sum())
             n += len(pdf)
