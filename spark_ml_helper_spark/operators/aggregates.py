@@ -270,6 +270,39 @@ def agg_stats(spark, sf_dir):
 
 
 @query(
+    "agg_mode",
+    oracle="""
+        WITH c AS (
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders GROUP BY o_orderstatus, o_orderpriority
+        )
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                           ORDER BY n DESC, o_orderpriority) AS rn
+              FROM c)
+        WHERE rn = 1
+    """,
+    family="aggregates",
+)
+def agg_mode(spark, sf_dir):
+    """Deterministic mode (most frequent value per group) as count-groupBy
+    + top-1 window with an explicit tiebreak — NOT the native mode()
+    aggregate, whose tie winner is engine/partition-order dependent.
+    Two-level shuffle: (status, priority) count cardinality bounds level 1;
+    level 2 shuffles only one row per (status, priority) — scale-safe."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("n").desc(), "o_orderpriority")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
+    )
+
+
+@query(
     "agg_percentile",
     oracle="""
         SELECT l_returnflag,

@@ -289,7 +289,9 @@ def dedup_simhash(spark, sf_dir):
     otherwise grow band buckets quadratically — measured 48 s → ~5 s at
     sf0.1) and re-expanded through membership joins at the end. The
     quadratic oracle proves the whole construction."""
-    d = table(spark, sf_dir, "documents")
+    # repartition: single-row-group fixture → 1 scan task; the signature
+    # build is the CPU-dense stage and must spread (see dedup_ngram note)
+    d = table(spark, sf_dir, "documents").repartition("doc_id")
     sh = (
         d.withColumn("th", F.expr(_SPARK_TH))
         .withColumn("bitsum", F.expr(_SPARK_BITSUM))
@@ -363,20 +365,34 @@ def dedup_ngram(spark, sf_dir):
     (functions.setsim) over the bigram-shingle sets — bigram vocabularies
     are wide, so the rarest-shingle posting lists are short and candidate
     volume collapses (507 s quadratic → ~10 s at sf0.1, identical rows)."""
-    from spark_ml_helper_spark.functions.setsim import exact_jaccard_pairs
+    from spark_ml_helper_spark.functions.setsim import smallvocab_jaccard_pairs
 
-    d = table(spark, sf_dir, "documents")
-    bg = d.select(
+    # repartition before the compute-dense bigram build: the fixture table
+    # is one parquet row group → one scan task, serializing all per-doc
+    # compute (measured 3.3 s single-task vs 0.5 s spread). At cluster
+    # scale a many-file table parallelizes naturally and this shuffle of
+    # the raw text is the redundant cost — drop it there.
+    d = table(spark, sf_dir, "documents").repartition("doc_id")
+    # tokens hoisted into their own projection: inlining split() into the
+    # transform lambda re-splits the text on EVERY element access
+    # (O(tokens²) per doc — the same trap the simhash signature hit)
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    bg = toks.select(
         "doc_id",
         F.expr(
-            """array_distinct(CASE WHEN size(split(lower(text), ' ')) < 2
+            """array_distinct(CASE WHEN size(toks) < 2
                    THEN cast(array() as array<string>)
-                   ELSE transform(sequence(0, size(split(lower(text), ' ')) - 2),
-                        i -> concat(split(lower(text), ' ')[i], ' ', split(lower(text), ' ')[i + 1]))
+                   ELSE transform(sequence(0, size(toks) - 2),
+                        i -> concat(toks[i], ' ', toks[i + 1]))
                END)"""
         ).alias("elems"),
     )
-    return exact_jaccard_pairs(bg, tau=0.5, out_col="jac")
+    # bigram vocab here is bounded (~1k) while τ=0.5 makes PPJoin prefixes
+    # half the set → degenerate candidates (3.5M cands / 256 true pairs,
+    # 48 s); the block-matmul multi-hot path covers all pairs at BLAS cost
+    # instead (identical rows). See smallvocab_jaccard_pairs for the
+    # crossover rule.
+    return smallvocab_jaccard_pairs(bg, tau=0.5, out_col="jac")
 
 
 _DUCK_DOT = "list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * {b}[i]))"

@@ -232,6 +232,43 @@ def upsert_scd1(spark, sf_dir):
 
 
 @query(
+    "upsert_scd2",
+    oracle="""
+        SELECT o_custkey,
+               o_orderstatus AS status,
+               o_orderdate   AS valid_from,
+               lead(o_orderdate) OVER w AS valid_to,
+               (lead(o_orderdate) OVER w IS NULL) AS is_current
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    family="scale",
+)
+def upsert_scd2(spark, sf_dir):
+    """SCD-type-2 dimension build from a change log: per key (customer),
+    each status change opens a validity interval [valid_from, valid_to)
+    closed by the NEXT change's timestamp via lead(); the open interval is
+    the current row. Orders acts as the change log (key=o_custkey,
+    attr=o_orderstatus, ts=o_orderdate, o_orderkey as the deterministic
+    same-timestamp tiebreak). One shuffle on the key for the window sort —
+    the same key-partitioned shape a MERGE-based SCD-2 apply needs, so at
+    100 TB bucket the dimension by key and the daily rebuild is
+    shuffle-free."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
     "sink_clustered",
     oracle="""
         SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS price

@@ -196,7 +196,9 @@ def dedup_jaccard(spark, sf_dir):
     scales where even prefix-filtered exactness is too expensive."""
     from spark_ml_helper_spark.functions.setsim import exact_jaccard_pairs
 
-    d = table(spark, sf_dir, "documents")
+    # repartition: single-row-group fixture → 1 scan task (see the
+    # dedup_ngram note); spread tokenize+md5 across cores
+    d = table(spark, sf_dir, "documents").repartition("doc_id")
     ts = d.select("doc_id", F.array_distinct(_tokens()).alias("elems"))
     return exact_jaccard_pairs(ts, tau=0.8, out_col="jac")
 
@@ -259,8 +261,11 @@ def dedup_minhash(spark, sf_dir):
     No broadcast hints: every joined side is corpus-sized at 100 TB; the
     auto-threshold broadcasts them at test scale."""
     n_bands = _MINHASH_K // _MINHASH_BAND_ROWS
+    # repartition: single-row-group fixture → 1 scan task; the 40-hash
+    # signature build is the CPU-dense stage and must spread
     docs = (
         table(spark, sf_dir, "documents")
+        .repartition("doc_id")
         .select("doc_id", F.array_distinct(_tokens()).alias("tokset"))
         .withColumn(
             "tok_hashes",
