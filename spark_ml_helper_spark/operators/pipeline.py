@@ -296,6 +296,9 @@ def dedup_simhash(spark, sf_dir):
         d.withColumn("th", F.expr(_SPARK_TH))
         .withColumn("bitsum", F.expr(_SPARK_BITSUM))
         .select("doc_id", F.expr(_SPARK_SH).alias("sh"))
+        # signature build feeds reps/membership/bands branches with no
+        # cross-branch exchange reuse — materialize it once
+        .localCheckpoint(eager=True)
     )
     reps = sh.groupBy("sh").agg(F.min("doc_id").alias("rep_id"))
     membership = sh.join(reps, "sh").select("doc_id", "rep_id", "sh")
