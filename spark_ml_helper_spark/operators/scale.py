@@ -168,6 +168,30 @@ def sink_json(spark, sf_dir):
 
 
 @query(
+    "sink_orc",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               round(l_extendedprice, 2) AS price
+        FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    family="scale",
+)
+def sink_orc(spark, sf_dir):
+    """ORC round trip: columnar-to-columnar re-encode (parquet → ORC →
+    read back). ORC is self-describing like parquet — no schema pin needed
+    on re-read — and Spark's vectorized ORC reader supports the same
+    predicate pushdown/column pruning. The filter runs on the RE-READ side
+    to prove pushdown into the ORC scan; the oracle reads the original
+    parquet, so a hash match proves the re-encode is lossless."""
+    out = tempfile.mkdtemp(prefix="smhs_orc_") + "/lineitem_orc"
+    df = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", F.round("l_extendedprice", 2).alias("price")
+    )
+    df.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).filter(F.col("l_returnflag") == "R")
+
+
+@query(
     "upsert_scd1",
     oracle="""
         WITH base AS (

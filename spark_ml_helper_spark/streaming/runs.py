@@ -324,6 +324,85 @@ def stream_run_file_sink(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+@query("stream_run_stream_join", oracle=None, family="streaming")
+def stream_run_stream_join(spark, sf_dir):
+    """Stream-stream inner join with watermarks on BOTH sides: each user's
+    'view' events join their 'purchase' events within the following hour
+    — the funnel/attribution join. Both sides buffer in the state store;
+    the time-range condition plus watermarks bound how long a buffered row
+    can wait for a match, which is what makes the state finite on an
+    infinite stream (without them Spark rejects the join in append mode)."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").cast("timestamp").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        .withWatermark("v_ts", "30 minutes")
+    )
+    buys = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").cast("timestamp").alias("b_ts"),
+            F.col("value").alias("b_value"),
+        )
+        .withWatermark("b_ts", "30 minutes")
+    )
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("v_user", "v_id", "v_ts", "b_ts", F.round("b_value", 6).alias("b_value"))
+    # state-store instances scale with shuffle partitions × 2 join sides;
+    # at local fixture volume that fixed cost dominates — run the join at
+    # 8 partitions (a cluster run sizes this to data volume instead)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _run(joined, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@query("stream_run_foreach_batch", oracle=None, family="streaming")
+def stream_run_foreach_batch(spark, sf_dir):
+    """foreachBatch sink: each micro-batch is handed to arbitrary batch
+    code — here an idempotent partitioned-parquet upsert keyed by batch id,
+    the standard escape hatch for sinks Structured Streaming lacks (JDBC
+    merges, multi-table writes). Exactly-once comes from checkpoint +
+    idempotent-by-batch-id writes, the documented contract."""
+    base = tempfile.mkdtemp(prefix="smhs_feb_")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    e = _events_stream(spark, sf_dir, max_files_per_trigger=4)
+    agg = e.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_v")
+    )
+
+    def upsert(batch_df, batch_id: int):
+        # idempotent: a replayed batch overwrites its own partition
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(out)
+
+    q = (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = spark.read.parquet(out)
+    last_id = latest.agg(F.max("batch_id")).collect()[0][0]
+    return latest.filter(F.col("batch_id") == last_id).drop("batch_id")
+
+
 @query("stream_run_sliding", oracle=None, family="streaming")
 def stream_run_sliding(spark, sf_dir):
     """Streaming 1h windows sliding every 15 min per event_type (complete
