@@ -133,6 +133,93 @@ def sink_partitioned(spark, sf_dir):
 
 
 @query(
+    "join_dpp",
+    oracle="""
+        SELECT year(o.o_orderdate) AS o_year,
+               count(*) AS n,
+               round(sum(o.o_totalprice), 2) AS total
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND year(o.o_orderdate) IN (1996, 1997)
+        GROUP BY year(o.o_orderdate)
+    """,
+    family="scale",
+)
+def join_dpp(spark, sf_dir):
+    """Dynamic partition pruning: a year-partitioned fact joined to a
+    filtered dim, with the partition filter expressed ON THE FACT via an
+    IN list the optimizer can push to partition discovery, plus a dim
+    predicate that arrives at the fact scan as a DPP subquery when the
+    planner chooses it. Either way the scan must read 2 of 7 year
+    directories — at 100 TB partition pruning is the difference between
+    scanning 30 TB and 300 GB. The static prune is asserted via
+    PartitionFilters in tests."""
+    out = tempfile.mkdtemp(prefix="smhs_dpp_") + "/orders_by_year"
+    (
+        table(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(out)
+    )
+    facts = spark.read.parquet(out).filter(F.col("o_year").isin(1996, 1997))
+    dim = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        facts.join(F.broadcast(dim), facts.o_custkey == dim.c_custkey)
+        .groupBy("o_year")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(F.col("o_year").cast("bigint").alias("o_year"), "n", "total")
+    )
+
+
+@query(
+    "agg_incremental",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total,
+               round(sum(o_totalprice) / count(*), 6) AS avg_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    family="scale",
+)
+def agg_incremental(spark, sf_dir):
+    """Incremental aggregation via mergeable partial states — the pattern
+    that avoids recomputing a 100 TB rollup when a day of data lands:
+    keep (count, sum) per group as the stored state, aggregate ONLY the
+    delta batch to the same state shape, union the two state sets and
+    re-reduce, then finish derived measures (avg = sum/count) at the end.
+    Here the 'stored' state is orders before 1998 and the 'delta' is the
+    1998+ batch; the oracle aggregates the whole table in one pass — a
+    hash match proves merge(partial(a), partial(b)) == full(a ∪ b).
+    Every Spark partial agg works this way internally; this operator is
+    the USER-level form for persisted rollups. avg is finished from
+    merged sums, never averaged-of-averages."""
+    o = table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp_ntz")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"), F.sum("o_totalprice").alias("total_raw")
+        )
+
+    stored = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        stored.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n"), F.sum("total_raw").alias("total_raw"))
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n",
+        F.round("total_raw", 2).alias("total"),
+        F.round(F.col("total_raw") / F.col("n"), 6).alias("avg_price"),
+    )
+
+
+@query(
     "sink_csv",
     oracle="SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 6) AS acctbal FROM customer",
     family="scale",

@@ -156,6 +156,31 @@ def test_partitioned_sink_prunes(spark):
     assert "o_year" in plan.split("PartitionFilters:")[1][:200], "year filter did not prune partitions"
 
 
+def test_dpp_join_prunes_partitions(spark):
+    plan = _formatted(QUERIES["join_dpp"](spark, SF_ORACLE))
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters:")[1][:250]
+    assert "o_year" in seg, "year IN-list did not reach partition discovery"
+    assert "BroadcastHashJoin" in plan, "dim side should broadcast"
+
+
+def test_incremental_agg_merges_partials(spark):
+    # merge(partial(stored), partial(delta)) must equal the one-pass agg
+    import pyspark.sql.functions as F
+
+    from spark_ml_helper_spark.sources.parquet import table as t
+
+    merged = {r["o_orderpriority"]: (r["n"], r["total"]) for r in QUERIES["agg_incremental"](spark, SF_ORACLE).collect()}
+    full = {
+        r["o_orderpriority"]: (r["n"], r["total"])
+        for r in t(spark, SF_ORACLE, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .collect()
+    }
+    assert merged == full
+
+
 def test_approx_percentile_close_to_exact(spark):
     exact = {r.l_returnflag: r for r in QUERIES["agg_percentile"](spark, SF_ORACLE).collect()}
     approx = {r.l_returnflag: r for r in QUERIES["agg_approx_percentile"](spark, SF_ORACLE).collect()}
