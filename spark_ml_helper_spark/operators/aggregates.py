@@ -270,6 +270,29 @@ def agg_stats(spark, sf_dir):
 
 
 @query(
+    "agg_string",
+    oracle="""
+        SELECT c_nationkey,
+               array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments,
+               count(DISTINCT c_mktsegment) AS n_segments
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+    family="aggregates",
+)
+def agg_string(spark, sf_dir):
+    """String aggregation (listagg/string_agg surface) with deterministic
+    ordering: distinct market segments per nation, sorted then joined —
+    collect_set order is partition-dependent in ANY distributed engine, so
+    the sort before the join is what makes this oracle-checkable."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias("segments"),
+        F.count_distinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+@query(
     "agg_mode",
     oracle="""
         WITH c AS (

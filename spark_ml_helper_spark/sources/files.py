@@ -94,3 +94,54 @@ def source_jsonl(spark, sf_dir):
         "c_mktsegment",
         F.round("c_acctbal", 2).alias("acctbal"),
     )
+
+
+@query(
+    "source_pyds",
+    oracle="""
+        SELECT i AS id,
+               CAST(i % 7 AS INTEGER) AS bucket,
+               round((i * 31 % 1000) / 10.0, 6) AS score
+        FROM range(0, 20000) r(i)
+    """,
+    family="sources",
+)
+def source_pyds(spark, sf_dir):
+    """Custom PYTHON DATA SOURCE (Spark 4 `pyspark.sql.datasource` API):
+    a deterministic synthetic generator registered as a named format and
+    read through the normal `spark.read.format(...).load()` path, with
+    REAL partition planning — `partitions()` returns 8 splits and each
+    executor reads only its stripe, so the source scales out like any
+    file source. This is the extension point for reading systems Spark
+    has no built-in connector for (internal APIs, custom binary stores);
+    the generator stands in for the external system, and the DuckDB
+    range() oracle proves the partition-striped read reassembles the
+    exact row set."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    N, PARTS = 20000, 8
+
+    class _Reader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(p) for p in range(PARTS)]
+
+        def read(self, partition):
+            chunk = N // PARTS
+            p = partition.value
+            lo, hi = p * chunk, N if p == PARTS - 1 else (p + 1) * chunk
+            for i in range(lo, hi):
+                yield (i, i % 7, round((i * 31 % 1000) / 10.0, 6))
+
+    class SyntheticSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "smhs_synthetic"
+
+        def schema(self):
+            return "id bigint, bucket int, score double"
+
+        def reader(self, schema):
+            return _Reader()
+
+    spark.dataSource.register(SyntheticSource)
+    return spark.read.format("smhs_synthetic").load()
