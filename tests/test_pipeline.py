@@ -21,6 +21,27 @@ def _plan(spark, name: str, sf: str = SF_ORACLE) -> str:
 # ---------------------------------------------------------------------- recall
 
 
+def test_smallvocab_jaccard_matches_ppjoin(spark):
+    # the block-matmul path and the PPJoin path are interchangeable EXACT
+    # implementations — same input must give identical pairs and scores
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.functions.setsim import (
+        exact_jaccard_pairs,
+        smallvocab_jaccard_pairs,
+    )
+    from spark_ml_helper_spark.sources.parquet import table as t
+
+    sets = (
+        t(spark, SF_ORACLE, "documents")
+        .repartition("doc_id")
+        .select("doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("elems"))
+    )
+    pp = {(r.a_id, r.b_id, r.jac) for r in exact_jaccard_pairs(sets, 0.9, "jac").collect()}
+    sv = {(r.a_id, r.b_id, r.jac) for r in smallvocab_jaccard_pairs(sets, 0.9, "jac").collect()}
+    assert pp == sv and len(pp) > 0
+
+
 def test_minhash_recall_vs_exact(spark):
     mh = {(r.a_id, r.b_id) for r in QUERIES["dedup_minhash"](spark, SF_ORACLE).collect()}
     ex = {(r.a_id, r.b_id) for r in QUERIES["dedup_jaccard"](spark, SF_ORACLE).collect()}
