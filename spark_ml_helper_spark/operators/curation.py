@@ -411,3 +411,135 @@ def sample_deterministic(spark, sf_dir):
         .filter(F.col("rn") <= 10)
         .select("o_orderpriority", "o_orderkey")
     )
+
+
+@query(
+    "dq_checks",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'orders_pk_unique' AS check_name,
+                   CAST(count(*) = count(DISTINCT o_orderkey) AS BOOLEAN) AS passed,
+                   CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_bad
+            FROM orders
+            UNION ALL
+            SELECT 'orders_custkey_not_null',
+                   CAST(count(*) FILTER (WHERE o_custkey IS NULL) = 0 AS BOOLEAN),
+                   count(*) FILTER (WHERE o_custkey IS NULL)
+            FROM orders
+            UNION ALL
+            SELECT 'orders_fk_customer',
+                   CAST(count(*) = 0 AS BOOLEAN), count(*)
+            FROM orders o WHERE NOT EXISTS
+                (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+            UNION ALL
+            SELECT 'orders_price_positive',
+                   CAST(count(*) FILTER (WHERE o_totalprice <= 0) = 0 AS BOOLEAN),
+                   count(*) FILTER (WHERE o_totalprice <= 0)
+            FROM orders
+            UNION ALL
+            SELECT 'lineitem_discount_range',
+                   CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) = 0 AS BOOLEAN),
+                   count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+            FROM lineitem
+        )
+    """,
+    family="curation",
+)
+def dq_checks(spark, sf_dir):
+    """Data-quality check suite (the Deequ/Great-Expectations pattern on
+    plain DataFrames): primary-key uniqueness, not-null, referential
+    integrity (orders→customer via anti-join), and two value-range
+    constraints — one row per check with pass flag and violation count.
+    Each check is a full-table aggregate or anti-join that Catalyst runs
+    partial-agg/broadcast; in production the suite runs as ONE pass per
+    table by fusing the per-table checks into a single multi-aggregate
+    (as the orders checks here fuse), gating the pipeline before expensive
+    downstream stages touch bad data."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+
+    def row(name, passed, n_bad):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            passed.alias("passed"),
+            n_bad.cast("bigint").alias("n_bad"),
+        )
+
+    # orders-table checks fused into one aggregation pass
+    orders_checks = o.agg(
+        F.explode(
+            F.array(
+                row(
+                    "orders_pk_unique",
+                    F.count("*") == F.count_distinct("o_orderkey"),
+                    F.count("*") - F.count_distinct("o_orderkey"),
+                ),
+                row(
+                    "orders_custkey_not_null",
+                    F.count_if(F.col("o_custkey").isNull()) == 0,
+                    F.count_if(F.col("o_custkey").isNull()),
+                ),
+                row(
+                    "orders_price_positive",
+                    F.count_if(F.col("o_totalprice") <= 0) == 0,
+                    F.count_if(F.col("o_totalprice") <= 0),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    fk_bad = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti").agg(
+        F.count("*").alias("n")
+    )
+    fk_check = fk_bad.select(
+        F.lit("orders_fk_customer").alias("check_name"),
+        (F.col("n") == 0).alias("passed"),
+        F.col("n").cast("bigint").alias("n_bad"),
+    )
+    li_check = li.agg(
+        F.lit("lineitem_discount_range").alias("check_name"),
+        (F.count_if((F.col("l_discount") < 0) | (F.col("l_discount") > 1)) == 0).alias("passed"),
+        F.count_if((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("bigint").alias("n_bad"),
+    )
+    return orders_checks.unionByName(fk_check).unionByName(li_check)
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+        WITH synth AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id || '@example.com or +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g') AS clean,
+               CAST(length(raw) - length(regexp_replace(raw, '@', '', 'g')) AS INTEGER) AS n_at_signs
+        FROM synth
+    """,
+    family="curation",
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing (the redaction stage every LLM training pipeline runs
+    before tokenization): regex-redact emails then phone numbers to typed
+    placeholder tags. The fixture corpus carries no PII, so deterministic
+    synthetic PII (an email + phone derived from doc_id) is appended first
+    and the oracle applies the identical rewrite — proving the redaction
+    regexes behave identically cross-engine. Per-row, shuffle-free,
+    whole-stage codegen; at 100 TB this is a map-only pass."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+    clean = F.regexp_replace(F.regexp_replace(raw, email_re, "<EMAIL>"), phone_re, "<PHONE>")
+    n_at = (F.length(raw) - F.length(F.regexp_replace(raw, "@", ""))).cast("int")
+    return d.select("doc_id", clean.alias("clean"), n_at.alias("n_at_signs"))

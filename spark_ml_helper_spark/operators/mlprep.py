@@ -158,3 +158,29 @@ def feature_quantile_bucket(spark, sf_dir):
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "feature_class_weights",
+    oracle="""
+        WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+             t AS (SELECT count(*) AS total, count(DISTINCT label) AS k FROM embeddings)
+        SELECT c.label, c.n,
+               round(t.total / (CAST(t.k AS DOUBLE) * c.n), 6) AS weight
+        FROM c, t
+    """,
+    family="mlprep",
+)
+def feature_class_weights(spark, sf_dir):
+    """Balanced class weights (sklearn `class_weight='balanced'` formula:
+    total / (k · n_label)) — what a trainer feeds the loss to counter
+    label imbalance. One hash agg for counts + a broadcast single-row agg
+    for the totals; no collect."""
+    e = table(spark, sf_dir, "embeddings")
+    counts = e.groupBy("label").agg(F.count("*").alias("n"))
+    totals = e.agg(F.count("*").alias("total"), F.count_distinct("label").alias("k"))
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "label",
+        "n",
+        F.round(F.col("total") / (F.col("k").cast("double") * F.col("n")), 6).alias("weight"),
+    )

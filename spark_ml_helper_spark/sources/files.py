@@ -145,3 +145,42 @@ def source_pyds(spark, sf_dir):
 
     spark.dataSource.register(SyntheticSource)
     return spark.read.format("smhs_synthetic").load()
+
+
+@query(
+    "source_schema_evolution",
+    oracle="""
+        SELECT o_orderkey, round(o_totalprice, 2) AS price,
+               CAST(NULL AS VARCHAR) AS priority
+        FROM orders WHERE year(o_orderdate) <= 1995
+        UNION ALL
+        SELECT o_orderkey, round(o_totalprice, 2), o_orderpriority
+        FROM orders WHERE year(o_orderdate) > 1995
+    """,
+    family="sources",
+)
+def source_schema_evolution(spark, sf_dir):
+    """Schema evolution on read: two parquet batches written with
+    DIFFERENT schemas (the later batch adds a `priority` column) read as
+    one table with mergeSchema=true — old rows surface NULL for the added
+    column. This is the additive-column contract every long-lived lake
+    table relies on; without mergeSchema the scan would pin whichever
+    footer it sampled first. (Column REMOVAL/retype needs a table format
+    with real schema enforcement — Delta/Iceberg — not plain parquet.)"""
+    out = os.path.join(tempfile.mkdtemp(prefix="smhs_evo_"), "orders_evo")
+    o = table(spark, sf_dir, "orders")
+    old = o.filter(F.year("o_orderdate") <= 1995).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    new = o.filter(F.year("o_orderdate") > 1995).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    old.write.mode("overwrite").parquet(os.path.join(out, "batch=0"))
+    new.write.mode("overwrite").parquet(os.path.join(out, "batch=1"))
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(out)
+        .select("o_orderkey", "price", "priority")
+    )
