@@ -126,3 +126,94 @@ def ml_scaler_pipeline(spark, sf_dir):
             F.row_number().over(Window.orderBy(F.col("n_members").desc())),
         )
     )
+
+
+@query("ml_als", oracle=None, family="ml")
+def ml_als(spark, sf_dir):
+    """ALS collaborative filtering (MLlib's distributed implicit-feedback
+    matrix factorization) on interactions synthesized from events:
+    user_id × (event_id % 50) with `value` as implicit confidence.
+    Returns per-user top-3 recommendations for the first 20 users
+    (seed-pinned; rows-only — factorization is iterative and
+    rank-truncated, no SQL twin exists). The block-partitioned normal
+    equations ALS solves shuffle on user/item blocks — the textbook
+    100 TB recommender path."""
+    from pyspark.ml.recommendation import ALS
+
+    e = table(spark, sf_dir, "events")
+    ratings = (
+        e.select(
+            F.col("user_id").cast("int").alias("user"),
+            (F.col("event_id") % 50).cast("int").alias("item"),
+            F.col("value").cast("float").alias("rating"),
+        )
+        .groupBy("user", "item")
+        .agg(F.sum("rating").alias("rating"))
+    )
+    als = ALS(
+        rank=8,
+        maxIter=5,
+        seed=42,
+        implicitPrefs=True,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    users = ratings.select("user").distinct().filter(F.col("user") < 20)
+    recs = model.recommendForUserSubset(users, 3)
+    return recs.select(
+        "user",
+        F.explode("recommendations").alias("rec"),
+    ).select("user", F.col("rec.item").alias("item"), F.round(F.col("rec.rating"), 4).alias("score"))
+
+
+@query(
+    "ml_fpgrowth_pairs",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t
+            FROM documents
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        singles AS (
+            SELECT t, count(*) AS freq FROM tok GROUP BY t
+            HAVING count(*) >= 0.4 * (SELECT n_docs FROM n)
+        ),
+        pairs AS (
+            SELECT a.t AS t1, b.t AS t2, count(*) AS freq
+            FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
+            GROUP BY a.t, b.t
+            HAVING count(*) >= 0.4 * (SELECT n_docs FROM n)
+        )
+        SELECT t AS itemset, freq FROM singles
+        UNION ALL
+        SELECT t1 || ',' || t2, freq FROM pairs
+    """,
+    family="ml",
+)
+def ml_fpgrowth_pairs(spark, sf_dir):
+    """Frequent itemset mining via MLlib FPGrowth (minSupport 0.4) over
+    document token sets, restricted to itemsets of size ≤ 2 so the result
+    is SQL-oracle-able: singletons are document frequencies, pairs are
+    co-occurrence counts — the oracle recomputes both relationally and
+    must hash-match the FP-tree's output exactly (frequent-itemset counts
+    are deterministic; only the mining strategy differs). The size cap is
+    on the RESULT for verifiability — FPGrowth itself mines all sizes;
+    market-basket rules at 100 TB shuffle on conditional-pattern prefixes."""
+    from pyspark.ml.fpm import FPGrowth
+
+    d = table(spark, sf_dir, "documents")
+    from spark_ml_helper_spark.operators.text import _tokens
+
+    baskets = d.select("doc_id", F.array_sort(F.array_distinct(_tokens())).alias("items"))
+    fp = FPGrowth(itemsCol="items", minSupport=0.4, minConfidence=0.5)
+    model = fp.fit(baskets)
+    return (
+        model.freqItemsets.filter(F.size("items") <= 2)
+        .select(
+            F.array_join(F.array_sort("items"), ",").alias("itemset"),
+            F.col("freq").cast("bigint").alias("freq"),
+        )
+    )
