@@ -315,3 +315,33 @@ def fn_bitwise(spark, sf_dir):
         F.shiftright(k, 1).cast("long").alias("b_shr"),
         F.bit_count(k).cast("long").alias("b_pop"),
     )
+
+
+@query(
+    "fn_try",
+    oracle="""
+        SELECT o_orderkey,
+               TRY_CAST(o_orderpriority AS INTEGER)            AS pri_int,
+               TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS pri_digit,
+               round(o_totalprice / nullif(o_orderkey % 10, 0), 6) AS risky_div,
+               CAST(NULL AS TIMESTAMP) AS bad_ts
+        FROM orders
+    """,
+    family="functions",
+)
+def fn_try(spark, sf_dir):
+    """ANSI-safe try_* family: Spark 4 runs with ANSI mode ON (bad casts /
+    division by zero THROW), so total pipelines over dirty data need the
+    try_ variants — try_cast returns NULL where cast raises, try_divide
+    NULLs the zero-divisor rows, and an unparseable timestamp yields NULL
+    instead of killing the job. The oracle mirrors with DuckDB TRY_CAST /
+    nullif-guarded division. ('1-URGENT' fails the full cast; its leading
+    digit succeeds — both outcomes exercised.)"""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("pri_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("pri_digit"),
+        F.round(F.try_divide("o_totalprice", F.col("o_orderkey") % 10), 6).alias("risky_div"),
+        F.lit("not a time").try_cast("timestamp").alias("bad_ts"),
+    )

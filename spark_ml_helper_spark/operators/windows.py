@@ -252,3 +252,33 @@ def win_first_last(spark, sf_dir):
         F.round(F.last("o_totalprice").over(wfull), 2).alias("last_price"),
         F.round(F.nth_value("o_totalprice", 2).over(wfull), 2).alias("second_price"),
     )
+
+
+@query(
+    "win_dist",
+    oracle="""
+        SELECT o_orderkey,
+               round(cume_dist() OVER w, 6) AS cd,
+               CAST(ntile(10) OVER w AS BIGINT) AS decile,
+               round(percent_rank() OVER w, 6) AS pr
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    family="windows",
+)
+def win_dist(spark, sf_dir):
+    """Distribution window functions: cume_dist (share of peers ≤ current
+    row), decile assignment via ntile, percent_rank — the empirical-CDF
+    trio feature pipelines use for rank-normalizing skewed features. Fully
+    tiebroken order (price, then key) so every engine assigns identical
+    values."""
+    o = table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )

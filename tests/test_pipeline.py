@@ -314,3 +314,10 @@ def test_sliding_stream_matches_batch_twin(spark):
 def test_clustered_sink_pushes_date_filter(spark):
     plan = _plan(spark, "sink_clustered")
     assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_orc_sink_pushes_filter(spark):
+    plan = _formatted(QUERIES["sink_orc"](spark, SF_ORACLE))
+    assert "PushedFilters: [" in plan
+    seg = plan.split("PushedFilters:")[1][:200]
+    assert "l_returnflag" in seg, "returnflag filter did not push into the ORC scan"
