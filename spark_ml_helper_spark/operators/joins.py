@@ -286,3 +286,27 @@ def join_self_pairs(spark, sf_dir):
         .groupBy("label")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@query(
+    "join_hint_shuffle_hash",
+    oracle="""
+        SELECT o.o_orderkey, c.c_name, round(o.o_totalprice, 2) AS price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice > 400000
+    """,
+    family="joins",
+)
+def join_hint_shuffle_hash(spark, sf_dir):
+    """Join strategy hint: SHUFFLE_HASH forces a shuffled hash join where
+    the planner would otherwise broadcast (small dim) or sort-merge (two
+    big sides). The legitimate use at scale: a build side too big to
+    broadcast but small enough to hash per-partition — hash join skips
+    both sort phases of SMJ. The hint is advisory on the LOGICAL side;
+    tests assert the physical plan actually took it (ShuffledHashJoin,
+    no sort phases)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = table(spark, sf_dir, "customer").hint("shuffle_hash")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_name", F.round("o_totalprice", 2).alias("price")
+    )

@@ -217,3 +217,34 @@ def ml_fpgrowth_pairs(spark, sf_dir):
             F.col("freq").cast("bigint").alias("freq"),
         )
     )
+
+
+@query("ml_cross_validate", oracle=None, family="ml")
+def ml_cross_validate(spark, sf_dir):
+    """Hyperparameter search via CrossValidator — the core "ML helper"
+    wrapper: 2-fold CV over a small logreg regularization grid on the
+    deterministic hash split's train side, seed-pinned so fold assignment
+    and the winning model are stable. Output: one row per grid point with
+    its mean CV accuracy plus the winner flag. Rows-only (CV metrics come
+    from iterative fits). Scale: each fold-fit is a full distributed
+    L-BFGS run; the grid×folds fits are independent — CrossValidator
+    parallelizes them with `parallelism`, the knob that matters on a
+    cluster."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    feats = _features(spark, sf_dir).withColumn("label", F.col("label").cast("double"))
+    lr = LogisticRegression(featuresCol="features", labelCol="label", maxIter=20)
+    grid = ParamGridBuilder().addGrid(lr.regParam, [0.0, 0.1]).build()
+    ev = MulticlassClassificationEvaluator(labelCol="label", metricName="accuracy")
+    cv = CrossValidator(
+        estimator=lr, estimatorParamMaps=grid, evaluator=ev, numFolds=2, seed=42, parallelism=2
+    )
+    model = cv.fit(feats)
+    best = max(range(len(model.avgMetrics)), key=lambda i: model.avgMetrics[i])
+    rows = [
+        (float(grid[i][lr.regParam]), round(float(model.avgMetrics[i]), 4), i == best)
+        for i in range(len(grid))
+    ]
+    return spark.createDataFrame(rows, "reg_param double, cv_accuracy double, is_best boolean")

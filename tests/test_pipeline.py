@@ -321,3 +321,9 @@ def test_orc_sink_pushes_filter(spark):
     assert "PushedFilters: [" in plan
     seg = plan.split("PushedFilters:")[1][:200]
     assert "l_returnflag" in seg, "returnflag filter did not push into the ORC scan"
+
+
+def test_shuffle_hash_hint_honored(spark):
+    plan = _formatted(QUERIES["join_hint_shuffle_hash"](spark, SF_ORACLE))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
