@@ -80,3 +80,39 @@ def source_json_col(spark, sf_dir):
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
     )
+
+
+@query(
+    "scan_observed",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               round(sum(l_quantity), 6) AS sum_qty,
+               count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted
+        FROM lineitem
+    """,
+    family="scans",
+)
+def scan_observed(spark, sf_dir):
+    """Observation metrics (df.observe): named aggregates collected AS A
+    SIDE EFFECT of executing another action over the frame — the
+    zero-extra-pass way to emit row counts / quality counters from a
+    production job (vs. a second full scan per metric). The observed map
+    is returned as the result frame here so the oracle can hash-check the
+    metric VALUES; in production the result would be the data itself and
+    the metrics would feed monitoring."""
+    from pyspark.sql import Observation
+
+    li = table(spark, sf_dir, "lineitem")
+    obs = Observation("li_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the "real" action
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_qty"], m["n_discounted"])],
+        "n_rows bigint, sum_qty double, n_discounted bigint",
+    )

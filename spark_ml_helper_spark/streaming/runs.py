@@ -417,3 +417,39 @@ def stream_run_sliding(spark, sf_dir):
         .select(F.col("w.start").alias("w_start"), "event_type", "n")
     )
     return _run(agg, "complete")
+
+
+@query("stream_run_exactly_once", oracle=None, family="streaming")
+def stream_run_exactly_once(spark, sf_dir):
+    """Exactly-once replay protection: the SAME bounded file stream is
+    executed TWICE against one checkpoint directory into one parquet
+    sink. The second run's source offset log shows all files already
+    committed, so it processes zero new data and the sink is NOT
+    double-appended — re-running a failed/duplicate job is safe. The
+    returned frame is the sink after both runs; the test asserts it
+    equals the single-run batch twin exactly (no duplicated windows)."""
+    base = tempfile.mkdtemp(prefix="smhs_eo_")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+
+    def run_once():
+        ev = _events_stream(spark, sf_dir)
+        agg = (
+            ev.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("w_start"), "event_type", "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    run_once()  # replay: must be a no-op against the same checkpoint
+    return spark.read.parquet(out)

@@ -327,3 +327,24 @@ def test_shuffle_hash_hint_honored(spark):
     plan = _formatted(QUERIES["join_hint_shuffle_hash"](spark, SF_ORACLE))
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_exactly_once_no_duplicate_windows(spark):
+    # double-run against one checkpoint: every emitted window appears ONCE
+    # (replay processed nothing) and its count matches the batch twin.
+    # Trailing windows the final watermark never passed are legitimately
+    # absent in append mode — subset, not equality.
+    rows = QUERIES["stream_run_exactly_once"](spark, SF_ORACLE).collect()
+    keys = [(r.w_start, r.event_type) for r in rows]
+    assert len(keys) == len(set(keys)), "replayed stream duplicated windows"
+    eo = {(r.w_start, r.event_type): r.n for r in rows}
+    twin = {
+        (r.w_start, r.event_type): r.n
+        for r in QUERIES["stream_tumbling"](spark, SF_ORACLE).collect()
+    }
+    assert eo, "no windows emitted"
+    assert all(twin.get(k) == v for k, v in eo.items()), "emitted window count differs from batch twin"
+    # only trailing (never-finalized) windows may be missing
+    missing = set(twin) - set(eo)
+    max_emitted = max(ws for ws, _ in eo)
+    assert all(ws >= max_emitted for ws, _ in missing), "non-trailing window missing = data lost"
