@@ -345,3 +345,32 @@ def fn_try(spark, sf_dir):
         F.round(F.try_divide("o_totalprice", F.col("o_orderkey") % 10), 6).alias("risky_div"),
         F.lit("not a time").try_cast("timestamp").alias("bad_ts"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed,
+               CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
+               CAST(json_extract_string(props, '$.missing') AS INTEGER) AS k_missing
+        FROM events
+    """,
+    family="functions",
+)
+def fn_variant(spark, sf_dir):
+    """VARIANT semi-structured type (Spark 4): parse_json → open binary
+    variant, then typed path extraction with variant_get — the
+    schema-on-read path for JSON columns whose shape drifts, replacing
+    brittle from_json fixed schemas. Unlike get_json_object (string in,
+    string out, re-parse per call), the variant parses ONCE and every
+    extraction reads the binary encoding. Missing paths yield NULL (not
+    an error) — the semantics bulk ingestion needs."""
+    e = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_typed"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(v, "$.missing", "int").alias("k_missing"),
+    )

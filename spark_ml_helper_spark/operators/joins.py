@@ -15,7 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from spark_ml_helper_spark.registry import query
-from spark_ml_helper_spark.sources.parquet import table
+from spark_ml_helper_spark.sources.parquet import load_tables, table
 
 
 @query(
@@ -309,4 +309,40 @@ def join_hint_shuffle_hash(spark, sf_dir):
     c = table(spark, sf_dir, "customer").hint("shuffle_hash")
     return o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey", "c_name", F.round("o_totalprice", 2).alias("price")
+    )
+
+
+@query(
+    "join_lateral",
+    oracle="""
+        SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_custkey < 100
+    """,
+    family="joins",
+)
+def join_lateral(spark, sf_dir):
+    """Correlated LATERAL join (Spark 4 SQL): a per-row subquery — each
+    customer's top-2 orders by price — expressed as the SQL standard's
+    lateral derived table. Catalyst decorrelates it into a ranked window
+    join (same physical plan as the win_topk_group formulation), which is
+    exactly why LATERAL is safe at scale: it does NOT execute the subquery
+    per row."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_custkey < 100
+        """
     )
