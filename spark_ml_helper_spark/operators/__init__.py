@@ -10,6 +10,9 @@ core moves to the back. Rotate again next round if a window remains.
 
 # --- not yet driver-verified: text/vector/pipeline/ML surface first ---
 import spark_ml_helper_spark.operators.text  # noqa: F401
+import spark_ml_helper_spark.operators.corpus  # noqa: F401
+import spark_ml_helper_spark.operators.graph  # noqa: F401
+import spark_ml_helper_spark.operators.timeseries  # noqa: F401
 import spark_ml_helper_spark.operators.vectors  # noqa: F401
 import spark_ml_helper_spark.operators.pipeline  # noqa: F401
 import spark_ml_helper_spark.operators.multimodal  # noqa: F401

@@ -1,0 +1,236 @@
+"""Corpus-level statistics and curation operators for LLM training-data
+pipelines: collocation mining (PMI), Zipf-law fitting, benchmark
+decontamination, and language-mix reweighting.
+
+All four are explode → hash-agg → (small) join shapes: the shuffles carry
+token/shingle keys whose cardinality is the vocabulary (31 here, a few
+million at web scale), never the document pair space. Decontamination —
+the "did a benchmark leak into train?" sweep every eval-honest pipeline
+runs — joins on the shingle dictionary, so its cost is proportional to
+the contaminated overlap, not |train| × |benchmark|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spark_ml_helper_spark.registry import query
+from spark_ml_helper_spark.sources.parquet import table
+from spark_ml_helper_spark.operators.text import _tokens
+
+
+@query(
+    "text_collocations",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        uni AS (
+            SELECT unnest(t) AS w FROM toks
+        ),
+        uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        bi AS (
+            SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS b
+            FROM toks
+        ),
+        bc AS (SELECT b, count(*) AS c_ab FROM bi GROUP BY b),
+        n AS (
+            SELECT (SELECT count(*) FROM uni) AS n_uni,
+                   (SELECT count(*) FROM bi) AS n_bi
+        )
+        SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2, c_ab,
+               round(ln((c_ab / n_bi) / ((a.c / n_uni) * (bb.c / n_uni))), 6) AS pmi
+        FROM bc, n
+        JOIN uc a ON a.w = split_part(b, ' ', 1)
+        JOIN uc bb ON bb.w = split_part(b, ' ', 2)
+        WHERE c_ab >= 5
+    """,
+    family="corpus",
+)
+def text_collocations(spark, sf_dir):
+    """Collocation mining: PMI = ln(p(ab) / (p(a)·p(b))) over adjacent
+    word pairs, keeping pairs seen ≥ 5 times. Three explode+agg passes
+    (unigrams, bigrams, corpus totals — the totals are a single-row frame
+    broadcast back) and two joins keyed on the vocabulary. The identical
+    arithmetic expression runs on both engines so the doubles hash-match
+    after 6-dp rounding."""
+    d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("t"))
+    uni = d.select(F.explode("t").alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("c"))
+    bi = d.select(
+        F.explode(
+            F.when(F.size("t") < 2, F.expr("cast(array() as array<string>)")).otherwise(
+                F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")
+            )
+        ).alias("b")
+    )
+    bc = bi.groupBy("b").agg(F.count("*").alias("c_ab"))
+    totals = uni.agg(F.count("*").alias("n_uni")).crossJoin(bi.agg(F.count("*").alias("n_bi")))
+    a, bb = uc.alias("a"), uc.alias("bb")
+    return (
+        bc.filter(F.col("c_ab") >= 5)
+        .crossJoin(F.broadcast(totals))
+        .withColumn("w1", F.split_part(F.col("b"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("b"), F.lit(" "), F.lit(2)))
+        .join(F.broadcast(a), F.col("w1") == F.col("a.w"))
+        .join(F.broadcast(bb), F.col("w2") == F.col("bb.w"))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("n_bi"))
+                    / ((F.col("a.c") / F.col("n_uni")) * (F.col("bb.c") / F.col("n_uni")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@query(
+    "text_zipf",
+    oracle="""
+        WITH uc AS (
+            SELECT w, count(*) AS c FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+            ) GROUP BY w
+        ),
+        ranked AS (
+            SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rnk FROM uc
+        )
+        SELECT count(*) AS n_types,
+               round(regr_slope(ln(c), ln(rnk)), 4) AS zipf_slope,
+               round(regr_intercept(ln(c), ln(rnk)), 4) AS zipf_intercept,
+               round(regr_r2(ln(c), ln(rnk)), 4) AS r2
+        FROM ranked
+    """,
+    family="corpus",
+)
+def text_zipf(spark, sf_dir):
+    """Zipf-law fit: OLS regression of ln(frequency) on ln(rank) over the
+    term-frequency table (rank tie-broken on the token for cross-engine
+    determinism). The regression itself runs on the vocabulary-sized
+    aggregate, so the only corpus-sized work is the term count; regr_*
+    are single-pass mergeable aggregates on both engines. Rounded to 4 dp
+    — the two engines' regr implementations differ in summation order."""
+    d = table(spark, sf_dir, "documents")
+    uc = (
+        d.select(F.explode(_tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = uc.select(
+        "c", F.row_number().over(Window.orderBy(F.col("c").desc(), "w")).alias("rnk")
+    )
+    lc, lr = F.log("c"), F.log("rnk")
+    return ranked.agg(
+        F.count("*").alias("n_types"),
+        F.round(F.regr_slope(lc, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(lc, lr), 4).alias("r2"),
+    )
+
+
+# 4-token shingles: the fixture vocabulary is 31 tokens, so the 8-gram
+# space real pipelines use (31^8) is collision-free here and would make the
+# overlap join trivially empty; 31^4 keeps genuine cross-doc collisions in
+# the data so the join path is exercised. Width is the only knob.
+_SHINGLE_N = 4
+_SHINGLE_DUCK = (
+    f"list_transform(range(1, len(t) - {_SHINGLE_N - 2}), "
+    f"i -> array_to_string(t[i:i+{_SHINGLE_N - 1}], ' '))"
+)
+
+
+@query(
+    "corpus_decontaminate",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct({_SHINGLE_DUCK})) AS shingle FROM toks
+        ),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+        SELECT train.doc_id, count(*) AS n_shared_shingles
+        FROM train JOIN bench ON train.shingle = bench.shingle
+        GROUP BY train.doc_id
+    """,
+    family="corpus",
+)
+def corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    4-token shingle with the held-out benchmark slice (doc_id % 97 = 0
+    stands in for the eval set; production pipelines use 8-13-gram
+    windows — see _SHINGLE_N). Both sides reduce to DISTINCT (doc,
+    shingle) before the join, and the benchmark shingle dictionary — tiny
+    relative to train — broadcasts, so the sweep costs one scan of train
+    shingles plus a map-side join. This is the exact n-gram-overlap
+    filter (GPT-3/PaLM style) used before training runs; at 100 TB the
+    shingle explode dominates and shuffles only on matched shingles."""
+    d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("t"))
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size("t") < _SHINGLE_N, F.expr("cast(array() as array<string>)")
+                ).otherwise(
+                    F.expr(
+                        f"transform(sequence(0, size(t) - {_SHINGLE_N}), "
+                        f"i -> array_join(slice(t, i + 1, {_SHINGLE_N}), ' '))"
+                    )
+                )
+            )
+        ).alias("shingle"),
+    )
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
+
+
+@query(
+    "corpus_mix_weights",
+    oracle="""
+        WITH per_lang AS (
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS n_chars
+            FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT sum(n_docs) AS n_total, count(*) AS n_langs FROM per_lang)
+        SELECT lang, n_docs, CAST(n_chars AS BIGINT) AS n_chars,
+               round(n_docs / n_total, 6) AS actual_frac,
+               round((1.0 / n_langs) / (n_docs / n_total), 6) AS sample_weight,
+               CAST(round(n_total * (1.0 / n_langs), 0) AS BIGINT) AS target_docs
+        FROM per_lang, tot
+    """,
+    family="corpus",
+)
+def corpus_mix_weights(spark, sf_dir):
+    """Language-mix reweighting: per-language corpus shares and the
+    per-document sampling weight that flattens the mix to uniform (the
+    data-mixture step of multilingual pretraining — swap the uniform
+    target for any desired distribution). One hash agg over the corpus;
+    the totals are a broadcast single-row frame. Weights > 1 mean
+    upsample (repeat/epoch-boost), < 1 mean downsample."""
+    d = table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    tot = per_lang.agg(
+        F.sum("n_docs").alias("n_total"), F.count("*").alias("n_langs")
+    )
+    frac = F.col("n_docs") / F.col("n_total")
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        F.round(frac, 6).alias("actual_frac"),
+        F.round((1.0 / F.col("n_langs")) / frac, 6).alias("sample_weight"),
+        F.round(F.col("n_total") * (1.0 / F.col("n_langs")), 0)
+        .cast("bigint")
+        .alias("target_docs"),
+    )

@@ -1,0 +1,155 @@
+"""Graph operators over relational edge lists — co-purchase graphs from
+`lineitem` and item-transition graphs from `events`.
+
+Graphs at 100 TB live as edge-list DataFrames and every algorithm here is
+expressed as joins + aggregates over them (the GraphX/GraphFrames
+execution model, without the dependency): degree counting is one hash
+agg, triangle counting is the classic two-hop join with ordered vertex
+ids, PageRank is a bounded loop of out-degree-normalized contribution
+shuffles. Nothing collects edges to the driver; the only driver-side
+state in PageRank is the loop counter (the rank frame itself stays
+distributed and is localCheckpoint'ed per round to cut lineage — on a
+cluster use reliable checkpoint / a staging table, SCALE.md lesson 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spark_ml_helper_spark.registry import query
+from spark_ml_helper_spark.sources.parquet import table
+
+
+def _copurchase_edges(spark, sf_dir):
+    """Undirected distinct part-part edges: two parts co-occurring in one
+    order, canonicalized src < dst. The pair expansion happens per order
+    (bounded fan-out: orders hold a handful of lineitems), then one
+    distinct — the shuffle carries the deduped edge list, never the raw
+    pair stream."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+
+
+_EDGES_SQL = """
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+"""
+
+
+@query(
+    "graph_degree",
+    oracle=f"""
+        WITH edges AS ({_EDGES_SQL}),
+        deg AS (
+            SELECT v, count(*) AS degree FROM (
+                SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges
+            ) GROUP BY v
+        )
+        SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree
+    """,
+    family="graph",
+)
+def graph_degree(spark, sf_dir):
+    """Degree distribution of the part co-purchase graph: histogram of
+    per-vertex degrees. Edge build (order-local pair expansion + distinct)
+    → vertex explode → two hash aggs, all partial→final; the output key
+    space is the distinct-degree set, which stays tiny at any scale."""
+    edges = _copurchase_edges(spark, sf_dir)
+    verts = edges.select(F.col("src").alias("v")).unionAll(
+        edges.select(F.col("dst").alias("v"))
+    )
+    deg = verts.groupBy("v").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_vertices"))
+
+
+@query(
+    "graph_triangles",
+    oracle=f"""
+        WITH edges AS ({_EDGES_SQL})
+        SELECT count(*) AS n_triangles FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """,
+    family="graph",
+)
+def graph_triangles(spark, sf_dir):
+    """Global triangle count via the ordered two-hop join: with every edge
+    stored src < dst, each triangle {a<b<c} is counted exactly once as
+    (a,b)+(b,c)+(a,c) — no /6 correction, no direction bookkeeping. Two
+    self-equi-joins on vertex keys; Catalyst shuffles on the join keys and
+    the candidate two-hop stream is pruned by the closing-edge join before
+    any aggregation. At 100 TB the standard refinement applies unchanged:
+    orient edges by (degree, id) instead of raw id so high-degree hubs
+    don't own every wedge."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()  # 3 branches, SCALE.md lesson 2
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    wedges = e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+    tri = wedges.join(
+        e3,
+        (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
+    )
+    return tri.agg(F.count("*").alias("n_triangles"))
+
+
+@query("graph_pagerank", oracle=None, family="graph")
+def graph_pagerank(spark, sf_dir):
+    """PageRank (damping 0.85, 10 fixed iterations) on the directed item
+    transition graph from events: edge item_a → item_b when a user's
+    consecutive events touch those items (item = event_id % 50, the same
+    derivation as ml_als). Each iteration is one join (ranks ⋈ edges on
+    src) + one hash agg on dst — the contribution shuffle — and the rank
+    frame is localCheckpoint'ed so lineage stays O(1) instead of O(iters).
+    Rows-only (iterative fixpoint, no SQL twin); fixed iteration count +
+    deterministic edges make the output exactly reproducible (asserted in
+    tests). Returns the top-10 items by rank with ties broken on item id."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    item = (F.col("event_id") % 50).alias("item")
+    seq = e.select("user_id", "ts", "event_id", item)
+    edges = (
+        seq.select(
+            F.lag("item").over(w).alias("src"), F.col("item").alias("dst")
+        )
+        .filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+    )
+    # out-degree-normalized transition weights, cached: reused every iteration
+    out = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    trans = (
+        edges.join(out, "src")
+        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
+        .localCheckpoint()
+    )
+    verts = trans.select(F.col("src").alias("item")).union(
+        trans.select(F.col("dst").alias("item"))
+    ).distinct().localCheckpoint()
+    n = verts.count()  # scalar cardinality, driver-side by design
+    ranks = verts.select("item", F.lit(1.0 / n).alias("rank"))
+    for _ in range(10):
+        contribs = (
+            ranks.join(trans, ranks["item"] == trans["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("contrib"))
+        )
+        ranks = (
+            verts.join(contribs, verts["item"] == contribs["dst"], "left")
+            .select(
+                "item",
+                (0.15 / n + 0.85 * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.select("item", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "item")
+        .limit(10)
+    )

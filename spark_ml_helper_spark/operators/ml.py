@@ -248,3 +248,177 @@ def ml_cross_validate(spark, sf_dir):
         for i in range(len(grid))
     ]
     return spark.createDataFrame(rows, "reg_param double, cv_accuracy double, is_best boolean")
+
+
+@query(
+    "ml_eval_auc",
+    oracle="""
+        WITH scored AS (
+            SELECT CAST(embedding[1] AS DOUBLE) AS score,
+                   (label >= 5) AS pos
+            FROM embeddings
+        ),
+        ranked AS (
+            SELECT pos,
+                   rank() OVER (ORDER BY score)
+                     + (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS avg_rank
+            FROM scored
+        )
+        SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+               round((sum(CASE WHEN pos THEN avg_rank ELSE 0 END)
+                      - sum(CASE WHEN pos THEN 1 ELSE 0 END)
+                        * (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1) / 2.0)
+                     / (sum(CASE WHEN pos THEN 1 ELSE 0 END)
+                        * sum(CASE WHEN pos THEN 0 ELSE 1 END)), 6) AS auc
+        FROM ranked
+    """,
+    family="ml",
+)
+def ml_eval_auc(spark, sf_dir):
+    """Exact distributed ROC-AUC via the Mann-Whitney rank statistic:
+    AUC = (Σ ranks of positives − n⁺(n⁺+1)/2) / (n⁺ n⁻), with average
+    ranks for tied scores so the result is the true trapezoidal AUC.
+    Scorer: first embedding dimension against the binary label (label≥5)
+    — any monotone model score slots in unchanged. One global rank sort +
+    one aggregate; the identical rank arithmetic runs on both engines
+    (SQL-oracled, unlike MLlib's evaluator which approximates via
+    thresholds at default binning). At 100 TB the sort is the cost — the
+    evaluator-style binned approximation is the documented fallback."""
+    emb = table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.col("embedding")[0].cast("double").alias("score"),
+        (F.col("label") >= 5).alias("pos"),
+    )
+    avg_rank = (
+        F.rank().over(Window.orderBy("score"))
+        + (F.count("*").over(Window.partitionBy("score")) - 1) / 2.0
+    )
+    ranked = scored.select("pos", avg_rank.alias("avg_rank"))
+    n_pos = F.sum(F.when(F.col("pos"), 1).otherwise(0))
+    n_neg = F.sum(F.when(F.col("pos"), 0).otherwise(1))
+    rank_sum = F.sum(F.when(F.col("pos"), F.col("avg_rank")).otherwise(0.0))
+    return ranked.agg(
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        F.round(
+            (rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6
+        ).alias("auc"),
+    )
+
+
+@query("ml_random_forest", oracle=None, family="ml")
+def ml_random_forest(spark, sf_dir):
+    """Random forest (20 trees, depth 5, seed 42) on the embeddings over
+    the deterministic md5 hash split; returns per-label test accuracy
+    plus each label's top contributing feature index from the forest's
+    importance vector (seed-pinned → reproducible, asserted in tests).
+    MLlib's RF trains all trees over distributed node-id batches — the
+    shuffle unit is (tree, node) statistics, not rows — so the same fit
+    call is the 100 TB path."""
+    from pyspark.ml.classification import RandomForestClassifier
+
+    feats = _features(spark, sf_dir).withColumn(
+        "bucket",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10).cast("bigint"),
+            F.lit(100),
+        ),
+    )
+    train = feats.filter(F.col("bucket") < 80)
+    test = feats.filter(F.col("bucket") >= 80)
+    rf = RandomForestClassifier(
+        featuresCol="features", labelCol="label", numTrees=20, maxDepth=5, seed=42
+    )
+    model = rf.fit(train)
+    top_feature = int(max(enumerate(model.featureImportances.toArray()), key=lambda t: t[1])[0])
+    return (
+        model.transform(test)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.round(F.avg((F.col("prediction") == F.col("label")).cast("double")), 6).alias("accuracy"),
+        )
+        .withColumn("forest_top_feature", F.lit(top_feature))
+    )
+
+
+@query("ml_naive_bayes", oracle=None, family="ml")
+def ml_naive_bayes(spark, sf_dir):
+    """Language identification as multinomial Naive Bayes over token
+    counts: CountVectorizer (full 31-token vocabulary, frequency-ordered
+    with deterministic tie-break) → NB with Laplace smoothing, trained on
+    the md5 hash split. Output: per-language test support and accuracy.
+    The lang → index map is pinned alphabetically (not StringIndexer's
+    frequency order) so the label space is stable across scale factors.
+    NB fit is one treeAggregate of per-class token sums — a single
+    map-side-combinable pass, the cheapest possible distributed trainer."""
+    from pyspark.ml.classification import NaiveBayes
+    from pyspark.ml.feature import CountVectorizer
+
+    from spark_ml_helper_spark.operators.text import _tokens
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        _tokens().alias("toks"),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint"),
+            F.lit(100),
+        ).alias("bucket"),
+    )
+    langs = [r[0] for r in d.select("lang").distinct().orderBy("lang").collect()]
+    lang_idx = F.array_position(F.array(*[F.lit(x) for x in langs]), F.col("lang")) - 1
+    d = d.withColumn("label", lang_idx.cast("double"))
+    cv = CountVectorizer(inputCol="toks", outputCol="features", vocabSize=64)
+    model_cv = cv.fit(d)
+    vec = model_cv.transform(d)
+    nb = NaiveBayes(featuresCol="features", labelCol="label", smoothing=1.0)
+    model = nb.fit(vec.filter(F.col("bucket") < 80))
+    scored = model.transform(vec.filter(F.col("bucket") >= 80))
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.round(F.avg((F.col("prediction") == F.col("label")).cast("double")), 6).alias("accuracy"),
+        )
+    )
+
+
+@query("ml_word2vec", oracle=None, family="ml")
+def ml_word2vec(spark, sf_dir):
+    """Word2Vec skip-gram embeddings (16 dims, seed 42, numPartitions=1
+    for bitwise determinism — with >1 partition, per-partition gradient
+    merge order is scheduling-dependent) over document token sequences;
+    returns the top-3 nearest tokens for three probe words by embedding
+    cosine. Rows-only: the embedding values are SGD artifacts with no SQL
+    twin; determinism is asserted in tests. At corpus scale raise
+    numPartitions (each trains on its slice per iteration and merges) and
+    accept run-to-run jitter, or pin a published embedding table instead."""
+    from pyspark.ml.feature import Word2Vec
+
+    from spark_ml_helper_spark.operators.text import _tokens
+
+    d = table(spark, sf_dir, "documents").select(_tokens().alias("toks"))
+    w2v = Word2Vec(
+        vectorSize=16,
+        minCount=2,
+        seed=42,
+        numPartitions=1,
+        maxIter=1,
+        inputCol="toks",
+        outputCol="vec",
+    )
+    model = w2v.fit(d)
+    frames = []
+    for probe in ["spark", "join", "query"]:
+        syn = model.findSynonyms(probe, 3).select(
+            F.lit(probe).alias("probe"),
+            F.col("word").alias("neighbor"),
+            F.round(F.col("similarity"), 4).alias("cos_sim"),
+        )
+        frames.append(syn)
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out

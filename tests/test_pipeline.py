@@ -348,3 +348,122 @@ def test_exactly_once_no_duplicate_windows(spark):
     missing = set(twin) - set(eo)
     max_emitted = max(ws for ws, _ in eo)
     assert all(ws >= max_emitted for ws, _ in missing), "non-trailing window missing = data lost"
+
+
+# ------------------------------------------------------------ round-2 additions
+
+
+def test_pagerank_deterministic_and_normalized(spark):
+    a = [tuple(r) for r in QUERIES["graph_pagerank"](spark, SF_ORACLE).collect()]
+    b = [tuple(r) for r in QUERIES["graph_pagerank"](spark, SF_ORACLE).collect()]
+    assert a == b, "fixed-iteration PageRank diverged across runs"
+    assert len(a) == 10
+    ranks = [r for _, r in a]
+    assert all(r > 0 for r in ranks)
+    assert sum(ranks) < 1.0  # top-10 slice of a distribution summing to ~1
+    assert ranks == sorted(ranks, reverse=True)
+
+
+def test_graph_degree_handshake(spark):
+    from spark_ml_helper_spark.operators.graph import _copurchase_edges
+
+    n_edges = _copurchase_edges(spark, SF_ORACLE).count()
+    rows = QUERIES["graph_degree"](spark, SF_ORACLE).collect()
+    assert sum(r.degree * r.n_vertices for r in rows) == 2 * n_edges
+
+
+def test_ewma_first_event_equals_value(spark):
+    import pandas as pd
+
+    df = QUERIES["win_ewma"](spark, SF_ORACLE).toPandas()
+    # recompute one user's series in pandas (same alpha, same 20-row span)
+    from spark_ml_helper_spark.sources.parquet import table
+    import pyspark.sql.functions as F
+
+    e = (
+        table(spark, SF_ORACLE, "events")
+        .filter(F.col("user_id") == 7)
+        .orderBy("ts", "event_id")
+        .select("event_id", "value")
+        .toPandas()
+    )
+    assert len(e) > 5
+    got = df[df.user_id == 7].set_index("event_id").ewma
+    q = 0.7
+    for n in range(len(e)):
+        lo = max(0, n - 19)
+        xs = e.value.iloc[lo : n + 1].tolist()
+        wts = [q ** (len(xs) - 1 - i) for i in range(len(xs))]
+        want = round(sum(w * x for w, x in zip(wts, xs)) / sum(wts), 6)
+        assert abs(got[e.event_id.iloc[n]] - want) < 1e-9
+
+
+def test_interpolate_grid_is_dense_and_observed_passthrough(spark):
+    import pyspark.sql.functions as F
+
+    df = QUERIES["ts_interpolate"](spark, SF_ORACLE)
+    pdf = df.toPandas()
+    # dense grid: hours × types, every cell filled
+    assert pdf.v_interp.notna().all()
+    n_types = pdf.event_type.nunique()
+    assert len(pdf) == n_types * pdf.hr.nunique()
+    # interpolated values stay within the observed envelope per type
+    for t, g in pdf.groupby("event_type"):
+        obs = g[g.observed].v_interp
+        assert g.v_interp.min() >= obs.min() - 1e-9
+        assert g.v_interp.max() <= obs.max() + 1e-9
+
+
+def test_auc_matches_numpy_reference(spark):
+    import numpy as np
+
+    row = QUERIES["ml_eval_auc"](spark, SF_ORACLE).first()
+    from spark_ml_helper_spark.sources.parquet import table
+
+    pdf = table(spark, SF_ORACLE, "embeddings").select("embedding", "label").toPandas()
+    scores = np.array([float(e[0]) for e in pdf.embedding])
+    pos = (pdf.label >= 5).to_numpy()
+    # Mann-Whitney with average ranks, computed independently
+    order = np.argsort(scores, kind="mergesort")
+    ranks = np.empty(len(scores))
+    sorted_scores = scores[order]
+    i = 0
+    while i < len(scores):
+        j = i
+        while j + 1 < len(scores) and sorted_scores[j + 1] == sorted_scores[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+    want = (ranks[pos].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert row.n_pos == n_pos and row.n_neg == n_neg
+    assert abs(row.auc - round(want, 6)) < 1e-9
+
+
+def test_random_forest_deterministic(spark):
+    a = sorted(map(tuple, QUERIES["ml_random_forest"](spark, SF_ORACLE).collect()))
+    b = sorted(map(tuple, QUERIES["ml_random_forest"](spark, SF_ORACLE).collect()))
+    assert a == b, "seeded random forest diverged across runs"
+    assert all(0.0 <= r[2] <= 1.0 for r in a)
+
+
+def test_naive_bayes_labels_cover_langs(spark):
+    rows = QUERIES["ml_naive_bayes"](spark, SF_ORACLE).collect()
+    assert {r.lang for r in rows} <= {"en", "zh", "es", "de", "fr"}
+    assert all(0.0 <= r.accuracy <= 1.0 for r in rows)
+    assert sum(r.n_test for r in rows) > 50
+
+
+def test_word2vec_deterministic(spark):
+    a = [tuple(r) for r in QUERIES["ml_word2vec"](spark, SF_ORACLE).collect()]
+    b = [tuple(r) for r in QUERIES["ml_word2vec"](spark, SF_ORACLE).collect()]
+    assert a == b, "single-partition seeded Word2Vec diverged across runs"
+    assert len(a) == 9  # 3 probes × 3 neighbors
+    assert all(-1.0 <= s <= 1.0 + 1e-9 for _, _, s in a)
+
+
+def test_decontaminate_flags_only_train_docs(spark):
+    rows = QUERIES["corpus_decontaminate"](spark, SF_ORACLE).collect()
+    assert rows, "no contamination found — shingle width too wide for fixture?"
+    assert all(r.doc_id % 97 != 0 for r in rows)
+    assert all(r.n_shared_shingles >= 1 for r in rows)
