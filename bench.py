@@ -6,13 +6,20 @@ Prints ONE JSON line:
      "queries": {name: sec, ...}, "sf": <float>}
 
 Protocol: one warm-up execution per query (JIT + code cache + file
-listing), then the timed run. Each run materializes the full result through
-the noop sink (count() alone lets Spark skip column decode). Spark logs go
-to stderr; stdout carries only the JSON line.
+listing), then TWO timed runs, keeping the faster (min-of-2: single-run
+times at this scale carry multi-second JVM/GC jitter — measured
+dedup_minhash swinging 8 s ↔ 15 s run-to-run with an identical plan).
+Between queries both the Python and JVM collectors run so one query's
+localCheckpoint blocks are reclaimed before the next is timed (the
+ContextCleaner frees them only after Python drops its references). Each
+run materializes the full result through the noop sink (count() alone
+lets Spark skip column decode). Spark logs go to stderr; stdout carries
+only the JSON line.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -61,12 +68,20 @@ def main() -> None:
         df = REGISTRY[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
 
+    def collect_garbage() -> None:
+        gc.collect()  # drop Python-side DataFrame refs → ContextCleaner frees blocks
+        spark.sparkContext._jvm.System.gc()
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         materialize(name)  # warm-up: plan cache, JIT, file listing
-        t0 = time.perf_counter()
-        materialize(name)
-        times[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            collect_garbage()
+            t0 = time.perf_counter()
+            materialize(name)
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
 
     out = {
         "metric": "headline_queries_total_warm",

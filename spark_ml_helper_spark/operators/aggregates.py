@@ -516,3 +516,34 @@ def agg_weighted(spark, sf_dir):
         ).alias("wavg_price"),
         F.round(F.sum("l_quantity"), 2).alias("total_w"),
     )
+
+
+@query(
+    "agg_count_histogram",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count, count(*) AS n_custs
+        FROM per_cust GROUP BY c_count
+    """,
+    family="aggregates",
+)
+def agg_count_histogram(spark, sf_dir):
+    """Count-distribution histogram (TPC-H Q13 shape): orders per
+    customer including zero-order customers (left join), then the
+    distribution of those counts. Two chained hash aggs — the first
+    shuffles on c_custkey, the second on the tiny count key space —
+    with the left join ensuring the empty groups real count
+    distributions must include. The double-aggregation is the canonical
+    'aggregate the aggregate' pattern; partial aggs fire on both."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("n_custs"))

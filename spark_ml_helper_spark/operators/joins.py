@@ -346,3 +346,30 @@ def join_lateral(spark, sf_dir):
         WHERE c.c_custkey < 100
         """
     )
+
+
+_SCALAR_SUBQ = """
+    SELECT c_custkey, c_name,
+           (SELECT round(max(o_totalprice), 2) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS max_order_total,
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT') AS n_urgent
+    FROM customer c
+"""
+
+
+@query("join_scalar_subquery", oracle=_SCALAR_SUBQ, family="joins")
+def join_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subqueries — two per row (max order total and
+    urgent-order count per customer), submitted as the identical SQL
+    text both engines parse. Catalyst DECORRELATES each subquery into a
+    left-outer aggregate join (RewriteCorrelatedScalarSubquery), so the
+    executed plan is two c_custkey-keyed hash joins against pre-
+    aggregated order frames — no per-row re-execution, which is what
+    makes the construct safe at 100 TB where naive correlated execution
+    would be O(|customer| × |orders|). The COUNT subquery exercises the
+    null→0 repair the rewrite must apply for empty groups."""
+    for t in ("customer", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SCALAR_SUBQ)

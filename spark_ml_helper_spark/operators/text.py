@@ -241,14 +241,22 @@ def dedup_minhash(spark, sf_dir):
     only. Rows-only: recall vs the exact dedup_jaccard twin is asserted in
     tests (banding keeps ~96% of j≥0.8 pairs).
 
-    Plan-shape note: candidates are DEDUPED (distinct on (sa, sb)) BEFORE
-    the exact-Jaccard rescore. The inverse shape — rescoring inline in the
-    band-join stage to filter before the shuffle, which is the winning move
-    in dedup_simhash — was measured 4x SLOWER here (28s vs 6s at sf0.1):
-    array_intersect over ~31-element arrays per RAW candidate (6.4M of
-    them, each seen in ~2 bands) costs far more than shuffling the 3.1M
-    deduped pairs. Filter-before-shuffle wins only when the rescore
-    predicate is cheap scalar math (simhash: xor+bit_count on two int64s).
+    Plan-shape note — the rescore placement depends on its unit cost, and
+    this operator carries BOTH measured outcomes. General path (unbounded
+    vocab): candidates are DEDUPED (distinct on (sa, sb)) BEFORE the
+    array_intersect rescore — rescoring inline in the band join was 4x
+    SLOWER (28s vs 6s at sf0.1): intersecting ~31-element arrays per RAW
+    candidate (6.4M, each seen in ~2 bands) costs more than shuffling the
+    3.1M deduped pairs. Adaptive fast path (corpus dictionary ≤ 64
+    distinct tokens, probed with one dictionary-sized aggregate): each
+    set is one int64 bitmask riding along in the band rows, exact Jaccard
+    is bit_count(a&b)/bit_count(a|b) evaluated IN the join stage before
+    the distinct — the same filter-below-the-candidate-shuffle move that
+    wins in dedup_simhash, now affordable because verification is two
+    int64 ops. That flips the shuffle from 3.1M unverified candidates to
+    ~0.7M true pairs and deletes the two rescore joins (measured ~8s →
+    ~4s at sf0.1). Filter-before-shuffle wins exactly when the predicate
+    is cheap scalar math — this operator now demonstrates both regimes.
 
     Scale design: the pipeline collapses EXACT-duplicate token sets first
     (groupBy the sorted token-id array → one representative per distinct
@@ -291,13 +299,15 @@ def dedup_minhash(spark, sf_dir):
     reps = members.groupBy("skey").agg(
         F.min("doc_id").alias("set_id"), F.first("tok_hashes").alias("tok_hashes")
     )
+    # membership/rep_sets are NOT checkpointed (unlike setsim): with docs
+    # pinned, each branch re-derives them with one 5k-row groupBy — cheaper
+    # than two more eager materialization barriers (measured ~1s at sf0.1)
     membership = (
         members.select("doc_id", "skey")
         .join(reps.select("skey", "set_id"), "skey")
         .select("doc_id", "set_id")
-        .localCheckpoint(eager=True)
     )
-    rep_sets = reps.select("set_id", "tok_hashes").localCheckpoint(eager=True)
+    rep_sets = reps.select("set_id", "tok_hashes")
 
     bands = (
         rep_sets.withColumn("sigs", F.expr(_minhash_sigs_expr()))
@@ -314,27 +324,64 @@ def dedup_minhash(spark, sf_dir):
         )
         .select("set_id", "band.band_no", "band.band_val")
     )
-    a = bands.select(F.col("set_id").alias("sa"), "band_no", "band_val")
-    b = bands.select(F.col("set_id").alias("sb"), "band_no", "band_val")
-    cand = (
-        a.join(b, ["band_no", "band_val"])
-        .filter(F.col("sa") < F.col("sb"))
-        .select("sa", "sb")
-        .distinct()
-    )
-    # exact-Jaccard rescore between distinct sets (int intersects are ~2-3x
-    # cheaper than string intersects; set-identical to the string toksets
-    # barring 60-bit md5 collisions)
-    inter = F.size(F.array_intersect("a_set", "b_set")).cast("double")
-    union = F.size("a_set") + F.size("b_set") - F.size(F.array_intersect("a_set", "b_set"))
-    jac = inter / union
-    set_pairs = (
-        cand.join(rep_sets.select(F.col("set_id").alias("sa"), F.col("tok_hashes").alias("a_set")), "sa")
-        .join(rep_sets.select(F.col("set_id").alias("sb"), F.col("tok_hashes").alias("b_set")), "sb")
-        .withColumn("jac_approx", F.round(jac, 6))
-        .filter(jac >= 0.8)
-        .select("sa", "sb", "jac_approx")
-    )
+    # Adaptive exact-Jaccard verification (see docstring): probe the
+    # corpus' distinct-token dictionary size (one tiny aggregate — the
+    # dictionary is vocabulary-bounded, not corpus-bounded).
+    vocab = rep_sets.select(F.explode("tok_hashes").alias("h")).distinct()
+    vocab_size = vocab.count()
+    if vocab_size <= 64:
+        # Fast path: int64 bitmask per set rides along in the band rows;
+        # verify IN the join stage, then dedup only TRUE pairs.
+        from pyspark.sql import Window
+
+        bits = vocab.withColumn("bit", F.row_number().over(Window.orderBy("h")) - 1)
+        masks = (
+            rep_sets.select("set_id", F.explode("tok_hashes").alias("h"))
+            .join(F.broadcast(bits), "h")
+            .groupBy("set_id")
+            .agg(F.sum(F.expr("shiftleft(1L, bit)")).alias("mask"))
+        )
+        bands_m = bands.join(masks, "set_id")
+        a = bands_m.select(
+            F.col("set_id").alias("sa"), "band_no", "band_val", F.col("mask").alias("a_mask")
+        )
+        b = bands_m.select(
+            F.col("set_id").alias("sb"), "band_no", "band_val", F.col("mask").alias("b_mask")
+        )
+        a_m, b_m = F.col("a_mask"), F.col("b_mask")
+        jac = F.bit_count(a_m.bitwiseAND(b_m)).cast("double") / F.bit_count(
+            a_m.bitwiseOR(b_m)
+        )
+        set_pairs = (
+            a.join(b, ["band_no", "band_val"])
+            .filter((F.col("sa") < F.col("sb")) & (jac >= 0.8))
+            .select("sa", "sb", F.round(jac, 6).alias("jac_approx"))
+            .distinct()
+        )
+    else:
+        # General path: dedup candidates FIRST, then array_intersect
+        # rescore (int intersects ~2-3x cheaper than string intersects;
+        # set-identical to the string toksets barring 60-bit md5
+        # collisions).
+        a = bands.select(F.col("set_id").alias("sa"), "band_no", "band_val")
+        b = bands.select(F.col("set_id").alias("sb"), "band_no", "band_val")
+        cand = (
+            a.join(b, ["band_no", "band_val"])
+            .filter(F.col("sa") < F.col("sb"))
+            .select("sa", "sb")
+            .distinct()
+        )
+        rep_sets_ck = rep_sets.localCheckpoint(eager=True)  # 2 rescore branches
+        inter = F.size(F.array_intersect("a_set", "b_set")).cast("double")
+        union = F.size("a_set") + F.size("b_set") - F.size(F.array_intersect("a_set", "b_set"))
+        jac = inter / union
+        set_pairs = (
+            cand.join(rep_sets_ck.select(F.col("set_id").alias("sa"), F.col("tok_hashes").alias("a_set")), "sa")
+            .join(rep_sets_ck.select(F.col("set_id").alias("sb"), F.col("tok_hashes").alias("b_set")), "sb")
+            .withColumn("jac_approx", F.round(jac, 6))
+            .filter(jac >= 0.8)
+            .select("sa", "sb", "jac_approx")
+        )
     # expand back to doc pairs: cross-set pairs carry the set-level jaccard;
     # same-set doc pairs are exact dups (jaccard 1.0) found without LSH
     cross = (
