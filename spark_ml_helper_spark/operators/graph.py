@@ -23,16 +23,26 @@ from spark_ml_helper_spark.sources.parquet import table
 
 def _copurchase_edges(spark, sf_dir):
     """Undirected distinct part-part edges: two parts co-occurring in one
-    order, canonicalized src < dst. The pair expansion happens per order
-    (bounded fan-out: orders hold a handful of lineitems), then one
-    distinct — the shuffle carries the deduped edge list, never the raw
-    pair stream."""
+    order, canonicalized src < dst. Built as groupBy(order) →
+    within-group pair expansion (nested transform over the sorted part
+    array) rather than a self-join on l_orderkey: one shuffle of the
+    600k-row (order, part) projection instead of two join inputs, and
+    the bounded per-order fan-out (a handful of lineitems) expands
+    map-side — measured ~30% faster at sf0.1. The distinct's shuffle
+    carries the deduped edge list, never the raw pair stream."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), y -> struct(x as src, y as dst))))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
     )
 
@@ -84,11 +94,18 @@ def graph_triangles(spark, sf_dir):
     """Global triangle count via the ordered two-hop join: with every edge
     stored src < dst, each triangle {a<b<c} is counted exactly once as
     (a,b)+(b,c)+(a,c) — no /6 correction, no direction bookkeeping. Two
-    self-equi-joins on vertex keys; Catalyst shuffles on the join keys and
-    the candidate two-hop stream is pruned by the closing-edge join before
-    any aggregation. At 100 TB the standard refinement applies unchanged:
-    orient edges by (degree, id) instead of raw id so high-degree hubs
-    don't own every wedge."""
+    self-equi-joins on vertex keys; the wedge stream (Σ out_deg² ≈ 49M at
+    sf0.1) is pruned by the closing-edge join before the single-row agg.
+
+    Measured negative result (recorded so it is not retried): the classic
+    degree orientation — re-orient every edge toward its higher-(degree,
+    id) endpoint to cap out-degree at O(√m) — was implemented and timed
+    SLOWER here (10.6 s vs ~7.5 s): this co-purchase graph is near-regular
+    (max degree 199 on 20k vertices), so orientation cut wedges only 49M →
+    41M while adding two degree joins to the edge build. Orientation pays
+    on power-law graphs where hubs own the wedge volume (web, social,
+    follower graphs) — apply it there; the near-regular case is cheaper
+    without it."""
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint()  # 3 branches, SCALE.md lesson 2
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     wedges = e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
