@@ -234,3 +234,153 @@ def corpus_mix_weights(spark, sf_dir):
         .cast("bigint")
         .alias("target_docs"),
     )
+
+
+_PACK_L = 512  # target sequence length in tokens
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tok
+            FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, n_tok,
+                   sum(n_tok) OVER (ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c0
+            FROM docs
+        ),
+        contrib AS (
+            SELECT s.doc_id,
+                   unnest(generate_series(
+                       CAST(floor(coalesce(s.c0, 0) / {_PACK_L}) AS BIGINT),
+                       CAST(floor((coalesce(s.c0, 0) + s.n_tok - 1) / {_PACK_L}) AS BIGINT)
+                   )) AS seq_id,
+                   coalesce(s.c0, 0) AS c0, s.n_tok
+            FROM spans s
+        )
+        SELECT seq_id, count(*) AS n_docs,
+               CAST(sum(least(c0 + n_tok, (seq_id + 1) * {_PACK_L})
+                        - greatest(c0, seq_id * {_PACK_L})) AS BIGINT) AS n_tokens
+        FROM contrib GROUP BY seq_id
+    """,
+    family="corpus",
+)
+def corpus_pack_sequences(spark, sf_dir):
+    """Token-stream sequence packing (the GPT-style pretraining batcher):
+    documents are concatenated in deterministic doc_id order into one
+    virtual token stream and cut into fixed {_PACK_L}-token sequences;
+    a document crossing a cut contributes to both sequences. Output: per
+    sequence, how many documents touch it and its token fill (== L for
+    every sequence but the last — asserted in tests). The global running
+    offset is ONE window cumsum; the doc→sequence span expansion is a
+    bounded explode (a doc spans ⌈n/L⌉+1 sequences max), and the final
+    agg shuffles on seq_id. At 100 TB packing runs per shard with offsets
+    chained shard-to-shard (cumsum of shard totals — same plan, one extra
+    tiny join); no stage ever materializes the token stream itself."""
+    d = table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.size(_tokens()).alias("n_tok"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    spans = docs.select(
+        "doc_id", "n_tok", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("c0")
+    )
+    L = _PACK_L
+    contrib = spans.select(
+        "doc_id",
+        "c0",
+        "n_tok",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("c0") / L).cast("bigint"),
+                F.floor((F.col("c0") + F.col("n_tok") - 1) / L).cast("bigint"),
+            )
+        ).alias("seq_id"),
+    )
+    overlap = F.least(
+        F.col("c0") + F.col("n_tok"), (F.col("seq_id") + 1) * L
+    ) - F.greatest(F.col("c0"), F.col("seq_id") * L)
+    return (
+        contrib.groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(overlap).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(string_split(lower(text), ' '))),
+                                  i -> string_split(lower(text), ' ')[i] || ' ' ||
+                                       string_split(lower(text), ' ')[i + 1]) AS bigrams
+            FROM documents
+        )
+        SELECT doc_id, len(bigrams) AS n_bigrams,
+               round(1.0 - len(list_distinct(bigrams)) / len(bigrams), 6) AS dup_ratio
+        FROM b WHERE len(bigrams) > 0
+    """,
+    family="corpus",
+)
+def text_repetition(spark, sf_dir):
+    """Intra-document repetition score (the Gopher/MassiveText quality
+    rule family): fraction of repeated word bigrams per document,
+    dup_ratio = 1 − distinct/total. High values flag boilerplate, keyword
+    stuffing, and degenerate generations. Entirely per-row higher-order
+    functions — shuffle-free, codegen, no UDF; the split is hoisted into
+    its own projection so it evaluates once per row (SCALE.md lesson 5)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("t"))
+    bigrams = F.when(F.size("t") < 2, F.expr("cast(array() as array<string>)")).otherwise(
+        F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")
+    )
+    b = d.select("doc_id", bigrams.alias("bigrams")).filter(F.size("bigrams") > 0)
+    return b.select(
+        "doc_id",
+        F.size("bigrams").cast("bigint").alias("n_bigrams"),
+        F.round(
+            1.0 - F.size(F.array_distinct("bigrams")) / F.size("bigrams"), 6
+        ).alias("dup_ratio"),
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+        ),
+        freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        n AS (SELECT count(*) AS n_total FROM tok)
+        SELECT tok.doc_id, count(*) AS n_tok,
+               round(avg(ln(freq.c / (SELECT n_total FROM n))), 6) AS mean_logprob
+        FROM tok JOIN freq ON tok.w = freq.w
+        GROUP BY tok.doc_id
+    """,
+    family="corpus",
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Unigram language-model scoring: each document's mean token
+    log-probability under the corpus unigram distribution — the cheapest
+    useful stand-in for the perplexity filters real pipelines run
+    (documents far below the corpus-typical logprob are noise; far above
+    are degenerate repetition). One explode → vocab-sized freq agg
+    (broadcast back) → per-doc agg; token instances shuffle on doc_id
+    once. The real-model variant swaps the broadcast freq table for a
+    Pandas-UDF scorer — same plan shape."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("w"))
+    freq = tok.groupBy("w").agg(F.count("*").alias("c"))
+    n = tok.agg(F.count("*").alias("n_total"))
+    return (
+        tok.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(F.avg(F.log(F.col("c") / F.col("n_total"))), 6).alias("mean_logprob"),
+        )
+    )

@@ -338,3 +338,64 @@ def multimodal_join(spark, sf_dir):
         F.size(F.split(F.col("text"), " ")).alias("n_toks"),
         F.round(l2_norm(F.col("embedding")), 6).alias("emb_norm"),
     )
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, label, embedding, {_DUCK_NORM.format(a='embedding')} AS nrm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+                   c.vec_id AS neg_id, c.label AS neg_label,
+                   round({_DUCK_DOT.format(a='q.embedding', b='c.embedding')} / (q.nrm * c.nrm), 6) AS sim
+            FROM v q JOIN v c ON q.vec_id < 100 AND c.label <> q.label
+        )
+        SELECT anchor_id, anchor_label, neg_id, neg_label, sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                         ORDER BY sim DESC, neg_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    """,
+    family="vectors",
+)
+def sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each anchor
+    (first 100 vectors), the single most-similar vector with a DIFFERENT
+    label — the negatives that actually move an embedding model, versus
+    random negatives that are trivially separable. Brute-force scored
+    here (broadcast anchors × streamed candidates, label-mismatch
+    predicate inside the join, grouped arg-max window); at billion-
+    vector scale the candidate stream goes through the ANN index first
+    (sim_ann_ivf/sim_ann_lsh) and this exact form rescores the shortlist
+    — identical final operator, sublinear candidate generation."""
+    v = _norms(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = v.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("sim").desc(), "neg_id")
+    return (
+        F.broadcast(q)
+        .join(c, F.col("neg_label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            "neg_label",
+            F.round(dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 6).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

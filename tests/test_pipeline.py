@@ -467,3 +467,44 @@ def test_decontaminate_flags_only_train_docs(spark):
     assert rows, "no contamination found — shingle width too wide for fixture?"
     assert all(r.doc_id % 97 != 0 for r in rows)
     assert all(r.n_shared_shingles >= 1 for r in rows)
+
+
+def test_pack_sequences_full_except_last(spark):
+    from spark_ml_helper_spark.operators.corpus import _PACK_L
+
+    rows = sorted(QUERIES["corpus_pack_sequences"](spark, SF_ORACLE).collect(), key=lambda r: r.seq_id)
+    assert rows[0].seq_id == 0
+    assert [r.seq_id for r in rows] == list(range(len(rows)))  # contiguous stream
+    assert all(r.n_tokens == _PACK_L for r in rows[:-1]), "interior sequence not full"
+    assert 0 < rows[-1].n_tokens <= _PACK_L
+    # total packed tokens == total corpus tokens
+    import pyspark.sql.functions as F
+    from spark_ml_helper_spark.sources.parquet import table
+    from spark_ml_helper_spark.operators.text import _tokens
+
+    n_corpus = (
+        table(spark, SF_ORACLE, "documents").select(F.size(_tokens()).alias("n")).agg(F.sum("n")).first()[0]
+    )
+    assert sum(r.n_tokens for r in rows) == n_corpus
+
+
+def test_repetition_bounded(spark):
+    rows = QUERIES["text_repetition"](spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    assert all(0.0 <= r.dup_ratio < 1.0 for r in rows)
+
+
+def test_unigram_logprob_negative_and_bounded(spark):
+    rows = QUERIES["text_unigram_logprob"](spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    import math
+
+    # 31-token vocab: mean logprob must sit between ln(1/corpus) and ln(max_frac)
+    assert all(-15.0 < r.mean_logprob < 0.0 for r in rows)
+
+
+def test_hard_negatives_cross_label(spark):
+    rows = QUERIES["sim_hard_negatives"](spark, SF_ORACLE).collect()
+    assert len(rows) == 100
+    assert all(r.anchor_label != r.neg_label for r in rows)
+    assert all(-1.0 - 1e-9 <= r.sim <= 1.0 + 1e-9 for r in rows)
