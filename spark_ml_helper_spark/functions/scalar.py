@@ -374,3 +374,49 @@ def fn_variant(spark, sf_dir):
         F.variant_get(v, "$.k", "string").alias("k_str"),
         F.variant_get(v, "$.missing", "int").alias("k_missing"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/corpus/' ||
+                   CAST(doc_id AS VARCHAR) || '?lang=' || lang || '#top' AS url
+            FROM documents
+        )
+        SELECT doc_id, url,
+               'https' AS scheme,
+               split_part(split_part(url, '://', 2), '/', 1) AS host,
+               '/corpus/' || CAST(doc_id AS VARCHAR) AS path,
+               'lang=' || split_part(split_part(url, 'lang=', 2), '#', 1) AS query,
+               split_part(split_part(url, 'lang=', 2), '#', 1) AS lang_param
+        FROM u
+    """,
+    family="functions",
+)
+def fn_url(spark, sf_dir):
+    """URL family: synthesize a canonical URL per document (web corpora
+    carry one per record), then decompose it with Spark's parse_url —
+    scheme/host/path/query plus a single query parameter. The DuckDB
+    oracle reconstructs the identical parts with string surgery, so the
+    hash match proves parse_url's RFC behavior agrees with the plain
+    decomposition on well-formed URLs. URL-keyed dedup and domain-level
+    mixing at 100 TB hang off exactly these columns (host → domain
+    weights, path → canonical id). Per-row, shuffle-free."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/corpus/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"), F.lit("#top"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    p = lambda part: F.parse_url(F.col("url"), F.lit(part))  # noqa: E731
+    return u.select(
+        "doc_id",
+        "url",
+        F.lower(p("PROTOCOL")).alias("scheme"),
+        p("HOST").alias("host"),
+        p("PATH").alias("path"),
+        p("QUERY").alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

@@ -184,3 +184,54 @@ def source_schema_evolution(spark, sf_dir):
         .parquet(out)
         .select("o_orderkey", "price", "priority")
     )
+
+
+@query(
+    "source_binary_files",
+    oracle="""
+        SELECT CAST(doc_id AS VARCHAR) || '.txt' AS fname,
+               CAST(n_chars AS BIGINT) AS n_bytes,
+               text AS decoded
+        FROM documents WHERE doc_id < 100
+    """,
+    family="sources",
+)
+def source_binary_files(spark, sf_dir):
+    """The multimodal ingestion front door: Spark's `binaryFile` source
+    reads a directory of opaque files into (path, modificationTime,
+    length, content binary) rows — the layout every image/audio corpus
+    lands in before decode UDFs run. Fixture: the first 100 documents
+    staged as one .txt file each; the read-back bytes are UTF-8-decoded
+    and hash-checked against the source table (filename ↔ doc_id, length
+    ↔ n_chars, content ↔ text — proving content arrives bit-exact).
+    Scale notes: binaryFile is file-granular (one file = one row, files
+    > 2 GB unsupported), listing is driver-side — at 100 TB point it at
+    partitioned prefixes and raise
+    spark.sql.sources.parallelPartitionDiscovery.threshold; decode
+    stays in Arrow-batched UDFs downstream (see multimodal ops), never
+    in the source."""
+    import os
+    import tempfile
+
+    key = (sf_dir, "binary")
+    if key not in _STAGED:
+        out = tempfile.mkdtemp(prefix="smhs_src_bin_")
+        rows = (
+            table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 100)
+            .select("doc_id", "text")
+            .collect()  # 100 tiny rows — fixture staging only, not a data path
+        )
+        for r in rows:
+            with open(os.path.join(out, f"{r.doc_id}.txt"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+        _STAGED[key] = out
+    return (
+        spark.read.format("binaryFile")
+        .load(_STAGED[key])
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+            F.col("length").alias("n_bytes"),
+            F.col("content").cast("string").alias("decoded"),
+        )
+    )
