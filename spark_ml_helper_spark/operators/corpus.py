@@ -384,3 +384,131 @@ def text_unigram_logprob(spark, sf_dir):
             F.round(F.avg(F.log(F.col("c") / F.col("n_total"))), 6).alias("mean_logprob"),
         )
     )
+
+
+@query(
+    "pipeline_pretrain",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, text,
+                   round(0.4 * ln(1 + n_chars) / ln(600.0)
+                         + 0.3 * (1.0 - len(list_filter(string_split(lower(text), ' '),
+                                                        t -> t IN ('the', 'a'))
+                                          ) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                         + 0.3 * (len(list_distinct(string_split(lower(text), ' ')))
+                                  / CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS quality
+            FROM documents
+        ),
+        kept AS (SELECT doc_id, text FROM scored WHERE quality >= 0.77),
+        deduped AS (
+            SELECT min(doc_id) AS doc_id, text FROM kept GROUP BY text
+        ),
+        tokd AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM deduped),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct({_SHINGLE_DUCK})) AS shingle FROM tokd
+        ),
+        bench AS (
+            SELECT DISTINCT unnest(list_distinct({_SHINGLE_DUCK})) AS shingle
+            FROM (SELECT string_split(lower(text), ' ') AS t
+                  FROM documents WHERE doc_id % 97 = 0)
+        ),
+        contaminated AS (
+            SELECT DISTINCT sh.doc_id FROM sh JOIN bench ON sh.shingle = bench.shingle
+        ),
+        clean AS (
+            SELECT t.doc_id, len(t.t) AS n_tok FROM tokd t
+            WHERE t.doc_id % 97 <> 0
+              AND t.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ),
+        spans AS (
+            SELECT doc_id, n_tok,
+                   coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c0
+            FROM clean
+        ),
+        contrib AS (
+            SELECT doc_id, c0, n_tok,
+                   unnest(generate_series(
+                       CAST(floor(c0 / {_PACK_L}) AS BIGINT),
+                       CAST(floor((c0 + n_tok - 1) / {_PACK_L}) AS BIGINT))) AS seq_id
+            FROM spans
+        )
+        SELECT seq_id, count(*) AS n_docs,
+               CAST(sum(least(c0 + n_tok, (seq_id + 1) * {_PACK_L})
+                        - greatest(c0, seq_id * {_PACK_L})) AS BIGINT) AS n_tokens
+        FROM contrib GROUP BY seq_id
+    """,
+    family="corpus",
+)
+def pipeline_pretrain(spark, sf_dir):
+    """The flagship LLM-data composition — four curation stages chained
+    into ONE declarative program: (1) heuristic quality scoring + filter
+    (same formula as text_quality/pipeline_curate), (2) exact dedup
+    keeping min doc_id per text, (3) benchmark decontamination (drop
+    survivors sharing a shingle with the doc_id%97 eval slice — the
+    benchmark shingles come from the ORIGINAL corpus, as in production
+    where the eval set is external), (4) token-stream packing of the
+    cleaned corpus into {_PACK_L}-token training sequences. Output: one
+    row per packed sequence. Every stage is an existing standalone
+    operator; composed they stay a single Catalyst plan whose shuffles
+    are: the dedup groupBy(text), the shingle equi-join (benchmark side
+    broadcast), the global offset cumsum (one narrow row per surviving
+    doc), and the final seq_id agg — nothing pair-space, nothing
+    collected. This is the plan a 100 TB pretrain run executes daily;
+    each stage's scale story is documented on its standalone twin."""
+    d = table(spark, sf_dir, "documents")
+    toks_raw = F.split(F.col("text"), " ")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_toks = F.size(toks_raw).cast("double")
+    quality = F.round(
+        0.4 * F.log(1 + F.col("n_chars")) / F.log(F.lit(600.0))
+        + 0.3 * (1.0 - F.size(F.filter(toks, lambda t: t.isin("the", "a"))) / n_toks)
+        + 0.3 * (F.size(F.array_distinct(toks)) / n_toks),
+        6,
+    )
+    kept = d.select("doc_id", "text", quality.alias("q")).filter(F.col("q") >= 0.77)
+    deduped = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    tokd = deduped.select("doc_id", _tokens().alias("t"))
+
+    shingles = F.array_distinct(
+        F.when(F.size("t") < _SHINGLE_N, F.expr("cast(array() as array<string>)")).otherwise(
+            F.expr(
+                f"transform(sequence(0, size(t) - {_SHINGLE_N}), "
+                f"i -> array_join(slice(t, i + 1, {_SHINGLE_N}), ' '))"
+            )
+        )
+    )
+    sh = tokd.select("doc_id", F.explode(shingles).alias("shingle"))
+    bench = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(_tokens().alias("t"))
+        .select(F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+    contaminated = sh.join(F.broadcast(bench), "shingle").select("doc_id").distinct()
+    clean = (
+        tokd.filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", F.size("t").alias("n_tok"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    spans = clean.select(
+        "doc_id", "n_tok", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("c0")
+    )
+    L = _PACK_L
+    contrib = spans.select(
+        "c0",
+        "n_tok",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("c0") / L).cast("bigint"),
+                F.floor((F.col("c0") + F.col("n_tok") - 1) / L).cast("bigint"),
+            )
+        ).alias("seq_id"),
+    )
+    overlap = F.least(
+        F.col("c0") + F.col("n_tok"), (F.col("seq_id") + 1) * L
+    ) - F.greatest(F.col("c0"), F.col("seq_id") * L)
+    return contrib.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"), F.sum(overlap).cast("bigint").alias("n_tokens")
+    )

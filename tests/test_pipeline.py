@@ -508,3 +508,24 @@ def test_hard_negatives_cross_label(spark):
     assert len(rows) == 100
     assert all(r.anchor_label != r.neg_label for r in rows)
     assert all(-1.0 - 1e-9 <= r.sim <= 1.0 + 1e-9 for r in rows)
+
+
+def test_pipeline_pretrain_composition(spark):
+    from spark_ml_helper_spark.operators.corpus import _PACK_L
+
+    rows = sorted(QUERIES["pipeline_pretrain"](spark, SF_ORACLE).collect(), key=lambda r: r.seq_id)
+    assert rows, "curated corpus packed to nothing"
+    assert all(r.n_tokens == _PACK_L for r in rows[:-1])
+    # the curated stream must be smaller than the raw corpus pack
+    raw = QUERIES["corpus_pack_sequences"](spark, SF_ORACLE).count()
+    assert len(rows) < raw
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark):
+    plan = _formatted(QUERIES["corpus_decontaminate"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pretrain_anti_join_in_plan(spark):
+    plan = _formatted(QUERIES["pipeline_pretrain"](spark, SF_ORACLE))
+    assert "LeftAnti" in plan
