@@ -420,3 +420,47 @@ def fn_url(spark, sf_dir):
         p("QUERY").alias("query"),
         F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+        WITH s AS (
+            SELECT o_orderkey,
+                   {'status': o_orderstatus, 'total': round(o_totalprice, 2),
+                    'yr': CAST(date_part('year', o_orderdate) AS BIGINT)} AS o
+            FROM orders
+        )
+        SELECT o_orderkey,
+               o.status AS status,
+               o.total AS total,
+               o.yr AS yr,
+               o.status || '/' || CAST(o.yr AS VARCHAR) AS status_yr
+        FROM s
+    """,
+    family="functions",
+)
+def fn_struct(spark, sf_dir):
+    """Struct family: build a nested struct per row, access its fields,
+    and derive from them — the nested-record idiom parquet lakes use for
+    grouped columns (address structs, metrics structs). Catalyst flattens
+    field accesses at optimization time (no struct is materialized unless
+    the full struct is selected), so nesting is free in the scan —
+    column pruning reaches THROUGH struct fields into parquet. Per-row,
+    shuffle-free."""
+    o = table(spark, sf_dir, "orders")
+    s = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.round("o_totalprice", 2).alias("total"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        ).alias("o"),
+    )
+    return s.select(
+        "o_orderkey",
+        F.col("o.status").alias("status"),
+        F.col("o.total").alias("total"),
+        F.col("o.yr").alias("yr"),
+        F.concat(F.col("o.status"), F.lit("/"), F.col("o.yr").cast("string")).alias("status_yr"),
+    )

@@ -228,3 +228,40 @@ def yoy_growth(spark, sf_dir):
         "yr", "mo", "revenue",
         F.round(F.col("revenue") / F.lag("revenue", 12).over(w) - 1, 6).alias("yoy"),
     )
+
+
+@query(
+    "trend_per_group",
+    oracle="""
+        WITH pts AS (
+            SELECT event_type,
+                   CAST(datediff('hour', TIMESTAMP '2024-01-01', date_trunc('hour', ts)) AS DOUBLE) AS x,
+                   value AS y
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_pts,
+               round(regr_slope(y, x), 4) AS slope,
+               round(regr_intercept(y, x), 4) AS intercept,
+               round(regr_r2(y, x), 4) AS r2
+        FROM pts GROUP BY event_type
+    """,
+    family="analytics",
+)
+def trend_per_group(spark, sf_dir):
+    """Per-group linear trend fitting: OLS slope/intercept/R² of metric
+    value against hours-since-epoch, one regression per event type —
+    the groupwise trend detector behind every "is this metric drifting"
+    dashboard. regr_* are single-pass mergeable aggregates (sums of
+    x, y, xy, x², y²), so the whole operator is one partial→final hash
+    agg; thousands of independent regressions cost the same shuffle as
+    one. 4-dp rounding absorbs the engines' summation-order drift."""
+    e = table(spark, sf_dir, "events")
+    x = F.expr("cast(timestampdiff(HOUR, TIMESTAMP '2024-01-01', date_trunc('hour', ts)) as double)")
+    pts = e.select("event_type", x.alias("x"), F.col("value").alias("y"))
+    return pts.groupBy("event_type").agg(
+        F.count("*").alias("n_pts"),
+        F.round(F.regr_slope("y", "x"), 4).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+        F.round(F.regr_r2("y", "x"), 4).alias("r2"),
+    )

@@ -399,3 +399,78 @@ def sim_hard_negatives(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "ml_eval_retrieval",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, label, embedding, {_DUCK_NORM.format(a='embedding')} AS nrm
+            FROM embeddings
+        ),
+        ranked AS (
+            SELECT q.vec_id AS q_id, q.label AS q_label, c.label AS c_label,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_DUCK_DOT.format(a='q.embedding', b='c.embedding')}
+                                      / (q.nrm * c.nrm), 6) DESC, c.vec_id
+                   ) AS rnk
+            FROM v q JOIN v c ON q.vec_id < 100 AND c.vec_id <> q.vec_id
+        ),
+        firsthit AS (
+            SELECT q_id,
+                   max(CASE WHEN rnk <= 5 AND c_label = q_label THEN 1 ELSE 0 END) AS hit5,
+                   min(CASE WHEN c_label = q_label THEN rnk END) AS first_rel
+            FROM ranked GROUP BY q_id
+        )
+        SELECT count(*) AS n_queries,
+               round(avg(hit5), 6) AS recall_at_5,
+               round(avg(1.0 / first_rel), 6) AS mrr
+        FROM firsthit
+    """,
+    family="vectors",
+)
+def ml_eval_retrieval(spark, sf_dir):
+    """Embedding-space retrieval evaluation: for each query vector (first
+    100), rank all other vectors by cosine and score whether a same-label
+    vector appears in the top 5 (recall@5) and the reciprocal rank of the
+    first same-label hit (MRR) — the standard quality gate for embedding
+    models, with labels standing in for relevance judgments. The ranking
+    sorts the 6-dp ROUNDED similarity (tie-broken on vec_id) so both
+    engines rank identically even where raw doubles differ in the last
+    ulp. Brute-force scored (broadcast queries × streamed candidates, one
+    window per query partition, then a 100-row agg); at index scale the
+    candidate stream is the ANN shortlist and the metric is identical."""
+    v = _norms(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = v.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    sim = F.round(
+        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 6
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "c_id")
+    ranked = (
+        F.broadcast(q)
+        .join(c, F.col("c_id") != F.col("q_id"))
+        .select("q_id", "q_label", "c_id", "c_label", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    rel = F.col("c_label") == F.col("q_label")
+    firsthit = ranked.groupBy("q_id").agg(
+        F.max(F.when((F.col("rnk") <= 5) & rel, 1).otherwise(0)).alias("hit5"),
+        F.min(F.when(rel, F.col("rnk"))).alias("first_rel"),
+    )
+    return firsthit.agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.avg("hit5"), 6).alias("recall_at_5"),
+        F.round(F.avg(1.0 / F.col("first_rel")), 6).alias("mrr"),
+    )

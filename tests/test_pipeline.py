@@ -529,3 +529,11 @@ def test_decontaminate_benchmark_side_broadcasts(spark):
 def test_pretrain_anti_join_in_plan(spark):
     plan = _formatted(QUERIES["pipeline_pretrain"](spark, SF_ORACLE))
     assert "LeftAnti" in plan
+
+
+def test_retrieval_metrics_bounded(spark):
+    row = QUERIES["ml_eval_retrieval"](spark, SF_ORACLE).first()
+    assert row.n_queries == 100
+    assert 0.0 <= row.recall_at_5 <= 1.0
+    assert 0.0 < row.mrr <= 1.0
+    assert row.mrr <= 1.0 and row.recall_at_5 >= row.mrr - 1.0  # sanity shape
