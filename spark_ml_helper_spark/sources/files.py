@@ -235,3 +235,70 @@ def source_binary_files(spark, sf_dir):
             F.col("content").cast("string").alias("decoded"),
         )
     )
+
+
+@query(
+    "sink_pyds",
+    oracle="""
+        SELECT n_name, CAST(n_nationkey AS BIGINT) AS nationkey
+        FROM nation
+    """,
+    family="sources",
+)
+def sink_pyds(spark, sf_dir):
+    """Custom Python Data Source WRITER (the other half of source_pyds'
+    Spark 4 `pyspark.sql.datasource` surface): a `DataSourceWriter` whose
+    `write(iterator)` runs once per partition on the executors and
+    commits per-partition results through `WriterCommitMessage` —
+    Spark's two-phase commit for arbitrary external systems (each task
+    stages, the driver's `commit()` sees every message, aborts discard).
+    The fixture sink appends each partition to a task-unique local file;
+    the query then reads the committed files back and must reproduce the
+    source rows exactly. (The shared-filesystem read-back is a local-mode
+    fixture convenience — on a cluster the writer targets the external
+    system itself, which is the point of the API.) This is the extension
+    point for writing to systems with no built-in connector — internal
+    KV stores, feature stores, custom wire formats."""
+    import glob
+    import json as _json
+    import os
+    import tempfile
+
+    from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+
+    out_dir = tempfile.mkdtemp(prefix="smhs_sink_pyds_")
+
+    class _Writer(DataSourceWriter):
+        def __init__(self, path):
+            self.path = path
+
+        def write(self, iterator):
+            import uuid as _uuid
+
+            rows = [{"n_name": r.n_name, "nationkey": r.nationkey} for r in iterator]
+            fname = os.path.join(self.path, f"part-{_uuid.uuid4().hex}.jsonl")
+            if rows:
+                with open(fname, "w") as f:
+                    for row in rows:
+                        f.write(_json.dumps(row) + "\n")
+            return WriterCommitMessage()
+
+    class KVSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "smhs_kv_sink"
+
+        def writer(self, schema, overwrite):
+            return _Writer(self.options["path"])
+
+    spark.dataSource.register(KVSink)
+    (
+        table(spark, sf_dir, "nation")
+        .select("n_name", F.col("n_nationkey").cast("bigint").alias("nationkey"))
+        .write.format("smhs_kv_sink")
+        .option("path", out_dir)
+        .mode("append")
+        .save()
+    )
+    committed = sorted(glob.glob(os.path.join(out_dir, "part-*.jsonl")))
+    return spark.read.schema("n_name string, nationkey bigint").json(committed)
