@@ -23,6 +23,47 @@ from spark_ml_helper_spark.registry import REGISTRY, load_all_operators
 
 load_all_operators()
 
+# Queries whose implementation changed since their last driver check, or whose
+# only recorded result is a FAIL — surfaced first so the driver's per-round
+# verification window (~50 queries, taken from the head of ``queries()``)
+# re-records them.
+_REVERIFY_FIRST = [
+    "agg_collect",     # r1 FAIL (comparator crash on list cells) — fixed, needs a green row
+    "graph_pagerank",  # gained a DuckDB oracle + dangling-mass redistribution this round
+    "dedup_minhash",   # output contract changed to rep-level pairs (scale fix)
+]
+
+
+def _verified_names() -> set[str]:
+    """Names with any driver CORRECTNESS row from a previous round."""
+    import glob
+    import json
+
+    seen: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                seen.update(json.load(fh).keys())
+        except (OSError, ValueError):
+            continue
+    return seen
+
+
+def _ordered_names() -> list[str]:
+    """Registry names, never-driver-verified first.
+
+    The driver verifies only the first ~50 entries of ``queries()`` per
+    round; putting unverified entries (and the re-verify pins) at the head
+    rotates coverage across rounds with no manual reordering — each round's
+    CORRECTNESS_r{N}.json feeds the next round's ordering.
+    """
+    seen = _verified_names()
+    pins = [n for n in _REVERIFY_FIRST if n in REGISTRY]
+    unseen = [n for n in REGISTRY if n not in seen and n not in pins]
+    rest = [n for n in REGISTRY if n in seen and n not in pins]
+    return pins + unseen + rest
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1-shape pricing summary) on sf0.001."""
@@ -31,9 +72,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query; rows-only operators are omitted."""
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
+    }
