@@ -57,7 +57,7 @@ _EDGES_SQL = """
 @query(
     "graph_degree",
     oracle=f"""
-        WITH edges AS ({_EDGES_SQL}),
+        WITH edges AS MATERIALIZED ({_EDGES_SQL}),
         deg AS (
             SELECT v, count(*) AS degree FROM (
                 SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges
@@ -83,7 +83,7 @@ def graph_degree(spark, sf_dir):
 @query(
     "graph_triangles",
     oracle=f"""
-        WITH edges AS ({_EDGES_SQL})
+        WITH edges AS MATERIALIZED ({_EDGES_SQL})
         SELECT count(*) AS n_triangles FROM edges e1
         JOIN edges e2 ON e2.src = e1.dst
         JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
@@ -116,7 +116,63 @@ def graph_triangles(spark, sf_dir):
     return tri.agg(F.count("*").alias("n_triangles"))
 
 
-@query("graph_pagerank", oracle=None, family="graph")
+def _pagerank_oracle(iters: int = 10) -> str:
+    """DuckDB twin of graph_pagerank: the fixed iteration count lets the
+    fixpoint unroll into ``iters`` chained CTE pairs (dangling-mass scalar
+    + rank update), avoiding aggregation over a recursive reference, which
+    standard SQL forbids inside WITH RECURSIVE. Literals are cast to DOUBLE
+    so DuckDB's decimal literals don't diverge from Spark's IEEE doubles."""
+    head = """
+        WITH lagd AS MATERIALIZED (
+            SELECT lag(event_id % 50) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+                   event_id % 50 AS dst
+            FROM events
+        ),
+        edges AS MATERIALIZED (
+            SELECT src, dst, count(*) AS weight FROM lagd
+            WHERE src IS NOT NULL AND src <> dst GROUP BY src, dst
+        ),
+        trans AS MATERIALIZED (
+            SELECT e.src, e.dst, e.weight * CAST(1.0 AS DOUBLE) / o.out_w AS p
+            FROM edges e
+            JOIN (SELECT src, sum(weight) AS out_w FROM edges GROUP BY src) o ON e.src = o.src
+        ),
+        verts AS MATERIALIZED (
+            SELECT DISTINCT item FROM (
+                SELECT src AS item FROM trans UNION ALL SELECT dst FROM trans
+            )
+        ),
+        nv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+        pr0 AS MATERIALIZED (SELECT item, CAST(1.0 AS DOUBLE) / (SELECT n FROM nv) AS rank FROM verts)
+    """
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+        dang{k} AS MATERIALIZED (
+            SELECT coalesce(sum(rank), CAST(0.0 AS DOUBLE)) AS dm FROM pr{k - 1}
+            WHERE item NOT IN (SELECT src FROM trans)
+        ),
+        pr{k} AS MATERIALIZED (
+            SELECT v.item,
+                   CAST(0.15 AS DOUBLE) / (SELECT n FROM nv)
+                   + CAST(0.85 AS DOUBLE) * (
+                       coalesce(c.contrib, CAST(0.0 AS DOUBLE))
+                       + (SELECT dm FROM dang{k}) / (SELECT n FROM nv)
+                   ) AS rank
+            FROM verts v
+            LEFT JOIN (
+                SELECT t.dst, sum(p.rank * t.p) AS contrib
+                FROM pr{k - 1} p JOIN trans t ON p.item = t.src GROUP BY t.dst
+            ) c ON v.item = c.dst
+        )""")
+    tail = f"""
+        SELECT item, round(rank, 6) AS rank FROM pr{iters}
+        ORDER BY rank DESC, item LIMIT 10
+    """
+    return head + "," + ",".join(steps) + tail
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle(), family="graph")
 def graph_pagerank(spark, sf_dir):
     """PageRank (damping 0.85, 10 fixed iterations) on the directed item
     transition graph from events: edge item_a → item_b when a user's
@@ -124,9 +180,24 @@ def graph_pagerank(spark, sf_dir):
     derivation as ml_als). Each iteration is one join (ranks ⋈ edges on
     src) + one hash agg on dst — the contribution shuffle — and the rank
     frame is localCheckpoint'ed so lineage stays O(1) instead of O(iters).
-    Rows-only (iterative fixpoint, no SQL twin); fixed iteration count +
-    deterministic edges make the output exactly reproducible (asserted in
-    tests). Returns the top-10 items by rank with ties broken on item id."""
+    Rank mass lost at dangling vertices (no out-edges) is redistributed
+    uniformly each iteration — the standard correction — so ranks form a
+    true distribution (Σ=1, asserted in tests); the per-iteration dangling
+    mass is a 1-row aggregate broadcast into the update, never a
+    driver-side collect. SQL-oracled: the fixed iteration count unrolls
+    into chained CTEs in DuckDB (see _pagerank_oracle). Returns the top-10
+    items by rank with ties broken on item id."""
+    ranks = _pagerank_ranks(spark, sf_dir)
+    return (
+        ranks.select("item", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "item")
+        .limit(10)
+    )
+
+
+def _pagerank_ranks(spark, sf_dir):
+    """Full rank distribution after 10 iterations (all vertices, unrounded)
+    — exposed separately so tests can assert total mass Σrank = 1."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     item = (F.col("event_id") % 50).alias("item")
@@ -141,17 +212,28 @@ def graph_pagerank(spark, sf_dir):
     )
     # out-degree-normalized transition weights, cached: reused every iteration
     out = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    # The item vocabulary is bounded (event_id % 50 → ≤50 vertices, ≤2450
+    # edges at any data scale), so the iterative frames are coalesced to 1
+    # partition: otherwise 10 iterations × 32-partition checkpoints leave
+    # thousands of near-empty block files (and fds) behind. On an unbounded
+    # vertex set, drop the coalesce and size partitions to the rank frame.
     trans = (
         edges.join(out, "src")
         .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
+        .coalesce(1)
         .localCheckpoint()
     )
     verts = trans.select(F.col("src").alias("item")).union(
         trans.select(F.col("dst").alias("item"))
-    ).distinct().localCheckpoint()
+    ).distinct().coalesce(1).localCheckpoint()
     n = verts.count()  # scalar cardinality, driver-side by design
+    sources = trans.select("src").distinct()
     ranks = verts.select("item", F.lit(1.0 / n).alias("rank"))
     for _ in range(10):
+        # rank mass sitting on dangling vertices this iteration (1 row)
+        dang = ranks.join(
+            sources, ranks["item"] == sources["src"], "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         contribs = (
             ranks.join(trans, ranks["item"] == trans["src"])
             .groupBy("dst")
@@ -159,14 +241,16 @@ def graph_pagerank(spark, sf_dir):
         )
         ranks = (
             verts.join(contribs, verts["item"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "item",
-                (0.15 / n + 0.85 * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+                (
+                    0.15 / n
+                    + 0.85
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("dm") / n)
+                ).alias("rank"),
             )
+            .coalesce(1)
             .localCheckpoint()
         )
-    return (
-        ranks.select("item", F.round("rank", 6).alias("rank"))
-        .orderBy(F.col("rank").desc(), "item")
-        .limit(10)
-    )
+    return ranks

@@ -360,8 +360,15 @@ def test_pagerank_deterministic_and_normalized(spark):
     assert len(a) == 10
     ranks = [r for _, r in a]
     assert all(r > 0 for r in ranks)
-    assert sum(ranks) < 1.0  # top-10 slice of a distribution summing to ~1
     assert ranks == sorted(ranks, reverse=True)
+    # dangling mass is redistributed each iteration, so the FULL vertex
+    # distribution must sum to exactly 1 (up to float error) — this is the
+    # regression guard for rank-mass loss
+    from spark_ml_helper_spark.operators.graph import _pagerank_ranks
+
+    total = _pagerank_ranks(spark, SF_ORACLE).agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9, f"rank mass {total} != 1"
+    assert sum(ranks) < total  # top-10 is a strict slice
 
 
 def test_graph_degree_handshake(spark):
