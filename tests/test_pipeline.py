@@ -43,13 +43,17 @@ def test_smallvocab_jaccard_matches_ppjoin(spark):
 
 
 def test_minhash_recall_vs_exact(spark):
-    mh = {(r.a_id, r.b_id) for r in QUERIES["dedup_minhash"](spark, SF_ORACLE).collect()}
+    mh_rows = QUERIES["dedup_minhash_pairs"](spark, SF_ORACLE).collect()
+    mh = {(r.a_id, r.b_id) for r in mh_rows}
     ex = {(r.a_id, r.b_id) for r in QUERIES["dedup_jaccard"](spark, SF_ORACLE).collect()}
     assert ex, "exact twin returned nothing — fixture changed?"
     recall = len(mh & ex) / len(ex)
     assert recall >= 0.95, f"banded MinHash recall {recall:.3f} < 0.95"
     # exact rescore on candidates → no false positives at the threshold
     assert mh <= ex
+    # the rep-level summary must account for exactly the doc-level pairs
+    summary = QUERIES["dedup_minhash"](spark, SF_ORACLE).collect()
+    assert sum(r.n_doc_pairs for r in summary) == len(mh)
 
 
 def test_ivf_recall_vs_exact_knn(spark):
@@ -364,6 +368,8 @@ def test_pagerank_deterministic_and_normalized(spark):
     # dangling mass is redistributed each iteration, so the FULL vertex
     # distribution must sum to exactly 1 (up to float error) — this is the
     # regression guard for rank-mass loss
+    from pyspark.sql import functions as F
+
     from spark_ml_helper_spark.operators.graph import _pagerank_ranks
 
     total = _pagerank_ranks(spark, SF_ORACLE).agg(F.sum("rank")).collect()[0][0]
