@@ -287,7 +287,12 @@ def corpus_pack_sequences(spark, sf_dir):
         "doc_id", "n_tok", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("c0")
     )
     L = _PACK_L
-    contrib = spans.select(
+    # n_tok > 0 guard: a zero-token doc at an L boundary would make the
+    # sequence upper bound drop BELOW the lower bound, and F.sequence then
+    # emits a descending 2-element range (double-counting the doc) while
+    # the oracle's generate_series returns empty. Unreachable with the
+    # whitespace tokenizer, but cheap insurance against tokenizer changes.
+    contrib = spans.filter(F.col("n_tok") > 0).select(
         "doc_id",
         "c0",
         "n_tok",
@@ -496,7 +501,9 @@ def pipeline_pretrain(spark, sf_dir):
         "doc_id", "n_tok", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("c0")
     )
     L = _PACK_L
-    contrib = spans.select(
+    # Same n_tok > 0 guard as corpus_pack_sequences (descending-sequence
+    # hazard for zero-token docs at L boundaries).
+    contrib = spans.filter(F.col("n_tok") > 0).select(
         "c0",
         "n_tok",
         F.explode(

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from spark_ml_helper_spark.functions.canon import join_int_array
 from spark_ml_helper_spark.registry import query
+from spark_ml_helper_spark.session import staging_dir
 from spark_ml_helper_spark.sources.parquet import table
 
 _CLUSTER_TAU = 0.95
@@ -334,7 +335,7 @@ def compact_small_files(spark, sf_dir):
     drive the coalesce factor from input bytes / target size; too many
     small files is the #1 silent scan-throughput killer on object
     stores."""
-    base = tempfile.mkdtemp(prefix="smhs_compact_")
+    base = staging_dir(prefix="smhs_compact_")
     frag, compact = base + "/fragmented", base + "/compacted"
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
     o.repartition(64).write.mode("overwrite").parquet(frag)

@@ -346,8 +346,10 @@ def ml_random_forest(spark, sf_dir):
 @query("ml_naive_bayes", oracle=None, family="ml")
 def ml_naive_bayes(spark, sf_dir):
     """Language identification as multinomial Naive Bayes over token
-    counts: CountVectorizer (full 31-token vocabulary, frequency-ordered
-    with deterministic tie-break) → NB with Laplace smoothing, trained on
+    counts: CountVectorizer (full 31-token vocabulary; Spark orders it by
+    frequency but does NOT guarantee the order among equal-count terms —
+    predictions are invariant to vocabulary permutation, so this does not
+    affect the output) → NB with Laplace smoothing, trained on
     the md5 hash split. Output: per-language test support and accuracy.
     The lang → index map is pinned alphabetically (not StringIndexer's
     frequency order) so the label space is stable across scale factors.

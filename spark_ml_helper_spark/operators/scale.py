@@ -20,6 +20,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from spark_ml_helper_spark.registry import query
+from spark_ml_helper_spark.session import staging_dir
 from spark_ml_helper_spark.sources.parquet import table
 
 
@@ -117,7 +118,7 @@ def sink_partitioned(spark, sf_dir):
     must touch ONLY the matching directory (PartitionFilters in the plan,
     asserted in tests). At 100 TB partition layout is the first and
     cheapest pruning lever, ahead of row-group stats and indexes."""
-    out = tempfile.mkdtemp(prefix="smhs_part_") + "/orders_by_year"
+    out = staging_dir(prefix="smhs_part_") + "/orders_by_year"
     (
         table(spark, sf_dir, "orders")
         .withColumn("o_year", F.year("o_orderdate"))
@@ -154,7 +155,7 @@ def join_dpp(spark, sf_dir):
     directories — at 100 TB partition pruning is the difference between
     scanning 30 TB and 300 GB. The static prune is asserted via
     PartitionFilters in tests."""
-    out = tempfile.mkdtemp(prefix="smhs_dpp_") + "/orders_by_year"
+    out = staging_dir(prefix="smhs_dpp_") + "/orders_by_year"
     (
         table(spark, sf_dir, "orders")
         .withColumn("o_year", F.year("o_orderdate"))
@@ -228,7 +229,7 @@ def sink_csv(spark, sf_dir):
     """CSV round trip (header + explicit schema on re-read; CSV carries no
     types, so the re-read schema is pinned rather than inferred — inference
     is a full extra pass at scale and non-deterministic under sampling)."""
-    out = tempfile.mkdtemp(prefix="smhs_csv_") + "/customer_csv"
+    out = staging_dir(prefix="smhs_csv_") + "/customer_csv"
     df = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 6).alias("acctbal")
     )
@@ -246,7 +247,7 @@ def sink_csv(spark, sf_dir):
 def sink_json(spark, sf_dir):
     """JSON-lines round trip with pinned re-read schema (same rationale as
     sink_csv; JSONL is the interchange format of most LLM data tooling)."""
-    out = tempfile.mkdtemp(prefix="smhs_json_") + "/events_json"
+    out = staging_dir(prefix="smhs_json_") + "/events_json"
     df = table(spark, sf_dir, "events").select(
         "event_id", "event_type", F.round("value", 6).alias("val")
     )
@@ -270,7 +271,7 @@ def sink_orc(spark, sf_dir):
     predicate pushdown/column pruning. The filter runs on the RE-READ side
     to prove pushdown into the ORC scan; the oracle reads the original
     parquet, so a hash match proves the re-encode is lossless."""
-    out = tempfile.mkdtemp(prefix="smhs_orc_") + "/lineitem_orc"
+    out = staging_dir(prefix="smhs_orc_") + "/lineitem_orc"
     df = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", F.round("l_extendedprice", 2).alias("price")
     )
@@ -401,7 +402,7 @@ def sink_clustered(spark, sf_dir):
     range shuffle (sampled boundaries, even output files) + a local
     sort; repartitionByRange is the two-column z-order-lite that covers
     the single-dimension case exactly."""
-    out = tempfile.mkdtemp(prefix="smhs_cluster_") + "/orders_by_date"
+    out = staging_dir(prefix="smhs_cluster_") + "/orders_by_date"
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
     (
         o.repartitionByRange(8, "o_orderdate")

@@ -13,6 +13,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from spark_ml_helper_spark.registry import query
+from spark_ml_helper_spark.session import staging_dir
 from spark_ml_helper_spark.sources.parquet import table
 
 
@@ -54,7 +55,7 @@ def sink_parquet(spark, sf_dir):
     """Write → re-read round trip (parquet sink fidelity, incl. ntz
     timestamps). Scale note: on a cluster the write is the shuffle-free
     per-partition path; here we write to a temp dir and read it back."""
-    out = tempfile.mkdtemp(prefix="smhs_sink_") + "/orders_roundtrip"
+    out = staging_dir(prefix="smhs_sink_") + "/orders_roundtrip"
     df = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"
     )

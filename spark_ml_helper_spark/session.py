@@ -67,3 +67,23 @@ def apply_runtime_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf may be static in some deployments; readers will fail loudly if so
+
+
+def staging_dir(prefix: str) -> str:
+    """``mkdtemp`` that is removed at interpreter exit.
+
+    Fixture staging (CSV/JSON/ORC sinks, binaryFile sources, stream file
+    feeds) creates one temp directory per (query, sf_dir) per process;
+    registering cleanup at exit keeps repeated harness runs from leaking
+    directories (ADVICE r2). Cleanup is exit-time, not eager, because the
+    DataFrames returned by the staged queries read from these paths
+    lazily — the driver may collect them long after the query function
+    returned.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    return out

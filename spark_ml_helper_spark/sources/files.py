@@ -28,6 +28,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from spark_ml_helper_spark.registry import query
+from spark_ml_helper_spark.session import staging_dir
 from spark_ml_helper_spark.sources.parquet import table
 
 _STAGED: dict[tuple[str, str], str] = {}
@@ -37,7 +38,7 @@ def _stage(spark, sf_dir: str, fmt: str):
     """Write customer once per (sf_dir, fmt) into a temp dir; return path."""
     key = (sf_dir, fmt)
     if key not in _STAGED:
-        out = os.path.join(tempfile.mkdtemp(prefix=f"smhs_src_{fmt}_"), "customer")
+        out = os.path.join(staging_dir(prefix=f"smhs_src_{fmt}_"), "customer")
         w = table(spark, sf_dir, "customer").write.mode("overwrite")
         if fmt == "csv":
             # header + explicit quoting (robust to delimiters in strings)
@@ -167,7 +168,7 @@ def source_schema_evolution(spark, sf_dir):
     table relies on; without mergeSchema the scan would pin whichever
     footer it sampled first. (Column REMOVAL/retype needs a table format
     with real schema enforcement — Delta/Iceberg — not plain parquet.)"""
-    out = os.path.join(tempfile.mkdtemp(prefix="smhs_evo_"), "orders_evo")
+    out = os.path.join(staging_dir(prefix="smhs_evo_"), "orders_evo")
     o = table(spark, sf_dir, "orders")
     old = o.filter(F.year("o_orderdate") <= 1995).select(
         "o_orderkey", F.round("o_totalprice", 2).alias("price")
@@ -215,7 +216,7 @@ def source_binary_files(spark, sf_dir):
 
     key = (sf_dir, "binary")
     if key not in _STAGED:
-        out = tempfile.mkdtemp(prefix="smhs_src_bin_")
+        out = staging_dir(prefix="smhs_src_bin_")
         rows = (
             table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < 100)
@@ -223,8 +224,14 @@ def source_binary_files(spark, sf_dir):
             .collect()  # 100 tiny rows — fixture staging only, not a data path
         )
         for r in rows:
+            data = r.text.encode("utf-8")
+            # The oracle equates file byte length with n_chars, which only
+            # holds for ASCII; assert it at staging time so a future
+            # non-ASCII fixture fails loudly here, not as an oracle
+            # hash-mismatch (ADVICE r2).
+            assert len(data) == len(r.text), f"non-ASCII text in doc {r.doc_id}"
             with open(os.path.join(out, f"{r.doc_id}.txt"), "wb") as f:
-                f.write(r.text.encode("utf-8"))
+                f.write(data)
         _STAGED[key] = out
     return (
         spark.read.format("binaryFile")
@@ -266,7 +273,7 @@ def sink_pyds(spark, sf_dir):
 
     from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
 
-    out_dir = tempfile.mkdtemp(prefix="smhs_sink_pyds_")
+    out_dir = staging_dir(prefix="smhs_sink_pyds_")
 
     class _Writer(DataSourceWriter):
         def __init__(self, path):

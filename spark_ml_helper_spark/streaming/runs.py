@@ -21,6 +21,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from spark_ml_helper_spark.registry import query
+from spark_ml_helper_spark.session import staging_dir
 from spark_ml_helper_spark.sources.parquet import table
 
 _MULTIFILE_CACHE: dict[str, str] = {}
@@ -61,7 +62,7 @@ def _multifile_events(spark, sf_dir, n_files=8):
     multi-batch stream (lets the watermark actually advance mid-run)."""
     if sf_dir in _MULTIFILE_CACHE:
         return _MULTIFILE_CACHE[sf_dir]
-    out = os.path.join(tempfile.mkdtemp(prefix="smhs_stream_"), "events_files")
+    out = os.path.join(staging_dir(prefix="smhs_stream_"), "events_files")
     (
         table(spark, sf_dir, "events")  # ts already normalized to timestamp_ntz
         .repartitionByRange(n_files, "ts")
@@ -300,7 +301,7 @@ def stream_run_file_sink(spark, sf_dir):
     batch-as-a-stream backfill pattern; the memory-sink runs above test
     semantics, this one tests the durable-sink path. Returns the re-read
     sink output (rows-only; semantics match stream_tumbling's oracle)."""
-    base = tempfile.mkdtemp(prefix="smhs_fsink_")
+    base = staging_dir(prefix="smhs_fsink_")
     out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
     ev = _events_stream(spark, sf_dir)
     # withWatermark requires tz-aware TimestampType; session tz is pinned
@@ -377,7 +378,7 @@ def stream_run_foreach_batch(spark, sf_dir):
     the standard escape hatch for sinks Structured Streaming lacks (JDBC
     merges, multi-table writes). Exactly-once comes from checkpoint +
     idempotent-by-batch-id writes, the documented contract."""
-    base = tempfile.mkdtemp(prefix="smhs_feb_")
+    base = staging_dir(prefix="smhs_feb_")
     out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
     e = _events_stream(spark, sf_dir, max_files_per_trigger=4)
     agg = e.groupBy("event_type").agg(
@@ -428,7 +429,7 @@ def stream_run_exactly_once(spark, sf_dir):
     double-appended — re-running a failed/duplicate job is safe. The
     returned frame is the sink after both runs; the test asserts it
     equals the single-run batch twin exactly (no duplicated windows)."""
-    base = tempfile.mkdtemp(prefix="smhs_eo_")
+    base = staging_dir(prefix="smhs_eo_")
     out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
 
     def run_once():
