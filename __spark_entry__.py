@@ -61,6 +61,11 @@ def _ordered_names() -> list[str]:
     seen = _verified_names()
     pins = [n for n in _REVERIFY_FIRST if n in REGISTRY]
     unseen = [n for n in REGISTRY if n not in seen and n not in pins]
+    # SQL-oracled entries first within the unseen block: a hash-match row is
+    # strictly stronger evidence than a rows-only run, so spend the window on
+    # those before the approx/streaming/MLlib entries that can only ever get
+    # a rows-only record.
+    unseen.sort(key=lambda n: REGISTRY[n].oracle is None)
     rest = [n for n in REGISTRY if n in seen and n not in pins]
     return pins + unseen + rest
 

@@ -78,7 +78,28 @@ def exact_jaccard_pairs(sets: DataFrame, tau: float, out_col: str) -> DataFrame:
     # empty sets have undefined Jaccard (0/0) — the oracle form's NULL
     # comparison drops them, so drop them here too
     canon, reps, membership, rep_sets = _collapse_identical_sets(sets)
+    rep_pairs = rep_jaccard_pairs(rep_sets, tau, out_col)
+    cross = (
+        rep_pairs.join(membership.select(F.col("rep_id").alias("ra"), F.col("doc_id").alias("da")), "ra")
+        .join(membership.select(F.col("rep_id").alias("rb"), F.col("doc_id").alias("db")), "rb")
+        .select(F.least("da", "db").alias("a_id"), F.greatest("da", "db").alias("b_id"), out_col)
+    )
+    m1 = membership.select("rep_id", F.col("doc_id").alias("a_id"))
+    m2 = membership.select("rep_id", F.col("doc_id").alias("b_id"))
+    within = (
+        m1.join(m2, "rep_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.round(F.lit(1.0), 6).alias(out_col))
+    )
+    return cross.unionByName(within)
 
+
+def rep_jaccard_pairs(rep_sets: DataFrame, tau: float, out_col: str) -> DataFrame:
+    """PPJoin core over COLLAPSED representative sets: (rep_id, elems) →
+    (ra, rb, <out_col>) for distinct-content pairs with Jaccard ≥ tau.
+    Exposed separately so graph consumers (dedup_clusters) can run on the
+    rep-level pair graph — whose node count is the number of DISTINCT
+    contents, not documents — and expand membership only at label time."""
     vocab = (
         rep_sets.select(F.explode("elems").alias("elem"))
         .groupBy("elem")
@@ -124,26 +145,13 @@ def exact_jaccard_pairs(sets: DataFrame, tau: float, out_col: str) -> DataFrame:
     inter = F.size(F.array_intersect("a_ranks", "b_ranks")).cast("double")
     union = F.size("a_ranks") + F.size("b_ranks") - F.size(F.array_intersect("a_ranks", "b_ranks"))
     jac = inter / union
-    rep_pairs = (
+    return (
         cand.join(ranked.select(F.col("rep_id").alias("ra"), F.col("ranks").alias("a_ranks")), "ra")
         .join(ranked.select(F.col("rep_id").alias("rb"), F.col("ranks").alias("b_ranks")), "rb")
         .withColumn(out_col, F.round(jac, 6))
         .filter(jac >= tau)
         .select("ra", "rb", out_col)
     )
-    cross = (
-        rep_pairs.join(membership.select(F.col("rep_id").alias("ra"), F.col("doc_id").alias("da")), "ra")
-        .join(membership.select(F.col("rep_id").alias("rb"), F.col("doc_id").alias("db")), "rb")
-        .select(F.least("da", "db").alias("a_id"), F.greatest("da", "db").alias("b_id"), out_col)
-    )
-    m1 = membership.select("rep_id", F.col("doc_id").alias("a_id"))
-    m2 = membership.select("rep_id", F.col("doc_id").alias("b_id"))
-    within = (
-        m1.join(m2, "rep_id")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", F.round(F.lit(1.0), 6).alias(out_col))
-    )
-    return cross.unionByName(within)
 
 
 def smallvocab_jaccard_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks: int = 4) -> DataFrame:

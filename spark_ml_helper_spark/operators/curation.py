@@ -70,56 +70,71 @@ def dedup_clusters(spark, sf_dir):
     takes the min of its own and its neighbors' labels) until the global
     label sum — a monotonically non-increasing integer — stops changing.
     Rounds needed = graph diameter, small for near-dup clusters. The loop
-    runs ONLY over the edge-induced subgraph: nodes with no near-dup edge
-    keep their own label by definition, so they never enter a round (a
-    corpus is mostly singletons — here the subgraph is ~2% of documents,
-    cutting each round's join/checkpoint from corpus-sized to
-    subgraph-sized; measured 25 s → ~11 s at sf0.1). Singletons union
-    back in at the end, shuffle-free. localCheckpoint each round
+    runs over the REPRESENTATIVE graph — identical token sets collapse to
+    one node (rep_id = min member doc_id) before any pair is generated, so
+    CC node count scales with DISTINCT contents, not documents (on a
+    duplicate-heavy corpus that is the whole game: 10x replication adds
+    ZERO nodes). Within the rep graph, only edge-touched reps enter the
+    loop (a corpus is mostly singletons); edge-free reps and their members
+    label themselves through the membership join, shuffle-free. A cluster's
+    label — min doc_id reachable — equals min rep_id reachable, because
+    each rep_id is already the min doc_id of its identical-content group:
+    doc-level output is exactly the old doc-level propagation's, and the
+    recursive-CTE oracle hash-checks that. localCheckpoint each round
     truncates the lineage so the plan doesn't grow with iterations. At
     extreme scale swap the propagation for the large-star/small-star
     alternation (Kiveris et al., "Connected Components in MapReduce and
     Beyond") — same DataFrame shape, fewer rounds on high-diameter
     graphs; the per-round shuffles are keyed on node id, never the pair
     space."""
-    from spark_ml_helper_spark.functions.setsim import exact_jaccard_pairs
+    from spark_ml_helper_spark.functions.setsim import (
+        _collapse_identical_sets,
+        rep_jaccard_pairs,
+    )
     from spark_ml_helper_spark.operators.text import _tokens
 
     d = table(spark, sf_dir, "documents")
     ts = d.select("doc_id", F.array_distinct(_tokens()).alias("elems"))
-    pairs = exact_jaccard_pairs(ts, tau=_CLUSTER_TAU, out_col="jac").select("a_id", "b_id")
+    canon, reps, membership, rep_sets = _collapse_identical_sets(ts)
+    pairs = rep_jaccard_pairs(rep_sets, tau=_CLUSTER_TAU, out_col="jac").select("ra", "rb")
     edges = (
-        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-        .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        pairs.select(F.col("ra").alias("src"), F.col("rb").alias("dst"))
+        .unionByName(pairs.select(F.col("rb").alias("src"), F.col("ra").alias("dst")))
         .localCheckpoint()
     )
     labels = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .select("doc_id", F.col("doc_id").alias("lab"))
+        edges.select(F.col("src").alias("rep_id")).distinct()
+        .select("rep_id", F.col("rep_id").alias("lab"))
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("lab")).first()[0]
     for _ in range(50):
         nbr_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
+            edges.join(labels, edges.src == labels.rep_id)
+            .groupBy(F.col("dst").alias("rep_id"))
             .agg(F.min("lab").alias("nbr_lab"))
         )
         labels = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select("doc_id", F.least("lab", F.coalesce("nbr_lab", "lab")).alias("lab"))
+            labels.join(nbr_min, "rep_id", "left")
+            .select("rep_id", F.least("lab", F.coalesce("nbr_lab", "lab")).alias("lab"))
             .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("lab")).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    singletons = (
+    # expand rep labels to members; edge-free reps label themselves
+    doc_labels = (
+        membership.join(labels, "rep_id", "left")
+        .select("doc_id", F.coalesce("lab", "rep_id").alias("lab"))
+    )
+    # docs dropped by the empty-set filter keep their own id as the label
+    empties = (
         d.select("doc_id")
-        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .join(membership.select("doc_id"), "doc_id", "left_anti")
         .select("doc_id", F.col("doc_id").alias("lab"))
     )
-    return labels.unionByName(singletons).select(
+    return doc_labels.unionByName(empties).select(
         "doc_id", F.col("lab").alias("cluster_id")
     )
 

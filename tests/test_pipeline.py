@@ -550,3 +550,107 @@ def test_retrieval_metrics_bounded(spark):
     assert 0.0 <= row.recall_at_5 <= 1.0
     assert 0.0 < row.mrr <= 1.0
     assert row.mrr <= 1.0 and row.recall_at_5 >= row.mrr - 1.0  # sanity shape
+
+
+def _stream_state_rows(q):
+    """numRowsTotal per micro-batch from a finished StreamingQuery."""
+    import json as _json
+
+    out = []
+    for p in q.recentProgress:
+        d = p if isinstance(p, dict) else _json.loads(p.json)
+        ops = d.get("stateOperators") or []
+        if ops:
+            out.append(sum(op["numRowsTotal"] for op in ops))
+    return out
+
+
+def test_watermark_bounds_window_state(spark):
+    """The docstring claim 'watermark keeps state bounded' as a checked
+    property: run the watermarked 1-hour windowed agg over the 8
+    time-ranged event files in 4 micro-batches and read the state-store
+    row counts from query progress. Eviction lags one batch (the batch-N
+    watermark comes from data through batch N-1), so the live state may
+    hold ~one batch's windows plus the straddler — but never the whole
+    month of windows an unwatermarked complete-mode agg would retain."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.streaming import runs as R
+
+    e = R._events_stream(spark, SF_ORACLE, max_files_per_trigger=2)
+    agg = (
+        e.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    name = "m" + _uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(name).count()
+    states = _stream_state_rows(q)
+    assert states, "no stateOperators progress recorded"
+    # bounded: the full month holds ~720 hourly windows; an unwatermarked
+    # complete-mode agg would retain all of them. With the watermark, live
+    # state holds at most ~one 2-file batch's window span (~1/4 month) plus
+    # the one-batch eviction lag — and availableNow batches are not
+    # guaranteed time-ordered, so bound against the full population rather
+    # than a specific batch sequence.
+    month_windows = 720
+    assert emitted > 0
+    assert max(states) <= month_windows // 2
+    assert states[-1] <= month_windows // 4
+
+
+def test_dedup_within_watermark_bounds_state(spark):
+    """dropDuplicatesWithinWatermark must DROP key state once the
+    watermark passes (first-seen + delay); with a 1-hour delay against a
+    month-long stream, live state stays far below the full distinct-key
+    population (750 user x type pairs at sf0.01)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.streaming import runs as R
+
+    e = (
+        R._events_stream(spark, SF_ORACLE, max_files_per_trigger=2)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+    )
+    dedup = e.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    name = "m" + _uuid.uuid4().hex[:12]
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    states = _stream_state_rows(q)
+    assert states, "no stateOperators progress recorded"
+    # Eviction lags one batch (the batch-N watermark is computed from data
+    # through batch N-1), so one batch legitimately peaks near the full key
+    # population (most keys first appear in the stream's first hours). The
+    # bounded-state property is that state COLLAPSES once the watermark
+    # advances instead of accumulating. availableNow does NOT promise
+    # time-ordered micro-batches (observed both [728, 29, 0, 0] and
+    # [0, 0, 720, 1]), so assert order-insensitively: some batch carried
+    # real state, and the final state is a small fraction of both the key
+    # population and the observed peak.
+    n_keys = 750  # select count(distinct (user_id, event_type)) at sf0.01
+    assert len(states) >= 2
+    assert max(states) > 0
+    assert states[-1] < n_keys // 10
+    assert states[-1] <= max(states) // 10
