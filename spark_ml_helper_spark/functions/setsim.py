@@ -272,3 +272,141 @@ def smallvocab_jaccard_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks
         .select("a_id", "b_id", F.round(F.lit(1.0), 6).alias(out_col))
     )
     return cross.unionByName(within)
+
+
+def containment_rep_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks: int = 4):
+    """DIRECTED set-containment core: collapse identical sets, then find
+    every ordered REPRESENTATIVE pair with C(A→B) = |A∩B| / |A| ≥ tau,
+    ra ≠ rb. Returns (rep_pairs, membership): rep_pairs has columns
+    (ra, rb, <out_col>); membership maps doc_id → rep_id. Containment is
+    the asymmetric near-subset relation — the right primitive when one
+    document quotes or wholly embeds another (A ⊂ B gives containment
+    1.0 at arbitrarily low Jaccard), which banded-Jaccard dedup
+    structurally misses.
+
+    Same small-vocab block-matmul design as smallvocab_jaccard_pairs
+    (one float32 A·Bᵀ per block pair gives ALL |A∩B| counts at once;
+    exact JVM rescore on candidates), except the kernel reads the
+    intersection matrix twice — A-in-B down the rows, B-in-A across the
+    columns — so each block pair serves both directions in one matmul.
+    Prefix filtering is NOT an alternative worth reaching for on this
+    corpus shape: containment's prefix is ⌊(1−τ)|A|⌋+1 of A's rarest
+    elements probed against FULL postings of B (τ bounds nothing about
+    |B|), and on a dense bounded vocabulary full postings are
+    corpus-sized. At unbounded vocab (shingled web text) that prefix
+    probe IS the scale path — rare shingles have short postings — and
+    slots into the rep_jaccard_pairs machinery with the length filter
+    relaxed to nb ≥ τ·na. Shuffles here: block/set/doc keys only,
+    never the pair space; identical sets collapse first, so the matmul
+    covers DISTINCT contents — callers that can, should consume the
+    rep-level pairs and aggregate BEFORE expanding membership."""
+    import pandas as pd
+
+    canon, reps, membership, rep_sets = _collapse_identical_sets(sets)
+
+    vocab = (
+        rep_sets.select(F.explode("elems").alias("elem"))
+        .distinct()
+        .withColumn("rank", F.row_number().over(Window.orderBy("elem")) - 1)
+    )
+    ranked = (
+        rep_sets.select("rep_id", F.explode("elems").alias("elem"))
+        .join(vocab, "elem")
+        .groupBy("rep_id")
+        .agg(F.sort_array(F.collect_list("rank")).alias("ranks"))
+        .localCheckpoint(eager=True)
+    )
+    vdim = vocab.count()
+
+    G = n_blocks
+    blocks = ranked.withColumn("g", (F.col("rep_id") % G).cast("int"))
+    spark = sets.sparkSession
+
+    def gpairs():
+        return (
+            spark.range(G).select(F.col("id").cast("int").alias("gi"))
+            .crossJoin(spark.range(G).select(F.col("id").cast("int").alias("gj")))
+            .filter(F.col("gi") <= F.col("gj"))
+        )
+
+    ga, gb = gpairs(), gpairs()
+    a_side = ga.join(blocks, blocks.g == ga.gi).select(
+        "gi", "gj", F.col("rep_id").alias("a_id"), F.col("ranks").alias("a_ranks")
+    )
+    b_side = gb.join(blocks, blocks.g == gb.gj).select(
+        "gi", "gj", F.col("rep_id").alias("b_id"), F.col("ranks").alias("b_ranks")
+    )
+
+    def apply_kernel(key, pa: pd.DataFrame, pb: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if pa.empty or pb.empty:
+            return pd.DataFrame({"ra": [], "rb": []}).astype({"ra": "int64", "rb": "int64"})
+
+        def scatter(col):
+            m = np.zeros((len(col), vdim), dtype="float32")
+            for i, ranks in enumerate(col):
+                m[i, np.asarray(ranks, dtype="int64")] = 1.0
+            return m
+
+        A, B = scatter(pa["a_ranks"]), scatter(pb["b_ranks"])
+        inter = A @ B.T
+        na = A.sum(axis=1)[:, None]
+        nb = B.sum(axis=1)[None, :]
+        a_ids, b_ids = pa["a_id"].to_numpy(), pb["b_id"].to_numpy()
+        ca = inter / na  # A-row contained in B-col
+        if key[0] == key[1]:
+            # same block on both sides: every ordered pair (i, j), i != j,
+            # appears as a row/col of THIS matrix — one directed read
+            ca[a_ids[:, None] == b_ids[None, :]] = -1.0
+            ai, bj = np.nonzero(ca >= tau - 1e-6)
+            ra, rb = a_ids[ai], b_ids[bj]
+        else:
+            cb = inter / nb  # B-col contained in A-row
+            ai, bj = np.nonzero(ca >= tau - 1e-6)
+            ai2, bj2 = np.nonzero(cb >= tau - 1e-6)
+            ra = np.concatenate([a_ids[ai], b_ids[bj2]])
+            rb = np.concatenate([b_ids[bj], a_ids[ai2]])
+        return pd.DataFrame({"ra": ra, "rb": rb})
+
+    cand = (
+        a_side.groupby("gi", "gj")
+        .cogroup(b_side.groupby("gi", "gj"))
+        .applyInPandas(apply_kernel, schema="ra bigint, rb bigint")
+        .distinct()
+    )
+
+    cont = F.size(F.array_intersect("a_ranks", "b_ranks")) / F.size("a_ranks").cast("double")
+    rep_pairs = (
+        cand.join(ranked.select(F.col("rep_id").alias("ra"), F.col("ranks").alias("a_ranks")), "ra")
+        .join(ranked.select(F.col("rep_id").alias("rb"), F.col("ranks").alias("b_ranks")), "rb")
+        .withColumn(out_col, F.round(cont, 6))
+        .filter(cont >= tau)
+        .select("ra", "rb", out_col)
+    )
+    return rep_pairs, membership
+
+
+def smallvocab_containment_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks: int = 4) -> DataFrame:
+    """Doc-level expansion of containment_rep_pairs: (a_id, b_id,
+    <out_col>) for every ORDERED doc pair with C(A→B) ≥ tau, a_id ≠ b_id.
+    On a duplicate-heavy corpus this output is quadratic in group sizes
+    (it materializes every member × member pair) — prefer consuming
+    containment_rep_pairs directly and aggregating at the rep level when
+    the downstream question allows it."""
+    rep_pairs, membership = containment_rep_pairs(sets, tau, out_col, n_blocks)
+    # directed expansion: every member of ra is contained in every member
+    # of rb — ORDER PRESERVED, no least/greatest canonicalization
+    cross = (
+        rep_pairs.join(membership.select(F.col("rep_id").alias("ra"), F.col("doc_id").alias("a_id")), "ra")
+        .join(membership.select(F.col("rep_id").alias("rb"), F.col("doc_id").alias("b_id")), "rb")
+        .select("a_id", "b_id", out_col)
+    )
+    m1 = membership.select("rep_id", F.col("doc_id").alias("a_id"))
+    m2 = membership.select("rep_id", F.col("doc_id").alias("b_id"))
+    within = (
+        m1.join(m2, "rep_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", F.round(F.lit(1.0), 6).alias(out_col))
+    )
+    return cross.unionByName(within)

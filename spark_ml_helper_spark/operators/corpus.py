@@ -519,3 +519,120 @@ def pipeline_pretrain(spark, sf_dir):
     return contrib.groupBy("seq_id").agg(
         F.count("*").alias("n_docs"), F.sum(overlap).cast("bigint").alias("n_tokens")
     )
+
+
+@query(
+    "corpus_bigram_lm",
+    oracle="""
+        WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS b
+            FROM tok WHERE len(t) >= 2
+        ),
+        c2 AS (SELECT b, count(*) AS c2 FROM bg GROUP BY b),
+        c1 AS (SELECT split_part(b, ' ', 1) AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        v AS (SELECT count(DISTINCT w) AS v
+              FROM (SELECT unnest(t) AS w FROM tok))
+        SELECT bg.doc_id, count(*) AS n_bigrams,
+               round(avg(-ln((c2.c2 + 1.0) / (c1.c1 + v.v))), 6) AS mean_nll
+        FROM bg JOIN c2 USING (b)
+        JOIN c1 ON split_part(bg.b, ' ', 1) = c1.w1
+        CROSS JOIN v
+        GROUP BY bg.doc_id
+    """,
+    family="corpus",
+)
+def corpus_bigram_lm(spark, sf_dir):
+    """Bigram language-model scoring with add-one (Laplace) smoothing:
+    each document's mean negative log-likelihood under the corpus bigram
+    distribution, P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V). The step up from
+    text_unigram_logprob that real perplexity filters take — a document
+    of common words in an IMPROBABLE ORDER scores high NLL here but
+    normal under the unigram model. Plan: one bigram explode → two
+    vocab-sized count aggs (c2 keyed on the bigram, c1 folded from c2,
+    so the corpus is scanned once for both) broadcast back onto the
+    bigram stream → per-doc agg; token instances shuffle on doc_id once.
+    The broadcasts hold the bigram TYPE table (V² worst case — fine for
+    bounded vocab; at web scale the c2 join switches to a shuffle join
+    on the bigram key and the plan is otherwise unchanged). Documents
+    with fewer than 2 tokens have no bigrams and are excluded, matching
+    the oracle's len(t) >= 2 guard."""
+    d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("t"))
+    bg = (
+        d.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")
+            ).alias("b"),
+        )
+    )
+    c2 = bg.groupBy("b").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy(F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w1")).agg(
+        F.sum("c2").alias("c1")
+    )
+    v = d.select(F.explode("t").alias("w")).agg(F.countDistinct("w").alias("v"))
+    return (
+        bg.withColumn("w1", F.split_part(F.col("b"), F.lit(" "), F.lit(1)))
+        .join(F.broadcast(c2), "b")
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(-F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))), 6
+            ).alias("mean_nll"),
+        )
+    )
+
+
+@query(
+    "text_oov_rate",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+        ),
+        freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        vocab AS (SELECT w FROM freq ORDER BY c DESC, w LIMIT 20)
+        SELECT doc_id, count(*) AS n_tok,
+               count(*) FILTER (WHERE w NOT IN (SELECT w FROM vocab)) AS n_oov,
+               round(count(*) FILTER (WHERE w NOT IN (SELECT w FROM vocab))
+                     / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+        FROM tok GROUP BY doc_id
+    """,
+    family="corpus",
+)
+def text_oov_rate(spark, sf_dir):
+    """Tokenizer-vocabulary coverage: per-document out-of-vocabulary rate
+    against the corpus's top-K tokens by frequency (K=20, ties broken
+    lexicographically so the vocab is deterministic). The gate a pipeline
+    runs before committing to a tokenizer: documents with high OOV rate
+    under the candidate vocab either need a bigger vocab or aren't worth
+    training on. Plan: one token explode feeds both the vocab agg (vocab-
+    sized, broadcast back) and the per-doc agg; the row_number window
+    runs over the VOCABULARY (bounded, 31 here), never the corpus."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("w"))
+    freq = tok.groupBy("w").agg(F.count("*").alias("c"))
+    vocab = (
+        freq.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w")))
+        )
+        .filter(F.col("rn") <= 20)
+        .select("w", F.lit(1).alias("in_v"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

@@ -590,3 +590,86 @@ def text_pii_scrub(spark, sf_dir):
     clean = F.regexp_replace(F.regexp_replace(raw, email_re, "<EMAIL>"), phone_re, "<PHONE>")
     n_at = (F.length(raw) - F.length(F.regexp_replace(raw, "@", ""))).cast("int")
     return d.select("doc_id", clean.alias("clean"), n_at.alias("n_at_signs"))
+
+
+_CONTAIN_TAU = 0.9
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+        WITH ts AS (
+            SELECT doc_id, list_sort(list_distinct(string_split(lower(text), ' '))) AS s
+            FROM documents
+            WHERE len(string_split(lower(text), ' ')) > 0
+        ),
+        pairs AS (
+            SELECT a.doc_id AS a_id,
+                   round(len(list_intersect(a.s, b.s)) / CAST(len(a.s) AS DOUBLE), 6) AS c
+            FROM ts a JOIN ts b ON a.doc_id <> b.doc_id
+            WHERE len(list_intersect(a.s, b.s)) / CAST(len(a.s) AS DOUBLE)
+                  >= {_CONTAIN_TAU}
+        ),
+        agg AS (SELECT a_id, count(*) AS n, max(c) AS mx FROM pairs GROUP BY a_id)
+        SELECT t.doc_id,
+               coalesce(agg.n, 0) AS n_containers,
+               coalesce(agg.n, 0) > 0 AS is_contained,
+               agg.mx AS max_containment
+        FROM ts t LEFT JOIN agg ON t.doc_id = agg.a_id
+    """,
+    family="curation",
+)
+def dedup_containment(spark, sf_dir):
+    """Near-SUBSET duplicate sweep: for each document, how many OTHER
+    documents contain ≥ 90% of its distinct tokens (C(A→B) = |A∩B|/|A|),
+    plus the max such containment — the asymmetric relation that catches
+    quote / wrapper / boilerplate-envelope duplication symmetric Jaccard
+    structurally under-scores (A ⊂ B has containment 1.0 at arbitrarily
+    low Jaccard). A pipeline drops is_contained docs, keeping the
+    supersets. Exact, not probabilistic, and the pair space NEVER
+    reaches the output: identical sets collapse to representatives, a
+    blocked float32 matmul produces every |A∩B| count (both directions
+    per block pair in one kernel — see containment_rep_pairs), exact JVM
+    rescore confirms candidates, and the count/max aggregate folds the
+    rep-level pair stream down to one row per rep BEFORE membership
+    expands it to one row per document. On this corpus that is the
+    difference between 8.3M emitted pairs and a 5,000-row summary at
+    sf0.1; the doc-level pair expansion stays available as
+    smallvocab_containment_pairs for consumers that need it."""
+    from spark_ml_helper_spark.functions.setsim import containment_rep_pairs
+    from spark_ml_helper_spark.operators.text import _tokens
+
+    d = table(spark, sf_dir, "documents")
+    ts = d.select("doc_id", F.array_distinct(_tokens()).alias("elems"))
+    rep_pairs, membership = containment_rep_pairs(ts, tau=_CONTAIN_TAU, out_col="c")
+    counts = membership.groupBy("rep_id").agg(F.count("*").alias("n_docs"))
+    # containers from OTHER reps: every member of rb contains every member
+    # of ra, so rep rb contributes n_docs(rb) containers to each ra member
+    ext = (
+        rep_pairs.join(
+            F.broadcast(counts).select(F.col("rep_id").alias("rb"), "n_docs"), "rb"
+        )
+        .groupBy("ra")
+        .agg(F.sum("n_docs").alias("n_ext"), F.max("c").alias("mx_ext"))
+    )
+    # containers from the SAME rep: identical token sets contain each other
+    # exactly (containment 1.0), so n_docs − 1 co-members each
+    rep_summary = (
+        counts.select(F.col("rep_id").alias("ra"), (F.col("n_docs") - 1).alias("n_own"))
+        .join(ext, "ra", "left")
+        .select(
+            "ra",
+            (F.coalesce("n_ext", F.lit(0).cast("bigint")) + F.col("n_own")).alias(
+                "n_containers"
+            ),
+            F.when(F.col("n_own") > 0, F.round(F.lit(1.0), 6))
+            .otherwise(F.col("mx_ext"))
+            .alias("max_containment"),
+        )
+    )
+    return membership.join(rep_summary, membership.rep_id == rep_summary.ra).select(
+        "doc_id",
+        "n_containers",
+        (F.col("n_containers") > 0).alias("is_contained"),
+        "max_containment",
+    )

@@ -474,3 +474,69 @@ def ml_eval_retrieval(spark, sf_dir):
         F.round(F.avg("hit5"), 6).alias("recall_at_5"),
         F.round(F.avg(1.0 / F.col("first_rel")), 6).alias("mrr"),
     )
+
+
+@query(
+    "vec_outlier_dist",
+    oracle="""
+        WITH ex AS (
+            SELECT label, vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, range(1, 65) r(i)
+        ),
+        dims AS (SELECT label, pos, round(avg(v), 6) AS mv FROM ex GROUP BY label, pos),
+        dist AS (
+            SELECT ex.vec_id, ex.label,
+                   round(sqrt(sum((ex.v - dims.mv) * (ex.v - dims.mv))), 6) AS dist
+            FROM ex JOIN dims ON ex.label = dims.label AND ex.pos = dims.pos
+            GROUP BY ex.vec_id, ex.label
+        ),
+        stats AS (SELECT label, avg(dist) AS mu, stddev_samp(dist) AS sd
+                  FROM dist GROUP BY label)
+        SELECT d.vec_id, d.label, d.dist,
+               d.dist > s.mu + 2 * s.sd AS is_outlier
+        FROM dist d JOIN stats s ON d.label = s.label
+    """,
+    family="vectors",
+)
+def vec_outlier_dist(spark, sf_dir):
+    """Embedding-space outlier scoring: L2 distance of each vector to its
+    label centroid, flagged when beyond mean + 2σ of its label's distance
+    distribution — the standard mislabeled-example / junk-embedding sweep
+    a curation pipeline runs before training a classifier head. Plan:
+    centroids via posexplode → (label, dim) avg (640 groups regardless of
+    row count) → array reassembly, broadcast back (10 rows × 64 dims);
+    the distance itself is a sequential zip_with/aggregate fold over the
+    array — per-row, shuffle-free, codegen, and the same left-to-right
+    summation order DuckDB's per-dim join+sum sees only after rounding,
+    which is why the centroid is rounded to 6 before the distance. The
+    per-label mean/σ agg is label-cardinality-sized. Nothing here scales
+    with pairs; 100 TB cost is two corpus scans."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select("label", "vec_id", F.posexplode("embedding").alias("pos0", "v"))
+    dims = ex.groupBy("label", (F.col("pos0") + 1).alias("pos")).agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("mv")
+    )
+    cent = dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s.getField("mv")
+        ).alias("cent")
+    )
+    diff_sq = F.zip_with(
+        "embedding", "cent", lambda x, c: F.pow(x.cast("double") - c, F.lit(2))
+    )
+    dist = e.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            F.sqrt(F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x)), 6
+        ).alias("dist"),
+    )
+    stats = dist.groupBy("label").agg(
+        F.avg("dist").alias("mu"), F.stddev_samp("dist").alias("sd")
+    )
+    return dist.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        "dist",
+        (F.col("dist") > F.col("mu") + 2 * F.col("sd")).alias("is_outlier"),
+    )

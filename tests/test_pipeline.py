@@ -654,3 +654,81 @@ def test_dedup_within_watermark_bounds_state(spark):
     assert max(states) > 0
     assert states[-1] < n_keys // 10
     assert states[-1] <= max(states) // 10
+
+
+def test_containment_summary_matches_pair_expansion(spark):
+    """The per-doc summary and the doc-level pair expansion are two views
+    of the same relation: n_containers must equal the number of directed
+    pairs with this doc on the contained side, and max_containment the
+    max score among them."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.functions.setsim import smallvocab_containment_pairs
+    from spark_ml_helper_spark.sources.parquet import table as t
+
+    sets = t(spark, SF_ORACLE, "documents").select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("elems")
+    )
+    pairs = smallvocab_containment_pairs(sets, tau=0.9, out_col="c").collect()
+    n_by_doc: dict[int, int] = defaultdict(int)
+    mx_by_doc: dict[int, float] = {}
+    for r in pairs:
+        n_by_doc[r.a_id] += 1
+        mx_by_doc[r.a_id] = max(mx_by_doc.get(r.a_id, 0.0), r.c)
+    summary = QUERIES["dedup_containment"](spark, SF_ORACLE).collect()
+    assert len(summary) > 0
+    for row in summary:
+        assert row.n_containers == n_by_doc.get(row.doc_id, 0)
+        assert row.is_contained == (row.n_containers > 0)
+        if row.n_containers:
+            assert abs(row.max_containment - mx_by_doc[row.doc_id]) < 1e-9
+        else:
+            assert row.max_containment is None
+
+
+def test_containment_covers_jaccard_pairs(spark):
+    """J(A,B) >= tau implies C(A->B) >= tau and C(B->A) >= tau, so every
+    undirected Jaccard pair at the same threshold must appear in BOTH
+    directions of the containment expansion."""
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.functions.setsim import (
+        exact_jaccard_pairs,
+        smallvocab_containment_pairs,
+    )
+    from spark_ml_helper_spark.sources.parquet import table as t
+
+    sets = t(spark, SF_ORACLE, "documents").select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("elems")
+    )
+    jac = {(r.a_id, r.b_id) for r in exact_jaccard_pairs(sets, 0.95, "j").collect()}
+    cont = {(r.a_id, r.b_id) for r in smallvocab_containment_pairs(sets, 0.95, "c").collect()}
+    assert jac, "no jaccard pairs — fixture changed?"
+    missing = {p for p in jac if p not in cont or (p[1], p[0]) not in cont}
+    assert not missing, f"{len(missing)} jaccard pairs missing from containment"
+
+
+def test_oov_and_bigram_scores_bounded(spark):
+    oov = QUERIES["text_oov_rate"](spark, SF_ORACLE).collect()
+    assert len(oov) > 0
+    for r in oov:
+        assert 0 <= r.n_oov <= r.n_tok
+        assert 0.0 <= r.oov_rate <= 1.0
+    lm = QUERIES["corpus_bigram_lm"](spark, SF_ORACLE).collect()
+    assert len(lm) > 0
+    # add-one smoothing keeps every bigram probability in (0, 1) -> NLL > 0
+    for r in lm:
+        assert r.n_bigrams > 0
+        assert r.mean_nll > 0.0
+
+
+def test_outlier_rate_is_tail_sized(spark):
+    rows = QUERIES["vec_outlier_dist"](spark, SF_ORACLE).collect()
+    assert len(rows) > 0
+    flagged = sum(1 for r in rows if r.is_outlier)
+    # mean + 2 sigma flags a distribution tail, not a large fraction
+    assert flagged / len(rows) < 0.15
+    for r in rows:
+        assert r.dist >= 0.0
