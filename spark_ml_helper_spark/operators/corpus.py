@@ -636,3 +636,53 @@ def text_oov_rate(spark, sf_dir):
             ).alias("oov_rate"),
         )
     )
+
+
+@query(
+    "text_sentiment",
+    oracle="""
+        WITH lex(w, polarity) AS (
+            VALUES ('fast', 1), ('big', 1), ('merge', 1),
+                   ('slow', -1), ('small', -1), ('dup', -1)
+        ),
+        tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+        ),
+        hits AS (
+            SELECT tok.doc_id, sum(lex.polarity) AS pol, count(lex.w) AS n_hits
+            FROM tok LEFT JOIN lex ON tok.w = lex.w
+            GROUP BY tok.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id)
+        SELECT s.doc_id, s.n_tok, h.n_hits,
+               round(coalesce(h.pol, 0) / CAST(s.n_tok AS DOUBLE), 6) AS sentiment
+        FROM sizes s JOIN hits h ON s.doc_id = h.doc_id
+    """,
+    family="corpus",
+)
+def text_sentiment(spark, sf_dir):
+    """Lexicon-based sentiment scoring (the distributed-sentiment-paper
+    pattern, PAPERS.md): join tokens against a small polarity lexicon,
+    score = Σ polarity / n_tokens in [-1, 1]. The lexicon is a broadcast
+    dimension — real ones (VADER/AFINN, ~7k entries) broadcast just as
+    well — so the plan is one token explode + broadcast hash join +
+    per-doc agg: no shuffle carries more than (doc_id, partial-sum). A
+    model-based scorer swaps the join for an Arrow-batched Pandas UDF;
+    plan shape is otherwise identical."""
+    lex = spark.createDataFrame(
+        [("fast", 1), ("big", 1), ("merge", 1), ("slow", -1), ("small", -1), ("dup", -1)],
+        "w string, polarity int",
+    )
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("w"))
+    return (
+        tok.join(F.broadcast(lex), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.count("polarity").alias("n_hits"),
+            F.round(
+                F.coalesce(F.sum("polarity"), F.lit(0)) / F.count("*").cast("double"), 6
+            ).alias("sentiment"),
+        )
+    )

@@ -673,3 +673,50 @@ def dedup_containment(spark, sf_dir):
         (F.col("n_containers") > 0).alias("is_contained"),
         "max_containment",
     )
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+        WITH k AS (
+            SELECT doc_id, lang, n_chars,
+                   pow((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        + 1.0) / 4294967296.0,
+                       1.0 / n_chars) AS key
+            FROM documents
+        )
+        SELECT doc_id, lang, n_chars, round(key, 6) AS samp_key
+        FROM k ORDER BY key DESC, doc_id LIMIT 100
+    """,
+    family="curation",
+)
+def sample_weighted(spark, sf_dir):
+    """Deterministic weighted k-sample (Efraimidis–Spirakis A-RES): each
+    row draws u = md5-derived uniform in (0, 1] and keeps key = u^(1/w);
+    the k largest keys are a sample without replacement with inclusion
+    probability proportional to weight w — here w = n_chars, the
+    length-proportional sampling a token-budgeted corpus draw wants
+    (sampling DOCUMENTS uniformly under-represents long docs' tokens).
+    The md5 base makes the draw reproducible across runs, engines,
+    partitionings, and data order (train_test_split's hazard-6
+    discipline), unlike rand()-keyed sampling. Plan: map-only key
+    computation + TakeOrderedAndProject — every task keeps a k-row heap,
+    no global sort, no shuffle beyond the k-row final merge; the sample
+    of 100 TB costs one scan. For stratified weighted draws swap the
+    global top-k for the win_topk_group idiom over the stratum key."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + 1.0
+    ) / F.lit(4294967296.0)
+    key = F.pow(u, 1.0 / F.col("n_chars"))
+    return (
+        d.select("doc_id", "lang", "n_chars", key.alias("key"))
+        .orderBy(F.desc("key"), "doc_id")
+        .limit(100)
+        .select("doc_id", "lang", "n_chars", F.round("key", 6).alias("samp_key"))
+    )

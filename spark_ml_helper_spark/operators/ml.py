@@ -352,7 +352,9 @@ def ml_naive_bayes(spark, sf_dir):
     affect the output) → NB with Laplace smoothing, trained on
     the md5 hash split. Output: per-language test support and accuracy.
     The lang → index map is pinned alphabetically (not StringIndexer's
-    frequency order) so the label space is stable across scale factors.
+    frequency order) so the label space is stable across scale factors;
+    it is built as a broadcast join against the distinct-lang frame, not
+    a driver-side collect.
     NB fit is one treeAggregate of per-class token sums — a single
     map-side-combinable pass, the cheapest possible distributed trainer."""
     from pyspark.ml.classification import NaiveBayes
@@ -369,9 +371,17 @@ def ml_naive_bayes(spark, sf_dir):
             F.lit(100),
         ).alias("bucket"),
     )
-    langs = [r[0] for r in d.select("lang").distinct().orderBy("lang").collect()]
-    lang_idx = F.array_position(F.array(*[F.lit(x) for x in langs]), F.col("lang")) - 1
-    d = d.withColumn("label", lang_idx.cast("double"))
+    # label map stays declarative: distinct langs (cardinality-bounded) get
+    # alphabetical indices via a window over the 5-row distinct frame and
+    # broadcast back — no driver-side collect in the plan
+    lang_map = (
+        d.select("lang")
+        .distinct()
+        .withColumn(
+            "label", (F.row_number().over(Window.orderBy("lang")) - 1).cast("double")
+        )
+    )
+    d = d.join(F.broadcast(lang_map), "lang")
     cv = CountVectorizer(inputCol="toks", outputCol="features", vocabSize=64)
     model_cv = cv.fit(d)
     vec = model_cv.transform(d)

@@ -732,3 +732,33 @@ def test_outlier_rate_is_tail_sized(spark):
     assert flagged / len(rows) < 0.15
     for r in rows:
         assert r.dist >= 0.0
+
+
+def test_weighted_sample_favors_long_docs(spark):
+    """Inclusion probability proportional to n_chars: the 100-doc sample's
+    mean length must exceed the corpus mean, and the draw is reproducible."""
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.sources.parquet import table as t
+
+    a = QUERIES["sample_weighted"](spark, SF_ORACLE).collect()
+    b = QUERIES["sample_weighted"](spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)), "weighted draw not deterministic"
+    assert len(a) == 100
+    corpus_mean = (
+        t(spark, SF_ORACLE, "documents").agg(F.avg("n_chars")).first()[0]
+    )
+    sample_mean = sum(r.n_chars for r in a) / len(a)
+    assert sample_mean > corpus_mean, (
+        f"length-weighted sample mean {sample_mean:.1f} <= corpus {corpus_mean:.1f}"
+    )
+
+
+def test_sentiment_bounded_and_hit_counted(spark):
+    rows = QUERIES["text_sentiment"](spark, SF_ORACLE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert -1.0 <= r.sentiment <= 1.0
+        assert 0 <= r.n_hits <= r.n_tok
+        if r.n_hits == 0:
+            assert r.sentiment == 0.0
