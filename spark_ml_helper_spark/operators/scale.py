@@ -34,29 +34,66 @@ from spark_ml_helper_spark.sources.parquet import table
     family="scale",
 )
 def join_skew_salted(spark, sf_dir):
-    """Skew-salted join + two-phase aggregation: the probe side gets a
-    random-free DETERMINISTIC salt (hash of the line number % S) appended
-    to its join key, the build side is exploded S ways, and the aggregate
-    runs partial-per-salt then final — so one hot o_orderkey spreads over S
-    reducers instead of melting one. Result is provably identical to the
-    plain join (the oracle). At test scale this is pure demonstration; at
-    100 TB with a power-law key it is the difference between a job and a
-    stuck executor. (AQE skew-join does this adaptively; explicit salting
-    is the portable form and composes with aggregation.)"""
+    """Hot-key-split skew-salted join + two-phase aggregation — the
+    production form of salting: a probe-side key-frequency agg finds the
+    HOT keys (> T rows), ONLY those keys take the salted path (probe rows
+    get a random-free deterministic salt = line number % S, the build
+    side's hot rows explode S ways), while the cold majority runs a plain
+    join untouched; partial aggregates from both paths union and fold to
+    the final group. Salting everything S-tuples the build side for no
+    reason; salting nothing melts one reducer per hot key — the split
+    pays the explode exactly where the skew is. Result is provably
+    identical to the plain join (the oracle). The threshold is set low
+    (T=6) so the fixture's near-uniform keys exercise BOTH paths at
+    every scale factor; at 100 TB with a power-law key T comes from the
+    partition-size budget (rows per key a single reducer can hold). The
+    hot-key dictionary is frequency-bounded and broadcasts. (AQE
+    skew-join does this adaptively for the join alone; the explicit
+    split composes with the downstream aggregation too.)"""
     S = 8
+    HOT_T = 6
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_linenumber"
+    )
+    hot = (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > HOT_T)
+        .select(F.col("l_orderkey").alias("hot_key"))
+    )
+    li_flag = li.join(
+        F.broadcast(hot), li.l_orderkey == F.col("hot_key"), "left"
+    )
+    li_hot = li_flag.filter(F.col("hot_key").isNotNull()).select(
         "l_orderkey",
         "l_extendedprice",
         (F.pmod(F.col("l_linenumber").cast("bigint"), F.lit(S))).alias("l_salt"),
     )
-    o_salted = o.withColumn("salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(S)])))
-    joined = o_salted.join(li, (o_salted.o_orderkey == li.l_orderkey) & (o_salted.salt == li.l_salt))
-    partial = joined.groupBy("o_custkey", "salt").agg(
-        F.count("*").alias("n_li_p"), F.sum("l_extendedprice").alias("rev_p")
+    li_cold = li_flag.filter(F.col("hot_key").isNull()).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o_flag = o.join(F.broadcast(hot), o.o_orderkey == F.col("hot_key"), "left")
+    o_hot = (
+        o_flag.filter(F.col("hot_key").isNotNull())
+        .select("o_orderkey", "o_custkey")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(S)])))
+    )
+    o_cold = o_flag.filter(F.col("hot_key").isNull()).select("o_orderkey", "o_custkey")
+    hot_partial = (
+        o_hot.join(li_hot, (o_hot.o_orderkey == li_hot.l_orderkey) & (o_hot.salt == li_hot.l_salt))
+        .groupBy("o_custkey", "salt")
+        .agg(F.count("*").alias("n_li_p"), F.sum("l_extendedprice").alias("rev_p"))
+        .select("o_custkey", "n_li_p", "rev_p")
+    )
+    cold_partial = (
+        o_cold.join(li_cold, o_cold.o_orderkey == li_cold.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_li_p"), F.sum("l_extendedprice").alias("rev_p"))
     )
     return (
-        partial.groupBy("o_custkey")
+        hot_partial.unionByName(cold_partial)
+        .groupBy("o_custkey")
         .agg(F.sum("n_li_p").alias("n_li"), F.round(F.sum("rev_p"), 6).alias("revenue"))
     )
 
