@@ -762,3 +762,22 @@ def test_sentiment_bounded_and_hit_counted(spark):
         assert 0 <= r.n_hits <= r.n_tok
         if r.n_hits == 0:
             assert r.sentiment == 0.0
+
+
+def test_sample_weighted_is_topk_not_global_sort(spark):
+    # map + k-row heap (TakeOrderedAndProject), never a full Exchange+Sort
+    plan = _formatted(QUERIES["sample_weighted"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bigram_lm_broadcasts_count_tables(spark):
+    # both LM count tables are vocab-sized dimensions: they must broadcast,
+    # never shuffle the token stream
+    plan = _formatted(QUERIES["corpus_bigram_lm"](spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_sentiment_lexicon_broadcasts(spark):
+    plan = _formatted(QUERIES["text_sentiment"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
