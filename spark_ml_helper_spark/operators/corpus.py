@@ -686,3 +686,90 @@ def text_sentiment(spark, sf_dir):
             ).alias("sentiment"),
         )
     )
+
+
+_BPE_ROUNDS = 10
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled-CTE BPE training: round i counts adjacent symbol pairs of
+    s{i-1}, picks the (count DESC, pair ASC) argmax m{i}, and rewrites the
+    corpus with a \\b-anchored global regexp_replace — the same
+    deterministic recurrence the Spark loop runs (graph_pagerank's
+    unrolled-oracle discipline)."""
+    parts = ["WITH s0 AS MATERIALIZED (SELECT doc_id, lower(text) AS seq FROM documents)"]
+    for i in range(1, rounds + 1):
+        prev = f"s{i - 1}"
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+            SELECT p, count(*) AS n FROM (
+                SELECT unnest(list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j + 1])) AS p
+                FROM (SELECT string_split(seq, ' ') AS t FROM {prev})
+            ) GROUP BY p
+        )"""
+        )
+        parts.append(f"m{i} AS MATERIALIZED (SELECT p, n FROM p{i} ORDER BY n DESC, p LIMIT 1)")
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+            SELECT doc_id,
+                   regexp_replace(seq, '\\b' || (SELECT p FROM m{i}) || '\\b',
+                                  (SELECT replace(p, ' ', '_') FROM m{i}), 'g') AS seq
+            FROM {prev}
+        )"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT {i} AS merge_rank, p AS pair, n FROM m{i}" for i in range(1, rounds + 1)
+    )
+    return ",\n".join(parts) + "\n" + union
+
+
+@query("tokenizer_bpe_train", oracle=_bpe_oracle(_BPE_ROUNDS), family="corpus")
+def tokenizer_bpe_train(spark, sf_dir):
+    """Byte-pair-encoding merge training at word granularity: 10 rounds of
+    (count adjacent symbol pairs over the corpus → take the most frequent
+    pair, ties broken lexicographically → rewrite every document merging
+    that pair into one symbol) — the exact greedy recurrence of BPE
+    tokenizer training (Sennrich et al.), here over whitespace symbols so
+    the DuckDB oracle can replay it verbatim. Output: the learned merge
+    table (rank, pair, count) a tokenizer would ship.
+
+    Distribution: each round is one explode → pair-count agg (vocab²-
+    bounded) → 1-row argmax to the driver (same cardinality-bounded
+    driver scalar as dedup_clusters' convergence sum) → a \\b-anchored
+    regexp_replace mapped over the corpus; localCheckpoint pins each
+    round's rewrite so lineage (and re-tokenization cost) stays O(1) per
+    round instead of compounding. Merged symbols join with '_' (a word
+    character, keeping later rounds' \\b anchors exact, and tokens are
+    [a-z]+ so patterns never contain regex metacharacters). At real
+    scale rounds are the cost knob: production BPE batches the top-k
+    non-overlapping pairs per round; the plan shape is unchanged."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.lower("text").alias("seq"))
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    cur = d
+    for rank in range(1, _BPE_ROUNDS + 1):
+        toks = cur.select(F.split("seq", " ").alias("t")).filter(F.size("t") >= 2)
+        pairs = toks.select(
+            F.explode(
+                F.expr("transform(sequence(0, size(t) - 2), j -> concat(t[j], ' ', t[j + 1]))")
+            ).alias("p")
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "p")
+            .first()
+        )
+        if top is None:
+            break
+        merges.append((rank, top["p"], top["n"]))
+        cur = cur.select(
+            "doc_id",
+            F.regexp_replace(
+                "seq", "\\b" + top["p"] + "\\b", top["p"].replace(" ", "_")
+            ).alias("seq"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(merges, "merge_rank int, pair string, n bigint")

@@ -781,3 +781,15 @@ def test_sentiment_lexicon_broadcasts(spark):
     plan = _formatted(QUERIES["text_sentiment"](spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bpe_merges_deterministic_and_wellformed(spark):
+    a = QUERIES["tokenizer_bpe_train"](spark, SF_ORACLE).collect()
+    b = QUERIES["tokenizer_bpe_train"](spark, SF_ORACLE).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b], "BPE training diverged across runs"
+    assert [r.merge_rank for r in a] == list(range(1, 11))
+    assert len({r.pair for r in a}) == 10, "a merge pair repeated — rewrite did not apply"
+    for r in a:
+        assert r.n > 0
+        left, right = r.pair.split(" ")
+        assert left and right
