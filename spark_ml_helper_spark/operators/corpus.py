@@ -691,12 +691,15 @@ def text_sentiment(spark, sf_dir):
 _BPE_ROUNDS = 10
 
 
-def _bpe_oracle(rounds: int) -> str:
+def _bpe_oracle(rounds: int, final_select: str | None = None) -> str:
     """Unrolled-CTE BPE training: round i counts adjacent symbol pairs of
     s{i-1}, picks the (count DESC, pair ASC) argmax m{i}, and rewrites the
     corpus with a \\b-anchored global regexp_replace — the same
     deterministic recurrence the Spark loop runs (graph_pagerank's
-    unrolled-oracle discipline)."""
+    unrolled-oracle discipline). The CTEs are MATERIALIZED: each s{i} is
+    referenced twice (by p{i+1} and s{i+1}), so inlining would expand the
+    base scan 2^rounds times. ``final_select`` overrides the default
+    merge-table projection (used by corpus_apply_bpe to diff s0 vs sN)."""
     parts = ["WITH s0 AS MATERIALIZED (SELECT doc_id, lower(text) AS seq FROM documents)"]
     for i in range(1, rounds + 1):
         prev = f"s{i - 1}"
@@ -717,10 +720,11 @@ def _bpe_oracle(rounds: int) -> str:
             FROM {prev}
         )"""
         )
-    union = "\nUNION ALL ".join(
-        f"SELECT {i} AS merge_rank, p AS pair, n FROM m{i}" for i in range(1, rounds + 1)
-    )
-    return ",\n".join(parts) + "\n" + union
+    if final_select is None:
+        final_select = "\nUNION ALL ".join(
+            f"SELECT {i} AS merge_rank, p AS pair, n FROM m{i}" for i in range(1, rounds + 1)
+        )
+    return ",\n".join(parts) + "\n" + final_select
 
 
 @query("tokenizer_bpe_train", oracle=_bpe_oracle(_BPE_ROUNDS), family="corpus")
@@ -743,6 +747,15 @@ def tokenizer_bpe_train(spark, sf_dir):
     [a-z]+ so patterns never contain regex metacharacters). At real
     scale rounds are the cost knob: production BPE batches the top-k
     non-overlapping pairs per round; the plan shape is unchanged."""
+    merges, _final = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(merges, "merge_rank int, pair string, n bigint")
+
+
+def _bpe_train(spark, sf_dir):
+    """Run the greedy merge loop; return (merges list, final rewritten
+    corpus DataFrame (doc_id, seq)). Shared by tokenizer_bpe_train (which
+    ships the merge table) and corpus_apply_bpe (which measures the
+    rewritten corpus)."""
     d = (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.lower("text").alias("seq"))
@@ -772,4 +785,47 @@ def tokenizer_bpe_train(spark, sf_dir):
                 "seq", "\\b" + top["p"] + "\\b", top["p"].replace(" ", "_")
             ).alias("seq"),
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(merges, "merge_rank int, pair string, n bigint")
+    return merges, cur
+
+
+@query(
+    "corpus_apply_bpe",
+    oracle=_bpe_oracle(
+        _BPE_ROUNDS,
+        final_select=f"""
+        SELECT s0.doc_id,
+               len(string_split(s0.seq, ' ')) AS n_tok_before,
+               len(string_split(s{_BPE_ROUNDS}.seq, ' ')) AS n_tok_after,
+               round(len(string_split(s{_BPE_ROUNDS}.seq, ' '))
+                     / CAST(len(string_split(s0.seq, ' ')) AS DOUBLE), 6) AS compression
+        FROM s0 JOIN s{_BPE_ROUNDS} ON s0.doc_id = s{_BPE_ROUNDS}.doc_id
+    """,
+    ),
+    family="corpus",
+)
+def corpus_apply_bpe(spark, sf_dir):
+    """Apply the trained BPE merge table back to the corpus and measure
+    it: per-document token counts before/after the 10 merges and the
+    compression ratio — the "did this tokenizer help" number that decides
+    whether a merge table ships. Reuses the training loop's final
+    rewritten corpus (each merge already applied with the \\b-anchored
+    rewrite), so the measurement is exactly the corpus a tokenizer using
+    that merge table would produce; the oracle replays the same 10-round
+    recurrence and diffs s0 against s10. Token counting is per-row
+    higher-order functions — shuffle-free, codegen."""
+    _merges, final = _bpe_train(spark, sf_dir)
+    orig = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).alias("n_tok_before")
+    )
+    after = final.select("doc_id", F.size(F.split("seq", " ")).alias("n_tok_after"))
+    return (
+        orig.join(after, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tok_before").cast("bigint").alias("n_tok_before"),
+            F.col("n_tok_after").cast("bigint").alias("n_tok_after"),
+            F.round(
+                F.col("n_tok_after") / F.col("n_tok_before").cast("double"), 6
+            ).alias("compression"),
+        )
+    )

@@ -793,3 +793,15 @@ def test_bpe_merges_deterministic_and_wellformed(spark):
         assert r.n > 0
         left, right = r.pair.split(" ")
         assert left and right
+
+
+def test_bpe_compression_strictly_helps(spark):
+    rows = QUERIES["corpus_apply_bpe"](spark, SF_ORACLE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 1 <= r.n_tok_after <= r.n_tok_before
+        assert 0.0 < r.compression <= 1.0
+    # 10 frequent merges must compress the corpus overall
+    total_before = sum(r.n_tok_before for r in rows)
+    total_after = sum(r.n_tok_after for r in rows)
+    assert total_after < total_before
