@@ -597,3 +597,109 @@ def vec_outlier_dist(spark, sf_dir):
         "dist",
         (F.col("dist") > F.col("mu") + 2 * F.col("sd")).alias("is_outlier"),
     )
+
+
+_DECON_TAU = 0.35
+
+
+@query(
+    "corpus_decontaminate_semantic",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, embedding, {_DUCK_NORM.format(a='embedding')} AS nrm
+            FROM embeddings
+        ),
+        b AS (SELECT * FROM v WHERE vec_id % 97 = 0),
+        t AS (SELECT * FROM v WHERE vec_id % 97 <> 0),
+        sims AS (
+            SELECT t.vec_id,
+                   {_DUCK_DOT.format(a='t.embedding', b='b.embedding')} / (t.nrm * b.nrm) AS sim
+            FROM t JOIN b ON true
+        )
+        SELECT vec_id, count(*) AS n_benchmark_hits, round(max(sim), 6) AS max_sim
+        FROM sims WHERE sim >= {_DECON_TAU}
+        GROUP BY vec_id
+    """,
+    family="corpus",
+)
+def corpus_decontaminate_semantic(spark, sf_dir):
+    """Semantic benchmark decontamination — the embedding-space
+    complement of corpus_decontaminate's n-gram filter: flag training
+    vectors whose cosine to ANY held-out benchmark vector (vec_id % 97
+    stands in for the eval set) reaches τ, catching paraphrased or
+    re-worded leakage that shares no shingle. The benchmark embedding
+    table is eval-set-sized and broadcasts; the scan of the training
+    side is map-only (per-row JVM fold against the broadcast list via a
+    non-equi broadcast join), so the sweep costs one pass over train —
+    the same shape the n-gram variant has, with the shingle dictionary
+    swapped for an embedding dictionary. τ is fixture-tuned (0.35 flags
+    the contaminated tail: 9 of 494 at sf0.01); a production pipeline
+    calibrates it on known eval/train pairs. For benchmark sets too big
+    to broadcast, block both sides and reuse the sim_cosine_pairs
+    matmul scaffold."""
+    v = _norms(spark, sf_dir)
+    b = v.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm")
+    )
+    t = v.filter(F.col("vec_id") % 97 != 0)
+    sim = dot(F.col("embedding"), F.col("b_emb")) / (F.col("nrm") * F.col("b_nrm"))
+    return (
+        t.join(F.broadcast(b), sim >= F.lit(_DECON_TAU))
+        .select("vec_id", sim.alias("sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_benchmark_hits"),
+            F.round(F.max("sim"), 6).alias("max_sim"),
+        )
+    )
+
+
+@query(
+    "sim_threshold_sweep",
+    oracle=f"""
+        WITH s AS (
+            SELECT vec_id, embedding, {_DUCK_NORM.format(a='embedding')} AS nrm
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT 100
+        ),
+        sims AS (
+            SELECT CAST(floor(
+                       ({_DUCK_DOT.format(a='a.embedding', b='b.embedding')}
+                        / (a.nrm * b.nrm) + 1.0) / 0.1) AS BIGINT) AS bucket
+            FROM s a JOIN s b ON a.vec_id < b.vec_id
+        )
+        SELECT bucket, round(bucket * 0.1 - 1.0, 1) AS sim_lo, count(*) AS n_pairs
+        FROM sims GROUP BY bucket
+    """,
+    family="vectors",
+)
+def sim_threshold_sweep(spark, sf_dir):
+    """Similarity-threshold calibration: histogram of pairwise cosine over
+    a deterministic 100-vector sample (smallest md5(vec_id) — the
+    sample_deterministic discipline, reproducible across engines and
+    layouts), bucketed at 0.1 width over [-1, 1]. This is the diagnostic
+    a pipeline runs BEFORE committing to a dedup/decontamination τ: the
+    histogram's knee separates the duplicate mode from the background
+    mode. The pair space is sample²-bounded (4,950 pairs) regardless of
+    corpus size — the whole point: calibrate on a bounded draw, then run
+    the banded/blocked operators at the chosen τ over the full corpus.
+    Bucket index uses floor((sim+1)/0.1) on the UNROUNDED sim — identical
+    fp on both engines since the dot is the same sequential fold."""
+    v = _norms(spark, sf_dir)
+    s = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id")
+        .limit(100)
+        .select("vec_id", "embedding", "nrm")
+        .localCheckpoint(eager=True)
+    )
+    a = s.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm"))
+    b = s.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm"))
+    sim = dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(F.floor((sim + 1.0) / 0.1).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"))
+        .select("bucket", F.round(F.col("bucket") * 0.1 - 1.0, 1).alias("sim_lo"), "n_pairs")
+    )

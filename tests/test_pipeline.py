@@ -805,3 +805,24 @@ def test_bpe_compression_strictly_helps(spark):
     total_before = sum(r.n_tok_before for r in rows)
     total_after = sum(r.n_tok_after for r in rows)
     assert total_after < total_before
+
+
+def test_semantic_decon_agrees_with_bruteforce(spark):
+    import numpy as np
+
+    rows = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows], dtype="float64")
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    bench = ids % 97 == 0
+    sims = M[~bench] @ M[bench].T
+    expect = {
+        int(i): int(n)
+        for i, n in zip(ids[~bench], (sims >= 0.35).sum(axis=1))
+        if n > 0
+    }
+    got = {
+        r.vec_id: r.n_benchmark_hits
+        for r in QUERIES["corpus_decontaminate_semantic"](spark, SF_ORACLE).collect()
+    }
+    assert got == expect
