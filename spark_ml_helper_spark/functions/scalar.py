@@ -464,3 +464,36 @@ def fn_struct(spark, sf_dir):
         F.col("o.yr").alias("yr"),
         F.concat(F.col("o.status"), F.lit("/"), F.col("o.yr").cast("string")).alias("status_yr"),
     )
+
+
+@query(
+    "fn_regexp",
+    oracle="""
+        SELECT p_partkey,
+               array_to_string(regexp_extract_all(p_name, '[a-z]+'), '|') AS words,
+               CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS n_vowel_runs,
+               regexp_matches(p_name, '^[a-z]+ ')                          AS multi_word,
+               regexp_extract(p_type, '([A-Z]+)$', 1)                     AS last_caps,
+               regexp_replace(p_name, '[aeiou]', '.', 'g')                AS devoweled
+        FROM part
+    """,
+    family="functions",
+)
+def fn_regexp(spark, sf_dir):
+    """Regexp function family beyond fn_string's basics: extract-all (list
+    of matches, '|'-canonicalized for the comparator), match counting
+    (regexp_count), boolean rlike, anchored group extraction, and global
+    class replacement. Patterns stay in the RE2-compatible subset (no
+    backreferences/lookahead) so Java's and DuckDB's engines agree by
+    construction. Map-only, codegen, pushdown-transparent."""
+    from spark_ml_helper_spark.functions.canon import join_str_array
+
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        join_str_array(F.regexp_extract_all("p_name", F.lit("[a-z]+"), F.lit(0))).alias("words"),
+        F.regexp_count("p_name", F.lit("[aeiou]+")).cast("bigint").alias("n_vowel_runs"),
+        F.col("p_name").rlike("^[a-z]+ ").alias("multi_word"),
+        F.regexp_extract("p_type", "([A-Z]+)$", 1).alias("last_caps"),
+        F.regexp_replace("p_name", "[aeiou]", ".").alias("devoweled"),
+    )
