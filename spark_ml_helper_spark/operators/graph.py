@@ -254,3 +254,89 @@ def _pagerank_ranks(spark, sf_dir):
             .localCheckpoint()
         )
     return ranks
+
+
+_CC_MIN_COOCCUR = 4
+_CC_SUPP_OFFSET = 1_000_000
+
+
+@query(
+    "graph_cc",
+    oracle=f"""
+        WITH RECURSIVE e0 AS (
+            SELECT o.o_custkey AS c, l.l_suppkey AS s
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2 HAVING count(*) >= {_CC_MIN_COOCCUR}
+        ),
+        nodes AS (
+            SELECT DISTINCT c AS node FROM e0
+            UNION SELECT DISTINCT s + {_CC_SUPP_OFFSET} FROM e0
+        ),
+        edges AS (
+            SELECT c AS src, s + {_CC_SUPP_OFFSET} AS dst FROM e0
+            UNION ALL SELECT s + {_CC_SUPP_OFFSET}, c FROM e0
+        ),
+        walk(node, lab) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node
+        )
+        SELECT node, min(lab) AS cluster_id FROM walk GROUP BY node
+    """,
+    family="graph",
+)
+def graph_cc(spark, sf_dir):
+    """Connected components over a relational co-occurrence graph: the
+    bipartite customer–supplier graph with an edge where a pair
+    co-occurs in ≥ 4 line items (suppliers offset into their own id
+    space). Components are trading communities — the entity-resolution /
+    account-linking shape (shared devices, shared counterparties) that a
+    relational warehouse answers with CC, not joins. Same iterative
+    min-label propagation as dedup_clusters (each round every node takes
+    the min of its own and its neighbors' labels; stop when the global
+    label sum fixes; localCheckpoint truncates lineage per round), with
+    the recursive-CTE min-label closure as the oracle — the iterative
+    loop must hit the identical fixpoint. Per-round shuffles key on node
+    id, never the pair space; the co-occurrence threshold is the density
+    dial (it bounds edge count and, at web scale, keeps hub vertices
+    from gluing everything into one giant component). At extreme scale
+    swap in large-star/small-star exactly as dedup_clusters documents."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _CC_MIN_COOCCUR)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + _CC_SUPP_OFFSET).alias("s"),
+        )
+    )
+    edges = (
+        e0.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionByName(e0.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("lab")).first()[0]
+    for _ in range(50):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lab").alias("nbr_lab"))
+        )
+        labels = (
+            labels.join(nbr_min, "node", "left")
+            .select("node", F.least("lab", F.coalesce("nbr_lab", "lab")).alias("lab"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lab")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("lab").alias("cluster_id"))

@@ -826,3 +826,20 @@ def test_semantic_decon_agrees_with_bruteforce(spark):
         for r in QUERIES["corpus_decontaminate_semantic"](spark, SF_ORACLE).collect()
     }
     assert got == expect
+
+
+def test_graph_cc_minlabel_property(spark):
+    rows = QUERIES["graph_cc"](spark, SF_ORACLE).collect()
+    assert rows
+    labels = {r.node: r.cluster_id for r in rows}
+    # min-label CC: every label is a member of its own cluster and is the
+    # minimum node id in that cluster
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for n, c in labels.items():
+        members[c].append(n)
+        assert c <= n
+    for c, ns in members.items():
+        assert c in labels and labels[c] == c
+        assert min(ns) == c
