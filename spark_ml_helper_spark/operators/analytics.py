@@ -265,3 +265,46 @@ def trend_per_group(spark, sf_dir):
         F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
         F.round(F.regr_r2("y", "x"), 4).alias("r2"),
     )
+
+
+@query(
+    "events_pattern_match",
+    oracle="""
+        SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq,
+               regexp_matches(
+                   string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id),
+                   'v.*c.*p') AS converted
+        FROM events
+        GROUP BY user_id, CAST(ts AS DATE)
+    """,
+    family="analytics",
+)
+def events_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-lite sequence pattern detection: each (user, day)
+    becomes a compact event-initial string (ordered by ts with event_id
+    tie-break, so the string is deterministic), and a regex over that
+    string answers "did a view→click→purchase happen in order, anything
+    between" — the general form of funnel questions that step-joins
+    (funnel_ordered) hard-code one pattern of. Day-partitioned
+    sessionization keys the shuffle on (user, day) — bounded groups,
+    arbitrary patterns swappable at zero plan cost; the struct-sort +
+    transform reassembly is the vec_centroids idiom, and the regex stays
+    in the RE2-compatible subset both engines share."""
+    e = table(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("i"))
+                )
+            ),
+            lambda s: s.getField("i"),
+        ),
+        "",
+    )
+    return (
+        e.groupBy("user_id", F.col("ts").cast("date").cast("string").alias("day"))
+        .agg(seq.alias("seq"))
+        .select("user_id", "day", "seq", F.col("seq").rlike("v.*c.*p").alias("converted"))
+    )
