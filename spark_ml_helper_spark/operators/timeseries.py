@@ -198,3 +198,52 @@ def ts_interpolate(spark, sf_dir):
         F.col("v").isNotNull().alias("observed"),
         interp.alias("v_interp"),
     )
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+        WITH r AS (
+            SELECT date_trunc('hour', ts) AS hr, value, ts, event_id,
+                   row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                      ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        SELECT hr,
+               round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+               round(max(value), 6)                             AS high,
+               round(min(value), 6)                             AS low,
+               round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+               count(*)                                         AS n_events,
+               round(sum(value), 6)                             AS volume
+        FROM r GROUP BY hr
+    """,
+    family="timeseries",
+)
+def ts_resample_ohlc(spark, sf_dir):
+    """OHLC downsampling — the canonical time-series resample: per hourly
+    bar, the first (open) and last (close) observation by (ts, event_id)
+    — the id tie-break makes first/last deterministic under equal
+    timestamps — plus high/low/count/volume. One window pass partitioned
+    by the bar key feeds one hash aggregate on the same key, so the
+    shuffle count is one and AQE coalesces the bar partitions; at 100 TB
+    the bar key is time-prefixed, so a date-partitioned source prunes to
+    the requested range before the window runs."""
+    e = table(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts")).alias("hr")
+    r = e.select(hr, "value", "ts", "event_id")
+    w_a = Window.partitionBy("hr").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("hr").orderBy(F.desc("ts"), F.desc("event_id"))
+    r = r.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
+        "rn_d", F.row_number().over(w_d)
+    )
+    return r.groupBy("hr").agg(
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 6).alias("close"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("volume"),
+    )
