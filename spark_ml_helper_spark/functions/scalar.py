@@ -497,3 +497,35 @@ def fn_regexp(spark, sf_dir):
         F.regexp_extract("p_type", "([A-Z]+)$", 1).alias("last_caps"),
         F.regexp_replace("p_name", "[aeiou]", ".").alias("devoweled"),
     )
+
+
+@query(
+    "fn_encoding",
+    oracle="""
+        SELECT p_partkey,
+               to_base64(encode(p_name))                 AS name_b64,
+               hex(encode(p_brand))                      AS brand_hex,
+               md5(p_name)                               AS name_md5,
+               decode(from_base64(to_base64(encode(p_name)))) AS roundtrip,
+               CAST(octet_length(encode(p_name)) AS BIGINT) AS n_bytes
+        FROM part
+    """,
+    family="functions",
+)
+def fn_encoding(spark, sf_dir):
+    """Binary/encoding function family: base64, hex, md5 digests, a
+    base64 round-trip, and byte length. Everything goes through an
+    explicit string→binary cast so both engines hash/encode the same
+    bytes (the SURVEY §7.4 hazard-6 rule: engine-native hash() functions
+    differ, digest functions over identical bytes do not). Map-only,
+    codegen."""
+    p = table(spark, sf_dir, "part")
+    as_bin = lambda c: F.col(c).cast("binary")  # noqa: E731
+    return p.select(
+        "p_partkey",
+        F.base64(as_bin("p_name")).alias("name_b64"),
+        F.hex(as_bin("p_brand")).alias("brand_hex"),
+        F.md5(as_bin("p_name")).alias("name_md5"),
+        F.unbase64(F.base64(as_bin("p_name"))).cast("string").alias("roundtrip"),
+        F.octet_length("p_name").cast("bigint").alias("n_bytes"),
+    )
