@@ -373,3 +373,42 @@ def join_scalar_subquery(spark, sf_dir):
     for t in ("customer", "orders"):
         table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SCALAR_SUBQ)
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+        WITH a AS (
+            SELECT c_custkey, nullif(c_nationkey % 5, 3) AS grp, c_acctbal
+            FROM customer
+        ),
+        b AS (
+            SELECT nullif(n_nationkey % 5, 3) AS grp, count(*) AS n_nations
+            FROM nation GROUP BY 1
+        )
+        SELECT a.c_custkey, a.grp, b.n_nations
+        FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+    """,
+    family="joins",
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — the semantics a
+    dimension join needs when "unknown" is itself a category (here a
+    nullified bucket column on both sides). Spark plans eqNullSafe as an
+    ordinary hash join on a null-tolerant key, so the dim side still
+    broadcasts; contrast with a plain equi-join, which drops every
+    NULL-keyed row of both sides. Forgetting this distinction is a
+    classic silent-data-loss bug in SCD pipelines."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(3)).alias("grp"), "c_acctbal"
+    )
+    n = (
+        table(spark, sf_dir, "nation")
+        .select(F.nullif(F.col("n_nationkey") % 5, F.lit(3)).alias("grp"))
+        .groupBy("grp")
+        .agg(F.count("*").alias("n_nations"))
+    )
+    return c.join(F.broadcast(n), c.grp.eqNullSafe(n.grp)).select(
+        "c_custkey", c.grp.alias("grp"), "n_nations"
+    )

@@ -282,3 +282,50 @@ def win_dist(spark, sf_dir):
         F.ntile(10).over(w).cast("bigint").alias("decile"),
         F.round(F.percent_rank().over(w), 6).alias("pr"),
     )
+
+
+@query(
+    "win_streaks",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+            FROM events
+        ),
+        isl AS (
+            SELECT user_id, d,
+                   d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+            FROM days
+        ),
+        streaks AS (
+            SELECT user_id, count(*) AS len FROM isl GROUP BY user_id, grp
+        )
+        SELECT user_id, max(len) AS longest_streak,
+               CAST(sum(len) AS BIGINT) AS n_active_days,
+               count(*) AS n_streaks
+        FROM streaks GROUP BY user_id
+    """,
+    family="windows",
+)
+def win_streaks(spark, sf_dir):
+    """Gaps-and-islands: per-user longest run of CONSECUTIVE active days
+    (day-index minus row_number is constant within a consecutive run —
+    the classic islands trick), plus total active days and run count.
+    The retention/engagement-streak shape every product-analytics stack
+    computes. Two hash aggs and one per-user window over distinct
+    active DAYS (bounded: users × days, not events); the day index is an
+    integer difference from a fixed epoch so both engines group on exact
+    ints."""
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    streaks = isl.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.sum("len").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+    )
