@@ -308,3 +308,57 @@ def events_pattern_match(spark, sf_dir):
         .agg(seq.alias("seq"))
         .select("user_id", "day", "seq", F.col("seq").rlike("v.*c.*p").alias("converted"))
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        mad AS (
+            SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+            FROM events e JOIN med m ON e.event_type = m.event_type
+            GROUP BY e.event_type
+        )
+        SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+               round((e.value - m.med) / (1.4826 * d.mad), 6) AS robust_z
+        FROM events e
+        JOIN med m ON e.event_type = m.event_type
+        JOIN mad d ON e.event_type = d.event_type
+        WHERE abs((e.value - m.med) / (1.4826 * d.mad)) > 3
+    """,
+    family="analytics",
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust anomaly detection via median absolute deviation: robust_z =
+    (v − median) / (1.4826·MAD), flagged beyond 3 — the outlier sweep
+    that survives what breaks events_anomaly's z-score: heavy tails and
+    the outliers themselves inflating the stddev they're judged against
+    (masking). Two grouped exact medians (Spark `percentile` matches
+    DuckDB `quantile_cont` interpolation — the agg_percentile parity)
+    joined back as broadcast per-type stats; the flag scan is map-only.
+    At scale swap exact percentile for approx_percentile and accept the
+    sketch error band, same plan shape."""
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    rz = (F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.abs(rz) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(rz, 6).alias("robust_z"),
+        )
+    )

@@ -184,3 +184,40 @@ def feature_class_weights(spark, sf_dir):
         "n",
         F.round(F.col("total") / (F.col("k").cast("double") * F.col("n")), 6).alias("weight"),
     )
+
+
+@query(
+    "feature_hashing",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+        )
+        SELECT doc_id,
+               (('0x' || substring(md5(w), 1, 8))::BIGINT % 32) AS bucket,
+               count(*) AS n
+        FROM tok GROUP BY doc_id, bucket
+    """,
+    family="mlprep",
+)
+def feature_hashing(spark, sf_dir):
+    """Hashing-trick featurizer (HashingTF equivalent, engine-neutral):
+    token → md5-derived bucket in [0, 32), per-document sparse counts in
+    long form (doc_id, bucket, n) — the fixed-width featurization that
+    needs NO vocabulary pass, no fitted dictionary, and no driver state,
+    which is why it is the default at 100 TB (CountVectorizer's vocab
+    build is itself a corpus-wide agg + broadcast). md5 instead of
+    Spark's native hash() keeps the bucket assignment reproducible in
+    any engine (hazard-6 discipline) at the cost of a slower hash —
+    swap murmur3 back in when cross-engine parity stops mattering. One
+    explode + one hash agg keyed (doc_id, bucket); collisions are the
+    accepted trade (32 buckets over a 31-token vocab collides on
+    purpose here so tests see the effect)."""
+    from spark_ml_helper_spark.operators.text import _tokens
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("w"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10).cast("bigint")
+        % 32
+    )
+    return tok.groupBy("doc_id", bucket.alias("bucket")).agg(F.count("*").alias("n"))
