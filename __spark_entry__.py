@@ -28,9 +28,8 @@ load_all_operators()
 # verification window (~50 queries, taken from the head of ``queries()``)
 # re-records them.
 _REVERIFY_FIRST = [
-    "agg_collect",     # r1 FAIL (comparator crash on list cells) — fixed, needs a green row
-    "graph_pagerank",  # gained a DuckDB oracle + dangling-mass redistribution this round
-    "dedup_minhash",   # output contract changed to rep-level pairs (scale fix)
+    "sim_knn",            # r2-green but rewritten since (blocked BLAS preselect) — re-record
+    "events_anomaly_mad", # mad>0 guard added to Spark filter + oracle this round
 ]
 
 

@@ -47,6 +47,9 @@ HEADLINE = [
     "join_skew_salted", # salted skew join + two-phase agg
     "mm_image_features",# Arrow-batched binary decode
     "ml_kmeans",        # seeded MLlib KMeans
+    "dedup_containment",# asymmetric near-subset sweep (rep matmul + rescore)
+    "dedup_clusters",   # near-dup connected components on the rep graph
+    "corpus_bigram_lm", # bigram-LM perplexity scoring
 ]
 
 

@@ -158,7 +158,7 @@ def smallvocab_jaccard_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks
     """Same contract as exact_jaccard_pairs, specialized for a SMALL element
     vocabulary: represent each distinct set as a multi-hot row over the
     ranked vocab, partition sets into blocks, and compute ALL pairwise
-    intersection counts for a block pair with one float32 BLAS matmul
+    intersection counts for a block pair with one float64 BLAS matmul
     (binary vectors: A·Bᵀ = |A∩B|) inside cogroup→applyInPandas. Pairs
     passing J ≥ τ (with a small margin) become candidates; the exact JVM
     array_intersect rescore then recomputes Jaccard for the oracle
@@ -222,7 +222,7 @@ def smallvocab_jaccard_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks
             return pd.DataFrame({"ra": [], "rb": []}).astype({"ra": "int64", "rb": "int64"})
 
         def scatter(col):
-            m = np.zeros((len(col), vdim), dtype="float32")
+            m = np.zeros((len(col), vdim), dtype="float64")
             for i, ranks in enumerate(col):
                 m[i, np.asarray(ranks, dtype="int64")] = 1.0
             return m
@@ -235,8 +235,8 @@ def smallvocab_jaccard_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks
         a_ids, b_ids = pa["a_id"].to_numpy(), pb["b_id"].to_numpy()
         if key[0] == key[1]:
             jac[a_ids[:, None] >= b_ids[None, :]] = -1.0
-        # margin absorbs float32 matmul error; counts are small ints so the
-        # true error is ~0, but the rescore makes exactness unconditional
+        # float64 matmul keeps integer intersection counts exact at any set
+        # size (float32 only to 2^24); margin + JVM rescore stay as belts
         ai, bj = np.nonzero(jac >= tau - 1e-6)
         lo = np.minimum(a_ids[ai], b_ids[bj])
         hi = np.maximum(a_ids[ai], b_ids[bj])
@@ -285,7 +285,7 @@ def containment_rep_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks: i
     structurally misses.
 
     Same small-vocab block-matmul design as smallvocab_jaccard_pairs
-    (one float32 A·Bᵀ per block pair gives ALL |A∩B| counts at once;
+    (one float64 A·Bᵀ per block pair gives ALL |A∩B| counts at once;
     exact JVM rescore on candidates), except the kernel reads the
     intersection matrix twice — A-in-B down the rows, B-in-A across the
     columns — so each block pair serves both directions in one matmul.
@@ -344,7 +344,7 @@ def containment_rep_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks: i
             return pd.DataFrame({"ra": [], "rb": []}).astype({"ra": "int64", "rb": "int64"})
 
         def scatter(col):
-            m = np.zeros((len(col), vdim), dtype="float32")
+            m = np.zeros((len(col), vdim), dtype="float64")
             for i, ranks in enumerate(col):
                 m[i, np.asarray(ranks, dtype="int64")] = 1.0
             return m

@@ -327,7 +327,7 @@ def events_pattern_match(spark, sf_dir):
         FROM events e
         JOIN med m ON e.event_type = m.event_type
         JOIN mad d ON e.event_type = d.event_type
-        WHERE abs((e.value - m.med) / (1.4826 * d.mad)) > 3
+        WHERE d.mad > 0 AND abs((e.value - m.med) / (1.4826 * d.mad)) > 3
     """,
     family="analytics",
 )
@@ -354,7 +354,11 @@ def events_anomaly_mad(spark, sf_dir):
     return (
         e.join(F.broadcast(med), "event_type")
         .join(F.broadcast(mad), "event_type")
-        .filter(F.abs(rz) > 3)
+        # mad > 0 guard pins engine parity: with mad == 0 Spark's non-ANSI
+        # division yields NULL (row silently dropped) while DuckDB's IEEE
+        # division yields +-inf (row kept) — a degenerate group (>50% of
+        # values at the median) has no meaningful robust z anyway.
+        .filter((F.col("mad") > 0) & (F.abs(rz) > 3))
         .select(
             "event_id",
             "event_type",

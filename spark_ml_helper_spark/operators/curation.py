@@ -123,6 +123,10 @@ def dedup_clusters(spark, sf_dir):
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # diameter > 50 would mean non-converged labels that break the
+        # min-label invariant the oracle asserts — fail loudly instead
+        raise RuntimeError("dedup_clusters: min-label propagation did not converge in 50 rounds")
     # expand rep labels to members; edge-free reps label themselves
     doc_labels = (
         membership.join(labels, "rep_id", "left")

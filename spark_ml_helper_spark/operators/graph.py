@@ -339,4 +339,9 @@ def graph_cc(spark, sf_dir):
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # a component with diameter > 50 would exit here with labels that no
+        # longer satisfy the min-label invariant — fail loudly, never return
+        # silently-wrong cluster ids (the fix is more rounds or star-contraction)
+        raise RuntimeError("graph_cc: min-label propagation did not converge in 50 rounds")
     return labels.select("node", F.col("lab").alias("cluster_id"))

@@ -100,31 +100,59 @@ def ml_pca(spark, sf_dir):
     return per_comp.join(ev_df, "component").select("component", "explained_var", "score_var")
 
 
-@query("ml_scaler_pipeline", oracle=None, family="ml")
+@query(
+    "ml_scaler_pipeline",
+    oracle="""
+        WITH stats AS (
+            SELECT avg(CAST(embedding[1] AS DOUBLE)) AS mu,
+                   stddev_samp(CAST(embedding[1] AS DOUBLE)) AS sd
+            FROM embeddings
+        ),
+        scaled AS (
+            SELECT (CAST(e.embedding[1] AS DOUBLE) - s.mu) / s.sd AS s0
+            FROM embeddings e CROSS JOIN stats s
+        )
+        SELECT CAST(CASE WHEN s0 < -1 THEN 0 WHEN s0 < 0 THEN 1
+                         WHEN s0 < 1 THEN 2 ELSE 3 END AS INTEGER) AS bucket,
+               count(*) AS n_members
+        FROM scaled GROUP BY 1
+    """,
+    family="ml",
+)
 def ml_scaler_pipeline(spark, sf_dir):
-    """A 2-stage ML Pipeline (StandardScaler → KMeans) fit as one unit —
-    the Pipeline/PipelineModel wrapper pattern itself is the operator under
-    test. Output: scaled-space cluster-size distribution (seed-stable)."""
+    """A 3-stage ML Pipeline (SQLTransformer → VectorAssembler →
+    StandardScaler) fit as one unit — the Pipeline/PipelineModel wrapper
+    pattern itself is the operator under test: Transformer stages feeding
+    an Estimator whose fitted state (mean/std) the PipelineModel replays
+    at transform time. Output: the bucket histogram of the first
+    standardized embedding dimension at splits (−inf, −1, 0, 1, inf),
+    applied with Bucketizer's [lo, hi) semantics.
+    SQL-oracled (round 4, replacing a seed-stable KMeans second stage —
+    KMeans coverage lives in ml_kmeans): StandardScaler withMean/withStd
+    is closed-form ((x − mean)/sample-std, matching DuckDB
+    avg/stddev_samp), so every stage is hash-checkable. Fp drift from
+    engine summation order is ~1e-14 on scaled values; a flip requires a
+    value that close to a split boundary — the continuous embedding
+    makes that measure-zero."""
     from pyspark.ml import Pipeline
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.feature import StandardScaler
+    from pyspark.ml.feature import SQLTransformer, StandardScaler, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
 
-    feats = _features(spark, sf_dir)
+    raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     pipe = Pipeline(
         stages=[
-            StandardScaler(inputCol="features", outputCol="scaled", withMean=True, withStd=True),
-            KMeans(k=5, seed=42, featuresCol="scaled", predictionCol="cluster"),
+            SQLTransformer(statement="SELECT *, CAST(embedding[0] AS DOUBLE) AS x0 FROM __THIS__"),
+            VectorAssembler(inputCols=["x0"], outputCol="v0"),
+            StandardScaler(inputCol="v0", outputCol="scaled", withMean=True, withStd=True),
         ]
     )
-    pred = pipe.fit(feats).transform(feats)
-    return (
-        pred.groupBy("cluster")
-        .agg(F.count("*").alias("n_members"))
-        .select("n_members")
-        .withColumn(
-            "size_rank",
-            F.row_number().over(Window.orderBy(F.col("n_members").desc())),
-        )
+    pred = pipe.fit(raw).transform(raw)
+    s0 = F.element_at(vector_to_array("scaled"), 1)
+    bucket = (
+        F.when(s0 < -1.0, 0).when(s0 < 0.0, 1).when(s0 < 1.0, 2).otherwise(3)
+    )
+    return pred.groupBy(bucket.cast("int").alias("bucket")).agg(
+        F.count("*").alias("n_members")
     )
 
 
@@ -343,7 +371,65 @@ def ml_random_forest(spark, sf_dir):
     )
 
 
-@query("ml_naive_bayes", oracle=None, family="ml")
+@query(
+    "ml_naive_bayes",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100) AS bucket,
+                   string_split(lower(text), ' ') AS toks
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, lang, bucket, unnest(toks) AS t FROM base
+        ),
+        vocab AS (SELECT DISTINCT t FROM tok),
+        classes AS (SELECT DISTINCT lang AS c FROM base),
+        prior AS (
+            SELECT lang AS c,
+                   ln(count(*) + 1.0)
+                   - ln((SELECT count(*) FROM base WHERE bucket < 80)
+                        + (SELECT count(*) FROM classes) * 1.0) AS pi
+            FROM base WHERE bucket < 80 GROUP BY lang
+        ),
+        cls_tok AS (
+            SELECT lang AS c, t, count(*) AS cnt
+            FROM tok WHERE bucket < 80 GROUP BY lang, t
+        ),
+        cls_tot AS (SELECT c, sum(cnt) AS tot FROM cls_tok GROUP BY c),
+        theta AS (
+            SELECT cl.c, v.t,
+                   ln(coalesce(ct.cnt, 0) + 1.0)
+                   - ln(tt.tot + (SELECT count(*) FROM vocab) * 1.0) AS lth
+            FROM classes cl
+            CROSS JOIN vocab v
+            LEFT JOIN cls_tok ct ON ct.c = cl.c AND ct.t = v.t
+            JOIN cls_tot tt ON tt.c = cl.c
+        ),
+        doc_tf AS (
+            SELECT doc_id, lang, t, count(*) AS tf
+            FROM tok WHERE bucket >= 80 GROUP BY doc_id, lang, t
+        ),
+        scores AS (
+            SELECT d.doc_id, d.lang, th.c,
+                   any_value(p.pi) + sum(d.tf * th.lth) AS score
+            FROM doc_tf d
+            JOIN theta th ON th.t = d.t
+            JOIN prior p ON p.c = th.c
+            GROUP BY d.doc_id, d.lang, th.c
+        ),
+        pred AS (
+            SELECT doc_id, lang, c AS pred_lang,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c ASC) AS rn
+            FROM scores
+        )
+        SELECT lang, count(*) AS n_test,
+               round(avg(CASE WHEN pred_lang = lang THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+        FROM pred WHERE rn = 1
+        GROUP BY lang
+    """,
+    family="ml",
+)
 def ml_naive_bayes(spark, sf_dir):
     """Language identification as multinomial Naive Bayes over token
     counts: CountVectorizer (full 31-token vocabulary; Spark orders it by
@@ -356,7 +442,14 @@ def ml_naive_bayes(spark, sf_dir):
     it is built as a broadcast join against the distinct-lang frame, not
     a driver-side collect.
     NB fit is one treeAggregate of per-class token sums — a single
-    map-side-combinable pass, the cheapest possible distributed trainer."""
+    map-side-combinable pass, the cheapest possible distributed trainer.
+    SQL-oracled (round 4): multinomial NB is pure counting, so the oracle
+    replays MLlib's exact math — pi_c = ln(n_c+1) − ln(N + k),
+    theta_ct = ln(cnt_ct+1) − ln(tot_c + V), prediction = argmax of
+    pi + Σ tf·theta with MLlib's first-max (lowest-label, i.e.
+    alphabetically-first lang) tie-break — and compares per-lang test
+    accuracy. Class-score gaps are O(0.1-1) vs ~1e-13 cross-engine fp
+    drift, so the argmax is stable."""
     from pyspark.ml.classification import NaiveBayes
     from pyspark.ml.feature import CountVectorizer
 

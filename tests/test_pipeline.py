@@ -843,3 +843,37 @@ def test_graph_cc_minlabel_property(spark):
     for c, ns in members.items():
         assert c in labels and labels[c] == c
         assert min(ns) == c
+
+
+def test_knn_preselect_matches_bruteforce(spark):
+    # sim_knn's blocked-BLAS candidate preselect must be a pure filter: its
+    # final (q_id, n_id, sim, rn) rows equal the naive |Q|x|C| join + window.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.functions.vector_math import dot, l2_norm
+    from spark_ml_helper_spark.sources.parquet import table
+
+    e = table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    c = e.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("c_emb"), F.col("nrm").alias("c_nrm")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "n_id")
+    naive = (
+        q.join(c, F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 6).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 5)
+    )
+    expect = {(r.q_id, r.n_id, r.sim, r.rn) for r in naive.collect()}
+    got = {(r.q_id, r.n_id, r.sim, r.rn) for r in QUERIES["sim_knn"](spark, SF_ORACLE).collect()}
+    assert got == expect
