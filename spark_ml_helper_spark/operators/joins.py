@@ -412,3 +412,63 @@ def join_null_safe(spark, sf_dir):
     return c.join(F.broadcast(n), c.grp.eqNullSafe(n.grp)).select(
         "c_custkey", c.grp.alias("grp"), "n_nations"
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+        WITH p AS (
+            SELECT event_id AS p_id, ts AS p_start, ts + INTERVAL 90 SECOND AS p_end
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT event_id AS c_id, ts AS c_start, ts + INTERVAL 90 SECOND AS c_end
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT p.p_id, c.c_id
+        FROM p JOIN c ON p.p_start <= c.c_end AND c.c_start <= p.p_end
+    """,
+    family="joins",
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-overlap join between two large interval sets (purchase and
+    click activity windows, 90 s each) with NO shared equi-key — the shape
+    Spark's join planner turns into a BroadcastNestedLoopJoin (all-pairs
+    predicate evaluation) if expressed naively. The scale form used here is
+    bin replication: each interval is exploded to the 1-minute epoch bins it
+    spans (sequence() — ≤ 3 bins for a 90 s interval), the join runs as an
+    EQUI-join on bin id with the overlap predicate as a residual filter,
+    and a distinct collapses the ≤ bins-per-pair duplicate matches. Work is
+    O(intervals × bins_per_interval + true_overlaps·bins), never |A|·|B|;
+    the shuffle keys on bin id, whose cardinality grows with the time span
+    (and the bin width is the skew dial: hot minutes → narrower bins).
+    This is the standard genomic/temporal range-join strategy on
+    MapReduce-lineage engines; at 100 TB both sides partition by
+    (bin bucket), and AQE's skew split handles burst minutes."""
+    e = table(spark, sf_dir, "events")
+    dur = F.expr("INTERVAL 90 SECOND")
+
+    def intervals(tpe, idc, sc, ec):
+        iv = e.filter(F.col("event_type") == tpe).select(
+            F.col("event_id").alias(idc),
+            F.col("ts").alias(sc),
+            (F.col("ts") + dur).alias(ec),
+        )
+        return iv.withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(sc) / 60).cast("bigint"),
+                    F.floor(F.unix_timestamp(ec) / 60).cast("bigint"),
+                )
+            ),
+        )
+
+    p = intervals("purchase", "p_id", "p_start", "p_end")
+    c = intervals("click", "c_id", "c_start", "c_end")
+    return (
+        p.join(c, "bin")
+        .filter((F.col("p_start") <= F.col("c_end")) & (F.col("c_start") <= F.col("p_end")))
+        .select("p_id", "c_id")
+        .distinct()
+    )

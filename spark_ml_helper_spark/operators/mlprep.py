@@ -221,3 +221,136 @@ def feature_hashing(spark, sf_dir):
         % 32
     )
     return tok.groupBy("doc_id", bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+@query(
+    "pit_features",
+    oracle="""
+        WITH p AS (
+            SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        d AS (
+            SELECT user_id, date_trunc('day', ts) + INTERVAL 1 DAY AS d_snap_ts,
+                   count(*) AS d_clicks, round(avg(value), 6) AS d_avg_value
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, date_trunc('day', ts)
+        ),
+        w AS (
+            SELECT user_id, date_trunc('week', ts) + INTERVAL 7 DAY AS w_snap_ts,
+                   count(*) AS w_events, round(sum(value), 6) AS w_sum_value
+            FROM events
+            GROUP BY user_id, date_trunc('week', ts)
+        ),
+        sel_d AS (
+            SELECT p.purchase_id, d.d_snap_ts, d.d_clicks, d.d_avg_value,
+                   row_number() OVER (PARTITION BY p.purchase_id
+                                      ORDER BY d.d_snap_ts DESC) AS rn
+            FROM p JOIN d ON d.user_id = p.user_id AND d.d_snap_ts <= p.purchase_ts
+        ),
+        sel_w AS (
+            SELECT p.purchase_id, w.w_snap_ts, w.w_events, w.w_sum_value,
+                   row_number() OVER (PARTITION BY p.purchase_id
+                                      ORDER BY w.w_snap_ts DESC) AS rn
+            FROM p JOIN w ON w.user_id = p.user_id AND w.w_snap_ts <= p.purchase_ts
+        )
+        SELECT p.purchase_id, p.user_id, p.purchase_ts,
+               sd.d_snap_ts, sd.d_clicks, sd.d_avg_value,
+               sw.w_snap_ts, sw.w_events, sw.w_sum_value
+        FROM p
+        LEFT JOIN sel_d sd ON sd.purchase_id = p.purchase_id AND sd.rn = 1
+        LEFT JOIN sel_w sw ON sw.purchase_id = p.purchase_id AND sw.rn = 1
+    """,
+    family="mlprep",
+)
+def pit_features(spark, sf_dir):
+    """Point-in-time (feature-store) join: enrich each training label
+    (purchase) with the LATEST-at-or-before snapshot from MULTIPLE feature
+    tables — here a daily per-user click profile and a weekly per-user
+    activity profile, both derived leakage-safe (a day's features become
+    visible only at the NEXT day/week boundary, so no label ever sees
+    same-interval data). This is THE correctness-critical operator of
+    training-data assembly: a plain as-of join per feature table is the
+    naive form; this implementation instead union-merges labels and all
+    snapshot rows into one stream and computes every feature with
+    last_value(ignoreNulls) over a single (user_id)-partitioned window —
+    the PIT merge costs ONE shuffle total regardless of how many feature
+    tables participate (vs join+window shuffle pairs per table), and the
+    plan contains no Join node at all. Snapshot kinds sort before labels
+    at equal timestamps, making the at-or-before boundary inclusive.
+    At 100 TB: snapshots are narrow per-entity rows, labels dominate; the
+    single exchange keys on entity id, and a skewed entity is one hot
+    window partition — salt by time range if one entity exceeds a task."""
+    e = table(spark, sf_dir, "events")
+    nul = lambda t: F.lit(None).cast(t)
+
+    labels = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(2).alias("kind"),
+        F.col("event_id").alias("purchase_id"),
+        nul("timestamp_ntz").alias("d_snap_ts"),
+        nul("bigint").alias("d_clicks"),
+        nul("double").alias("d_avg_value"),
+        nul("timestamp_ntz").alias("w_snap_ts"),
+        nul("bigint").alias("w_events"),
+        nul("double").alias("w_sum_value"),
+    )
+    daily = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("d0"))
+        .agg(F.count("*").alias("d_clicks"), F.round(F.avg("value"), 6).alias("d_avg_value"))
+        .select(
+            "user_id",
+            F.expr("d0 + INTERVAL 1 DAY").alias("t"),
+            F.lit(0).alias("kind"),
+            nul("bigint").alias("purchase_id"),
+            F.expr("d0 + INTERVAL 1 DAY").alias("d_snap_ts"),
+            "d_clicks",
+            "d_avg_value",
+            nul("timestamp_ntz").alias("w_snap_ts"),
+            nul("bigint").alias("w_events"),
+            nul("double").alias("w_sum_value"),
+        )
+    )
+    weekly = (
+        e.groupBy("user_id", F.date_trunc("week", "ts").alias("w0"))
+        .agg(F.count("*").alias("w_events"), F.round(F.sum("value"), 6).alias("w_sum_value"))
+        .select(
+            "user_id",
+            F.expr("w0 + INTERVAL 7 DAY").alias("t"),
+            F.lit(1).alias("kind"),
+            nul("bigint").alias("purchase_id"),
+            nul("timestamp_ntz").alias("d_snap_ts"),
+            nul("bigint").alias("d_clicks"),
+            nul("double").alias("d_avg_value"),
+            F.expr("w0 + INTERVAL 7 DAY").alias("w_snap_ts"),
+            "w_events",
+            "w_sum_value",
+        )
+    )
+    merged = labels.unionByName(daily).unionByName(weekly)
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind", "purchase_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(c, ignorenulls=True).over(win).alias(c)
+        for c in ["d_snap_ts", "d_clicks", "d_avg_value", "w_snap_ts", "w_events", "w_sum_value"]
+    ]
+    return (
+        merged.select("user_id", "t", "kind", "purchase_id", *carried)
+        .filter(F.col("kind") == 2)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("t").alias("purchase_ts"),
+            "d_snap_ts",
+            "d_clicks",
+            "d_avg_value",
+            "w_snap_ts",
+            "w_events",
+            "w_sum_value",
+        )
+    )

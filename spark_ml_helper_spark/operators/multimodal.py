@@ -31,6 +31,8 @@ from spark_ml_helper_spark.sources.parquet import table
 # Codec stubs — the real decode path, gated off because the libs aren't in
 # this container. Swap the body for PIL/soundfile/ffmpeg in production; the
 # mapInPandas plumbing above them does not change.
+# Environment probes (PIL/soundfile/cv2/librosa/imageio/av all absent):
+# rounds 2, 3, and 4 (2026-08-14) — stubs remain the correct call.
 
 
 def decode_image(payload: bytes):

@@ -329,3 +329,42 @@ def win_streaks(spark, sf_dir):
         F.sum("len").alias("n_active_days"),
         F.count("*").alias("n_streaks"),
     )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+        SELECT event_id, user_id,
+               round(CAST(quantile_cont(value, 0.5) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE), 6) AS med7
+        FROM events
+    """,
+    family="windows",
+)
+def win_rolling_median(spark, sf_dir):
+    """Rolling exact median of the last 7 events per user — the robust
+    smoother for noisy per-entity series (medians shrug off the spikes
+    that wreck rolling means; this is the windowed twin of
+    events_anomaly_mad's grouped median). `percentile` runs as a true
+    window aggregate over a ROWS frame, partitioned by user — one shuffle
+    on user_id, per-row cost bounded by the 7-row frame, and Spark's
+    linear-interpolation percentile matches DuckDB's quantile_cont
+    exactly (the agg_percentile parity). (ts, event_id) ordering pins
+    frame contents under timestamp ties. At scale this is the same
+    single-shuffle plan; for wide frames (e.g. 10k rows) swap in
+    approx_percentile to cap per-frame sort cost."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.expr(
+                """percentile(value, 0.5) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""
+            ),
+            6,
+        ).alias("med7"),
+    )

@@ -51,7 +51,13 @@ def get_spark(app_name: str = "spark-ml-helper-spark", cpus: int | str | None = 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # long multi-query sessions accumulate localCheckpoint blocks that
+        # the ContextCleaner only reclaims after a JVM GC; periodic GC every
+        # 5 min (vs the 30 min default) keeps storage memory from squeezing
+        # execution memory mid-sweep (the dedup_ngram 36 s long-sweep
+        # outlier vs 7 s isolated was this pressure, not a plan change)
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -877,3 +877,18 @@ def test_knn_preselect_matches_bruteforce(spark):
     expect = {(r.q_id, r.n_id, r.sim, r.rn) for r in naive.collect()}
     got = {(r.q_id, r.n_id, r.sim, r.rn) for r in QUERIES["sim_knn"](spark, SF_ORACLE).collect()}
     assert got == expect
+
+
+def test_pit_features_plan_is_join_free(spark):
+    # the union-merge PIT form must not contain any Join node — features
+    # arrive via one last_value window over the merged stream
+    plan = _plan(spark, "pit_features")
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_interval_overlap_is_equi_join(spark):
+    # bin replication must plan as an equi-join on bin id, never a
+    # nested-loop over the raw interval predicate
+    plan = _plan(spark, "join_interval_overlap")
+    assert "NestedLoop" not in plan
