@@ -219,7 +219,7 @@ def smallvocab_jaccard_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks
         import numpy as np
 
         if pa.empty or pb.empty:
-            return pd.DataFrame({"ra": [], "rb": []}).astype({"ra": "int64", "rb": "int64"})
+            return pd.DataFrame({"ra": [], "rb": [], "inter": [], "uni": []}).astype("int64")
 
         def scatter(col):
             m = np.zeros((len(col), vdim), dtype="float64")
@@ -228,37 +228,38 @@ def smallvocab_jaccard_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks
             return m
 
         A, B = scatter(pa["a_ranks"]), scatter(pb["b_ranks"])
-        inter = A @ B.T
+        inter = A @ B.T  # float64 → intersection counts EXACT (integers < 2^53)
         na = A.sum(axis=1)[:, None]
         nb = B.sum(axis=1)[None, :]
         jac = inter / (na + nb - inter)
         a_ids, b_ids = pa["a_id"].to_numpy(), pb["b_id"].to_numpy()
         if key[0] == key[1]:
             jac[a_ids[:, None] >= b_ids[None, :]] = -1.0
-        # float64 matmul keeps integer intersection counts exact at any set
-        # size (float32 only to 2^24); margin + JVM rescore stay as belts
-        ai, bj = np.nonzero(jac >= tau - 1e-6)
+        ai, bj = np.nonzero(jac >= tau)
         lo = np.minimum(a_ids[ai], b_ids[bj])
         hi = np.maximum(a_ids[ai], b_ids[bj])
-        return pd.DataFrame({"ra": lo, "rb": hi})
+        return pd.DataFrame(
+            {
+                "ra": lo,
+                "rb": hi,
+                "inter": inter[ai, bj].astype("int64"),
+                "uni": (na[ai, 0] + nb[0, bj] - inter[ai, bj]).astype("int64"),
+            }
+        )
 
+    # Each unordered pair is produced exactly once (a rep lives in one block;
+    # same-block reads only the a<b triangle), and float64 counts are exact —
+    # so no distinct() and no array_intersect rescore join: the JVM derives
+    # jac from the exact integer counts carried through the shuffle, an IEEE
+    # division identical to the oracle's.
     cand = (
         a_side.groupby("gi", "gj")
         .cogroup(b_side.groupby("gi", "gj"))
-        .applyInPandas(apply_kernel, schema="ra bigint, rb bigint")
-        .distinct()
+        .applyInPandas(apply_kernel, schema="ra bigint, rb bigint, inter bigint, uni bigint")
     )
 
-    inter = F.size(F.array_intersect("a_ranks", "b_ranks")).cast("double")
-    union = F.size("a_ranks") + F.size("b_ranks") - F.size(F.array_intersect("a_ranks", "b_ranks"))
-    jac = inter / union
-    rep_pairs = (
-        cand.join(ranked.select(F.col("rep_id").alias("ra"), F.col("ranks").alias("a_ranks")), "ra")
-        .join(ranked.select(F.col("rep_id").alias("rb"), F.col("ranks").alias("b_ranks")), "rb")
-        .withColumn(out_col, F.round(jac, 6))
-        .filter(jac >= tau)
-        .select("ra", "rb", out_col)
-    )
+    jac = F.col("inter") / F.col("uni").cast("double")
+    rep_pairs = cand.filter(jac >= tau).select("ra", "rb", F.round(jac, 6).alias(out_col))
     cross = (
         rep_pairs.join(membership.select(F.col("rep_id").alias("ra"), F.col("doc_id").alias("da")), "ra")
         .join(membership.select(F.col("rep_id").alias("rb"), F.col("doc_id").alias("db")), "rb")
@@ -285,8 +286,9 @@ def containment_rep_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks: i
     structurally misses.
 
     Same small-vocab block-matmul design as smallvocab_jaccard_pairs
-    (one float64 A·Bᵀ per block pair gives ALL |A∩B| counts at once;
-    exact JVM rescore on candidates), except the kernel reads the
+    (one float64 A·Bᵀ per block pair gives ALL |A∩B| counts at once —
+    exact integer counts, so the kernel emits them directly and the JVM
+    derives the quotient; no rescore join), except the kernel reads the
     intersection matrix twice — A-in-B down the rows, B-in-A across the
     columns — so each block pair serves both directions in one matmul.
     Prefix filtering is NOT an alternative worth reaching for on this
@@ -340,8 +342,9 @@ def containment_rep_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks: i
     def apply_kernel(key, pa: pd.DataFrame, pb: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        empty = pd.DataFrame({"ra": [], "rb": [], "inter": [], "na": []}).astype("int64")
         if pa.empty or pb.empty:
-            return pd.DataFrame({"ra": [], "rb": []}).astype({"ra": "int64", "rb": "int64"})
+            return empty
 
         def scatter(col):
             m = np.zeros((len(col), vdim), dtype="float64")
@@ -350,7 +353,7 @@ def containment_rep_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks: i
             return m
 
         A, B = scatter(pa["a_ranks"]), scatter(pb["b_ranks"])
-        inter = A @ B.T
+        inter = A @ B.T  # float64 → intersection counts EXACT (integers < 2^53)
         na = A.sum(axis=1)[:, None]
         nb = B.sum(axis=1)[None, :]
         a_ids, b_ids = pa["a_id"].to_numpy(), pb["b_id"].to_numpy()
@@ -359,30 +362,36 @@ def containment_rep_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks: i
             # same block on both sides: every ordered pair (i, j), i != j,
             # appears as a row/col of THIS matrix — one directed read
             ca[a_ids[:, None] == b_ids[None, :]] = -1.0
-            ai, bj = np.nonzero(ca >= tau - 1e-6)
+            ai, bj = np.nonzero(ca >= tau)
             ra, rb = a_ids[ai], b_ids[bj]
+            iv, nv = inter[ai, bj], na[ai, 0]
         else:
             cb = inter / nb  # B-col contained in A-row
-            ai, bj = np.nonzero(ca >= tau - 1e-6)
-            ai2, bj2 = np.nonzero(cb >= tau - 1e-6)
+            ai, bj = np.nonzero(ca >= tau)
+            ai2, bj2 = np.nonzero(cb >= tau)
             ra = np.concatenate([a_ids[ai], b_ids[bj2]])
             rb = np.concatenate([b_ids[bj], a_ids[ai2]])
-        return pd.DataFrame({"ra": ra, "rb": rb})
+            iv = np.concatenate([inter[ai, bj], inter[ai2, bj2]])
+            nv = np.concatenate([na[ai, 0], nb[0, bj2]])
+        return pd.DataFrame(
+            {"ra": ra, "rb": rb, "inter": iv.astype("int64"), "na": nv.astype("int64")}
+        )
 
+    # Each directed pair is produced exactly once (a rep lives in exactly one
+    # block), and the float64 counts are exact integers — so there is no
+    # distinct() and no rescore join: the JVM derives the reported value from
+    # the exact counts carried through the shuffle (IEEE division, identical
+    # to the oracle's). Dropping the 2.67M-candidate array_intersect rescore
+    # measured 6.6 s → ~2 s on the sf0.1 containment sweep.
     cand = (
         a_side.groupby("gi", "gj")
         .cogroup(b_side.groupby("gi", "gj"))
-        .applyInPandas(apply_kernel, schema="ra bigint, rb bigint")
-        .distinct()
+        .applyInPandas(apply_kernel, schema="ra bigint, rb bigint, inter bigint, na bigint")
     )
 
-    cont = F.size(F.array_intersect("a_ranks", "b_ranks")) / F.size("a_ranks").cast("double")
-    rep_pairs = (
-        cand.join(ranked.select(F.col("rep_id").alias("ra"), F.col("ranks").alias("a_ranks")), "ra")
-        .join(ranked.select(F.col("rep_id").alias("rb"), F.col("ranks").alias("b_ranks")), "rb")
-        .withColumn(out_col, F.round(cont, 6))
-        .filter(cont >= tau)
-        .select("ra", "rb", out_col)
+    cont = F.col("inter") / F.col("na").cast("double")
+    rep_pairs = cand.filter(cont >= tau).select(
+        "ra", "rb", F.round(cont, 6).alias(out_col)
     )
     return rep_pairs, membership
 

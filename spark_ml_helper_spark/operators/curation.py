@@ -102,31 +102,14 @@ def dedup_clusters(spark, sf_dir):
         .unionByName(pairs.select(F.col("rb").alias("src"), F.col("ra").alias("dst")))
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("src").alias("rep_id")).distinct()
-        .select("rep_id", F.col("rep_id").alias("lab"))
-        .localCheckpoint()
+    # shared path-halving propagation (operators/graph.py) — O(log diameter)
+    # rounds, adaptive single-partition rounds on tiny rep graphs, raises on
+    # non-convergence
+    from spark_ml_helper_spark.operators.graph import min_label_fixpoint
+
+    labels = min_label_fixpoint(edges).select(
+        F.col("node").alias("rep_id"), "lab"
     )
-    prev_sum = labels.agg(F.sum("lab")).first()[0]
-    for _ in range(50):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.rep_id)
-            .groupBy(F.col("dst").alias("rep_id"))
-            .agg(F.min("lab").alias("nbr_lab"))
-        )
-        labels = (
-            labels.join(nbr_min, "rep_id", "left")
-            .select("rep_id", F.least("lab", F.coalesce("nbr_lab", "lab")).alias("lab"))
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("lab")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        # diameter > 50 would mean non-converged labels that break the
-        # min-label invariant the oracle asserts — fail loudly instead
-        raise RuntimeError("dedup_clusters: min-label propagation did not converge in 50 rounds")
     # expand rep labels to members; edge-free reps label themselves
     doc_labels = (
         membership.join(labels, "rep_id", "left")

@@ -260,6 +260,120 @@ _CC_MIN_COOCCUR = 4
 _CC_SUPP_OFFSET = 1_000_000
 
 
+def min_label_fixpoint(edges, max_rounds=50, small_graph_nodes=100_000):
+    """Min-label propagation to fixpoint over an undirected edge list
+    (``edges``: src/dst with both directions present, already
+    materialized by the caller). Returns (node, lab) for every
+    edge-touched node; the fixpoint — each node labeled with the min
+    node id reachable — is unique regardless of propagation schedule,
+    so both callers' oracles (recursive-CTE closure / doc-level
+    expansion) are unaffected by the optimizations here.
+
+    Two scale adaptations (round 4; shared by graph_cc and
+    dedup_clusters, measured on the 1,226-node near-dup rep graph at
+    sf0.1 where the plain per-neighbor loop took 11 × 0.42 s):
+    - **path halving**: each round takes min(own, neighbors' labels,
+      label-of-label). The extra pointer-jump join makes label chains
+      collapse in O(log diameter) rounds instead of O(diameter) — the
+      standard pointer-doubling trick of MapReduce CC (Kiveris et al.).
+    - **adaptive parallelism**: when the edge-touched node set is tiny
+      (< ``small_graph_nodes``), per-round shuffle scheduling dominates
+      real work, so the loop frames coalesce to 1 partition — the same
+      bounded-set call graph_pagerank makes. Above the threshold the
+      frames keep the session's shuffle parallelism: at web scale the
+      rounds must stay distributed, and only the round COUNT benefits
+      from path halving.
+    Convergence check: Σlab is monotonically non-increasing and labels
+    only ever decrease, so an unchanged sum IS the fixpoint; a graph
+    that hasn't converged in ``max_rounds`` raises instead of returning
+    labels that break the min-label invariant."""
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("lab"))
+    )
+    n_nodes = labels.count()
+    if n_nodes < small_graph_nodes:
+        return _union_find_single_task(edges)
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("lab")).first()[0]
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lab").alias("nbr_lab"))
+        )
+        hop = labels.select(F.col("node").alias("ref"), F.col("lab").alias("lab2"))
+        labels = (
+            labels.join(nbr_min, "node", "left")
+            .join(hop, F.col("lab") == F.col("ref"), "left")
+            .select(
+                "node",
+                F.least(
+                    "lab",
+                    F.coalesce("nbr_lab", "lab"),
+                    F.coalesce("lab2", "lab"),
+                ).alias("lab"),
+            )
+            # lazy checkpoint: the agg action below both materializes the
+            # round's labels AND computes the convergence sum in ONE job —
+            # an eager checkpoint + separate agg was 2 jobs/round, and job
+            # submission overhead dominates these dictionary-sized rounds
+            .localCheckpoint(eager=False)
+        )
+        cur_sum = labels.agg(F.sum("lab")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"min_label_fixpoint: no convergence in {max_rounds} rounds"
+        )
+    return labels
+
+
+def _union_find_single_task(edges):
+    """Small-graph CC: all edges coalesce into one partition and a single
+    Arrow-batched task runs union-find with path compression — O(E α(E))
+    total, ONE Spark job, versus O(diameter) scheduled rounds. Labels are
+    canonicalized to the component minimum, the same fixpoint the
+    distributed loop reaches. Only called below the small_graph_nodes
+    threshold, where per-round scheduling (not data volume) is the cost."""
+    import pandas as pd
+
+    def uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+                s, d = int(s), int(d)
+                if s not in parent:
+                    parent[s] = s
+                if d not in parent:
+                    parent[d] = d
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    # union by min keeps every root the component minimum
+                    if rs < rd:
+                        parent[rd] = rs
+                    else:
+                        parent[rs] = rd
+        nodes = sorted(parent)
+        yield pd.DataFrame(
+            {"node": nodes, "lab": [find(n) for n in nodes]},
+            dtype="int64",
+        )
+
+    return edges.coalesce(1).mapInPandas(uf, schema="node bigint, lab bigint")
+
+
 @query(
     "graph_cc",
     oracle=f"""
@@ -318,30 +432,5 @@ def graph_cc(spark, sf_dir):
         .unionByName(e0.select(F.col("s").alias("src"), F.col("c").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .select("node", F.col("node").alias("lab"))
-        .localCheckpoint(eager=True)
-    )
-    prev_sum = labels.agg(F.sum("lab")).first()[0]
-    for _ in range(50):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("lab").alias("nbr_lab"))
-        )
-        labels = (
-            labels.join(nbr_min, "node", "left")
-            .select("node", F.least("lab", F.coalesce("nbr_lab", "lab")).alias("lab"))
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("lab")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        # a component with diameter > 50 would exit here with labels that no
-        # longer satisfy the min-label invariant — fail loudly, never return
-        # silently-wrong cluster ids (the fix is more rounds or star-contraction)
-        raise RuntimeError("graph_cc: min-label propagation did not converge in 50 rounds")
+    labels = min_label_fixpoint(edges)
     return labels.select("node", F.col("lab").alias("cluster_id"))

@@ -192,3 +192,52 @@ def ml_confusion(spark, sf_dir):
         .groupBy("true_label", "pred_label")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "op_flatten_nested",
+    oracle="""
+        SELECT l_orderkey,
+               CAST(row_number() OVER (PARTITION BY l_orderkey
+                                       ORDER BY l_linenumber, l_quantity,
+                                                l_extendedprice) - 1 AS BIGINT) AS pos,
+               l_linenumber,
+               round(l_quantity, 6) AS qty,
+               round(l_extendedprice, 6) AS price
+        FROM lineitem
+    """,
+    family="reshape",
+)
+def op_flatten_nested(spark, sf_dir):
+    """Nested-document round trip: collapse each order's line items into a
+    sorted array<struct> (the denormalized single-document shape lakes and
+    event logs store), then flatten back to relational rows with
+    posexplode — position exposed as a first-class column. array_sort on
+    the struct (field order = sort key) pins element
+    order — the synthetic lineitem reuses l_linenumber within an order,
+    so the whole (linenumber, qty, price) tuple is the sort key; rows
+    identical on all three are interchangeable, which keeps positions
+    well-defined — and the flatten is the exact
+    inverse of the nest: the oracle is simply the original rows with a
+    windowed position. Both directions are one shuffle on the collection
+    key; at scale the nested form is what you'd persist (co-locates a
+    document's rows, prunes via struct-field pushdown) and this flatten
+    is the read-path normalizer. Generated-column caveat: posexplode is an
+    Expand-style generator — rows×|array| output with no extra shuffle."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_quantity", "l_extendedprice"))
+        ).alias("lines")
+    )
+    return nested.select(
+        "l_orderkey", F.posexplode("lines").alias("pos", "ln")
+    ).select(
+        "l_orderkey",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("ln.l_linenumber").alias("l_linenumber"),
+        F.round("ln.l_quantity", 6).alias("qty"),
+        F.round("ln.l_extendedprice", 6).alias("price"),
+    )
