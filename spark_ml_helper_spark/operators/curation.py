@@ -707,3 +707,76 @@ def sample_weighted(spark, sf_dir):
         .limit(100)
         .select("doc_id", "lang", "n_chars", F.round("key", 6).alias("samp_key"))
     )
+
+
+@query(
+    "dq_psi_drift",
+    oracle="""
+        WITH binned AS (
+            SELECT o_orderkey % 2 AS slice,
+                   CAST(least(greatest(floor(o_totalprice / 50000.0), 0), 9) AS BIGINT) AS bucket
+            FROM orders
+        ),
+        counts AS (
+            SELECT bucket,
+                   count(*) FILTER (WHERE slice = 0) AS n_ref,
+                   count(*) FILTER (WHERE slice = 1) AS n_cur
+            FROM binned GROUP BY bucket
+        ),
+        tot AS (
+            SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM counts
+        ),
+        probs AS (
+            SELECT bucket,
+                   (n_ref + 1.0) / (t_ref + 10.0) AS p_ref,
+                   (n_cur + 1.0) / (t_cur + 10.0) AS p_cur
+            FROM counts CROSS JOIN tot
+        )
+        SELECT bucket,
+               round(p_ref, 6) AS p_ref,
+               round(p_cur, 6) AS p_cur,
+               round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS contrib,
+               round(sum((p_cur - p_ref) * ln(p_cur / p_ref)) OVER (), 6) AS psi_total
+        FROM probs
+    """,
+    family="curation",
+)
+def dq_psi_drift(spark, sf_dir):
+    """Population Stability Index between two data slices — THE standard
+    train/serve (or day-over-day) feature-drift monitor: bucket the
+    feature identically in both slices, Laplace-smooth the per-bucket
+    shares (so empty buckets stay finite), and sum
+    (p_cur − p_ref)·ln(p_cur/p_ref). Rule of thumb: psi < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 investigate. Slices here are the
+    deterministic o_orderkey parity split standing in for
+    yesterday/today loads; the bucketing mirrors feature_bucketize.
+    Plan: one scan → one (slice-free) 10-row grouped count with FILTER
+    partials → broadcast-sized window for the total — drift monitoring
+    at 100 TB is exactly this shape, one pass per feature batch, and
+    the per-bucket counts are mergeable partial state (incremental
+    across daily partitions for free)."""
+    o = table(spark, sf_dir, "orders")
+    bucket = (
+        F.least(F.greatest(F.floor(F.col("o_totalprice") / 50000.0), F.lit(0)), F.lit(9))
+        .cast("bigint")
+        .alias("bucket")
+    )
+    counts = (
+        o.select((F.col("o_orderkey") % 2).alias("slice"), bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count_if(F.col("slice") == 0).alias("n_ref"),
+            F.count_if(F.col("slice") == 1).alias("n_cur"),
+        )
+    )
+    tot = Window.partitionBy()
+    p_ref = (F.col("n_ref") + 1.0) / (F.sum("n_ref").over(tot) + 10.0)
+    p_cur = (F.col("n_cur") + 1.0) / (F.sum("n_cur").over(tot) + 10.0)
+    contrib = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return counts.select(
+        "bucket",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round(contrib, 6).alias("contrib"),
+        F.round(F.sum(contrib).over(tot), 6).alias("psi_total"),
+    )

@@ -472,3 +472,116 @@ def join_interval_overlap(spark, sf_dir):
         .select("p_id", "c_id")
         .distinct()
     )
+
+
+_NEAREST_TOL_US = 300_000_000  # ±300 s
+
+
+@query(
+    "join_asof_nearest",
+    oracle=f"""
+        WITH p AS (
+            SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT event_id AS c_id, user_id, ts AS c_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        prev AS (
+            SELECT p.purchase_id, c.c_id, c.c_ts,
+                   epoch_us(p.purchase_ts) - epoch_us(c.c_ts) AS dt_us,
+                   row_number() OVER (PARTITION BY p.purchase_id
+                                      ORDER BY c.c_ts DESC, c.c_id DESC) AS rn
+            FROM p JOIN c ON c.user_id = p.user_id AND c.c_ts <= p.purchase_ts
+        ),
+        nxt AS (
+            SELECT p.purchase_id, c.c_id, c.c_ts,
+                   epoch_us(c.c_ts) - epoch_us(p.purchase_ts) AS dt_us,
+                   row_number() OVER (PARTITION BY p.purchase_id
+                                      ORDER BY c.c_ts ASC, c.c_id ASC) AS rn
+            FROM p JOIN c ON c.user_id = p.user_id AND c.c_ts > p.purchase_ts
+        )
+        SELECT p.purchase_id, p.user_id, p.purchase_ts,
+               CASE WHEN pv_ok AND (NOT nx_ok OR pv.dt_us <= nx.dt_us)
+                    THEN pv.c_id
+                    WHEN nx_ok THEN nx.c_id END AS click_id,
+               CASE WHEN pv_ok AND (NOT nx_ok OR pv.dt_us <= nx.dt_us)
+                    THEN pv.c_ts
+                    WHEN nx_ok THEN nx.c_ts END AS click_ts,
+               CASE WHEN pv_ok AND (NOT nx_ok OR pv.dt_us <= nx.dt_us)
+                    THEN pv.dt_us
+                    WHEN nx_ok THEN nx.dt_us END AS dt_us
+        FROM p
+        LEFT JOIN prev pv ON pv.purchase_id = p.purchase_id AND pv.rn = 1
+        LEFT JOIN nxt nx ON nx.purchase_id = p.purchase_id AND nx.rn = 1
+        CROSS JOIN LATERAL (SELECT
+            coalesce(pv.dt_us <= {_NEAREST_TOL_US}, FALSE) AS pv_ok,
+            coalesce(nx.dt_us <= {_NEAREST_TOL_US}, FALSE) AS nx_ok)
+    """,
+    family="joins",
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-event as-of join with tolerance: each purchase matched to
+    the temporally NEAREST click by the same user within ±300 s, either
+    direction (ties → the earlier click; candidates beyond tolerance are
+    ignored even when the other direction has none in range). This is the
+    sensor-fusion / trade-quote form of as-of — join_asof's at-or-before
+    is one half of it. Implemented join-free: clicks and purchases
+    union-merge into one (user)-partitioned stream, one window pass
+    carries last-click-backward and first-click-forward per purchase
+    (kind orders clicks before purchases at equal ts, making 'before'
+    inclusive and 'after' strict), and exact microsecond deltas pick the
+    winner. ONE shuffle on user_id, no join node, frame state is two
+    carried values — at any scale this beats the two range-join + top-1
+    windows it replaces. Tolerance math in exact integer micros on both
+    engines (epoch_us / unix_micros) — no truncation-boundary parity
+    risk."""
+    e = table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("bigint").alias("c_id"),
+        F.lit(None).cast("timestamp_ntz").alias("c_ts"),
+    )
+    m = clicks.unionByName(purch)
+    ordr = [F.col("t"), F.col("kind"), F.coalesce("c_id", "purchase_id")]
+    wprev = (
+        Window.partitionBy("user_id").orderBy(*ordr)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy("user_id").orderBy(*ordr)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    scored = (
+        m.withColumn("pv_id", F.last("c_id", ignorenulls=True).over(wprev))
+        .withColumn("pv_ts", F.last("c_ts", ignorenulls=True).over(wprev))
+        .withColumn("nx_id", F.first("c_id", ignorenulls=True).over(wnext))
+        .withColumn("nx_ts", F.first("c_ts", ignorenulls=True).over(wnext))
+        .filter(F.col("kind") == 1)
+    )
+    dt_pv = us("t") - us("pv_ts")
+    dt_nx = us("nx_ts") - us("t")
+    pv_ok = F.coalesce(dt_pv <= _NEAREST_TOL_US, F.lit(False))
+    nx_ok = F.coalesce(dt_nx <= _NEAREST_TOL_US, F.lit(False))
+    take_pv = pv_ok & (~nx_ok | (dt_pv <= dt_nx))
+    return scored.select(
+        "purchase_id",
+        "user_id",
+        F.col("t").alias("purchase_ts"),
+        F.when(take_pv, F.col("pv_id")).when(nx_ok, F.col("nx_id")).alias("click_id"),
+        F.when(take_pv, F.col("pv_ts")).when(nx_ok, F.col("nx_ts")).alias("click_ts"),
+        F.when(take_pv, dt_pv).when(nx_ok, dt_nx).alias("dt_us"),
+    )

@@ -892,3 +892,23 @@ def test_interval_overlap_is_equi_join(spark):
     # nested-loop over the raw interval predicate
     plan = _plan(spark, "join_interval_overlap")
     assert "NestedLoop" not in plan
+
+
+def test_pca_variance_identity(spark):
+    # eigen-identities tie MLlib's PCA output to closed-form data variance:
+    # explained_var_i == score_var_i / total_var, where total_var is the sum
+    # of per-dimension sample variances (trace of the covariance matrix)
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    rows = QUERIES["ml_pca"](spark, SF_ORACLE).collect()
+    assert rows
+    e = table(spark, SF_ORACLE, "embeddings")
+    dims = e.select(F.posexplode("embedding").alias("d", "x"))
+    total_var = (
+        dims.groupBy("d").agg(F.var_samp(F.col("x").cast("double")).alias("v"))
+        .agg(F.sum("v")).first()[0]
+    )
+    for r in rows:
+        assert abs(r.explained_var - r.score_var / total_var) < 1e-4, r
