@@ -547,3 +547,55 @@ def agg_count_histogram(spark, sf_dir):
         .agg(F.count(o.o_orderkey).alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("n_custs"))
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+        WITH cnt AS (
+            SELECT source, lang, count(*) AS c
+            FROM documents GROUP BY source, lang
+        ),
+        tot AS (
+            SELECT source, sum(c) AS n, count(*) AS n_langs
+            FROM cnt GROUP BY source
+        )
+        SELECT cnt.source, CAST(n AS BIGINT) AS n_docs, n_langs,
+               round(-sum((c / n) * ln(c / n)), 6) AS entropy_nats,
+               round(sum((c / n) * (c / n)), 6) AS hhi
+        FROM cnt JOIN tot ON cnt.source = tot.source
+        GROUP BY cnt.source, n, n_langs
+    """,
+    family="aggregates",
+)
+def agg_entropy(spark, sf_dir):
+    """Distributional concentration per group: Shannon entropy (nats)
+    and Herfindahl-Hirschman index of each source's language mix — the
+    diversity / concentration diagnostics run on corpus strata before
+    sampling-weight decisions. Two chained hash aggregates: (source,
+    lang) counts collapse the corpus, then per-source totals join back
+    on the tiny count frame and a final agg folds the Σ p·ln p / Σ p²
+    terms — the data-sized stage is only the first count agg
+    (map-side partial on a two-column key); everything after runs on
+    |sources|×|langs| rows. Same shape at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    cnt = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_langs")
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        cnt.join(F.broadcast(tot), "source")
+        .groupBy("source", "n", "n_langs")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+            F.round(F.sum(p * p), 6).alias("hhi"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            "n_langs",
+            "entropy_nats",
+            "hhi",
+        )
+    )

@@ -366,3 +366,262 @@ def events_anomaly_mad(spark, sf_dir):
             F.round(rz, 6).alias("robust_z"),
         )
     )
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+        WITH rfm AS (
+            SELECT o_custkey AS c_custkey,
+                   date_diff('day', CAST(max(o_orderdate) AS DATE),
+                             (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)) AS recency_days,
+                   count(*) AS frequency,
+                   sum(o_totalprice) AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        cuts AS (
+            SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rq,
+                   quantile_cont(frequency,    [0.25, 0.5, 0.75]) AS fq,
+                   quantile_cont(monetary,     [0.25, 0.5, 0.75]) AS mq
+            FROM rfm
+        )
+        SELECT c_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+               frequency, round(monetary, 6) AS monetary,
+               r_score, f_score, m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                   || CAST(m_score AS VARCHAR) AS rfm_cell
+        FROM (
+            SELECT c_custkey, recency_days, frequency, monetary,
+                   4 - ((recency_days > rq[1])::INT + (recency_days > rq[2])::INT
+                        + (recency_days > rq[3])::INT) AS r_score,
+                   1 + (frequency > fq[1])::INT + (frequency > fq[2])::INT
+                     + (frequency > fq[3])::INT AS f_score,
+                   1 + (monetary > mq[1])::INT + (monetary > mq[2])::INT
+                     + (monetary > mq[3])::INT AS m_score
+            FROM rfm CROSS JOIN cuts
+        )
+    """,
+    family="analytics",
+)
+def rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (recency / frequency / monetary), the
+    classic marketing-analytics scoring. Per customer: days since last
+    order (vs the corpus max date), order count, and spend; each metric
+    is scored 1-4 against exact quartile cutpoints (recency inverted —
+    recent = high score) and concatenated into the RFM cell label.
+    Deliberately NOT an ntile() over a global window: a partition-less
+    window would sort every customer onto one task. Instead the three
+    quartile triples are ONE tiny aggregate row, broadcast back over the
+    per-customer frame, and scores are plain comparisons — so the plan
+    is two hash aggregates (orders→customer, customer→cutpoints) plus a
+    broadcast join, all map-side-partial, no global sort anywhere. At
+    100 TB swap the exact percentiles for approx_percentile and the
+    shape is unchanged. Score-by-comparison is also tie-stable across
+    engines, unlike ntile whose equal-size buckets split ties
+    arbitrarily."""
+    o = table(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+        F.count("*").alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    maxday = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("corpus_max"))
+    rfm = (
+        rfm.join(F.broadcast(maxday))
+        .withColumn("recency_days", F.datediff("corpus_max", "last_day").cast("bigint"))
+        .drop("last_day", "corpus_max")
+    )
+    cuts = rfm.agg(
+        F.expr("percentile(recency_days, array(0.25, 0.5, 0.75))").alias("rq"),
+        F.expr("percentile(frequency,    array(0.25, 0.5, 0.75))").alias("fq"),
+        F.expr("percentile(monetary,     array(0.25, 0.5, 0.75))").alias("mq"),
+    )
+
+    def score(col, q, invert=False):
+        hits = sum(
+            (F.col(col) > F.col(q)[i]).cast("int") for i in range(3)
+        )
+        return (4 - hits) if invert else (1 + hits)
+
+    scored = rfm.join(F.broadcast(cuts)).select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 6).alias("monetary"),
+        score("recency_days", "rq", invert=True).alias("r_score"),
+        score("frequency", "fq").alias("f_score"),
+        score("monetary", "mq").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_cell",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+_LIFT_TOP_K = 100
+
+
+@query(
+    "basket_lift",
+    oracle=f"""
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+        item AS (
+            SELECT l_partkey, count(*) AS cnt FROM baskets GROUP BY l_partkey
+        ),
+        pair AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS pair_cnt
+            FROM baskets a JOIN baskets b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+        )
+        SELECT part_a, part_b, pair_cnt,
+               round(pair_cnt / n_orders, 6) AS support,
+               round((pair_cnt * n_orders) / (ia.cnt * ib.cnt), 6) AS lift
+        FROM pair
+        JOIN item ia ON ia.l_partkey = part_a
+        JOIN item ib ON ib.l_partkey = part_b
+        CROSS JOIN n
+        WHERE pair_cnt >= 2
+        ORDER BY (pair_cnt * n_orders) / (ia.cnt * ib.cnt) DESC,
+                 part_a, part_b
+        LIMIT {_LIFT_TOP_K}
+    """,
+    family="analytics",
+)
+def basket_lift(spark, sf_dir):
+    """Market-basket co-occurrence lift: for part pairs bought in the
+    same order, lift = P(a,b) / (P(a) P(b)), top-100 by lift (the pure
+    declarative twin of ml_fpgrowth_pairs — this one is SQL-oracled).
+    Baskets are materialized as per-order part ARRAYS (one collect_set
+    agg — the shuffle key is the order key, once), and the a<b pair
+    space is generated by a double explode of each array LOCALLY inside
+    the basket partition — no self-join, so the plan has exactly two
+    shuffles (basket build, pair count) where the equivalent self-join
+    form has four and measured 6-7 s vs ~2 s warm at sf0.1. Expansion
+    stays bounded by basket size squared per order, never |parts|².
+    Item frequencies come from exploding the same basket frame and join
+    back broadcast (distinct parts ≪ pair rows); top-k is
+    TakeOrderedAndProject, no global sort materialized. Lift ordering
+    is cross-engine-stable because it is a ratio of exact integer
+    counts (bit-identical IEEE division on both engines), with
+    (part_a, part_b) as the unique tie-break. At 100 TB, cap basket
+    size (slice the array after collect) and pre-prune items below
+    minimum support before pairing — both order-preserving
+    optimizations, and the array layout is what a real feature store
+    would persist anyway."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
+    n = baskets.agg(F.count("*").alias("n_orders"))
+    exploded = baskets.select(F.explode("parts").alias("l_partkey"))
+    item = exploded.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    pair = (
+        baskets.select(F.explode("parts").alias("part_a"), "parts")
+        .select("part_a", F.explode("parts").alias("part_b"))
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    lift = F.col("pair_cnt") * F.col("n_orders") / (F.col("cnt_a") * F.col("cnt_b"))
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .join(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_cnt",
+            F.round(F.col("pair_cnt") / F.col("n_orders"), 6).alias("support"),
+            F.round(lift, 6).alias("lift"),
+            lift.alias("_ord"),
+        )
+        .orderBy(F.desc("_ord"), "part_a", "part_b")
+        .limit(_LIFT_TOP_K)
+        .drop("_ord")
+    )
+
+
+@query(
+    "stats_ab_test",
+    oracle="""
+        WITH g AS (
+            SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp, value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        s AS (
+            SELECT
+                count(*) FILTER (WHERE grp = 'A') AS n_a,
+                count(*) FILTER (WHERE grp = 'B') AS n_b,
+                avg(value) FILTER (WHERE grp = 'A') AS mean_a,
+                avg(value) FILTER (WHERE grp = 'B') AS mean_b,
+                var_samp(value) FILTER (WHERE grp = 'A') AS var_a,
+                var_samp(value) FILTER (WHERE grp = 'B') AS var_b
+            FROM g
+        )
+        SELECT n_a, n_b,
+               round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+               round(mean_a - mean_b, 6) AS mean_diff,
+               round((mean_a - mean_b)
+                     / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+               round(pow(var_a / n_a + var_b / n_b, 2)
+                     / (pow(var_a / n_a, 2) / (n_a - 1)
+                        + pow(var_b / n_b, 2) / (n_b - 1)), 6) AS df_welch
+        FROM s
+    """,
+    family="analytics",
+)
+def stats_ab_test(spark, sf_dir):
+    """Welch two-sample t-test between experiment arms (even user_id =
+    A, odd = B) on purchase value: group means/variances, the t
+    statistic with unpooled variances, and the Welch-Satterthwaite
+    effective degrees of freedom — the A/B-test readout computed
+    entirely as ONE conditional aggregate pass (count/avg/var_samp per
+    arm via FILTER), then closed-form scalar arithmetic on the single
+    stats row. No shuffle beyond the partial-agg merge; at 100 TB this
+    is a map-side-combined scan no matter how many events, and per-arm
+    sufficient statistics (n, Σx, Σx²) are exactly the mergeable state
+    an incremental/streaming variant would checkpoint."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"), "value"
+    )
+    a = F.col("grp") == "A"
+    b = F.col("grp") == "B"
+    s = p.agg(
+        F.count(F.when(a, 1)).alias("n_a"),
+        F.count(F.when(b, 1)).alias("n_b"),
+        F.avg(F.when(a, F.col("value"))).alias("mean_a"),
+        F.avg(F.when(b, F.col("value"))).alias("mean_b"),
+        F.var_samp(F.when(a, F.col("value"))).alias("var_a"),
+        F.var_samp(F.when(b, F.col("value"))).alias("var_b"),
+    )
+    se2_a = F.col("var_a") / F.col("n_a")
+    se2_b = F.col("var_b") / F.col("n_b")
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(F.col("mean_a") - F.col("mean_b"), 6).alias("mean_diff"),
+        F.round(
+            (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2_a + se2_b), 6
+        ).alias("t_stat"),
+        F.round(
+            F.pow(se2_a + se2_b, 2)
+            / (
+                F.pow(se2_a, 2) / (F.col("n_a") - 1)
+                + F.pow(se2_b, 2) / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("df_welch"),
+    )

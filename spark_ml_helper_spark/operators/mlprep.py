@@ -354,3 +354,188 @@ def pit_features(spark, sf_dir):
             "w_sum_value",
         )
     )
+
+
+_TE_SMOOTH = 20  # pseudo-count weight of the global prior
+
+
+@query(
+    "feature_target_encode",
+    oracle=f"""
+        WITH j AS (
+            SELECT p.p_brand,
+                   CAST(l.l_returnflag = 'R' AS INT) AS y
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        g AS (SELECT avg(y) AS prior FROM j)
+        SELECT p_brand, count(*) AS n,
+               round(avg(y), 6) AS raw_rate,
+               round((sum(y) + {_TE_SMOOTH} * prior)
+                     / (count(*) + {_TE_SMOOTH}), 6) AS encoded
+        FROM j CROSS JOIN g
+        GROUP BY p_brand, prior
+    """,
+    family="mlprep",
+)
+def feature_target_encode(spark, sf_dir):
+    """Smoothed target (mean) encoding of a categorical feature: encode
+    p_brand by the return rate (l_returnflag = 'R') of its lineitems,
+    shrunk toward the global rate with m=20 pseudo-counts — the
+    standard high-cardinality-categorical featurizer that replaces
+    one-hot blowup. Plan: broadcast join lineitem→part (dim side tiny),
+    ONE hash agg per brand for (n, Σy), a 1-row global prior broadcast
+    back, closed-form shrinkage arithmetic — every stage map-side
+    partial, shuffle only on the brand key. At 100 TB the same plan
+    holds; for leakage-safe training splits, compute (n, Σy) per fold
+    once and subtract the own-fold partials — the sufficient statistics
+    here are exactly the mergeable state that needs."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand", (F.col("l_returnflag") == "R").cast("int").alias("y")
+    )
+    g = j.agg(F.avg("y").alias("prior"))
+    return (
+        j.groupBy("p_brand")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("sy"), F.avg("y").alias("raw"))
+        .join(F.broadcast(g))
+        .select(
+            "p_brand",
+            "n",
+            F.round("raw", 6).alias("raw_rate"),
+            F.round(
+                (F.col("sy") + _TE_SMOOTH * F.col("prior")) / (F.col("n") + _TE_SMOOTH),
+                6,
+            ).alias("encoded"),
+        )
+    )
+
+
+@query(
+    "feature_winsorize",
+    oracle="""
+        WITH cuts AS (
+            SELECT c_mktsegment,
+                   quantile_cont(c_acctbal, 0.01) AS lo,
+                   quantile_cont(c_acctbal, 0.99) AS hi
+            FROM customer GROUP BY c_mktsegment
+        )
+        SELECT c_custkey, c.c_mktsegment,
+               round(c_acctbal, 6) AS c_acctbal,
+               round(least(greatest(c_acctbal, lo), hi), 6) AS winsorized,
+               CAST(c_acctbal < lo OR c_acctbal > hi AS BOOLEAN) AS clipped
+        FROM customer c JOIN cuts ON c.c_mktsegment = cuts.c_mktsegment
+    """,
+    family="mlprep",
+)
+def feature_winsorize(spark, sf_dir):
+    """Per-group winsorization: clip c_acctbal to the [p01, p99] band of
+    its market segment — the outlier-robust alternative to dropping
+    rows before fitting scale-sensitive models. Exact interpolated
+    percentiles per segment are ONE hash aggregate over the group key
+    (5 rows), broadcast-joined back, and the clip is a pure projection
+    — no window over the data, no global sort, two scans of customer.
+    Cross-engine safe because Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition (the
+    agg_percentile entry pins that equivalence). At 100 TB substitute
+    approx_percentile for the exact cutpoints (same plan shape,
+    mergeable sketch) — winsorization tolerates cutpoint error by
+    construction."""
+    c = table(spark, sf_dir, "customer")
+    cuts = c.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.01)").alias("lo"),
+        F.expr("percentile(c_acctbal, 0.99)").alias("hi"),
+    )
+    j = c.join(F.broadcast(cuts), "c_mktsegment")
+    wins = F.least(F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi"))
+    return j.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 6).alias("c_acctbal"),
+        F.round(wins, 6).alias("winsorized"),
+        ((F.col("c_acctbal") < F.col("lo")) | (F.col("c_acctbal") > F.col("hi"))).alias(
+            "clipped"
+        ),
+    )
+
+
+@query(
+    "feature_mutual_info",
+    oracle="""
+        WITH j AS (
+            SELECT d.source AS x, e.label AS y
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        ),
+        n AS (SELECT count(*) AS n FROM j),
+        jx AS (SELECT x, count(*) AS cx FROM j GROUP BY x),
+        jy AS (SELECT y, count(*) AS cy FROM j GROUP BY y),
+        jxy AS (SELECT x, y, count(*) AS cxy FROM j GROUP BY x, y)
+        SELECT n,
+               round(sum((cxy / n) * ln((cxy * n) / (cx * cy))), 6) AS mi_nats,
+               round((SELECT -sum((cx / n) * ln(cx / n)) FROM jx CROSS JOIN n), 6) AS h_x,
+               round((SELECT -sum((cy / n) * ln(cy / n)) FROM jy CROSS JOIN n), 6) AS h_y,
+               round(sum((cxy / n) * ln((cxy * n) / (cx * cy)))
+                     / sqrt((SELECT -sum((cx / n) * ln(cx / n)) FROM jx CROSS JOIN n)
+                            * (SELECT -sum((cy / n) * ln(cy / n)) FROM jy CROSS JOIN n)),
+                     6) AS nmi
+        FROM jxy JOIN jx USING (x) JOIN jy USING (y) CROSS JOIN n
+        GROUP BY n
+    """,
+    family="mlprep",
+)
+def feature_mutual_info(spark, sf_dir):
+    """Mutual information between a categorical feature (document
+    source) and the class label (via the 1:1 embeddings join), plus the
+    marginal entropies and normalized MI — the model-free
+    feature-relevance screen run before training a classifier. All
+    counts-based: joint and marginal distributions are three hash aggs
+    over the joined frame; the MI sum runs over the |X|·|Y| contingency
+    cells (200 here), never the row count, with marginals broadcast
+    back onto the cells. ln() is the same IEEE primitive on both
+    engines and the cell sum is 6-dp rounded. At 100 TB the only
+    data-sized stage is the doc→embedding equi-join and the first
+    count agg — both shuffle on their natural keys with map-side
+    partials; the contingency table stays tiny for any real categorical
+    (and a high-cardinality X would be pre-bucketed anyway)."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    j = d.join(e, d.doc_id == e.vec_id).select(
+        F.col("source").alias("x"), F.col("label").alias("y")
+    )
+    jxy = j.groupBy("x", "y").agg(F.count("*").alias("cxy"))
+    jx = j.groupBy("x").agg(F.count("*").alias("cx"))
+    jy = j.groupBy("y").agg(F.count("*").alias("cy"))
+    n = j.agg(F.count("*").alias("n"))
+    hx = (
+        jx.join(F.broadcast(n))
+        .agg(-F.sum((F.col("cx") / F.col("n")) * F.log(F.col("cx") / F.col("n"))))
+        .toDF("h_x")
+    )
+    hy = (
+        jy.join(F.broadcast(n))
+        .agg(-F.sum((F.col("cy") / F.col("n")) * F.log(F.col("cy") / F.col("n"))))
+        .toDF("h_y")
+    )
+    cells = (
+        jxy.join(F.broadcast(jx), "x")
+        .join(F.broadcast(jy), "y")
+        .join(F.broadcast(n))
+    )
+    mi = cells.agg(
+        F.first("n").alias("n"),
+        F.sum(
+            (F.col("cxy") / F.col("n"))
+            * F.log(F.col("cxy") * F.col("n") / (F.col("cx") * F.col("cy")))
+        ).alias("mi"),
+    )
+    return (
+        mi.join(F.broadcast(hx))
+        .join(F.broadcast(hy))
+        .select(
+            "n",
+            F.round("mi", 6).alias("mi_nats"),
+            F.round("h_x", 6).alias("h_x"),
+            F.round("h_y", 6).alias("h_y"),
+            F.round(F.col("mi") / F.sqrt(F.col("h_x") * F.col("h_y")), 6).alias("nmi"),
+        )
+    )

@@ -454,3 +454,67 @@ def sink_clustered(spark, sf_dir):
         .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
         .select("o_orderkey", "o_orderdate", F.round("o_totalprice", 2).alias("price"))
     )
+
+
+_SKEW_TOP_K = 10
+
+
+@query(
+    "profile_skew",
+    oracle=f"""
+        WITH cnt AS (
+            SELECT l_partkey AS key, count(*) AS cnt
+            FROM lineitem GROUP BY l_partkey
+        ),
+        tot AS (
+            SELECT sum(cnt) AS n_rows, count(*) AS n_keys, max(cnt) AS max_cnt
+            FROM cnt
+        )
+        SELECT key, cnt,
+               CAST(n_rows AS BIGINT) AS n_rows, n_keys,
+               round(cnt * n_keys / n_rows, 6) AS skew_ratio,
+               round(max_cnt * n_keys / n_rows, 6) AS max_skew_ratio
+        FROM cnt CROSS JOIN tot
+        ORDER BY cnt DESC, key
+        LIMIT {_SKEW_TOP_K}
+    """,
+    family="scale",
+)
+def profile_skew(spark, sf_dir):
+    """Join-key skew profiler: the diagnostic you run BEFORE a 100 TB
+    join to decide whether join_skew_salted's hot-key path is needed.
+    Per-key counts on the prospective key (l_partkey), the table-level
+    totals, and the top-10 heaviest keys with their skew ratio
+    (count / mean-count = cnt·n_keys/n_rows — a ratio of exact
+    integers, so cross-engine bit-stable). One hash agg with map-side
+    partials does the counting; totals are a second agg over the
+    per-key frame broadcast back; the top-k is TakeOrderedAndProject
+    (heap per partition, no global sort), ordered by (cnt desc, key)
+    for a deterministic cut. This is exactly the frequency pass
+    join_skew_salted (scale.py:36) runs internally — surfaced as its
+    own report so the salting threshold is chosen from data, not
+    guessed."""
+    li = table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy(F.col("l_partkey").alias("key")).agg(F.count("*").alias("cnt"))
+    tot = cnt.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    return (
+        cnt.join(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            "n_keys",
+            F.round(F.col("cnt") * F.col("n_keys") / F.col("n_rows"), 6).alias(
+                "skew_ratio"
+            ),
+            F.round(F.col("max_cnt") * F.col("n_keys") / F.col("n_rows"), 6).alias(
+                "max_skew_ratio"
+            ),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(_SKEW_TOP_K)
+    )

@@ -247,3 +247,156 @@ def ts_resample_ohlc(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 6).alias("volume"),
     )
+
+
+@query(
+    "ts_cusum",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        stats AS (
+            SELECT event_type, day, x,
+                   avg(x) OVER (PARTITION BY event_type) AS mu,
+                   stddev_samp(x) OVER (PARTITION BY event_type) AS sd
+            FROM daily
+        ),
+        cum AS (
+            SELECT event_type, day, x, sd,
+                   sum(x - mu - 0.5 * sd) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS c
+            FROM stats
+        ),
+        refl AS (
+            SELECT event_type, day, x, sd, c,
+                   min(c) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS m
+            FROM cum
+        )
+        SELECT event_type, CAST(day AS VARCHAR) AS day, round(x, 6) AS x,
+               round(c - least(0, m), 6) AS cusum,
+               CAST(c - least(0, m) > 4 * sd AS BOOLEAN) AS alarm
+        FROM refl
+    """,
+    family="timeseries",
+)
+def ts_cusum(spark, sf_dir):
+    """One-sided CUSUM change-point detection on daily per-event-type
+    value totals (slack k = 0.5 sd, alarm threshold h = 4 sd). The
+    textbook recursion S_t = max(0, S_{t-1} + d_t) looks inherently
+    sequential, but the reflection identity
+    S_t = C_t - min(0, min_{j<=t} C_j) (C = prefix sum of deviations)
+    turns it into two plain window prefixes — a running sum and a
+    running min — so the whole detector stays in whole-stage codegen
+    with no UDF and no driver loop. Shuffles: one hash agg on
+    (event_type, day) collapses the event volume to one row per series
+    point, then every window partitions on event_type — per-series
+    parallelism, no global sort. At 100 TB the daily agg is the only
+    data-sized stage and it is partial-aggregated map-side; series
+    count, not event count, bounds the window state."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum("value").alias("x"))
+    )
+    w_all = Window.partitionBy("event_type")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stats = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.avg("x").over(w_all).alias("mu"),
+        F.stddev_samp("x").over(w_all).alias("sd"),
+    )
+    cum = stats.withColumn(
+        "c", F.sum(F.col("x") - F.col("mu") - 0.5 * F.col("sd")).over(w_run)
+    )
+    refl = cum.withColumn("m", F.min("c").over(w_run))
+    s = F.col("c") - F.least(F.lit(0.0), F.col("m"))
+    return refl.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("x", 6).alias("x"),
+        F.round(s, 6).alias("cusum"),
+        (s > 4 * F.col("sd")).alias("alarm"),
+    )
+
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "ts_autocorr",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        lagged AS (
+            SELECT event_type, x,
+                   {", ".join(
+                       f"lag(x, {k}) OVER (PARTITION BY event_type ORDER BY day) AS x_{k}"
+                       for k in range(1, _ACF_MAX_LAG + 1)
+                   )}
+            FROM daily
+        )
+        {" UNION ALL ".join(
+            f"SELECT event_type, CAST({k} AS BIGINT) AS lag, round(corr(x, x_{k}), 6) AS acf, "
+            f"count(x_{k}) AS n_pairs FROM lagged GROUP BY event_type"
+            for k in range(1, _ACF_MAX_LAG + 1)
+        )}
+    """,
+    family="timeseries",
+)
+def ts_autocorr(spark, sf_dir):
+    """Autocorrelation function of the daily per-event-type value series
+    at lags 1..7 — the seasonality probe run before fitting any
+    forecasting model (a weekly cycle shows as a lag-7 peak). Pearson
+    corr between the series and its lag-k shift, one row per
+    (series, lag), with the pair count so short-series estimates are
+    visibly low-support. Plan: one hash agg collapses events to daily
+    points, ONE window pass materializes all 7 lag columns (the lags
+    share a single sort on the same partition key, not 7 sorts), then a
+    per-series hash agg computes the 7 corr aggregates simultaneously
+    and a stack() unpivots — corr's null-skipping drops the k head rows
+    of each series on both engines identically. Scales on series
+    count × horizon, independent of raw event volume."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum("value").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"x_{k}") for k in range(1, _ACF_MAX_LAG + 1)],
+    )
+    agg = lagged.groupBy("event_type").agg(
+        *[
+            F.round(F.corr("x", f"x_{k}"), 6).alias(f"acf_{k}")
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ],
+        *[
+            F.count(f"x_{k}").alias(f"n_{k}")
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ],
+    )
+    stacked = ", ".join(
+        f"{k}L, acf_{k}, n_{k}" for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    return agg.select(
+        "event_type",
+        F.expr(
+            f"stack({_ACF_MAX_LAG}, {stacked}) AS (lag, acf, n_pairs)"
+        ),
+    )

@@ -912,3 +912,205 @@ def test_pca_variance_identity(spark):
     )
     for r in rows:
         assert abs(r.explained_var - r.score_var / total_var) < 1e-4, r
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    # the window-reflection identity S_t = C_t - min(0, min_j<=t C_j) must
+    # reproduce the textbook sequential recursion S_t = max(0, S_{t-1} + d_t)
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    got = {
+        (r["event_type"], r["day"]): r["cusum"]
+        for r in QUERIES["ts_cusum"](spark, SF_ORACLE).collect()
+    }
+    daily = (
+        table(spark, SF_ORACLE, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum("value").alias("x"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["day"], r["x"]))
+    for et, pts in series.items():
+        pts.sort()
+        xs = [x for _, x in pts]
+        mu = sum(xs) / len(xs)
+        var = sum((x - mu) ** 2 for x in xs) / (len(xs) - 1)
+        sd = var ** 0.5
+        s = 0.0
+        for day, x in pts:
+            s = max(0.0, s + (x - mu - 0.5 * sd))
+            assert abs(s - got[(et, day.isoformat())]) < 1e-4, (et, day)
+
+
+def test_autocorr_bounded_and_pair_counts(spark):
+    rows = QUERIES["ts_autocorr"](spark, SF_ORACLE).collect()
+    assert len(rows) == 5 * 7  # 5 event types x lags 1..7
+    by_series = {}
+    for r in rows:
+        assert -1.0 <= r["acf"] <= 1.0
+        by_series.setdefault(r["event_type"], {})[r["lag"]] = r["n_pairs"]
+    for lags in by_series.values():
+        # each extra lag loses exactly one pair off the series head
+        for k in range(2, 8):
+            assert lags[k] == lags[k - 1] - 1
+
+
+def test_rfm_scores_partition_customers_into_quartiles(spark):
+    from collections import Counter
+
+    rows = QUERIES["rfm_segments"](spark, SF_ORACLE).collect()
+    n = len(rows)
+    assert n == 1500
+    for col in ("r_score", "f_score", "m_score"):
+        c = Counter(r[col] for r in rows)
+        assert set(c) <= {1, 2, 3, 4}
+        # monetary is continuous → near-exact quartiles; discrete metrics
+        # (frequency, recency days) may have heavy ties at the cutpoint
+        if col == "m_score":
+            for score, cnt in c.items():
+                assert abs(cnt - n / 4) <= n * 0.02, (score, cnt)
+
+
+def test_rfm_has_no_global_sort_window(spark):
+    # the scale contract: quartile scoring must come from a broadcast
+    # cutpoint row, never an ntile window over a partition-less frame
+    plan = _plan(spark, "rfm_segments")
+    assert "Window" not in plan
+
+
+def test_basket_lift_has_no_join_on_orderkey(spark):
+    # pair generation must be the local double-explode of the basket
+    # array — the plan may join item counts (broadcast) but must not
+    # self-join baskets on l_orderkey
+    plan = _plan(spark, "basket_lift")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Generate") >= 2  # the two explodes
+
+
+def test_basket_lift_agrees_with_bruteforce_pairs(spark):
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    li = table(spark, SF_ORACLE, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = {}
+    for r in li.distinct().collect():
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    from collections import Counter
+
+    pair_cnt = Counter()
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            pair_cnt[(a, b)] += 1
+    item_cnt = Counter()
+    for parts in baskets.values():
+        item_cnt.update(parts)
+    n_orders = len(baskets)
+    lifts = {
+        p: (c * n_orders) / (item_cnt[p[0]] * item_cnt[p[1]])
+        for p, c in pair_cnt.items()
+        if c >= 2
+    }
+    expect_top = sorted(lifts.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    got = QUERIES["basket_lift"](spark, SF_ORACLE).collect()
+    assert len(got) == len(expect_top)
+    for r, (p, lift) in zip(got, expect_top):
+        assert (r["part_a"], r["part_b"]) == p
+        assert abs(r["lift"] - lift) < 1e-5
+
+
+def test_welch_ab_test_matches_closed_form(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    r = QUERIES["stats_ab_test"](spark, SF_ORACLE).collect()[0]
+    vals = (
+        table(spark, SF_ORACLE, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "value")
+        .collect()
+    )
+    a = [v["value"] for v in vals if v["user_id"] % 2 == 0]
+    b = [v["value"] for v in vals if v["user_id"] % 2 == 1]
+
+    def mean_var(xs):
+        m = sum(xs) / len(xs)
+        return m, sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    ma, va = mean_var(a)
+    mb, vb = mean_var(b)
+    se2 = va / len(a) + vb / len(b)
+    t = (ma - mb) / math.sqrt(se2)
+    df = se2 ** 2 / ((va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1))
+    assert r["n_a"] == len(a) and r["n_b"] == len(b)
+    assert abs(r["t_stat"] - t) < 1e-4
+    assert abs(r["df_welch"] - df) < 1e-2
+    # Welch df is bounded by min(na,nb)-1 below and na+nb-2 above
+    assert min(len(a), len(b)) - 1 <= r["df_welch"] <= len(a) + len(b) - 2
+
+
+def test_target_encode_shrinks_toward_prior(spark):
+    rows = QUERIES["feature_target_encode"](spark, SF_ORACLE).collect()
+    # global prior is the n-weighted mean of raw rates
+    total_n = sum(r["n"] for r in rows)
+    prior = sum(r["raw_rate"] * r["n"] for r in rows) / total_n
+    for r in rows:
+        raw, enc = r["raw_rate"], r["encoded"]
+        # encoded value lies strictly between raw rate and the prior
+        lo, hi = min(raw, prior), max(raw, prior)
+        assert lo - 1e-6 <= enc <= hi + 1e-6, r
+        # shrinkage magnitude: |enc - raw| = m/(n+m) * |prior - raw|
+        assert abs((enc - raw) - 20 / (r["n"] + 20) * (prior - raw)) < 1e-4
+
+
+def test_winsorize_clips_two_percent_per_segment(spark):
+    from collections import Counter
+
+    rows = QUERIES["feature_winsorize"](spark, SF_ORACLE).collect()
+    assert all(r["winsorized"] == r["c_acctbal"] for r in rows if not r["clipped"])
+    seg_n = Counter(r["c_mktsegment"] for r in rows)
+    seg_clip = Counter(r["c_mktsegment"] for r in rows if r["clipped"])
+    for seg, n in seg_n.items():
+        # p01/p99 clip ≈ 2% of each group (interpolation rounds the edges)
+        assert seg_clip[seg] <= max(4, 0.03 * n), (seg, seg_clip[seg], n)
+        assert seg_clip[seg] >= 1, seg
+
+
+def test_mutual_info_identities(spark):
+    r = QUERIES["feature_mutual_info"](spark, SF_ORACLE).collect()[0]
+    # 0 <= MI <= min(H(X), H(Y)); 0 <= NMI <= 1
+    assert 0.0 <= r["mi_nats"] <= min(r["h_x"], r["h_y"]) + 1e-6
+    assert 0.0 <= r["nmi"] <= 1.0 + 1e-6
+
+
+def test_entropy_bounds_per_source(spark):
+    import math
+
+    rows = QUERIES["agg_entropy"](spark, SF_ORACLE).collect()
+    for r in rows:
+        # 0 <= H <= ln(k); 1/k <= HHI <= 1
+        k = r["n_langs"]
+        assert -1e-6 <= r["entropy_nats"] <= math.log(k) + 1e-6, r
+        assert 1.0 / k - 1e-6 <= r["hhi"] <= 1.0 + 1e-6, r
+
+
+def test_profile_skew_ratios_consistent(spark):
+    rows = QUERIES["profile_skew"](spark, SF_ORACLE).collect()
+    assert len(rows) == 10
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    r0 = rows[0]
+    # the top row's ratio IS the max ratio, and ratio = cnt * n_keys / n_rows
+    assert abs(r0["skew_ratio"] - r0["max_skew_ratio"]) < 1e-9
+    assert abs(r0["skew_ratio"] - r0["cnt"] * r0["n_keys"] / r0["n_rows"]) < 1e-6
