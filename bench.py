@@ -50,6 +50,8 @@ HEADLINE = [
     "dedup_containment",# asymmetric near-subset sweep (rep matmul + rescore)
     "dedup_clusters",   # near-dup connected components on the rep graph
     "corpus_bigram_lm", # bigram-LM perplexity scoring
+    "basket_lift",      # per-order array pair explode + lift (round-4)
+    "ts_cusum",         # windowed CUSUM change detection (round-4)
 ]
 
 

@@ -527,3 +527,101 @@ def ml_word2vec(spark, sf_dir):
     for fdf in frames[1:]:
         out = out.unionByName(fdf)
     return out
+
+
+@query(
+    "ml_linreg_normal",
+    oracle="""
+        WITH m AS (
+            SELECT count(*) AS n,
+                   round(avg(l_quantity), 6)                AS m1,
+                   round(avg(l_discount), 9)                AS m2,
+                   round(avg(l_extendedprice), 3)           AS my,
+                   round(avg(l_quantity * l_quantity), 5)   AS m11,
+                   round(avg(l_discount * l_discount), 10)  AS m22,
+                   round(avg(l_quantity * l_discount), 7)   AS m12,
+                   round(avg(l_quantity * l_extendedprice), 2) AS m1y,
+                   round(avg(l_discount * l_extendedprice), 4) AS m2y,
+                   round(avg(l_extendedprice * l_extendedprice), 2) AS myy
+            FROM lineitem
+        ),
+        c AS (
+            SELECT n,
+                   m1, m2, my,
+                   m11 - m1 * m1 AS v11,
+                   m22 - m2 * m2 AS v22,
+                   m12 - m1 * m2 AS v12,
+                   m1y - m1 * my AS c1y,
+                   m2y - m2 * my AS c2y,
+                   myy - my * my AS vyy
+            FROM m
+        )
+        SELECT n,
+               round(my - ((c1y * v22 - c2y * v12) / (v11 * v22 - v12 * v12)) * m1
+                        - ((v11 * c2y - v12 * c1y) / (v11 * v22 - v12 * v12)) * m2,
+                     6) AS b0,
+               round((c1y * v22 - c2y * v12) / (v11 * v22 - v12 * v12), 6) AS b_quantity,
+               round((v11 * c2y - v12 * c1y) / (v11 * v22 - v12 * v12), 6) AS b_discount,
+               round((((c1y * v22 - c2y * v12) / (v11 * v22 - v12 * v12)) * c1y
+                      + ((v11 * c2y - v12 * c1y) / (v11 * v22 - v12 * v12)) * c2y)
+                     / vyy, 6) AS r2
+        FROM c
+    """,
+    family="ml",
+)
+def ml_linreg_normal(spark, sf_dir):
+    """Ordinary least squares fit in CLOSED FORM via the normal
+    equations — l_extendedprice regressed on l_quantity and l_discount
+    — the one regression that needs no MLlib iteration and therefore
+    gets a full SQL oracle. The whole fit is ONE aggregation pass
+    collecting nine average moments (the mergeable sufficient
+    statistics: this is exactly how a 1000-executor OLS runs — partial
+    moment vectors per partition, one treeReduce-style merge, O(1)
+    driver math), then Cramer's rule on the centered 2×2 covariance
+    system plus the variance-ratio R². Cross-engine determinism: each
+    moment is rounded BEFORE the solve on both engines at a grid ~1e-8
+    RELATIVE to its magnitude (per-moment decimals — avg(y²) at 2 dp,
+    avg(discount²) at 10 dp), so double-summation order drift (the
+    only engine-dependent step, ~1e-12 relative) is absorbed at a grid
+    ~10⁴× coarser, while the cancellation-sensitive small moments keep
+    enough digits that the centered covariances stay accurate; every
+    downstream quotient is then bit-identical IEEE arithmetic.
+    At 100 TB nothing changes but the scan time; for p features the
+    moment vector is p(p+3)/2 + 1 entries and the solve stays on the
+    driver until p ~ 10^4."""
+    li = table(spark, sf_dir, "lineitem")
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(x1), 6).alias("m1"),
+        F.round(F.avg(x2), 9).alias("m2"),
+        F.round(F.avg(y), 3).alias("my"),
+        F.round(F.avg(x1 * x1), 5).alias("m11"),
+        F.round(F.avg(x2 * x2), 10).alias("m22"),
+        F.round(F.avg(x1 * x2), 7).alias("m12"),
+        F.round(F.avg(x1 * y), 2).alias("m1y"),
+        F.round(F.avg(x2 * y), 4).alias("m2y"),
+        F.round(F.avg(y * y), 2).alias("myy"),
+    )
+    c = m.select(
+        "n",
+        "m1",
+        "m2",
+        "my",
+        (F.col("m11") - F.col("m1") * F.col("m1")).alias("v11"),
+        (F.col("m22") - F.col("m2") * F.col("m2")).alias("v22"),
+        (F.col("m12") - F.col("m1") * F.col("m2")).alias("v12"),
+        (F.col("m1y") - F.col("m1") * F.col("my")).alias("c1y"),
+        (F.col("m2y") - F.col("m2") * F.col("my")).alias("c2y"),
+        (F.col("myy") - F.col("my") * F.col("my")).alias("vyy"),
+    )
+    det = F.col("v11") * F.col("v22") - F.col("v12") * F.col("v12")
+    b1 = (F.col("c1y") * F.col("v22") - F.col("c2y") * F.col("v12")) / det
+    b2 = (F.col("v11") * F.col("c2y") - F.col("v12") * F.col("c1y")) / det
+    return c.select(
+        "n",
+        F.round(F.col("my") - b1 * F.col("m1") - b2 * F.col("m2"), 6).alias("b0"),
+        F.round(b1, 6).alias("b_quantity"),
+        F.round(b2, 6).alias("b_discount"),
+        F.round((b1 * F.col("c1y") + b2 * F.col("c2y")) / F.col("vyy"), 6).alias("r2"),
+    )

@@ -39,3 +39,39 @@ def sql_star_join(spark, sf_dir):
     for t in ("region", "nation", "customer", "supplier", "orders", "lineitem"):
         table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q5)
+
+
+_Q3 = """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+@query("sql_shipping_priority", oracle=_Q3, family="sqlapi")
+def sql_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shape shipping-priority query as ONE SQL string (the
+    oracle IS the query text, like sql_star_join): top-10 highest-value
+    BUILDING-segment orders taken before the cutoff date but with
+    lineitems still shipping after it. Catalyst plans it exactly as the
+    DataFrame form would: both date predicates push into the parquet
+    scans (orders AND lineitem prune before the join), the
+    customer-segment filter reduces the build side, the fact join
+    shuffles on the order key, aggregation is partial-then-final, and
+    the ORDER BY ... LIMIT 10 is TakeOrderedAndProject — no global
+    sort. The sort key is the ROUNDED revenue (a per-order sum of ~4
+    products, drift ≪ the 1e-6 grid) with l_orderkey as unique
+    tie-break, so the top-10 cut is deterministic on both engines."""
+    for t in ("customer", "orders", "lineitem"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q3)

@@ -400,3 +400,77 @@ def ts_autocorr(spark, sf_dir):
             f"stack({_ACF_MAX_LAG}, {stacked}) AS (lag, acf, n_pairs)"
         ),
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        trended AS (
+            SELECT event_type, day, x,
+                   avg(x) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                   ) AS trend,
+                   dayofweek(day) + 1 AS dow
+            FROM daily
+        ),
+        seasonal AS (
+            SELECT event_type, dow, avg(x - trend) AS s
+            FROM trended GROUP BY event_type, dow
+        )
+        SELECT t.event_type, CAST(t.day AS VARCHAR) AS day,
+               CAST(t.dow AS INT) AS dow,
+               round(t.x, 6) AS x,
+               round(t.trend, 6) AS trend,
+               round(s.s, 6) AS seasonal,
+               round(t.x - t.trend - s.s, 6) AS residual
+        FROM trended t
+        JOIN seasonal s ON t.event_type = s.event_type AND t.dow = s.dow
+    """,
+    family="timeseries",
+)
+def ts_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition of the daily
+    per-event-type value series: trend = centered 7-day rolling mean,
+    seasonal = mean detrended value per weekday, residual = the rest —
+    the pre-modeling diagnostic separating weekly cycle from drift from
+    noise. Plan: the events-sized stage is one hash agg to daily
+    points; the trend window partitions on event_type (per-series
+    parallelism, truncated symmetric frames at the series edges —
+    identical avg-over-available-rows semantics on both engines); the
+    weekday profile is a tiny (series × 7)-row aggregate broadcast back
+    onto the points. Weekday numbering is pinned cross-engine (Spark
+    dayofweek = DuckDB dayofweek + 1, Sunday-anchored). Scales on
+    series count × horizon after the first agg, like ts_cusum."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum("value").alias("x"))
+    )
+    w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.avg("x").over(w7).alias("trend"),
+        F.dayofweek("day").alias("dow"),
+    )
+    seasonal = trended.groupBy("event_type", "dow").agg(
+        F.avg(F.col("x") - F.col("trend")).alias("s")
+    )
+    return (
+        trended.join(F.broadcast(seasonal), ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dow",
+            F.round("x", 6).alias("x"),
+            F.round("trend", 6).alias("trend"),
+            F.round("s", 6).alias("seasonal"),
+            F.round(F.col("x") - F.col("trend") - F.col("s"), 6).alias("residual"),
+        )
+    )

@@ -1114,3 +1114,59 @@ def test_profile_skew_ratios_consistent(spark):
     # the top row's ratio IS the max ratio, and ratio = cnt * n_keys / n_rows
     assert abs(r0["skew_ratio"] - r0["max_skew_ratio"]) < 1e-9
     assert abs(r0["skew_ratio"] - r0["cnt"] * r0["n_keys"] / r0["n_rows"]) < 1e-6
+
+
+def test_seasonal_decompose_identity_and_weekday_means(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["ts_seasonal_decompose"](spark, SF_ORACLE).collect()
+    assert len(rows) == 150  # 5 series x 30 days
+    by_dow = defaultdict(list)
+    for r in rows:
+        # additive identity holds exactly at the rounding grid
+        assert abs(r["x"] - (r["trend"] + r["seasonal"] + r["residual"])) < 5e-6, r
+        by_dow[(r["event_type"], r["dow"])].append(r["residual"])
+    # seasonal term is the weekday mean of detrended values, so residuals
+    # average ~0 within each (series, weekday) cell
+    for cell, res in by_dow.items():
+        assert abs(sum(res) / len(res)) < 1e-4, cell
+
+
+def test_ols_normal_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    r = QUERIES["ml_linreg_normal"](spark, SF_ORACLE).collect()[0]
+    pdf = (
+        table(spark, SF_ORACLE, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .toPandas()
+    )
+    X = np.column_stack(
+        [np.ones(len(pdf)), pdf["l_quantity"], pdf["l_discount"]]
+    )
+    y = pdf["l_extendedprice"].to_numpy()
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    pred = X @ beta
+    ss_res = ((y - pred) ** 2).sum()
+    ss_tot = ((y - y.mean()) ** 2).sum()
+    r2 = 1 - ss_res / ss_tot
+    assert r["n"] == len(pdf)
+    # moment rounding at 4dp perturbs coefficients only in far decimals
+    assert abs(r["b0"] - beta[0]) < 1e-2
+    assert abs(r["b_quantity"] - beta[1]) < 1e-3
+    assert abs(r["b_discount"] - beta[2]) < 1e-1
+    assert abs(r["r2"] - r2) < 1e-4
+    assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_shipping_priority_pushdown_and_topk(spark):
+    plan = _plan(spark, "sql_shipping_priority")
+    # both date predicates must reach the parquet scans
+    assert plan.count("PushedFilters") >= 2
+    assert "TakeOrderedAndProject" in plan
+    rows = QUERIES["sql_shipping_priority"](spark, SF_ORACLE).collect()
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert len(rows) == 10
