@@ -30,6 +30,13 @@ load_all_operators()
 _REVERIFY_FIRST = [
     "sim_knn",            # r2-green but rewritten since (blocked BLAS preselect) — re-record
     "events_anomaly_mad", # mad>0 guard added to Spark filter + oracle this round
+    # money-grid rounding pins (price-scale sums 6dp → 2dp in Spark AND
+    # oracle, fixing sf0.1 last-digit drift) — re-record the new hashes:
+    "agg_group",
+    "agg_cube",
+    "agg_filtered",
+    "rollup_time_multires",
+    "sql_star_join",
 ]
 
 

@@ -48,8 +48,8 @@ def agg_global(spark, sf_dir):
     oracle="""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 6)      AS sum_qty,
-               round(sum(l_extendedprice), 6) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
                round(avg(l_quantity), 6)      AS avg_qty,
                round(avg(l_extendedprice), 6) AS avg_price,
                count(*)                       AS count_order
@@ -63,15 +63,20 @@ def agg_group(spark, sf_dir):
     """Flagship: TPC-H Q1-shape pricing summary (filter → grouped agg →
     sort). The scan reads only the 6 needed columns of lineitem, the
     shipdate filter pushes into parquet, and the groupBy is a 6-group hash
-    aggregate — the canonical map-combine plan."""
+    aggregate — the canonical map-combine plan. The price SUMS are
+    rounded at 2 dp (the money grid), not 6: per-group totals reach
+    ~3e9 at sf0.1, where cross-engine summation-order drift (~1e-5)
+    crosses a 1e-6 grid — observed as a last-digit mismatch before this
+    pin. sum_qty (integer-valued quantities, drift-free) and the avgs
+    (divided by n, drift ~1e-10) stay at 6."""
     li = table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("sum_disc_price"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.count("*").alias("count_order"),
@@ -154,7 +159,7 @@ def agg_rollup(spark, sf_dir):
     oracle="""
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 6) AS sum_price
+               round(sum(o_totalprice), 2) AS sum_price
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -165,7 +170,7 @@ def agg_cube(spark, sf_dir):
     return (
         table(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 6).alias("sum_price"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
     )
 
 
@@ -201,7 +206,7 @@ def agg_grouping_sets(spark, sf_dir):
     "agg_filtered",
     oracle="""
         SELECT l_returnflag,
-               round(sum(CASE WHEN l_quantity > 25.0 THEN l_extendedprice END), 6) AS sum_big_qty_price,
+               round(sum(CASE WHEN l_quantity > 25.0 THEN l_extendedprice END), 2) AS sum_big_qty_price,
                count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
                count(*) AS n_rows
         FROM lineitem
@@ -213,7 +218,7 @@ def agg_filtered(spark, sf_dir):
     """Conditional aggregation (sum over CASE, count_if)."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.sum(F.when(F.col("l_quantity") > 25.0, F.col("l_extendedprice"))), 6).alias("sum_big_qty_price"),
+        F.round(F.sum(F.when(F.col("l_quantity") > 25.0, F.col("l_extendedprice"))), 2).alias("sum_big_qty_price"),
         F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
         F.count("*").alias("n_rows"),
     )
@@ -405,7 +410,7 @@ def agg_approx_percentile(spark, sf_dir):
         SELECT strftime(m, '%Y-%m') AS month_key,
                CASE WHEN d IS NULL THEN NULL ELSE strftime(d, '%Y-%m-%d') END AS day_key,
                count(o_totalprice) AS n_orders,
-               round(sum(o_totalprice), 6) AS revenue
+               round(sum(o_totalprice), 2) AS revenue
         FROM base
         GROUP BY ROLLUP (m, d)
         HAVING m IS NOT NULL
@@ -430,7 +435,7 @@ def rollup_time_multires(spark, sf_dir):
         base.rollup("m", "d")
         .agg(
             F.count("o_totalprice").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
         .filter(F.col("m").isNotNull())
         .select(

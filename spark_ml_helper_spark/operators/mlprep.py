@@ -37,15 +37,32 @@ def class_balance(spark, sf_dir):
     )
 
 
-@query("class_sample_stratified", oracle=None, family="mlprep")
+@query(
+    "class_sample_stratified",
+    oracle="""
+        SELECT vec_id, label
+        FROM embeddings
+        WHERE label >= 5
+           OR (('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 50
+    """,
+    family="mlprep",
+)
 def class_sample_stratified(spark, sf_dir):
-    """Stratified downsample: keep 50% of labels 0-4, all of labels 5-9
-    (seeded sampleBy — deterministic per seed but engine-specific RNG, so
-    rows-only; tests assert per-label proportions). At scale this is a
-    map-only pass — no shuffle."""
+    """Stratified downsample: keep 50% of labels 0-4, all of labels 5-9.
+    The keep decision is md5(vec_id) mod 100 < 50 — the same
+    engine-neutral hash-bucket discipline as train_test_split — instead
+    of sampleBy's engine-specific RNG, which makes the sample
+    reproducible across runs, engines, partitionings, and data order
+    AND lets the driver hash-match it (this entry was rows-only until
+    the md5 rewrite). Map-only: the stratified downsample of 100 TB
+    costs one scan, no shuffle, and the per-label fraction table
+    extends by adding predicates (or a broadcast-joined fraction dim
+    for many classes)."""
     e = table(spark, sf_dir, "embeddings")
-    fractions = {lbl: (0.5 if lbl < 5 else 1.0) for lbl in range(10)}
-    return e.sampleBy("label", fractions, seed=42).select("vec_id", "label")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    return e.filter((F.col("label") >= 5) | (bucket < 50)).select("vec_id", "label")
 
 
 @query(

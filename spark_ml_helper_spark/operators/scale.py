@@ -518,3 +518,54 @@ def profile_skew(spark, sf_dir):
         .orderBy(F.desc("cnt"), "key")
         .limit(_SKEW_TOP_K)
     )
+
+
+@query(
+    "join_runtime_bloom",
+    oracle="""
+        SELECT l_returnflag, count(*) AS n,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY l_returnflag
+    """,
+    family="scale",
+)
+def join_runtime_bloom(spark, sf_dir):
+    """Runtime Bloom-filter semi-join reduction — the 100 TB technique
+    where the selective dimension side (URGENT orders) builds a Bloom
+    filter DURING execution and the fact scan (lineitem) drops
+    non-matching rows BEFORE the join shuffle, cutting shuffle bytes by
+    the join selectivity (~20% here). Spark 4 injects this
+    automatically (`might_contain(xxhash64(l_orderkey))` on the probe
+    side, `bloom_filter_agg` on the build side — asserted in the plan
+    test) once the application-side scan threshold is met; production
+    100 TB scans clear the default 10 GB threshold on their own, so
+    the only non-default conf here exists to reproduce the plan on MB
+    fixtures. The confs are set on an ISOLATED spark.newSession()
+    (shared SparkContext, private SQLConf), so disabling broadcast to
+    force the shuffle-join path cannot leak into other operators
+    sharing the driver's session. Result is conf-independent — the
+    Bloom filter is a pure pre-shuffle reduction — which the SQL
+    oracle confirms."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    o = table(s2, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    li = table(s2, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            # 2 dp, not 6: these per-flag sums reach ~2e9, where engine
+            # summation-order drift (~1e-5) crosses a 1e-6 rounding grid
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )

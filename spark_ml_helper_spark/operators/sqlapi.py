@@ -13,7 +13,7 @@ from spark_ml_helper_spark.sources.parquet import table
 
 _Q5 = """
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey

@@ -474,3 +474,51 @@ def ts_seasonal_decompose(spark, sf_dir):
             F.round(F.col("x") - F.col("trend") - F.col("s"), 6).alias("residual"),
         )
     )
+
+
+@query(
+    "ts_forecast_naive",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        scored AS (
+            SELECT event_type, day, x,
+                   lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS fcst
+            FROM daily
+        )
+        SELECT event_type,
+               count(fcst) AS n_scored,
+               round(avg(abs(x - fcst)), 6) AS mae,
+               round(avg(abs(x - fcst) / x), 6) AS mape,
+               round(sqrt(avg((x - fcst) * (x - fcst))), 6) AS rmse
+        FROM scored
+        GROUP BY event_type
+    """,
+    family="timeseries",
+)
+def ts_forecast_naive(spark, sf_dir):
+    """Seasonal-naive forecast backtest: predict each day's per-type
+    total as the value seven days earlier and score MAE / MAPE / RMSE
+    per series — the baseline every forecasting model must beat, and
+    the shape of a rolling backtest harness (lag-k forecast → error
+    aggregate). One hash agg to daily points, one lag window per
+    series, one scoring agg; the first 7 days drop out via lag's nulls
+    identically on both engines (x > 0 always here, so MAPE's division
+    is safe). Scales on series count × horizon after the daily agg,
+    like the other ts_* entries."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum("value").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = daily.withColumn("fcst", F.lag("x", 7).over(w))
+    err = F.col("x") - F.col("fcst")
+    return scored.groupBy("event_type").agg(
+        F.count("fcst").alias("n_scored"),
+        F.round(F.avg(F.abs(err)), 6).alias("mae"),
+        F.round(F.avg(F.abs(err) / F.col("x")), 6).alias("mape"),
+        F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+    )

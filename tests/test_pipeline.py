@@ -1170,3 +1170,42 @@ def test_shipping_priority_pushdown_and_topk(spark):
     revs = [r["revenue"] for r in rows]
     assert revs == sorted(revs, reverse=True)
     assert len(rows) == 10
+
+
+def test_stratified_sample_proportions_and_determinism(spark):
+    from collections import Counter
+
+    df = QUERIES["class_sample_stratified"](spark, SF_ORACLE)
+    rows = df.collect()
+    rows2 = df.collect()
+    assert sorted(r["vec_id"] for r in rows) == sorted(r["vec_id"] for r in rows2)
+    kept = Counter(r["label"] for r in rows)
+    from spark_ml_helper_spark.sources.parquet import table
+
+    full = Counter(
+        r["label"] for r in table(spark, SF_ORACLE, "embeddings").collect()
+    )
+    for lbl in range(10):
+        frac = kept[lbl] / full[lbl]
+        if lbl >= 5:
+            assert frac == 1.0, (lbl, frac)
+        else:
+            assert 0.3 <= frac <= 0.7, (lbl, frac)  # md5 buckets ≈ 50%
+
+
+def test_runtime_bloom_filter_in_plan(spark):
+    plan = _plan(spark, "join_runtime_bloom")
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+    # and the isolation: the caller session's broadcast threshold untouched
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
+def test_naive_forecast_scores_consistent(spark):
+    rows = QUERIES["ts_forecast_naive"](spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # 30-day series loses its first week to the lag
+        assert r["n_scored"] == 23, r
+        assert 0 <= r["mae"] <= r["rmse"], r  # RMSE >= MAE always
+        assert r["mape"] > 0
