@@ -434,3 +434,207 @@ def graph_cc(spark, sf_dir):
     )
     labels = min_label_fixpoint(edges)
     return labels.select("node", F.col("lab").alias("cluster_id"))
+
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    """Unrolled synchronous label propagation: each round, every node
+    adopts the most frequent label among its neighbors (min label wins
+    ties) — the same fixed-round unrolling discipline as the pagerank
+    oracle, so DuckDB replays the identical deterministic schedule."""
+    parts = [
+        f"""
+        e0 AS (
+            SELECT o.o_custkey AS c, l.l_suppkey AS s
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2 HAVING count(*) >= {_CC_MIN_COOCCUR}
+        ),
+        edges AS (
+            SELECT c AS src, s + {_CC_SUPP_OFFSET} AS dst FROM e0
+            UNION ALL SELECT s + {_CC_SUPP_OFFSET}, c FROM e0
+        ),
+        lab0 AS (
+            SELECT DISTINCT src AS node, src AS lab FROM edges
+        )"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+        cnt{k} AS (
+            SELECT e.src AS node, l.lab, count(*) AS c
+            FROM edges e JOIN lab{k - 1} l ON l.node = e.dst
+            GROUP BY e.src, l.lab
+        ),
+        lab{k} AS (
+            SELECT node, lab FROM (
+                SELECT node, lab,
+                       row_number() OVER (
+                           PARTITION BY node ORDER BY c DESC, lab
+                       ) AS rn
+                FROM cnt{k}
+            ) WHERE rn = 1
+        )"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\n        SELECT node, lab AS community FROM lab{rounds}"
+    )
+
+
+@query("graph_label_prop", oracle=_lpa_oracle(), family="graph")
+def graph_label_prop(spark, sf_dir):
+    """Community detection by synchronous label propagation (LPA) on the
+    customer-supplier co-occurrence graph: every node starts as its own
+    label and, for a fixed 4 rounds, adopts the most frequent label
+    among its neighbors with min-label tie-break — the deterministic
+    textbook schedule, which is what makes a SQL oracle possible at all
+    (asynchronous LPA is order-dependent and unverifiable). Each round
+    is one shuffle-on-node join (edges ⋈ labels), one (node, label)
+    count agg, and one per-node top-1 window — all keyed on node ids,
+    so a 10⁹-edge graph rounds in edge-shuffle time exactly like the
+    pagerank loop; the labels frame is localCheckpoint'd per round to
+    cut the lineage like min_label_fixpoint does. Rounds is the dial:
+    LPA empirically converges in <10 rounds on social-scale graphs, and
+    the fixed count keeps batch replays bit-reproducible."""
+    e0 = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _CC_MIN_COOCCUR)
+    )
+    fwd = e0.select(F.col("c").alias("src"), (F.col("s") + _CC_SUPP_OFFSET).alias("dst"))
+    edges = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), "lab")
+    for _ in range(_LPA_ROUNDS):
+        labels = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "lab")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lab").alias("community"))
+
+
+@query(
+    "graph_modularity",
+    oracle=f"""
+        WITH RECURSIVE e0 AS (
+            SELECT o.o_custkey AS c, l.l_suppkey AS s
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2 HAVING count(*) >= {_CC_MIN_COOCCUR}
+        ),
+        nodes AS (
+            SELECT DISTINCT c AS node FROM e0
+            UNION SELECT DISTINCT s + {_CC_SUPP_OFFSET} FROM e0
+        ),
+        edges AS (
+            SELECT c AS src, s + {_CC_SUPP_OFFSET} AS dst FROM e0
+            UNION ALL SELECT s + {_CC_SUPP_OFFSET}, c FROM e0
+        ),
+        walk(node, lab) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node
+        ),
+        comm AS (SELECT node, min(lab) AS community FROM walk GROUP BY node),
+        m2 AS (SELECT count(*) AS m2 FROM edges),
+        internal AS (
+            SELECT cs.community, count(*) AS int_dir
+            FROM edges e
+            JOIN comm cs ON cs.node = e.src
+            JOIN comm cd ON cd.node = e.dst AND cd.community = cs.community
+            GROUP BY cs.community
+        ),
+        degsum AS (
+            SELECT c.community, count(*) AS d_sum
+            FROM edges e JOIN comm c ON c.node = e.src
+            GROUP BY c.community
+        )
+        SELECT d.community,
+               CAST(coalesce(i.int_dir, 0) AS BIGINT) AS internal_halfedges,
+               d.d_sum AS degree_sum,
+               round(coalesce(i.int_dir, 0) / m2
+                     - (d.d_sum / m2) * (d.d_sum / m2), 6) AS q_contrib
+        FROM degsum d LEFT JOIN internal i ON i.community = d.community
+        CROSS JOIN m2
+    """,
+    family="graph",
+)
+def graph_modularity(spark, sf_dir):
+    """Newman modularity of the connected-component partition of the
+    customer-supplier graph: per community, Q_c = e_c/m - (d_c/2m)² —
+    the standard partition-quality score a community-detection pass
+    (graph_label_prop) is judged by. Everything is counting: the
+    directed edge list joined twice against the broadcast community
+    map (components ≪ edges), one count agg per side, closed-form
+    arithmetic on exact integer ratios (bit-stable across engines).
+    The expensive input — the labels — comes from the same
+    min_label_fixpoint the CC operator uses; at 10⁹ edges the two
+    community joins shuffle on node ids exactly like one LPA round, so
+    modularity costs ~one extra round of whatever propagation produced
+    the labels."""
+    e0 = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _CC_MIN_COOCCUR)
+    )
+    fwd = e0.select(F.col("c").alias("src"), (F.col("s") + _CC_SUPP_OFFSET).alias("dst"))
+    edges = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    comm = min_label_fixpoint(edges).select(
+        "node", F.col("lab").alias("community")
+    )
+    m2 = edges.agg(F.count("*").alias("m2"))
+    cs = comm.select(F.col("node").alias("src"), F.col("community").alias("c_src"))
+    cd = comm.select(F.col("node").alias("dst"), F.col("community").alias("c_dst"))
+    internal = (
+        edges.join(F.broadcast(cs), "src")
+        .join(F.broadcast(cd), "dst")
+        .filter(F.col("c_src") == F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("community"))
+        .agg(F.count("*").alias("int_dir"))
+    )
+    degsum = (
+        edges.join(F.broadcast(cs), "src")
+        .groupBy(F.col("c_src").alias("community"))
+        .agg(F.count("*").alias("d_sum"))
+    )
+    return (
+        degsum.join(internal, "community", "left")
+        .join(F.broadcast(m2))
+        .select(
+            "community",
+            F.coalesce(F.col("int_dir"), F.lit(0)).cast("bigint").alias(
+                "internal_halfedges"
+            ),
+            F.col("d_sum").alias("degree_sum"),
+            F.round(
+                F.coalesce(F.col("int_dir"), F.lit(0)) / F.col("m2")
+                - (F.col("d_sum") / F.col("m2")) * (F.col("d_sum") / F.col("m2")),
+                6,
+            ).alias("q_contrib"),
+        )
+    )

@@ -1209,3 +1209,35 @@ def test_naive_forecast_scores_consistent(spark):
         assert r["n_scored"] == 23, r
         assert 0 <= r["mae"] <= r["rmse"], r  # RMSE >= MAE always
         assert r["mape"] > 0
+
+
+def test_lpa_labels_respect_components(spark):
+    # after propagation, every community label must stay within the
+    # node's connected component (labels can only travel along edges)
+    cc = {
+        r["node"]: r["cluster_id"]
+        for r in QUERIES["graph_cc"](spark, SF_ORACLE).collect()
+    }
+    lpa = QUERIES["graph_label_prop"](spark, SF_ORACLE).collect()
+    assert len(lpa) == len(cc)
+    for r in lpa:
+        # the adopted label is itself a node id in the same component
+        assert cc[r["community"]] == cc[r["node"]], r
+    # LPA refines (or equals) the component partition — never coarser
+    n_communities = len({r["community"] for r in lpa})
+    n_components = len(set(cc.values()))
+    assert n_communities >= n_components
+
+
+def test_modularity_identities(spark):
+    rows = QUERIES["graph_modularity"](spark, SF_ORACLE).collect()
+    # components have NO inter-community edges, so internal half-edge
+    # counts must sum to the full directed edge count (= Σ degree_sum)
+    assert sum(r["internal_halfedges"] for r in rows) == sum(
+        r["degree_sum"] for r in rows
+    )
+    q = sum(r["q_contrib"] for r in rows)
+    assert -0.5 <= q <= 1.0
+    for r in rows:
+        # per-community: e_c/m <= 1 and the contribution is bounded
+        assert r["internal_halfedges"] <= r["degree_sum"]
