@@ -625,3 +625,64 @@ def stats_ab_test(spark, sf_dir):
             6,
         ).alias("df_welch"),
     )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+        WITH p AS (
+            SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        t AS (
+            SELECT user_id, event_type, ts AS t_ts
+            FROM events WHERE event_type IN ('view', 'click')
+        ),
+        pairs AS (
+            SELECT p.purchase_id, p.value, t.event_type,
+                   count(*) OVER (PARTITION BY p.purchase_id) AS n_touch
+            FROM p JOIN t ON p.user_id = t.user_id
+             AND t.t_ts >= p.p_ts - INTERVAL 24 HOUR AND t.t_ts < p.p_ts
+        )
+        SELECT event_type,
+               round(sum(1.0 / n_touch), 6) AS credited_conversions,
+               round(sum(value / n_touch), 6) AS credited_value,
+               count(*) AS n_touches
+        FROM pairs
+        GROUP BY event_type
+    """,
+    family="analytics",
+)
+def events_attribution(spark, sf_dir):
+    """Linear multi-touch attribution: every view/click in the 24 h
+    before a purchase shares that purchase's credit equally (1/n of the
+    conversion and of its value), aggregated per touch channel — the
+    marketing-analytics staple between last-touch (join_asof's shape)
+    and data-driven models. The touch-purchase pairing is an equi-join
+    on user_id with a residual time-window predicate — the funnel
+    discipline: shuffle carries the user key, the interval is a
+    post-join filter, expansion is bounded by per-user touch density ×
+    purchase count inside the window, never |events|². The 1/n split is
+    a count window keyed by purchase id (same partitioning as the join
+    output), and the final per-channel rollup is a 2-row hash agg.
+    Exact ratios of integers keep the credit arithmetic bit-stable
+    cross-engine; at 100 TB the window bound is the dial (tighter
+    window → linearly fewer pairs)."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_type", F.col("ts").alias("t_ts")
+    )
+    pairs = p.join(t, "user_id").filter(
+        (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+        & (F.col("t_ts") < F.col("p_ts"))
+    )
+    w = Window.partitionBy("purchase_id")
+    pairs = pairs.withColumn("n_touch", F.count("*").over(w))
+    return pairs.groupBy("event_type").agg(
+        F.round(F.sum(1.0 / F.col("n_touch")), 6).alias("credited_conversions"),
+        F.round(F.sum(F.col("value") / F.col("n_touch")), 6).alias("credited_value"),
+        F.count("*").alias("n_touches"),
+    )

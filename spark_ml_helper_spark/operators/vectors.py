@@ -703,3 +703,67 @@ def sim_threshold_sweep(spark, sf_dir):
         .agg(F.count("*").alias("n_pairs"))
         .select("bucket", F.round(F.col("bucket") * 0.1 - 1.0, 1).alias("sim_lo"), "n_pairs")
     )
+
+
+_JL_IN_DIM = 64
+_JL_OUT_DIM = 16
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic ±1 Rademacher projection matrix, derived from md5 of
+    the (in_dim, out_dim) coordinate string in PYTHON at definition time
+    and inlined as literals into BOTH the Spark expression and the DuckDB
+    oracle — no engine hash function involved, so the two sides share the
+    matrix bit-for-bit by construction."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0] < "8" else -1
+            for i in range(_JL_IN_DIM)
+        ]
+        for j in range(_JL_OUT_DIM)
+    ]
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    cols = ",\n               ".join(
+        "round(list_sum(list_transform(range(1, %d), i -> "
+        "CAST(embedding[i] AS DOUBLE) * ([%s])[i])) / 4.0, 6) AS y_%d"
+        % (_JL_IN_DIM + 1, ", ".join(str(s) for s in signs[j]), j)
+        for j in range(_JL_OUT_DIM)
+    )
+    return f"SELECT vec_id, {cols}\n        FROM embeddings"
+
+
+@query("vec_random_projection", oracle=_jl_oracle(), family="vectors")
+def vec_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 → 16 dims with a
+    Rademacher (±1) matrix, scaled by 1/√16 — the standard cheap
+    dimensionality reduction before ANN indexing or clustering when
+    PCA's data pass is too expensive. The projection matrix is
+    md5-derived at DEFINITION time and inlined as ±1 literals (see
+    _jl_signs), so the operator is a pure per-row projection: 16
+    zip_with/aggregate folds over the embedding array, all JVM
+    higher-order functions, shuffle-free, and bit-reproducible on both
+    engines (identical sequential fold over identical literals — the
+    sum is rounded at 6 dp anyway). At 100 TB this is a map-only pass
+    whose cost is one scan; the same inlined-literal trick carries any
+    fixed seed matrix up to a few thousand entries, past which you
+    broadcast the matrix and explode instead."""
+    e = table(spark, sf_dir, "embeddings")
+    signs = _jl_signs()
+    cols = [
+        F.round(
+            F.expr(
+                "aggregate(zip_with(embedding, array(%s), (x, s) -> x * s), "
+                "0D, (a, v) -> a + v)"
+                % ", ".join(f"{s}D" for s in signs[j])
+            )
+            / 4.0,
+            6,
+        ).alias(f"y_{j}")
+        for j in range(_JL_OUT_DIM)
+    ]
+    return e.select("vec_id", *cols)

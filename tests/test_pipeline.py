@@ -1241,3 +1241,63 @@ def test_modularity_identities(spark):
     for r in rows:
         # per-community: e_c/m <= 1 and the contribution is bounded
         assert r["internal_halfedges"] <= r["degree_sum"]
+
+
+def test_jl_projection_preserves_distances(spark):
+    import math
+    import random
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    proj = {
+        r["vec_id"]: [r[f"y_{j}"] for j in range(16)]
+        for r in QUERIES["vec_random_projection"](spark, SF_ORACLE).collect()
+    }
+    full = {
+        r["vec_id"]: r["embedding"]
+        for r in table(spark, SF_ORACLE, "embeddings").collect()
+    }
+    rng = random.Random(7)
+    ids = sorted(proj)
+    ratios = []
+    for _ in range(200):
+        a, b = rng.sample(ids, 2)
+        d_full = math.dist(full[a], full[b])
+        d_proj = math.dist(proj[a], proj[b])
+        if d_full > 1e-9:
+            ratios.append(d_proj / d_full)
+    # JL with k=16: loose per-pair bounds, but the MEAN ratio concentrates
+    # near 1 (E[d_proj^2] = d_full^2 under the Rademacher projection)
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 <= mean <= 1.15, mean
+    assert all(0.3 <= r <= 2.0 for r in ratios), (min(ratios), max(ratios))
+
+
+def test_attribution_conserves_credit(spark):
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    rows = QUERIES["events_attribution"](spark, SF_ORACLE).collect()
+    assert {r["event_type"] for r in rows} == {"view", "click"}
+    total_credit = sum(r["credited_conversions"] for r in rows)
+    # credit sums to exactly the number of ATTRIBUTED purchases
+    # (each purchase with >=1 touch distributes weight summing to 1)
+    e = table(spark, SF_ORACLE, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("p_ts")
+    )
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("ts").alias("t_ts")
+    )
+    attributed = (
+        p.join(t, "user_id")
+        .filter(
+            (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+            & (F.col("t_ts") < F.col("p_ts"))
+        )
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert abs(total_credit - attributed) < 1e-3, (total_credit, attributed)
