@@ -686,3 +686,82 @@ def events_attribution(spark, sf_dir):
         F.round(F.sum(F.col("value") / F.col("n_touch")), 6).alias("credited_value"),
         F.count("*").alias("n_touches"),
     )
+
+
+@query(
+    "events_active_users",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        spine AS (SELECT DISTINCT day FROM du),
+        contrib AS (
+            SELECT s.day, du.user_id,
+                   CAST(du.day = s.day AS INT) AS is_today,
+                   CAST(du.day > s.day - 7 AS INT) AS in_week
+            FROM spine s
+            JOIN du ON du.day <= s.day AND du.day > s.day - 30
+        )
+        SELECT CAST(day AS VARCHAR) AS day,
+               count(DISTINCT CASE WHEN is_today = 1 THEN user_id END) AS dau,
+               count(DISTINCT CASE WHEN in_week = 1 THEN user_id END) AS wau,
+               count(DISTINCT user_id) AS mau,
+               round(count(DISTINCT CASE WHEN is_today = 1 THEN user_id END)
+                     / count(DISTINCT user_id), 6) AS stickiness
+        FROM contrib
+        GROUP BY day
+    """,
+    family="analytics",
+)
+def events_active_users(spark, sf_dir):
+    """DAU / WAU / MAU active-user rollups with the DAU/MAU stickiness
+    ratio — the product-analytics vital signs. The corpus-sized stage
+    is ONE distinct on (day, user); each surviving per-day user row
+    then EXPLODES to the ≤30 trailing report days it contributes to
+    (sequence over the date range — a fixed ×30 map-side fan-out, the
+    scalable alternative to a per-day correlated distinct scan), and
+    one hash agg per report day counts the three conditional distincts
+    simultaneously. Shuffles: the (day,user) distinct and the final
+    day-keyed agg — both on natural keys with partial aggregation. At
+    100 TB the ×30 fan-out is the explicit, bounded cost (30× the
+    DAILY-distinct rows, not 30× the events); for a 365-day MAU-style
+    window you'd switch to sketch merging (agg_hll_sketch's shape)
+    instead."""
+    e = table(spark, sf_dir, "events")
+    du = e.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    mx = e.agg(F.max(F.col("ts").cast("date")).alias("mx"))
+    contrib = (
+        du.join(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.col("day").alias("active_day"),
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.least(F.date_add(F.col("day"), 29), F.col("mx")),
+                )
+            ).alias("day"),
+        )
+    )
+    is_today = F.col("active_day") == F.col("day")
+    in_week = F.col("active_day") > F.date_sub(F.col("day"), 7)
+    return (
+        contrib.groupBy("day")
+        .agg(
+            F.countDistinct(F.when(is_today, F.col("user_id"))).alias("dau"),
+            F.countDistinct(F.when(in_week, F.col("user_id"))).alias("wau"),
+            F.countDistinct("user_id").alias("mau"),
+            F.round(
+                F.countDistinct(F.when(is_today, F.col("user_id")))
+                / F.countDistinct("user_id"),
+                6,
+            ).alias("stickiness"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            "stickiness",
+        )
+    )

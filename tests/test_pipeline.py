@@ -1301,3 +1301,24 @@ def test_attribution_conserves_credit(spark):
         .count()
     )
     assert abs(total_credit - attributed) < 1e-3, (total_credit, attributed)
+
+
+def test_active_users_monotone_and_bounded(spark):
+    rows = sorted(
+        QUERIES["events_active_users"](spark, SF_ORACLE).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(rows) == 30
+    for r in rows:
+        assert r["dau"] <= r["wau"] <= r["mau"], r
+        assert abs(r["stickiness"] - round(r["dau"] / r["mau"], 6)) < 1e-9
+    # trailing windows: by day 30, MAU covers the full observed user base
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    total_users = (
+        table(spark, SF_ORACLE, "events").select("user_id").distinct().count()
+    )
+    assert rows[-1]["mau"] <= total_users
+    assert rows[-1]["mau"] >= rows[0]["mau"]  # window only grows early on
