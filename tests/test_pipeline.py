@@ -1322,3 +1322,48 @@ def test_active_users_monotone_and_bounded(spark):
     )
     assert rows[-1]["mau"] <= total_users
     assert rows[-1]["mau"] >= rows[0]["mau"]  # window only grows early on
+
+
+# Queries whose plan legitimately contains a BroadcastNestedLoopJoin: every
+# one is a crossJoin/broadcast of a TINY stat or spine frame (a 1-row global
+# aggregate, percentile cutpoints, an hour spine, a G-row marginal table) —
+# constant-size at any corpus scale. A NEW name appearing here means an
+# operator grew an unplanned non-equi join; run tools/plan_audit.py to see
+# the full-registry picture.
+_BNLJ_ALLOWED = {
+    "basket_lift", "class_balance", "corpus_bigram_lm",
+    "corpus_decontaminate_semantic", "corpus_mix_weights",
+    "dedup_containment", "dedup_embedding", "dedup_ngram",
+    "events_active_users", "feature_class_weights", "feature_mutual_info",
+    "feature_scale", "feature_target_encode", "funnel_ordered",
+    "graph_modularity", "join_cross", "join_range", "knn_classify",
+    "ml_eval_retrieval", "profile_skew", "rfm_segments", "sim_ann_ivf",
+    "sim_cosine_pairs", "sim_hard_negatives", "sim_knn",
+    "sim_threshold_sweep", "text_collocations", "text_tfidf",
+    "text_unigram_logprob", "text_vocab_prune", "ts_gap_fill",
+    "ts_interpolate",
+}
+# fast, declarative families — plan construction triggers no jobs here
+_AUDIT_FAMILIES = {
+    "joins", "aggregates", "windows", "setops", "analytics", "timeseries",
+    "mlprep", "sqlapi", "filters", "scans", "reshape", "vectors",
+}
+
+
+def test_plan_audit_no_new_nested_loops(spark):
+    from spark_ml_helper_spark.registry import REGISTRY
+
+    bnlj, cart = [], []
+    for name, spec in REGISTRY.items():
+        if spec.family not in _AUDIT_FAMILIES:
+            continue
+        df = spec.fn(spark, SF_ORACLE)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            bnlj.append(name)
+        if "CartesianProduct" in plan:
+            cart.append(name)
+    assert not bnlj, f"new BroadcastNestedLoopJoin in: {bnlj}"
+    assert not cart, f"CartesianProduct (always a defect here) in: {cart}"
