@@ -721,7 +721,8 @@ def events_active_users(spark, sf_dir):
     (sequence over the date range — a fixed ×30 map-side fan-out, the
     scalable alternative to a per-day correlated distinct scan), and
     one hash agg per report day counts the three conditional distincts
-    simultaneously. Shuffles: the (day,user) distinct and the final
+    simultaneously (report days are semi-joined to the observed-day
+    spine, so gap days never fabricate rows). Shuffles: the (day,user) distinct and the final
     day-keyed agg — both on natural keys with partial aggregation. At
     100 TB the ×30 fan-out is the explicit, bounded cost (30× the
     DAILY-distinct rows, not 30× the events); for a 365-day MAU-style
@@ -730,6 +731,7 @@ def events_active_users(spark, sf_dir):
     e = table(spark, sf_dir, "events")
     du = e.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
     mx = e.agg(F.max(F.col("ts").cast("date")).alias("mx"))
+    spine = du.select("day").distinct()
     contrib = (
         du.join(F.broadcast(mx))
         .select(
@@ -742,6 +744,10 @@ def events_active_users(spark, sf_dir):
                 )
             ).alias("day"),
         )
+        # report only OBSERVED days (matches the oracle's spine): on a
+        # fixture with zero-event gap days the explode would otherwise
+        # fabricate report rows the oracle doesn't have
+        .join(F.broadcast(spine), "day")
     )
     is_today = F.col("active_day") == F.col("day")
     in_week = F.col("active_day") > F.date_sub(F.col("day"), 7)
