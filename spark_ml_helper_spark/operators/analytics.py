@@ -771,3 +771,69 @@ def events_active_users(spark, sf_dir):
             "stickiness",
         )
     )
+
+
+@query(
+    "pipeline_daily_kpis",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   sum(value) AS total_value,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+                   count(*) FILTER (WHERE event_type = 'error') AS n_errors
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        stats AS (
+            SELECT avg(total_value) AS mu, stddev_samp(total_value) AS sd
+            FROM daily
+        )
+        SELECT CAST(day AS VARCHAR) AS day, n_events, n_users,
+               round(total_value, 6) AS total_value,
+               n_purchases, n_errors,
+               round(n_errors / n_events, 6) AS error_rate,
+               round((total_value - mu) / sd, 6) AS value_z,
+               CAST(abs((total_value - mu) / sd) > 2 AS BOOLEAN) AS anomaly
+        FROM daily CROSS JOIN stats
+    """,
+    family="analytics",
+)
+def pipeline_daily_kpis(spark, sf_dir):
+    """The composite daily-operations report a team schedules over the
+    event stream: per day — volume, distinct users, total value,
+    purchase and error counts, error rate, and a z-score anomaly flag
+    of total value against the whole series. ONE corpus-sized hash agg
+    produces the daily frame (all six KPIs as simultaneous aggregates
+    in a single pass — the multi-aggregate fusion dq_checks uses); the
+    series mean/σ is a 1-row aggregate broadcast back (the rfm_segments
+    discipline — never a partition-less window over the report frame).
+    Division is exact-count / exact-count and the z arithmetic runs on
+    6-dp-stable inputs. At 100 TB the daily agg is the only data-sized
+    stage; everything downstream is |days| rows."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("value").alias("total_value"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+    stats = daily.agg(
+        F.avg("total_value").alias("mu"), F.stddev_samp("total_value").alias("sd")
+    )
+    z = (F.col("total_value") - F.col("mu")) / F.col("sd")
+    return (
+        daily.join(F.broadcast(stats))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "n_users",
+            F.round("total_value", 6).alias("total_value"),
+            "n_purchases",
+            "n_errors",
+            F.round(F.col("n_errors") / F.col("n_events"), 6).alias("error_rate"),
+            F.round(z, 6).alias("value_z"),
+            (F.abs(z) > 2).alias("anomaly"),
+        )
+    )

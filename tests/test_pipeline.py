@@ -1337,7 +1337,8 @@ _BNLJ_ALLOWED = {
     "events_active_users", "feature_class_weights", "feature_mutual_info",
     "feature_scale", "feature_target_encode", "funnel_ordered",
     "graph_modularity", "join_cross", "join_range", "knn_classify",
-    "ml_eval_retrieval", "profile_skew", "rfm_segments", "sim_ann_ivf",
+    "ml_eval_retrieval", "pipeline_daily_kpis", "profile_skew",
+    "rfm_segments", "sim_ann_ivf",
     "sim_cosine_pairs", "sim_hard_negatives", "sim_knn",
     "sim_threshold_sweep", "text_collocations", "text_tfidf",
     "text_unigram_logprob", "text_vocab_prune", "ts_gap_fill",
@@ -1367,3 +1368,16 @@ def test_plan_audit_no_new_nested_loops(spark):
             cart.append(name)
     assert not bnlj, f"new BroadcastNestedLoopJoin in: {bnlj}"
     assert not cart, f"CartesianProduct (always a defect here) in: {cart}"
+
+
+def test_daily_kpis_internally_consistent(spark):
+    rows = QUERIES["pipeline_daily_kpis"](spark, SF_ORACLE).collect()
+    assert len(rows) == 30
+    zs = [r["value_z"] for r in rows]
+    # z-scores of a series against its own mean/σ: mean ~0, |z| mostly small
+    assert abs(sum(zs) / len(zs)) < 1e-3
+    for r in rows:
+        assert r["n_purchases"] + r["n_errors"] <= r["n_events"]
+        assert r["n_users"] <= r["n_events"]
+        assert r["anomaly"] == (abs(r["value_z"]) > 2)
+        assert abs(r["error_rate"] - round(r["n_errors"] / r["n_events"], 6)) < 1e-9
