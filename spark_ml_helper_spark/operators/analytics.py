@@ -837,3 +837,52 @@ def pipeline_daily_kpis(spark, sf_dir):
             (F.abs(z) > 2).alias("anomaly"),
         )
     )
+
+
+@query(
+    "events_rate_anomaly",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS k
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ),
+        base AS (
+            SELECT event_type, avg(k) AS lam FROM hourly GROUP BY event_type
+        )
+        SELECT h.event_type, h.hr, h.k, round(lam, 6) AS lam,
+               round((k - lam) / sqrt(lam), 6) AS poisson_z,
+               CAST(abs((k - lam) / sqrt(lam)) > 3 AS BOOLEAN) AS anomaly
+        FROM hourly h JOIN base USING (event_type)
+    """,
+    family="analytics",
+)
+def events_rate_anomaly(spark, sf_dir):
+    """Poisson rate-anomaly test on hourly event COUNTS: z = (k - λ)/√λ
+    against each type's mean hourly rate — the right tail test for
+    count data, complementing the value-based z (events_anomaly) and
+    MAD (events_anomaly_mad) detectors; √λ is the Poisson standard
+    deviation, so the threshold is rate-scale-free. One corpus hash agg
+    to the (type, hour) grid, a per-type 5-row baseline aggregate
+    broadcast back, pure arithmetic on exact integer counts (λ is an
+    exact-count mean — bit-stable division on both engines). λ > 0
+    wherever a (type, hour) row exists, so the division never
+    degenerates. In production the baseline window trails (last N
+    days) rather than spanning the series — same two-aggregate
+    shape."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count("*").alias("k")
+    )
+    base = hourly.groupBy("event_type").agg(F.avg("k").alias("lam"))
+    z = (F.col("k") - F.col("lam")) / F.sqrt(F.col("lam"))
+    return (
+        hourly.join(F.broadcast(base), "event_type")
+        .select(
+            "event_type",
+            "hr",
+            "k",
+            F.round("lam", 6).alias("lam"),
+            F.round(z, 6).alias("poisson_z"),
+            (F.abs(z) > 3).alias("anomaly"),
+        )
+    )

@@ -556,3 +556,65 @@ def feature_mutual_info(spark, sf_dir):
             F.round(F.col("mi") / F.sqrt(F.col("h_x") * F.col("h_y")), 6).alias("nmi"),
         )
     )
+
+
+@query(
+    "feature_woe_iv",
+    oracle="""
+        WITH j AS (
+            SELECT p.p_brand AS cat,
+                   CAST(l.l_returnflag = 'R' AS INT) AS bad
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        g AS (
+            SELECT cat,
+                   count(*) FILTER (WHERE bad = 0) AS n_good,
+                   count(*) FILTER (WHERE bad = 1) AS n_bad
+            FROM j GROUP BY cat
+        ),
+        tot AS (SELECT sum(n_good) AS tg, sum(n_bad) AS tb FROM g)
+        SELECT cat, n_good, n_bad,
+               round(ln(((n_good + 0.5) / tg) / ((n_bad + 0.5) / tb)), 6) AS woe,
+               round(((n_good + 0.5) / tg - (n_bad + 0.5) / tb)
+                     * ln(((n_good + 0.5) / tg) / ((n_bad + 0.5) / tb)), 6) AS iv_contrib
+        FROM g CROSS JOIN tot
+    """,
+    family="mlprep",
+)
+def feature_woe_iv(spark, sf_dir):
+    """Weight of Evidence and Information Value of a categorical
+    feature against a binary target (brand vs lineitem return flag) —
+    the credit-scoring feature screen that complements
+    feature_mutual_info (MI is symmetric-information; WOE gives the
+    signed per-category direction and IV the additive predictive-power
+    decomposition). Laplace 0.5 smoothing keeps empty cells finite and
+    deterministic. One broadcast dim join, one (category) hash agg
+    producing good/bad counts simultaneously, a 1-row totals aggregate
+    broadcast back, closed-form ln arithmetic — the contingency shape
+    scales exactly like target encoding: corpus-sized work is the
+    first agg only, and the counts are the mergeable state an
+    incremental refresh would keep."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("cat"),
+        (F.col("l_returnflag") == "R").cast("int").alias("bad"),
+    )
+    g = j.groupBy("cat").agg(
+        F.count(F.when(F.col("bad") == 0, 1)).alias("n_good"),
+        F.count(F.when(F.col("bad") == 1, 1)).alias("n_bad"),
+    )
+    tot = g.agg(F.sum("n_good").alias("tg"), F.sum("n_bad").alias("tb"))
+    pg = (F.col("n_good") + 0.5) / F.col("tg")
+    pb = (F.col("n_bad") + 0.5) / F.col("tb")
+    woe = F.log(pg / pb)
+    return (
+        g.join(F.broadcast(tot))
+        .select(
+            "cat",
+            "n_good",
+            "n_bad",
+            F.round(woe, 6).alias("woe"),
+            F.round((pg - pb) * woe, 6).alias("iv_contrib"),
+        )
+    )

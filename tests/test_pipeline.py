@@ -1335,7 +1335,8 @@ _BNLJ_ALLOWED = {
     "corpus_decontaminate_semantic", "corpus_mix_weights",
     "dedup_containment", "dedup_embedding", "dedup_ngram",
     "events_active_users", "feature_class_weights", "feature_mutual_info",
-    "feature_scale", "feature_target_encode", "funnel_ordered",
+    "feature_scale", "feature_target_encode", "feature_woe_iv",
+    "funnel_ordered",
     "graph_modularity", "join_cross", "join_range", "knn_classify",
     "ml_eval_retrieval", "pipeline_daily_kpis", "profile_skew",
     "rfm_segments", "sim_ann_ivf",
@@ -1381,3 +1382,36 @@ def test_daily_kpis_internally_consistent(spark):
         assert r["n_users"] <= r["n_events"]
         assert r["anomaly"] == (abs(r["value_z"]) > 2)
         assert abs(r["error_rate"] - round(r["n_errors"] / r["n_events"], 6)) < 1e-9
+
+
+def test_woe_iv_identities(spark):
+    import math
+
+    rows = QUERIES["feature_woe_iv"](spark, SF_ORACLE).collect()
+    tg = sum(r["n_good"] for r in rows)
+    tb = sum(r["n_bad"] for r in rows)
+    for r in rows:
+        pg = (r["n_good"] + 0.5) / tg
+        pb = (r["n_bad"] + 0.5) / tb
+        assert abs(r["woe"] - math.log(pg / pb)) < 1e-4, r
+        # IV contributions are non-negative by construction:
+        # (pg - pb) and ln(pg/pb) always share a sign
+        assert r["iv_contrib"] >= -1e-9, r
+
+
+def test_poisson_rate_anomaly_consistent(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["events_rate_anomaly"](spark, SF_ORACLE).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r)
+        assert r["anomaly"] == (abs(r["poisson_z"]) > 3)
+    for et, rs in by_type.items():
+        # lambda is the mean of k over the observed hours
+        lam = rs[0]["lam"]
+        mean_k = sum(r["k"] for r in rs) / len(rs)
+        assert abs(lam - mean_k) < 1e-4, (et, lam, mean_k)
+        # z-scores against the own-series mean sum to ~0 (scaled residuals)
+        s = sum((r["k"] - lam) for r in rs)
+        assert abs(s) < 1e-6 * len(rs) * max(lam, 1)
