@@ -604,3 +604,54 @@ def agg_entropy(spark, sf_dir):
             "hhi",
         )
     )
+
+
+@query(
+    "agg_gini",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey, sum(o_totalprice) AS x
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i
+            FROM spend
+        )
+        SELECT count(*) AS n,
+               round(sum(x), 2) AS total_spend,
+               round(2.0 * sum(i * x) / (count(*) * sum(x))
+                     - (count(*) + 1.0) / count(*), 6) AS gini
+        FROM ranked
+    """,
+    family="aggregates",
+)
+def agg_gini(spark, sf_dir):
+    """Gini coefficient of customer spend concentration — the
+    continuous-distribution inequality measure completing the
+    concentration family (agg_entropy/HHI cover categorical mixes).
+    Uses the rank identity G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over the
+    fully-tiebroken ascending spend order. The rank is a global
+    row_number — the EXACT formulation, same documented trade as
+    feature_quantile_bucket: per-customer spend is one hash agg
+    (corpus-sized work), the ranked frame is |customers| rows, and at
+    100 TB you either accept one sort of that reduced frame (customers
+    ≪ orders) or switch to the binned approximation (Gini from a
+    quantile histogram — agg_approx_percentile's sketch). The output
+    ratio divides two same-order sums, so summation drift cancels to
+    ~1e-12 relative — far inside the 6-dp grid. total_spend rounds at
+    2 dp (money-grid rule)."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("x"))
+    w = Window.orderBy("x", "o_custkey")
+    ranked = spend.select("x", F.row_number().over(w).alias("i"))
+    return ranked.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("x"), 2).alias("total_spend"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.count("*") * F.sum("x"))
+            - (F.count("*") + 1.0) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )

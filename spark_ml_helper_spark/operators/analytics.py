@@ -886,3 +886,57 @@ def events_rate_anomaly(spark, sf_dir):
             (F.abs(z) > 3).alias("anomaly"),
         )
     )
+
+
+@query(
+    "events_survival_curve",
+    oracle="""
+        WITH life AS (
+            SELECT user_id,
+                   date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS lifetime
+            FROM events GROUP BY user_id
+        ),
+        tot AS (SELECT count(*) AS n_users FROM life),
+        surv AS (
+            SELECT unnest(generate_series(0, lifetime)) AS t
+            FROM life
+        )
+        SELECT CAST(t AS INT) AS t, count(*) AS n_surviving,
+               round(count(*) * 1.0 / n_users, 6) AS survival
+        FROM surv CROSS JOIN tot
+        GROUP BY t, n_users
+    """,
+    family="analytics",
+)
+def events_survival_curve(spark, sf_dir):
+    """User-lifetime survival curve: S(t) = fraction of users whose
+    observed activity span (first event → last event) is at least t
+    days — the engagement-decay readout behind churn models, here the
+    empirical curve (no censoring model; the fixture window is closed).
+    Per-user lifetimes are one hash agg; each user then EXPLODES to the
+    t = 0..lifetime days they survive through — the same bounded
+    fan-out pattern as events_active_users (≤ horizon days per user,
+    scaling with users × horizon, never with raw event volume) — and
+    one t-keyed agg counts survivors with the total broadcast in.
+    Monotone non-increasing by construction; exact integer ratios keep
+    it bit-stable cross-engine."""
+    e = table(spark, sf_dir, "events")
+    life = e.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))
+        ).alias("lifetime")
+    )
+    tot = life.agg(F.count("*").alias("n_users"))
+    surv = life.select(
+        F.explode(F.sequence(F.lit(0), F.col("lifetime"))).alias("t")
+    )
+    return (
+        surv.join(F.broadcast(tot))
+        .groupBy("t", "n_users")
+        .agg(F.count("*").alias("n_surviving"))
+        .select(
+            "t",
+            "n_surviving",
+            F.round(F.col("n_surviving") * 1.0 / F.col("n_users"), 6).alias("survival"),
+        )
+    )

@@ -1334,7 +1334,8 @@ _BNLJ_ALLOWED = {
     "basket_lift", "class_balance", "corpus_bigram_lm",
     "corpus_decontaminate_semantic", "corpus_mix_weights",
     "dedup_containment", "dedup_embedding", "dedup_ngram",
-    "events_active_users", "feature_class_weights", "feature_mutual_info",
+    "events_active_users", "events_survival_curve",
+    "feature_class_weights", "feature_mutual_info",
     "feature_scale", "feature_target_encode", "feature_woe_iv",
     "funnel_ordered",
     "graph_modularity", "join_cross", "join_range", "knn_classify",
@@ -1415,3 +1416,22 @@ def test_poisson_rate_anomaly_consistent(spark):
         # z-scores against the own-series mean sum to ~0 (scaled residuals)
         s = sum((r["k"] - lam) for r in rs)
         assert abs(s) < 1e-6 * len(rs) * max(lam, 1)
+
+
+def test_survival_curve_monotone(spark):
+    rows = sorted(
+        QUERIES["events_survival_curve"](spark, SF_ORACLE).collect(),
+        key=lambda r: r["t"],
+    )
+    assert rows[0]["t"] == 0 and rows[0]["survival"] == 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b["t"] == a["t"] + 1
+        assert b["n_surviving"] <= a["n_surviving"]
+    assert all(0.0 < r["survival"] <= 1.0 for r in rows)
+
+
+def test_gini_bounded_and_scale_invariant(spark):
+    r = QUERIES["agg_gini"](spark, SF_ORACLE).collect()[0]
+    # spend concentration on near-uniform TPC-H orders: 0 < G < 0.5
+    assert 0.0 < r["gini"] < 0.5, r
+    assert r["n"] > 0 and r["total_spend"] > 0
