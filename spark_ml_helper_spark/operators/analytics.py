@@ -940,3 +940,263 @@ def events_survival_curve(spark, sf_dir):
             F.round(F.col("n_surviving") * 1.0 / F.col("n_users"), 6).alias("survival"),
         )
     )
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        lagd AS (
+            SELECT user_id, d,
+                   lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+            FROM ud
+        ),
+        status AS (
+            SELECT d,
+                   count(*) FILTER (WHERE prev_d IS NULL) AS n_new,
+                   count(*) FILTER (WHERE prev_d = d - 1) AS n_retained,
+                   count(*) FILTER (WHERE prev_d IS NOT NULL AND prev_d < d - 1)
+                       AS n_resurrected
+            FROM lagd GROUP BY d
+        ),
+        mx AS (SELECT max(d) AS dmax FROM ud),
+        churned AS (
+            SELECT a.d + 1 AS d, count(*) AS n_churned
+            FROM ud a CROSS JOIN mx
+            WHERE a.d < mx.dmax
+              AND NOT EXISTS (
+                  SELECT 1 FROM ud b
+                  WHERE b.user_id = a.user_id AND b.d = a.d + 1
+              )
+            GROUP BY a.d + 1
+        )
+        SELECT CAST(coalesce(s.d, c.d) AS DATE) AS d,
+               coalesce(s.n_new, 0) AS n_new,
+               coalesce(s.n_retained, 0) AS n_retained,
+               coalesce(s.n_resurrected, 0) AS n_resurrected,
+               coalesce(c.n_churned, 0) AS n_churned
+        FROM status s FULL JOIN churned c ON s.d = c.d
+    """,
+    family="analytics",
+)
+def events_growth_accounting(spark, sf_dir):
+    """Daily growth accounting — the new / retained / resurrected /
+    churned user ledger (active_t = new + retained + resurrected;
+    churned_t = users active on t-1 but silent on t) that every growth
+    team derives from the raw event stream. One distinct to the
+    (user, day) grid (the only event-volume-sized stage, a hash agg on
+    a two-column key), a per-user lag window partitioned BY USER (no
+    global sort), an anti-join against the day-shifted grid for churn,
+    and two day-keyed aggregates full-joined on the ~|days| frame.
+    Scales with users x active-days, never with raw event count; every
+    shuffle key is user_id or the tiny day key. Counts are exact
+    integers — bit-stable cross-engine."""
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    lagd = ud.withColumn("prev_d", F.lag("d").over(w))
+    status = lagd.groupBy("d").agg(
+        F.count(F.when(F.col("prev_d").isNull(), 1)).alias("n_new"),
+        F.count(F.when(F.col("prev_d") == F.date_sub("d", 1), 1)).alias("n_retained"),
+        F.count(
+            F.when(
+                F.col("prev_d").isNotNull()
+                & (F.col("prev_d") < F.date_sub("d", 1)),
+                1,
+            )
+        ).alias("n_resurrected"),
+    )
+    dmax = ud.agg(F.max("d").alias("dmax"))
+    # churn: users with activity on day d but none on d+1 → anti-join the
+    # grid against itself shifted back one day.
+    nxt = ud.select("user_id", F.date_sub("d", 1).alias("d"))
+    churned = (
+        ud.join(nxt, ["user_id", "d"], "left_anti")
+        .join(F.broadcast(dmax))
+        .where(F.col("d") < F.col("dmax"))
+        .groupBy(F.date_add("d", 1).alias("d"))
+        .agg(F.count("*").alias("n_churned"))
+    )
+    return (
+        status.join(churned, "d", "full")
+        .select(
+            F.col("d").cast("timestamp").alias("d"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+    )
+
+
+@query(
+    "stats_ks_test",
+    oracle="""
+        WITH s AS (
+            SELECT o_totalprice AS x,
+                   CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS g
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        tot AS (
+            SELECT CAST(sum(g) AS BIGINT) AS n1,
+                   CAST(sum(1 - g) AS BIGINT) AS n2
+            FROM s
+        ),
+        byv AS (
+            SELECT x, sum(g) AS c1, sum(1 - g) AS c2 FROM s GROUP BY x
+        ),
+        cum AS (
+            SELECT sum(c1) OVER (ORDER BY x) AS f1,
+                   sum(c2) OVER (ORDER BY x) AS f2
+            FROM byv
+        ),
+        d AS (
+            SELECT n1, n2,
+                   round(max(abs(f1 * 1.0 / n1 - f2 * 1.0 / n2)), 6) AS ks_d
+            FROM cum CROSS JOIN tot
+            GROUP BY n1, n2
+        )
+        SELECT n1, n2, ks_d,
+               round(least(1.0,
+                   2 * exp(-2.0 * ks_d * ks_d * n1 * n2 / (n1 + n2))), 6)
+                   AS p_approx
+        FROM d
+    """,
+    family="analytics",
+)
+def stats_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test on the order-value
+    distribution of URGENT vs LOW priority orders: D = sup|F1 - F2|
+    over the pooled empirical CDFs, with the asymptotic Smirnov
+    p-value 2·exp(-2·D²·n1n2/(n1+n2)) computed FROM THE ROUNDED D so
+    both engines exponentiate the identical input. Ties are handled
+    exactly by aggregating counts per distinct value before the
+    cumulative sum — the ECDF step at a tied value lands after all its
+    mass, which is the correct sup. The cumulative window is a global
+    sort of the per-value frame (|distinct values| ≤ |orders|; same
+    documented trade as agg_gini/feature_quantile_bucket) — at 100 TB
+    swap it for the binned ECDF over an approx-quantile grid (the
+    sketch bounds the D error by the bin mass) or a range-partitioned
+    two-phase cumsum. Cumulative counts are exact integers, so the
+    ratio arithmetic is bit-stable cross-engine."""
+    o = table(spark, sf_dir, "orders")
+    s = o.where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).select(
+        F.col("o_totalprice").alias("x"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("bigint").alias("g"),
+    )
+    tot = s.agg(
+        F.sum("g").alias("n1"), F.sum(F.lit(1) - F.col("g")).alias("n2")
+    )
+    byv = s.groupBy("x").agg(
+        F.sum("g").alias("c1"), F.sum(F.lit(1) - F.col("g")).alias("c2")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byv.select(
+        F.sum("c1").over(w).alias("f1"), F.sum("c2").over(w).alias("f2")
+    )
+    d = (
+        cum.join(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("f1") * 1.0 / F.col("n1")
+                        - F.col("f2") * 1.0 / F.col("n2")
+                    )
+                ),
+                6,
+            ).alias("ks_d")
+        )
+    )
+    m = F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2"))
+    return d.select(
+        "n1",
+        "n2",
+        "ks_d",
+        F.round(
+            F.least(F.lit(1.0), 2 * F.exp(-2.0 * F.col("ks_d") * F.col("ks_d") * m)),
+            6,
+        ).alias("p_approx"),
+    )
+
+
+@query(
+    "stats_chi2",
+    oracle="""
+        WITH obs AS (
+            SELECT o_orderpriority AS r, o_orderstatus AS c,
+                   count(*) AS o
+            FROM orders GROUP BY 1, 2
+        ),
+        rt AS (SELECT r, sum(o) AS row_tot FROM obs GROUP BY r),
+        ct AS (SELECT c, sum(o) AS col_tot FROM obs GROUP BY c),
+        n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+        cells AS (
+            SELECT o, row_tot * col_tot * 1.0 / n AS e
+            FROM obs JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN n
+        ),
+        stat AS (
+            SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
+                   (SELECT count(*) FROM rt) AS n_rows,
+                   (SELECT count(*) FROM ct) AS n_cols,
+                   (SELECT n FROM n) AS n
+            FROM cells
+        )
+        SELECT chi2,
+               CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+               n,
+               round(sqrt(chi2 / (n * least(n_rows - 1, n_cols - 1))), 6)
+                   AS cramers_v
+        FROM stat
+    """,
+    family="analytics",
+)
+def stats_chi2(spark, sf_dir):
+    """Chi-square independence test on the priority × status
+    contingency table, with Cramér's V effect size — the categorical
+    counterpart to feature_mutual_info/feature_woe_iv in the screening
+    family. One corpus-sized hash agg to the R×C observed table;
+    marginals and the total are aggregates OF that tiny table
+    (broadcast back in), so everything after the first agg runs on
+    ≤ R·C rows at any data scale. Expected counts come from exact
+    integer marginals — the (o-e)²/e fold is a sum over ≤ 15 cells, so
+    summation-order drift is far inside the 6-dp grid; Cramér's V is
+    derived from the ROUNDED chi2 so both engines take sqrt of the
+    identical input."""
+    o = table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
+    ).agg(F.count("*").alias("o"))
+    rt = obs.groupBy("r").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("c").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(F.sum("o").alias("n"))
+    nr = rt.agg(F.count("*").alias("n_rows"))
+    nc = ct.agg(F.count("*").alias("n_cols"))
+    e = F.col("row_tot") * F.col("col_tot") * 1.0 / F.col("n")
+    stat = (
+        obs.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .join(F.broadcast(n))
+        .agg(
+            F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias("chi2"),
+            F.first("n").alias("n"),
+        )
+        .join(F.broadcast(nr))
+        .join(F.broadcast(nc))
+    )
+    return stat.select(
+        "chi2",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("bigint").alias("dof"),
+        "n",
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -1334,7 +1334,9 @@ _BNLJ_ALLOWED = {
     "basket_lift", "class_balance", "corpus_bigram_lm",
     "corpus_decontaminate_semantic", "corpus_mix_weights",
     "dedup_containment", "dedup_embedding", "dedup_ngram",
-    "events_active_users", "events_survival_curve",
+    "events_active_users", "events_growth_accounting",
+    "events_survival_curve",
+    "stats_chi2", "stats_ks_test",
     "feature_class_weights", "feature_mutual_info",
     "feature_scale", "feature_target_encode", "feature_woe_iv",
     "funnel_ordered",
@@ -1435,3 +1437,32 @@ def test_gini_bounded_and_scale_invariant(spark):
     # spend concentration on near-uniform TPC-H orders: 0 < G < 0.5
     assert 0.0 < r["gini"] < 0.5, r
     assert r["n"] > 0 and r["total_spend"] > 0
+
+
+def test_growth_accounting_ledger_identities(spark):
+    from spark_ml_helper_spark.sources.parquet import table
+
+    rows = {r["d"].date().isoformat(): r for r in
+            QUERIES["events_growth_accounting"](spark, SF_ORACLE).collect()}
+    assert len(rows) == 30
+    users = table(spark, SF_ORACLE, "events").select("user_id").distinct().count()
+    # every user is new exactly once
+    assert sum(r["n_new"] for r in rows.values()) == users
+    # day 1 has no history: all active users are new, none churned
+    first = rows["2024-01-01"]
+    assert first["n_retained"] == 0 and first["n_resurrected"] == 0
+    assert first["n_churned"] == 0
+    # active_t = new + retained + resurrected must never exceed the user base
+    for r in rows.values():
+        assert r["n_new"] + r["n_retained"] + r["n_resurrected"] <= users
+
+
+def test_ks_and_chi2_bounded(spark):
+    ks = QUERIES["stats_ks_test"](spark, SF_ORACLE).collect()[0]
+    assert 0.0 <= ks["ks_d"] <= 1.0
+    assert 0.0 <= ks["p_approx"] <= 1.0
+    assert ks["n1"] > 0 and ks["n2"] > 0
+    chi = QUERIES["stats_chi2"](spark, SF_ORACLE).collect()[0]
+    assert chi["chi2"] >= 0.0
+    assert chi["dof"] == 8  # 5 priorities x 3 statuses
+    assert 0.0 <= chi["cramers_v"] <= 1.0
