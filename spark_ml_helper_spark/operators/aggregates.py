@@ -655,3 +655,51 @@ def agg_gini(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+        WITH c AS (
+            SELECT l_partkey, count(*) AS cnt
+            FROM lineitem GROUP BY l_partkey
+        ),
+        tot AS (
+            SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                   count(*) AS nd
+            FROM c
+        )
+        SELECT l_partkey, cnt,
+               round(cnt * 1.0 / n, 6) AS support
+        FROM c CROSS JOIN tot
+        WHERE 2 * cnt * nd >= 3 * n
+    """,
+    family="aggregates",
+)
+def agg_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters: parts whose lineitem frequency is ≥ 1.5×
+    the mean per-key frequency (cnt ≥ 1.5·n/n_keys), with support.
+    The threshold test is kept in INTEGER arithmetic
+    (2·cnt·n_keys ≥ 3·n) so the cut is bit-identical cross-engine —
+    no float boundary rows. One map-side-combining hash agg builds the
+    per-key counts; the (n, n_keys) totals are a 1-row aggregate OF
+    that count frame broadcast back, so nothing after the first agg is
+    corpus-sized. This is the exact form; at 100 TB with a hot-key
+    budget (top-k in bounded memory) the streaming analogue is
+    Misra-Gries / SpaceSaving with the same output contract — the
+    sketch's candidate set is then verified by exactly this query
+    shape over one more pass."""
+    li = table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    tot = c.agg(
+        F.sum("cnt").alias("n"), F.count("*").alias("nd")
+    )
+    return (
+        c.join(F.broadcast(tot))
+        .where(2 * F.col("cnt") * F.col("nd") >= 3 * F.col("n"))
+        .select(
+            "l_partkey",
+            "cnt",
+            F.round(F.col("cnt") * 1.0 / F.col("n"), 6).alias("support"),
+        )
+    )

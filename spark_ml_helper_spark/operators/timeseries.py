@@ -522,3 +522,77 @@ def ts_forecast_naive(spark, sf_dir):
         F.round(F.avg(F.abs(err) / F.col("x")), 6).alias("mape"),
         F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
     )
+
+
+@query(
+    "ts_rolling_corr",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hr,
+                   CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        win AS (
+            SELECT hr, x, y,
+                   count(*) OVER w AS n,
+                   sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                   sum(x * y) OVER w AS sxy,
+                   sum(x * x) OVER w AS sxx,
+                   sum(y * y) OVER w AS syy
+            FROM hourly
+            WINDOW w AS (ORDER BY hr ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        )
+        SELECT hr, x, y,
+               round((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)),
+                     6) AS roll_corr
+        FROM win
+        WHERE n = 24
+          AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    """,
+    family="timeseries",
+)
+def ts_rolling_corr(spark, sf_dir):
+    """24-hour rolling Pearson correlation between the hourly click and
+    purchase rates — the co-movement monitor behind "did errors kill
+    conversions?" dashboards. The correlation is computed FROM EXACT
+    INTEGER WINDOW SUMS (n, Σx, Σy, Σxy, Σx², Σy²) rather than a
+    native corr() aggregate, because the closed form over exact
+    integers is bit-stable cross-engine while two engines' streaming
+    corr kernels are not. Partial windows (first 23 hours) and
+    zero-variance windows are excluded by exact integer guards — no
+    NaN/NULL divergence. One corpus-sized hash agg to the 720-row hour
+    grid; the rolling window then sorts that reduced frame globally
+    (single partition — the same documented trade as agg_gini; in
+    production partition by series key or use day-bounded range
+    frames)."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
+    )
+    w = Window.orderBy("hr").rowsBetween(-23, 0)
+    win = hourly.select(
+        "hr",
+        "x",
+        "y",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        win.where((F.col("n") == 24) & (varx > 0) & (vary > 0))
+        .select(
+            "hr",
+            "x",
+            "y",
+            F.round(num / F.sqrt(varx * 1.0 * vary), 6).alias("roll_corr"),
+        )
+    )

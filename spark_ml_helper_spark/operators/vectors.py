@@ -767,3 +767,49 @@ def vec_random_projection(spark, sf_dir):
         for j in range(_JL_OUT_DIM)
     ]
     return e.select("vec_id", *cols)
+
+
+@query(
+    "vec_dim_stats",
+    oracle="""
+        WITH flat AS (
+            -- DuckDB cannot lateral-join generate_series on a column;
+            -- the fixture dim is fixed (64), matching Spark's posexplode
+            SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+        )
+        SELECT CAST(dim AS INT) AS dim,
+               count(*) AS n,
+               CAST(count(*) FILTER (WHERE x = 0.0) AS BIGINT) AS n_zero,
+               round(avg(x), 6) AS mean,
+               round(stddev_samp(x), 6) AS std,
+               round(min(x), 6) AS min_x,
+               round(max(x), 6) AS max_x
+        FROM flat GROUP BY dim
+    """,
+    family="vectors",
+)
+def vec_dim_stats(spark, sf_dir):
+    """Per-dimension embedding health report (count / zero-count /
+    mean / std / min / max for each of the 64 dims) — the first thing
+    a training-data pipeline checks before trusting a new embedding
+    export: dead dims (n_zero = n), collapsed dims (std ≈ 0), and
+    scale drift all show up here. posexplode fans each vector out to
+    (dim, value) rows and one hash agg on the 64-key dim space folds
+    them — the fan-out is dim×rows but it feeds straight into a
+    map-side partial agg, so the shuffle carries only 64×partitions
+    partial states at any corpus size (same shape as text_wordcount).
+    float32 inputs widen to double exactly; per-dim sums over the
+    corpus stay ~1e-13 relative, far inside the 6-dp grid."""
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        F.posexplode("embedding").alias("dim", "x_raw")
+    ).select("dim", F.col("x_raw").cast("double").alias("x"))
+    return flat.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("x") == 0.0, 1)).alias("n_zero"),
+        F.round(F.avg("x"), 6).alias("mean"),
+        F.round(F.stddev_samp("x"), 6).alias("std"),
+        F.round(F.min("x"), 6).alias("min_x"),
+        F.round(F.max("x"), 6).alias("max_x"),
+    )

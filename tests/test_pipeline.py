@@ -1331,6 +1331,7 @@ def test_active_users_monotone_and_bounded(spark):
 # operator grew an unplanned non-equi join; run tools/plan_audit.py to see
 # the full-registry picture.
 _BNLJ_ALLOWED = {
+    "agg_heavy_hitters",
     "basket_lift", "class_balance", "corpus_bigram_lm",
     "corpus_decontaminate_semantic", "corpus_mix_weights",
     "dedup_containment", "dedup_embedding", "dedup_ngram",
@@ -1466,3 +1467,35 @@ def test_ks_and_chi2_bounded(spark):
     assert chi["chi2"] >= 0.0
     assert chi["dof"] == 8  # 5 priorities x 3 statuses
     assert 0.0 <= chi["cramers_v"] <= 1.0
+
+
+def test_heavy_hitters_threshold_exact(spark):
+    from spark_ml_helper_spark.sources.parquet import table
+
+    rows = QUERIES["agg_heavy_hitters"](spark, SF_ORACLE).collect()
+    counts = {
+        r["l_partkey"]: r["cnt"]
+        for r in table(spark, SF_ORACLE, "lineitem")
+        .groupBy("l_partkey").count()
+        .withColumnRenamed("count", "cnt").collect()
+    }
+    n, nd = sum(counts.values()), len(counts)
+    expect = {k for k, c in counts.items() if 2 * c * nd >= 3 * n}
+    assert {r["l_partkey"] for r in rows} == expect
+    assert len(rows) > 0
+
+
+def test_vec_dim_stats_shape_and_bounds(spark):
+    rows = QUERIES["vec_dim_stats"](spark, SF_ORACLE).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r["n"] == 500
+        assert r["min_x"] <= r["mean"] <= r["max_x"]
+        assert r["std"] >= 0.0
+
+
+def test_rolling_corr_bounded_and_full_windows_only(spark):
+    rows = QUERIES["ts_rolling_corr"](spark, SF_ORACLE).collect()
+    assert len(rows) == 720 - 23  # one row per full 24h window
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["roll_corr"] <= 1.0 + 1e-9
