@@ -829,3 +829,75 @@ def corpus_apply_bpe(spark, sf_dir):
             ).alias("compression"),
         )
     )
+
+
+@query(
+    "text_dup_ngram_fraction",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents
+            WHERE len(string_split(lower(text), ' ')) >= 8
+        ),
+        shd AS (
+            SELECT DISTINCT doc_id, sh
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) - 6),
+                              i -> array_to_string(w[i:i+7], ' '))) AS sh
+                FROM toks
+            )
+        ),
+        cnt AS (SELECT sh, count(*) AS ndocs FROM shd GROUP BY sh)
+        SELECT doc_id,
+               count(*) AS n_shingles,
+               CAST(count(*) FILTER (WHERE ndocs > 1) AS BIGINT) AS n_dup,
+               round(count(*) FILTER (WHERE ndocs > 1) * 1.0 / count(*), 6)
+                   AS dup_frac
+        FROM shd JOIN cnt USING (sh)
+        GROUP BY doc_id
+    """,
+    family="corpus",
+)
+def text_dup_ngram_fraction(spark, sf_dir):
+    """Per-document duplicated-8-gram fraction: what share of a doc's
+    DISTINCT 8-word shingles also appear in at least one other
+    document — the Gopher/RefinedWeb-style "fraction of text inside
+    duplicated n-grams" curation signal that catches boilerplate and
+    template spam which document-level dedup (exact or MinHash)
+    misses. Shape: explode each doc to its distinct shingles, one hash
+    agg on the shingle key builds the corpus frequency dictionary, one
+    shingle-keyed equi-join tags each doc-shingle with its corpus
+    count, and a doc-keyed agg folds the fraction — every shuffle key
+    is a shingle or doc id, so the pair space never materializes (same
+    contract as dedup_minhash). At 100 TB the shingle dictionary is
+    the big intermediate; hash the shingle to int64 (xxhash64) before
+    the shuffle to cut key bytes ~10×, exactly as dedup_jaccard's
+    banded path does. Docs under 8 words have no 8-gram and are
+    excluded by contract. Counts are exact integers — bit-stable."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    toks = d.select("doc_id", words.alias("w")).where(F.size("w") >= 8)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 7),
+                    lambda i: F.array_join(F.slice("w", i, 8), " "),
+                )
+            )
+        ).alias("sh"),
+    )
+    cnt = sh.groupBy("sh").agg(F.count("*").alias("ndocs"))
+    return (
+        sh.join(cnt, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("ndocs") > 1, 1)).alias("n_dup"),
+            F.round(
+                F.count(F.when(F.col("ndocs") > 1, 1)) * 1.0 / F.count("*"), 6
+            ).alias("dup_frac"),
+        )
+    )

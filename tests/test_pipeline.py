@@ -1499,3 +1499,21 @@ def test_rolling_corr_bounded_and_full_windows_only(spark):
     assert len(rows) == 720 - 23  # one row per full 24h window
     for r in rows:
         assert -1.0 - 1e-9 <= r["roll_corr"] <= 1.0 + 1e-9
+
+
+def test_dup_ngram_fraction_exact_dups_fully_flagged(spark):
+    from spark_ml_helper_spark.sources.parquet import table
+
+    rows = {r["doc_id"]: r for r in
+            QUERIES["text_dup_ngram_fraction"](spark, SF_ORACLE).collect()}
+    for r in rows.values():
+        assert 0 <= r["n_dup"] <= r["n_shingles"]
+        assert 0.0 <= r["dup_frac"] <= 1.0
+    # every doc survives the >=8-word filter in this fixture
+    n_docs = table(spark, SF_ORACLE, "documents").count()
+    assert len(rows) == n_docs
+    # the fixture contains near-duplicate docs: some docs are flagged, and at
+    # least one is fully covered by shingles shared with another doc
+    flagged = [r for r in rows.values() if r["dup_frac"] > 0.0]
+    assert len(flagged) > 0
+    assert max(r["dup_frac"] for r in flagged) == 1.0
