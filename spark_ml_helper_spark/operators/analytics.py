@@ -1200,3 +1200,77 @@ def stats_chi2(spark, sf_dir):
             6,
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "stats_ttest_welch",
+    oracle="""
+        WITH g AS (
+            SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS grp,
+                   o_totalprice AS x
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        s AS (
+            SELECT grp, count(*) AS n, avg(x) AS m, var_samp(x) AS v
+            FROM g GROUP BY grp
+        ),
+        w AS (
+            SELECT a.n AS n1, b.n AS n2,
+                   round(a.m, 2) AS mean1, round(b.m, 2) AS mean2,
+                   round((a.m - b.m)
+                         / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+                   round(pow(a.v / a.n + b.v / b.n, 2)
+                         / (pow(a.v / a.n, 2) / (a.n - 1)
+                            + pow(b.v / b.n, 2) / (b.n - 1)), 6) AS df
+            FROM s a JOIN s b ON a.grp = 1 AND b.grp = 2
+        )
+        SELECT n1, n2, mean1, mean2, t_stat, df,
+               CAST(abs(t_stat) > 1.96 AS BOOLEAN) AS significant_95
+        FROM w
+    """,
+    family="analytics",
+)
+def stats_ttest_welch(spark, sf_dir):
+    """Welch's unequal-variance t-test on URGENT vs LOW order values —
+    the parametric companion to stats_ks_test on the same split (KS
+    asks "same distribution?", Welch asks "same mean?"). Closed form:
+    t = (m1-m2)/√(v1/n1 + v2/n2) with Welch–Satterthwaite df. One
+    filtered hash agg produces BOTH group summaries (count/mean/var
+    keyed by group — a 2-row frame); the join and arithmetic run on
+    those 2 rows, so the operator is a single corpus-sized aggregate
+    at any scale. Means round at 2 dp (money grid); t and df are O(1)
+    ratios where engine summation drift cancels to ~1e-12 — inside the
+    6-dp grid; the significance flag tests the ROUNDED t so both
+    engines compare identical values."""
+    o = table(spark, sf_dir, "orders")
+    g = o.where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(2).alias("grp"),
+        F.col("o_totalprice").alias("x"),
+    )
+    s = g.groupBy("grp").agg(
+        F.count("*").alias("n"), F.avg("x").alias("m"), F.var_samp("x").alias("v")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    se2 = F.col("a.v") / F.col("a.n") + F.col("b.v") / F.col("b.n")
+    t = F.round((F.col("a.m") - F.col("b.m")) / F.sqrt(se2), 6)
+    df = F.round(
+        F.pow(se2, 2)
+        / (
+            F.pow(F.col("a.v") / F.col("a.n"), 2) / (F.col("a.n") - 1)
+            + F.pow(F.col("b.v") / F.col("b.n"), 2) / (F.col("b.n") - 1)
+        ),
+        6,
+    )
+    return (
+        a.join(b, (F.col("a.grp") == 1) & (F.col("b.grp") == 2))
+        .select(
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+            F.round("a.m", 2).alias("mean1"),
+            F.round("b.m", 2).alias("mean2"),
+            t.alias("t_stat"),
+            df.alias("df"),
+        )
+        .withColumn("significant_95", F.abs(F.col("t_stat")) > 1.96)
+    )

@@ -11,6 +11,7 @@ exact twin in tests).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from spark_ml_helper_spark.functions.canon import join_str_array
@@ -507,4 +508,67 @@ def text_stopfilter(spark, sf_dir):
         join_str_array(F.sort_array(kept)).alias("kept"),
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_total"),
         F.size(kept).cast("long").alias("n_kept"),
+    )
+
+
+@query(
+    "text_keywords_tfidf",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, token AS term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                  FROM documents)
+            GROUP BY doc_id, token
+        ),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * (ln((n.n_docs + 1.0) / (dft.df + 1.0)) + 1.0), 6)
+                       AS score
+            FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT doc_id, term, score,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, term
+                   ) AS BIGINT) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, rnk, term, score FROM ranked WHERE rnk <= 3
+    """,
+    family="text",
+)
+def text_keywords_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document — the keyword-extraction
+    readout layered on text_tfidf's exact scores (same smoothed-idf
+    formula). The rank ORDERS BY THE ROUNDED score (then term, a full
+    tiebreak), so both engines rank identical values and a 1-ulp ln()
+    difference can never flip the cut. Plan adds one doc_id-partitioned
+    window on top of tfidf's two bounded-key shuffles — per-doc frames
+    are vocabulary-bounded, so the window is parallel and small at any
+    corpus size (the same top-k-per-group shape as win_topk_group)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "score")
     )

@@ -596,3 +596,71 @@ def ts_rolling_corr(spark, sf_dir):
             F.round(num / F.sqrt(varx * 1.0 * vary), 6).alias("roll_corr"),
         )
     )
+
+
+@query(
+    "ts_zscore_rolling",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hr,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        win AS (
+            SELECT hr, x,
+                   count(*) OVER w AS n,
+                   sum(x) OVER w AS sx,
+                   sum(x * x) OVER w AS sxx
+            FROM hourly
+            WINDOW w AS (ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        ),
+        z AS (
+            SELECT hr, x, n, sx, sxx,
+                   round((n * x - sx)
+                         / sqrt(n * (n * sxx - sx * sx) * 1.0 / (n - 1)),
+                         6) AS z
+            FROM win
+            WHERE n = 24 AND (n * sxx - sx * sx) > 0
+        )
+        SELECT hr, x, z, CAST(abs(z) > 3 AS BOOLEAN) AS anomaly
+        FROM z
+    """,
+    family="timeseries",
+)
+def ts_zscore_rolling(spark, sf_dir):
+    """Trailing-window z-score anomaly detection on the hourly event
+    rate: each hour's count is scored against the PRECEDING 24 hours'
+    mean and sample std (the window excludes the current point, so a
+    spike cannot suppress its own baseline) — the drift-robust
+    complement to events_rate_anomaly's whole-series Poisson baseline.
+    z = (n·x − Σx)/√(n·(n·Σx² − (Σx)²)/(n−1)) is computed entirely
+    from EXACT INTEGER window sums, so the score and the |z| > 3 flag
+    (tested on the ROUNDED z) are bit-stable cross-engine; warm-up
+    hours and zero-variance windows are excluded by exact integer
+    guards. One corpus-sized hash agg to the hour grid, then the
+    rolling window on the 720-row reduced frame (single partition —
+    agg_gini's documented trade; partition by series key in
+    production)."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count("*").alias("x")
+    )
+    w = Window.orderBy("hr").rowsBetween(-24, -1)
+    win = hourly.select(
+        "hr",
+        "x",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    var_n = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    z = F.round(
+        (F.col("n") * F.col("x") - F.col("sx"))
+        / F.sqrt(F.col("n") * var_n * 1.0 / (F.col("n") - 1)),
+        6,
+    )
+    return (
+        win.where((F.col("n") == 24) & (var_n > 0))
+        .select("hr", "x", z.alias("z"))
+        .withColumn("anomaly", F.abs(F.col("z")) > 3)
+    )

@@ -1337,7 +1337,7 @@ _BNLJ_ALLOWED = {
     "dedup_containment", "dedup_embedding", "dedup_ngram",
     "events_active_users", "events_growth_accounting",
     "events_survival_curve",
-    "stats_chi2", "stats_ks_test",
+    "stats_chi2", "stats_ks_test", "stats_ttest_welch",
     "feature_class_weights", "feature_mutual_info",
     "feature_scale", "feature_target_encode", "feature_woe_iv",
     "funnel_ordered",
@@ -1517,3 +1517,50 @@ def test_dup_ngram_fraction_exact_dups_fully_flagged(spark):
     flagged = [r for r in rows.values() if r["dup_frac"] > 0.0]
     assert len(flagged) > 0
     assert max(r["dup_frac"] for r in flagged) == 1.0
+
+
+def test_welch_ttest_matches_numpy(spark):
+    import math
+
+    from spark_ml_helper_spark.sources.parquet import table
+    from pyspark.sql import functions as F
+
+    r = QUERIES["stats_ttest_welch"](spark, SF_ORACLE).collect()[0]
+    vals = {
+        g["grp"]: g
+        for g in table(spark, SF_ORACLE, "orders")
+        .where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(2).alias("grp")
+        )
+        .agg(F.count("*").alias("n"), F.avg("o_totalprice").alias("m"),
+             F.var_samp("o_totalprice").alias("v"))
+        .collect()
+    }
+    a, b = vals[1], vals[2]
+    se2 = a["v"] / a["n"] + b["v"] / b["n"]
+    assert abs(r["t_stat"] - (a["m"] - b["m"]) / math.sqrt(se2)) < 1e-4
+    assert r["n1"] == a["n"] and r["n2"] == b["n"]
+    assert r["df"] > min(a["n"], b["n"]) - 1  # Welch df ≥ smaller group's df
+
+
+def test_keywords_rank_consistent_with_tfidf(spark):
+    kw = QUERIES["text_keywords_tfidf"](spark, SF_ORACLE).collect()
+    by_doc = {}
+    for r in kw:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    full = {}
+    for r in QUERIES["text_tfidf"](spark, SF_ORACLE).collect():
+        full.setdefault(r["doc_id"], []).append((r["score"], r["term"]))
+    for doc_id, rows in list(by_doc.items())[:50]:
+        rows.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        want = sorted(full[doc_id], key=lambda t: (-t[0], t[1]))[: len(rows)]
+        assert [(r["score"], r["term"]) for r in rows] == want
+
+
+def test_rolling_zscore_excludes_self(spark):
+    rows = QUERIES["ts_zscore_rolling"](spark, SF_ORACLE).collect()
+    assert len(rows) == 720 - 24  # 24h warm-up, then one row per hour
+    for r in rows:
+        assert r["anomaly"] == (abs(r["z"]) > 3)
