@@ -1274,3 +1274,84 @@ def stats_ttest_welch(spark, sf_dir):
         )
         .withColumn("significant_95", F.abs(F.col("t_stat")) > 1.96)
     )
+
+
+@query(
+    "events_session_stats",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts_us,
+                   CASE WHEN lag(ts_us) OVER w IS NULL
+                             OR ts_us - lag(ts_us) OVER w >= 600000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts_us,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts_us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM flagged
+        ),
+        per AS (
+            SELECT user_id, session_seq,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(ts_us) - min(ts_us) AS BIGINT) AS dur_us
+            FROM sess GROUP BY user_id, session_seq
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               round(sum(n_events) * 1.0 / count(*), 6) AS avg_events,
+               round(CAST(sum(dur_us) AS BIGINT) * 1.0 / count(*) / 1e6, 6)
+                   AS avg_duration_s,
+               round(quantile_cont(dur_us, 0.5) / 1e6, 6) AS p50_duration_s,
+               round(quantile_cont(dur_us, 0.9) / 1e6, 6) AS p90_duration_s
+        FROM per
+    """,
+    family="analytics",
+)
+def events_session_stats(spark, sf_dir):
+    """Session-level engagement summary on top of win_sessionize's gap
+    rule (≥10-min silence splits): how many sessions, how long, how
+    dense — the one-row readout product teams put on dashboards. The
+    per-session frame aggregates on (user, session) keys (same single
+    user_id shuffle as the sessionize windows); the final fold keeps
+    everything in EXACT INTEGER micros — avg = Σdur_us/n before the
+    single float division, and the p50/p90 linear interpolation runs
+    on exact int inputs, so both engines interpolate identical values.
+    Scales with events (one window pass + two hash aggs), never wider."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) >= 600_000_000),
+            1,
+        ).otherwise(0),
+    )
+    wsum = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.select(
+        "user_id", "ts_us", F.sum("is_new").over(wsum).alias("session_seq")
+    )
+    per = sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+    )
+    return per.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("n_events") * 1.0 / F.count("*"), 6).alias("avg_events"),
+        F.round(F.sum("dur_us") * 1.0 / F.count("*") / 1e6, 6).alias("avg_duration_s"),
+        F.round(F.percentile("dur_us", 0.5) / 1e6, 6).alias("p50_duration_s"),
+        F.round(F.percentile("dur_us", 0.9) / 1e6, 6).alias("p90_duration_s"),
+    )

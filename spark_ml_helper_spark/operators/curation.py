@@ -780,3 +780,46 @@ def dq_psi_drift(spark, sf_dir):
         F.round(contrib, 6).alias("contrib"),
         F.round(F.sum(contrib).over(tot), 6).alias("psi_total"),
     )
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+        WITH g AS (
+            SELECT c_nationkey, c_mktsegment, count(*) AS sz
+            FROM customer GROUP BY 1, 2
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(min(sz) AS BIGINT) AS k_anonymity,
+               CAST(count(*) FILTER (WHERE sz < 5) AS BIGINT)
+                   AS n_groups_below_5,
+               CAST(coalesce(sum(sz) FILTER (WHERE sz < 5), 0) AS BIGINT)
+                   AS n_rows_at_risk,
+               round(coalesce(sum(sz) FILTER (WHERE sz < 5), 0) * 1.0
+                     / sum(sz), 6) AS frac_at_risk
+        FROM g
+    """,
+    family="curation",
+)
+def dq_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the (nation, market-segment)
+    quasi-identifier pair: the minimum equivalence-class size IS the
+    table's k, plus how many classes (and rows) fall below the k=5
+    release threshold — the privacy gate run before sharing any
+    row-level extract, complementing text_pii_scrub's content-level
+    scrub. One map-side-combining hash agg to the QI-combination frame
+    (≤ |nations|×|segments| rows at any scale), then a 1-row fold —
+    exact integers throughout. At 100 TB the QI frame is still tiny;
+    the only cost is the one corpus scan."""
+    c = table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("sz"))
+    at_risk = F.sum(F.when(F.col("sz") < 5, F.col("sz")))
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.min("sz").alias("k_anonymity"),
+        F.count(F.when(F.col("sz") < 5, 1)).alias("n_groups_below_5"),
+        F.coalesce(at_risk, F.lit(0)).alias("n_rows_at_risk"),
+        F.round(F.coalesce(at_risk, F.lit(0)) * 1.0 / F.sum("sz"), 6).alias(
+            "frac_at_risk"
+        ),
+    )

@@ -638,3 +638,73 @@ def graph_modularity(spark, sf_dir):
             ).alias("q_contrib"),
         )
     )
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+        WITH edges AS MATERIALIZED ({_EDGES_SQL}),
+        deg AS (
+            SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges
+            ) GROUP BY v
+        ),
+        pairs AS (
+            SELECT ds.d AS du, dd.d AS dv
+            FROM edges e
+            JOIN deg ds ON ds.v = e.src
+            JOIN deg dd ON dd.v = e.dst
+        ),
+        sums AS (
+            SELECT CAST(2 * count(*) AS BIGINT) AS n,
+                   CAST(sum(du + dv) AS BIGINT) AS sx,
+                   CAST(sum(2 * du * dv) AS BIGINT) AS sxy,
+                   CAST(sum(du * du + dv * dv) AS BIGINT) AS sxx
+            FROM pairs
+        )
+        SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+               round((n * sxy - sx * sx) * 1.0 / (n * sxx - sx * sx), 6)
+                   AS assortativity
+        FROM sums
+    """,
+    family="graph",
+)
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over all edges (Newman 2002) —
+    positive means hubs link to hubs, negative means hub-and-spoke.
+    For the undirected graph each edge contributes both (du,dv) and
+    (dv,du), which collapses the closed form to
+    r = (n·Σ2dudv − (Σ(du+dv))²) / (n·Σ(du²+dv²) − (Σ(du+dv))²) over
+    EXACT INTEGER sums — no float accumulation, bit-stable
+    cross-engine. Plan: one hash agg for degrees (vertex-keyed), two
+    vertex-keyed equi-joins to tag each edge's endpoint degrees (the
+    degree frame is |V| rows — broadcast-sized next to the edge list),
+    one 1-row aggregate. Every shuffle key is a vertex id; nothing is
+    pair-space."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    pairs = (
+        edges.join(F.broadcast(deg).withColumnRenamed("v", "src").withColumnRenamed("d", "du"), "src")
+        .join(F.broadcast(deg).withColumnRenamed("v", "dst").withColumnRenamed("d", "dv"), "dst")
+    )
+    sums = pairs.agg(
+        (2 * F.count("*")).alias("n"),
+        F.sum(F.col("du") + F.col("dv")).alias("sx"),
+        F.sum(2 * F.col("du") * F.col("dv")).alias("sxy"),
+        F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv")).alias("sxx"),
+    )
+    return sums.select(
+        (F.col("n") / 2).cast("bigint").alias("n_edges"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx"))
+            * 1.0
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("assortativity"),
+    )

@@ -1564,3 +1564,38 @@ def test_rolling_zscore_excludes_self(spark):
     assert len(rows) == 720 - 24  # 24h warm-up, then one row per hour
     for r in rows:
         assert r["anomaly"] == (abs(r["z"]) > 3)
+
+
+def test_assortativity_bounded_and_graph_consistent(spark):
+    r = QUERIES["graph_assortativity"](spark, SF_ORACLE).collect()[0]
+    assert -1.0 - 1e-9 <= r["assortativity"] <= 1.0 + 1e-9
+    deg = QUERIES["graph_degree"](spark, SF_ORACLE)
+    from pyspark.sql import functions as F
+    n_edges = deg.agg(F.sum(F.col("degree") * F.col("n_vertices"))).collect()[0][0] // 2
+    assert r["n_edges"] == n_edges  # handshake lemma against graph_degree
+
+
+def test_session_stats_consistent_with_sessionize(spark):
+    r = QUERIES["events_session_stats"](spark, SF_ORACLE).collect()[0]
+    sess = QUERIES["win_sessionize"](spark, SF_ORACLE)
+    from pyspark.sql import functions as F
+    n_sessions = sess.select("user_id", "session_seq").distinct().count()
+    assert r["n_sessions"] == n_sessions
+    assert r["n_events"] == sess.count()
+    assert r["p50_duration_s"] <= r["p90_duration_s"]
+    assert r["avg_events"] >= 1.0
+
+
+def test_k_anonymity_matches_direct_group_sizes(spark):
+    from spark_ml_helper_spark.sources.parquet import table
+    from pyspark.sql import functions as F
+
+    r = QUERIES["dq_k_anonymity"](spark, SF_ORACLE).collect()[0]
+    sizes = [
+        x["sz"] for x in table(spark, SF_ORACLE, "customer")
+        .groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("sz"))
+        .collect()
+    ]
+    assert r["n_groups"] == len(sizes)
+    assert r["k_anonymity"] == min(sizes)
+    assert r["n_rows_at_risk"] == sum(s for s in sizes if s < 5)
