@@ -813,3 +813,73 @@ def vec_dim_stats(spark, sf_dir):
         F.round(F.min("x"), 6).alias("min_x"),
         F.round(F.max("x"), 6).alias("max_x"),
     )
+
+
+@query(
+    "vec_pairwise_dist_hist",
+    oracle="""
+        WITH samp AS (
+            SELECT vec_id, embedding FROM (
+                SELECT vec_id, embedding,
+                       row_number() OVER (
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                       ) AS rn
+                FROM embeddings
+            ) WHERE rn <= 100
+        ),
+        pairs AS (
+            SELECT sqrt(list_sum(list_transform(range(1, 65),
+                       i -> (CAST(a.embedding[i] AS DOUBLE) - b.embedding[i])
+                            * (CAST(a.embedding[i] AS DOUBLE) - b.embedding[i])
+                   ))) AS dist
+            FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+        )
+        SELECT CAST(floor(dist / 0.5) AS BIGINT) AS bucket,
+               round(min(floor(dist / 0.5)) * 0.5, 2) AS dist_lo,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs
+        GROUP BY bucket
+    """,
+    family="vectors",
+)
+def vec_pairwise_dist_hist(spark, sf_dir):
+    """Pairwise-distance histogram over a deterministic 100-vector
+    sample — the embedding-space health check (is the space collapsed?
+    bimodal? hubby?) run before trusting nearest-neighbor retrieval,
+    reading the same story as vec_dim_stats from the pair side. The
+    sample is the 100 smallest md5(vec_id) rows (engine-neutral,
+    partition-independent — sample_deterministic's idiom), so the
+    all-pairs stage is a FIXED 4 950 pairs regardless of corpus size:
+    the quadratic is bounded by construction, never data-proportional.
+    Distances accumulate left-to-right in both engines (the dot()/
+    list_sum discipline), so floor(dist/0.5) buckets identically;
+    bucket ids and counts are exact integers."""
+    from spark_ml_helper_spark.functions.vector_math import sq_norm
+
+    e = table(spark, sf_dir, "embeddings")
+    w = Window.orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id")
+    samp = (
+        e.select("vec_id", "embedding", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 100)
+        .select("vec_id", "embedding")
+    )
+    a = samp.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    b = samp.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    diff2 = F.aggregate(
+        F.zip_with(
+            "a_emb",
+            "b_emb",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(b, F.col("a_id") < F.col("b_id")).select(
+        F.sqrt(diff2).alias("dist")
+    )
+    bucket = F.floor(F.col("dist") / 0.5)
+    return pairs.groupBy(bucket.alias("bucket")).agg(
+        F.round(F.min(bucket) * 0.5, 2).alias("dist_lo"),
+        F.count("*").alias("n_pairs"),
+    )

@@ -1337,7 +1337,8 @@ _BNLJ_ALLOWED = {
     "dedup_containment", "dedup_embedding", "dedup_ngram",
     "events_active_users", "events_growth_accounting",
     "events_survival_curve",
-    "stats_chi2", "stats_ks_test", "stats_ttest_welch",
+    "stats_bootstrap_ci", "stats_chi2", "stats_ks_test", "stats_ttest_welch",
+    "vec_pairwise_dist_hist",
     "feature_class_weights", "feature_mutual_info",
     "feature_scale", "feature_target_encode", "feature_woe_iv",
     "funnel_ordered",
@@ -1599,3 +1600,18 @@ def test_k_anonymity_matches_direct_group_sizes(spark):
     assert r["n_groups"] == len(sizes)
     assert r["k_anonymity"] == min(sizes)
     assert r["n_rows_at_risk"] == sum(s for s in sizes if s < 5)
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    r = QUERIES["stats_bootstrap_ci"](spark, SF_ORACLE).collect()[0]
+    assert r["ci_lo"] < r["mean_est"] < r["ci_hi"]
+    # CI width should be a small fraction of the mean at n=15000
+    assert (r["ci_hi"] - r["ci_lo"]) / r["mean_est"] < 0.05
+    assert r["b_reps"] == 100
+
+
+def test_pairwise_dist_hist_covers_all_pairs(spark):
+    rows = QUERIES["vec_pairwise_dist_hist"](spark, SF_ORACLE).collect()
+    assert sum(r["n_pairs"] for r in rows) == 100 * 99 // 2
+    for r in rows:
+        assert abs(r["dist_lo"] - r["bucket"] * 0.5) < 1e-9
