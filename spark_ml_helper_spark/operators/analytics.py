@@ -1470,3 +1470,111 @@ def stats_bootstrap_ci(spark, sf_dir):
         )
         .select("n", "b_reps", "mean_est", "ci_lo", "ci_hi")
     )
+
+
+@query(
+    "events_heatmap_hour_dow",
+    oracle="""
+        WITH g AS (
+            SELECT isodow(ts) AS dow, hour(ts) AS hr,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM g)
+        SELECT CAST(dow AS INT) AS dow, CAST(hr AS INT) AS hr,
+               n_events, n_users,
+               round(n_events * 1.0 / total, 6) AS share
+        FROM g CROSS JOIN tot
+    """,
+    family="analytics",
+)
+def events_heatmap_hour_dow(spark, sf_dir):
+    """Hour-of-day × day-of-week activity heatmap (ISO weekday 1-7 ×
+    hour 0-23) with per-cell event counts, distinct users, and share
+    of total traffic — the load-pattern readout behind capacity
+    planning and send-time optimization. ISO weekday on both engines
+    (Spark weekday()+1 = DuckDB isodow — the engines' default
+    dayofweek() disagree on week start, a classic cross-engine trap).
+    One hash agg to the fixed 168-cell grid (count-distinct expands
+    per cell, bounded by users); the total is an aggregate OF the grid
+    broadcast back. Exact integers everywhere."""
+    e = table(spark, sf_dir, "events")
+    g = e.groupBy(
+        (F.weekday("ts") + 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    tot = g.agg(F.sum("n_events").alias("total"))
+    return (
+        g.join(F.broadcast(tot))
+        .select(
+            "dow",
+            "hr",
+            "n_events",
+            "n_users",
+            F.round(F.col("n_events") * 1.0 / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+@query(
+    "events_conversion_latency",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(epoch_us(ts)) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t_buy
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.t_view
+            GROUP BY e.user_id
+        ),
+        lat AS (
+            SELECT CAST(p.t_buy - v.t_view AS BIGINT) AS lat_us
+            FROM p JOIN v ON p.user_id = v.user_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_converted,
+               round(quantile_cont(lat_us, 0.5) / 1e6, 6) AS p50_latency_s,
+               round(quantile_cont(lat_us, 0.9) / 1e6, 6) AS p90_latency_s,
+               round(CAST(sum(lat_us) AS BIGINT) * 1.0 / count(*) / 1e6, 6)
+                   AS avg_latency_s
+        FROM lat
+    """,
+    family="analytics",
+)
+def events_conversion_latency(spark, sf_dir):
+    """View→purchase conversion-latency distribution: for each user,
+    the gap from their FIRST view to their first purchase at-or-after
+    it, summarized as p50/p90/mean seconds — the "how long does intent
+    take to convert" companion to funnel_ordered's how-many. Two
+    user_id-keyed filtered aggregates and one user_id equi-join (the
+    same single-shuffle shape as the funnel); latencies stay EXACT
+    INTEGER micros through the sum and into the percentile
+    interpolation, so both engines interpolate identical inputs; the
+    one float division per output happens after the integer fold."""
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t_view"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("t"))
+        .join(v, "user_id")
+        .where(F.col("t") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_buy"))
+    )
+    lat = p.join(v, "user_id").select((F.col("t_buy") - F.col("t_view")).alias("lat_us"))
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.percentile("lat_us", 0.5) / 1e6, 6).alias("p50_latency_s"),
+        F.round(F.percentile("lat_us", 0.9) / 1e6, 6).alias("p90_latency_s"),
+        F.round(F.sum("lat_us") * 1.0 / F.count("*") / 1e6, 6).alias("avg_latency_s"),
+    )

@@ -901,3 +901,38 @@ def text_dup_ngram_fraction(spark, sf_dir):
             ).alias("dup_frac"),
         )
     )
+
+
+@query(
+    "corpus_dup_rate_by_source",
+    oracle="""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+               round(1.0 - count(DISTINCT text) * 1.0 / count(*), 6)
+                   AS dup_rate,
+               round(avg(n_chars), 6) AS avg_chars
+        FROM documents
+        GROUP BY source
+    """,
+    family="corpus",
+)
+def corpus_dup_rate_by_source(spark, sf_dir):
+    """Exact-duplicate rate per ingestion source (1 − distinct/total
+    texts) with size profile — the first triage table a curation run
+    produces: which feed is flooding the corpus with copies. One hash
+    agg; the count-distinct expands on (source, text) then folds — at
+    100 TB group on sha2(text) instead of the full text (dedup_exact's
+    digest discipline) so the expand carries 32-byte keys, or swap in
+    approx_count_distinct when ±2% suffices (the agg_approx_distinct
+    twin). avg over exact integer n_chars divides once per source —
+    drift-free at 6 dp."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("text").alias("n_distinct"),
+        F.round(1.0 - F.count_distinct("text") * 1.0 / F.count("*"), 6).alias(
+            "dup_rate"
+        ),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )

@@ -1336,6 +1336,7 @@ _BNLJ_ALLOWED = {
     "corpus_decontaminate_semantic", "corpus_mix_weights",
     "dedup_containment", "dedup_embedding", "dedup_ngram",
     "events_active_users", "events_growth_accounting",
+    "events_heatmap_hour_dow",
     "events_survival_curve",
     "stats_bootstrap_ci", "stats_chi2", "stats_ks_test", "stats_ttest_welch",
     "vec_pairwise_dist_hist",
@@ -1615,3 +1616,26 @@ def test_pairwise_dist_hist_covers_all_pairs(spark):
     assert sum(r["n_pairs"] for r in rows) == 100 * 99 // 2
     for r in rows:
         assert abs(r["dist_lo"] - r["bucket"] * 0.5) < 1e-9
+
+
+def test_heatmap_grid_complete_and_shares_sum(spark):
+    rows = QUERIES["events_heatmap_hour_dow"](spark, SF_ORACLE).collect()
+    assert len(rows) == 168  # 7 x 24, every cell active in this fixture
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert 1 <= r["dow"] <= 7 and 0 <= r["hr"] <= 23
+        assert r["n_users"] <= r["n_events"]
+
+
+def test_conversion_latency_ordered_percentiles(spark):
+    r = QUERIES["events_conversion_latency"](spark, SF_ORACLE).collect()[0]
+    assert r["n_converted"] > 0
+    assert 0 <= r["p50_latency_s"] <= r["p90_latency_s"]
+
+
+def test_dup_rate_by_source_bounds(spark):
+    rows = QUERIES["corpus_dup_rate_by_source"](spark, SF_ORACLE).collect()
+    assert sum(r["n_docs"] for r in rows) == 500
+    for r in rows:
+        assert 0 <= r["n_distinct"] <= r["n_docs"]
+        assert 0.0 <= r["dup_rate"] < 1.0
