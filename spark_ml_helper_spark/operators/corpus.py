@@ -12,6 +12,7 @@ the contaminated overlap, not |train| × |benchmark|.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -935,4 +936,36 @@ def corpus_dup_rate_by_source(spark, sf_dir):
             "dup_rate"
         ),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+@query("text_compression_ratio", oracle=None, family="corpus")
+def text_compression_ratio(spark, sf_dir):
+    """Per-document zlib compression ratio (deflate level 6) — the
+    classic "too compressible = boilerplate, too incompressible =
+    binary junk" curation signal (used alongside the Gopher rules in
+    web-corpus filtering; C4 cousins threshold at roughly 0.3–0.9).
+    Rows-only by design: DuckDB has no deflate, so the oracle gate
+    can't hash-match it; determinism is pinned by a pytest twin-run
+    instead (zlib level fixed, byte-identical output for identical
+    input). The compressor runs as an Arrow-batched pandas UDF — text
+    crosses to Python once per batch, the per-doc loop is C-speed
+    zlib — a map-only operator with no shuffle at all: at 100 TB this
+    is scan-bound, exactly like the multimodal decode plumbing
+    (mm_image_features) it mirrors."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def comp_len(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return s.map(lambda t: len(zlib.compress(t.encode("utf-8"), 6)))
+
+    d = table(spark, sf_dir, "documents")
+    raw_len = F.octet_length("text")
+    return (
+        d.select("doc_id", raw_len.alias("raw_len"), comp_len("text").alias("comp_len"))
+        .withColumn(
+            "ratio", F.round(F.col("comp_len") * 1.0 / F.col("raw_len"), 6)
+        )
     )

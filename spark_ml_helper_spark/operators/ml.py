@@ -625,3 +625,114 @@ def ml_linreg_normal(spark, sf_dir):
         F.round(b2, 6).alias("b_discount"),
         F.round((b1 * F.col("c1y") + b2 * F.col("c2y")) / F.col("vyy"), 6).alias("r2"),
     )
+
+
+@query(
+    "ml_eval_regression",
+    oracle="""
+        WITH m AS (
+            SELECT count(*) AS n,
+                   round(avg(l_quantity), 6)                AS m1,
+                   round(avg(l_discount), 9)                AS m2,
+                   round(avg(l_extendedprice), 3)           AS my,
+                   round(avg(l_quantity * l_quantity), 5)   AS m11,
+                   round(avg(l_discount * l_discount), 10)  AS m22,
+                   round(avg(l_quantity * l_discount), 7)   AS m12,
+                   round(avg(l_quantity * l_extendedprice), 2) AS m1y,
+                   round(avg(l_discount * l_extendedprice), 4) AS m2y
+            FROM lineitem
+        ),
+        c AS (
+            SELECT n, m1, m2, my,
+                   m11 - m1 * m1 AS v11,
+                   m22 - m2 * m2 AS v22,
+                   m12 - m1 * m2 AS v12,
+                   m1y - m1 * my AS c1y,
+                   m2y - m2 * my AS c2y
+            FROM m
+        ),
+        b AS (
+            SELECT n, my, m1, m2,
+                   (c1y * v22 - c2y * v12) / (v11 * v22 - v12 * v12) AS b1,
+                   (v11 * c2y - v12 * c1y) / (v11 * v22 - v12 * v12) AS b2
+            FROM c
+        ),
+        resid AS (
+            SELECT b.n, li.l_extendedprice AS y,
+                   (b.my + b.b1 * (li.l_quantity - b.m1)
+                         + b.b2 * (li.l_discount - b.m2)) AS yhat,
+                   b.my
+            FROM lineitem li CROSS JOIN b
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n,
+               round(sqrt(sum((y - yhat) * (y - yhat)) / max(n)), 2) AS rmse,
+               round(sum(abs(y - yhat)) / max(n), 2) AS mae,
+               round(1.0 - sum((y - yhat) * (y - yhat))
+                         / sum((y - my) * (y - my)), 6) AS r2
+        FROM resid
+    """,
+    family="ml",
+)
+def ml_eval_regression(spark, sf_dir):
+    """Regression scoreboard (RMSE / MAE / R²) for the closed-form OLS
+    of ml_linreg_normal, evaluated by actually SCORING every row — the
+    eval-side twin completing the metric family (ml_eval_auc =
+    classification, ml_eval_retrieval = ranking, ml_confusion =
+    labels). The coefficients come from the same ROUNDED moment
+    statistics as the fit (both engines solve identical doubles), each
+    row's prediction uses the centered form ŷ = ȳ + b1(x1−x̄1) +
+    b2(x2−x̄2) — bit-identical per row — and only the final residual
+    folds cross engines with summation-order drift (~1e-9 relative on
+    price-scale metrics; rmse/mae round at 2 dp on the money grid, R²
+    is a same-order ratio where drift cancels to ~1e-14). Plan: one
+    moment aggregate, a 1-row broadcast back onto the corpus scan, one
+    final aggregate — two passes, mergeable state, the distributed-OLS
+    evaluation shape at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(x1), 6).alias("m1"),
+        F.round(F.avg(x2), 9).alias("m2"),
+        F.round(F.avg(y), 3).alias("my"),
+        F.round(F.avg(x1 * x1), 5).alias("m11"),
+        F.round(F.avg(x2 * x2), 10).alias("m22"),
+        F.round(F.avg(x1 * x2), 7).alias("m12"),
+        F.round(F.avg(x1 * y), 2).alias("m1y"),
+        F.round(F.avg(x2 * y), 4).alias("m2y"),
+    )
+    v11 = F.col("m11") - F.col("m1") * F.col("m1")
+    v22 = F.col("m22") - F.col("m2") * F.col("m2")
+    v12 = F.col("m12") - F.col("m1") * F.col("m2")
+    c1y = F.col("m1y") - F.col("m1") * F.col("my")
+    c2y = F.col("m2y") - F.col("m2") * F.col("my")
+    det = v11 * v22 - v12 * v12
+    b = m.select(
+        "n",
+        "my",
+        "m1",
+        "m2",
+        ((c1y * v22 - c2y * v12) / det).alias("b1"),
+        ((v11 * c2y - v12 * c1y) / det).alias("b2"),
+    )
+    yhat = (
+        F.col("my")
+        + F.col("b1") * (x1 - F.col("m1"))
+        + F.col("b2") * (x2 - F.col("m2"))
+    )
+    resid = li.join(F.broadcast(b)).select(
+        F.col("n"),
+        y.alias("y"),
+        yhat.alias("yhat"),
+        F.col("my"),
+    )
+    e = F.col("y") - F.col("yhat")
+    return resid.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.round(F.sqrt(F.sum(e * e) / F.max("n")), 2).alias("rmse"),
+        F.round(F.sum(F.abs(e)) / F.max("n"), 2).alias("mae"),
+        F.round(
+            1.0 - F.sum(e * e) / F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my"))),
+            6,
+        ).alias("r2"),
+    )

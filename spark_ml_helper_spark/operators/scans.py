@@ -117,3 +117,40 @@ def scan_observed(spark, sf_dir):
         [(m["n_rows"], m["sum_qty"], m["n_discounted"])],
         "n_rows bigint, sum_qty double, n_discounted bigint",
     )
+
+
+@query(
+    "scan_file_rowcounts",
+    oracle="""
+        SELECT 'orders.parquet' AS file_name,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem.parquet', CAST(count(*) AS BIGINT)
+        FROM lineitem
+    """,
+    family="scans",
+)
+def scan_file_rowcounts(spark, sf_dir):
+    """Per-file row counts via the hidden `_metadata.file_name` column —
+    the small-files diagnosis query (feeds compact_small_files: a
+    table whose file row counts are tiny and many needs compaction;
+    one huge file needs splitting). `_metadata` is populated by the
+    file reader per split with NO extra I/O, the count aggregates
+    map-side per file, and the output is |files| rows at any scale —
+    this is how you audit a 100 TB table's file layout without
+    touching the object-store listing API. The oracle can't read file
+    paths through the driver's table views, so it pins the fixture's
+    known single-file-per-table layout — the Spark side must DERIVE
+    exactly those basenames from `_metadata`, which is the plumbing
+    under test."""
+    dfs = [
+        table(spark, sf_dir, t).select(
+            F.regexp_extract(F.col("_metadata.file_name"), r"([^/]+)$", 1).alias(
+                "file_name"
+            )
+        )
+        for t in ("orders", "lineitem")
+    ]
+    u = dfs[0].unionAll(dfs[1])
+    return u.groupBy("file_name").agg(F.count("*").alias("n_rows"))

@@ -1639,3 +1639,36 @@ def test_dup_rate_by_source_bounds(spark):
     for r in rows:
         assert 0 <= r["n_distinct"] <= r["n_docs"]
         assert 0.0 <= r["dup_rate"] < 1.0
+
+
+def test_compression_ratio_deterministic_and_bounded(spark):
+    a = {r["doc_id"]: r for r in
+         QUERIES["text_compression_ratio"](spark, SF_ORACLE).collect()}
+    b = {r["doc_id"]: r for r in
+         QUERIES["text_compression_ratio"](spark, SF_ORACLE).collect()}
+    assert len(a) == 500
+    for doc_id, r in a.items():
+        assert r["comp_len"] == b[doc_id]["comp_len"]  # twin-run identical
+        # zlib header overhead can exceed savings on the shortest docs
+        assert 0 < r["comp_len"] < r["raw_len"] + 64
+        assert 0.0 < r["ratio"] < 1.5
+    # but the corpus as a whole is compressible 31-word soup
+    frac_compressed = sum(r["ratio"] < 1.0 for r in a.values()) / len(a)
+    assert frac_compressed > 0.9
+
+
+def test_regression_eval_identities(spark):
+    r = QUERIES["ml_eval_regression"](spark, SF_ORACLE).collect()[0]
+    assert r["rmse"] >= r["mae"] > 0  # RMSE dominates MAE
+    assert 0.0 <= r["r2"] <= 1.0
+    fit = QUERIES["ml_linreg_normal"](spark, SF_ORACLE).collect()[0]
+    assert abs(r["r2"] - fit["r2"]) < 1e-3  # same model, same R²
+
+
+def test_file_rowcounts_match_table_counts(spark):
+    from spark_ml_helper_spark.sources.parquet import table
+
+    rows = {r["file_name"]: r["n_rows"] for r in
+            QUERIES["scan_file_rowcounts"](spark, SF_ORACLE).collect()}
+    assert rows["orders.parquet"] == table(spark, SF_ORACLE, "orders").count()
+    assert rows["lineitem.parquet"] == table(spark, SF_ORACLE, "lineitem").count()
