@@ -883,3 +883,34 @@ def vec_pairwise_dist_hist(spark, sf_dir):
         F.round(F.min(bucket) * 0.5, 2).alias("dist_lo"),
         F.count("*").alias("n_pairs"),
     )
+
+
+@query(
+    "dedup_embedding_exact",
+    oracle="""
+        SELECT min(vec_id) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+        FROM embeddings
+        GROUP BY embedding
+    """,
+    family="vectors",
+)
+def dedup_embedding_exact(spark, sf_dir):
+    """Byte-exact embedding dedup: group identical vectors, keep the
+    min id, count copies and how many DISTINCT LABELS share the
+    identical vector (n_labels > 1 is the classic label-noise /
+    leakage smell: the same content embedded twice with conflicting
+    labels). The exact-match complement to dedup_embedding's cosine
+    near-dup — run this first, it's one hash agg. At 100 TB group on
+    xxhash64 of the vector bytes instead of the raw 256-byte array
+    (dedup_exact's digest discipline) so the shuffle key is 8 bytes;
+    grouping float arrays is exact equality on bit patterns, which is
+    what "same embedding" means operationally (one embed run, one
+    writer)."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.groupBy("embedding").agg(
+        F.min("vec_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+        F.count_distinct("label").alias("n_labels"),
+    ).drop("embedding")

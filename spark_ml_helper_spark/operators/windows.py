@@ -368,3 +368,53 @@ def win_rolling_median(spark, sf_dir):
             6,
         ).alias("med7"),
     )
+
+
+@query(
+    "win_time_range_frame",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+            FROM events
+        )
+        SELECT user_id, event_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+               round(sum(round(value, 6)) OVER w, 4) AS sum_last_hour
+        FROM e
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts_us
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+        )
+    """,
+    family="windows",
+)
+def win_time_range_frame(spark, sf_dir):
+    """Trailing ONE-HOUR range frame per user: for every event, how
+    many events (and how much value) the same user produced in the 60
+    minutes up to and including it — the sliding-window rate limiter /
+    velocity-check shape, and the WINDOW capability rows-frames cannot
+    express (a RANGE frame keyed on event TIME, so gaps shrink the
+    window instead of reaching further back). The frame bound runs on
+    integer epoch-micros — identical frame membership cross-engine;
+    ties in ts_us share a frame by RANGE semantics, making the result
+    order-independent. Values round at 6 dp BEFORE the windowed sum so
+    both engines fold identical addends (frames are ≤ a few dozen rows,
+    keeping drift below the 4-dp output grid). One user_id shuffle
+    serves both windows — parallel per-user frames, no global sort."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round("value", 6).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.round(F.sum("v").over(w), 4).alias("sum_last_hour"),
+    )

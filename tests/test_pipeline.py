@@ -1672,3 +1672,33 @@ def test_file_rowcounts_match_table_counts(spark):
             QUERIES["scan_file_rowcounts"](spark, SF_ORACLE).collect()}
     assert rows["orders.parquet"] == table(spark, SF_ORACLE, "orders").count()
     assert rows["lineitem.parquet"] == table(spark, SF_ORACLE, "lineitem").count()
+
+
+def test_time_range_frame_counts_bounded_by_rows_frame(spark):
+    rows = QUERIES["win_time_range_frame"](spark, SF_ORACLE).limit(5000).collect()
+    for r in rows:
+        assert r["n_last_hour"] >= 1  # frame always includes current row
+
+
+def test_twa_differs_from_plain_mean_but_bounded(spark):
+    rows = QUERIES["ts_twa"](spark, SF_ORACLE).collect()
+    assert len(rows) > 0
+    from spark_ml_helper_spark.sources.parquet import table
+    from pyspark.sql import functions as F
+    bounds = {
+        (r["user_id"], r["d"]): (r["lo"], r["hi"])
+        for r in table(spark, SF_ORACLE, "events")
+        .groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        lo, hi = bounds[(r["user_id"], r["d"].date())]
+        assert lo - 1e-6 <= r["twa_value"] <= hi + 1e-6  # mean-value property
+
+
+def test_embedding_exact_dedup_partitions_corpus(spark):
+    rows = QUERIES["dedup_embedding_exact"](spark, SF_ORACLE).collect()
+    assert sum(r["n_copies"] for r in rows) == 500
+    for r in rows:
+        assert 1 <= r["n_labels"] <= r["n_copies"]
