@@ -1578,3 +1578,49 @@ def events_conversion_latency(spark, sf_dir):
         F.round(F.percentile("lat_us", 0.9) / 1e6, 6).alias("p90_latency_s"),
         F.round(F.sum("lat_us") * 1.0 / F.count("*") / 1e6, 6).alias("avg_latency_s"),
     )
+
+
+@query(
+    "events_interarrival",
+    oracle="""
+        WITH gaps AS (
+            SELECT event_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                   ) AS gap_us
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_gap_s,
+               round(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_gap_s,
+               round(CAST(max(gap_us) AS BIGINT) / 1e6, 6) AS max_gap_s,
+               round(CAST(sum(gap_us) AS BIGINT) * 1.0 / count(*) / 1e6, 6)
+                   AS mean_gap_s
+        FROM gaps WHERE gap_us IS NOT NULL
+        GROUP BY event_type
+    """,
+    family="analytics",
+)
+def events_interarrival(spark, sf_dir):
+    """Inter-arrival-time distribution per event type (p50/p90/max/mean
+    gap seconds) — the traffic-shape fingerprint: Poisson-like streams
+    show mean ≈ p50/ln2, heavy tails betray batch jobs, and a max gap
+    is an outage detector. One event_type-partitioned lag window (5
+    parallel frames, no global sort) + one 5-row hash agg; gaps stay
+    EXACT INTEGER micros through sum/max and into the percentile
+    interpolation (identical inputs → identical interpolation both
+    engines), with the float division per output happening last."""
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.percentile("gap_us", 0.5) / 1e6, 6).alias("p50_gap_s"),
+        F.round(F.percentile("gap_us", 0.9) / 1e6, 6).alias("p90_gap_s"),
+        F.round(F.max("gap_us") / 1e6, 6).alias("max_gap_s"),
+        F.round(F.sum("gap_us") * 1.0 / F.count("*") / 1e6, 6).alias("mean_gap_s"),
+    )

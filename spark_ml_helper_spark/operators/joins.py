@@ -585,3 +585,78 @@ def join_asof_nearest(spark, sf_dir):
         F.when(take_pv, F.col("pv_ts")).when(nx_ok, F.col("nx_ts")).alias("click_ts"),
         F.when(take_pv, dt_pv).when(nx_ok, dt_nx).alias("dt_us"),
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+        WITH p AS (
+            SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+            FROM events WHERE event_type = 'click'
+        ),
+        ranked AS (
+            SELECT p.purchase_id, p.user_id, p.p_us, c.click_id, c.c_us,
+                   row_number() OVER (
+                       PARTITION BY p.purchase_id
+                       ORDER BY c.c_us DESC, c.click_id DESC
+                   ) AS rn
+            FROM p LEFT JOIN c
+              ON p.user_id = c.user_id
+             AND c.c_us <= p.p_us
+             AND c.c_us >= p.p_us - 3600000000
+        )
+        SELECT purchase_id, user_id, click_id,
+               CAST(CASE WHEN click_id IS NULL THEN NULL
+                    ELSE p_us - c_us END AS BIGINT) AS staleness_us
+        FROM ranked WHERE rn = 1
+    """,
+    family="joins",
+)
+def join_asof_tolerance(spark, sf_dir):
+    """AS-OF join WITH TOLERANCE (pandas merge_asof's `tolerance`, kdb's
+    windowed wj): the latest same-user click at-or-before each
+    purchase, but only if it is at most 1 HOUR stale — older matches
+    are rejected and the purchase keeps a NULL attribution (the
+    correct semantics for attribution windows and sensor-reading
+    joins, where an arbitrarily old match is worse than none). Same
+    user_id-shuffled composition as join_asof with the staleness bound
+    as a second residual predicate; the bound also CAPS the per-key
+    window the top-1 ranking scans, which at trades-and-quotes scale
+    is the difference between a bounded and an unbounded as-of state.
+    All comparisons on exact integer epoch-micros."""
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", us.alias("p_us")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        us.alias("c_us"),
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user_id)
+        & (c.c_us <= p.p_us)
+        & (c.c_us >= p.p_us - 3_600_000_000),
+        "left",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("c_us").desc(), F.col("click_id").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            F.when(F.col("click_id").isNull(), F.lit(None).cast("bigint"))
+            .otherwise(F.col("p_us") - F.col("c_us"))
+            .alias("staleness_us"),
+        )
+    )

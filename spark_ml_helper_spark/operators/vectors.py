@@ -914,3 +914,90 @@ def dedup_embedding_exact(spark, sf_dir):
         F.count("*").alias("n_copies"),
         F.count_distinct("label").alias("n_labels"),
     ).drop("embedding")
+
+
+@query(
+    "pipeline_embedding_qc",
+    oracle=f"""
+        WITH base AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(count(*) - count(DISTINCT embedding) AS BIGINT)
+                       AS n_exact_dups
+            FROM embeddings
+        ),
+        norms AS (
+            SELECT round(avg(nrm), 6) AS mean_norm,
+                   round(min(nrm), 6) AS min_norm,
+                   round(max(nrm), 6) AS max_norm
+            FROM (
+                SELECT {_DUCK_NORM.format(a='embedding')} AS nrm
+                FROM embeddings
+            )
+        ),
+        dims AS (
+            SELECT CAST(count(*) FILTER (WHERE mx = 0.0) AS BIGINT)
+                       AS n_dead_dims,
+                   CAST(count(*) FILTER (WHERE sd < 0.01) AS BIGINT)
+                       AS n_lowvar_dims
+            FROM (
+                SELECT max(abs(x)) AS mx, stddev_samp(x) AS sd
+                FROM (
+                    SELECT i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+                    FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+                )
+                GROUP BY dim
+            )
+        )
+        SELECT n_vecs, n_exact_dups, mean_norm, min_norm, max_norm,
+               n_dead_dims, n_lowvar_dims
+        FROM base CROSS JOIN norms CROSS JOIN dims
+    """,
+    family="vectors",
+)
+def pipeline_embedding_qc(spark, sf_dir):
+    """One-row embedding-table QC gate — the composite report a
+    pipeline runs before accepting a new embedding export, folding the
+    family's individual diagnostics (dedup_embedding_exact,
+    vec_dim_stats, vec_normalize's norm view) into accept/reject
+    signals: exact-duplicate count, norm range (a zero min_norm means
+    unembeddable rows; wild max/mean spread means missing
+    normalization), dead dimensions (all-zero — a truncated writer),
+    and low-variance dimensions (collapsed capacity). Three
+    independent aggregates over one scan each, cross-joined as 1-row
+    broadcasts; the dim stats fan out via posexplode into a 64-key
+    hash agg (vec_dim_stats' shape). At 100 TB each component is one
+    pass; fuse them by computing all three from a single posexplode
+    pass if scan cost dominates."""
+    e = table(spark, sf_dir, "embeddings")
+    base = e.agg(
+        F.count("*").alias("n_vecs"),
+        (F.count("*") - F.count_distinct("embedding")).alias("n_exact_dups"),
+    )
+    norms = e.select(l2_norm(F.col("embedding")).alias("nrm")).agg(
+        F.round(F.avg("nrm"), 6).alias("mean_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
+    dims = (
+        e.select(F.posexplode("embedding").alias("dim", "x_raw"))
+        .select("dim", F.col("x_raw").cast("double").alias("x"))
+        .groupBy("dim")
+        .agg(F.max(F.abs(F.col("x"))).alias("mx"), F.stddev_samp("x").alias("sd"))
+        .agg(
+            F.count(F.when(F.col("mx") == 0.0, 1)).alias("n_dead_dims"),
+            F.count(F.when(F.col("sd") < 0.01, 1)).alias("n_lowvar_dims"),
+        )
+    )
+    return (
+        base.join(F.broadcast(norms))
+        .join(F.broadcast(dims))
+        .select(
+            "n_vecs",
+            "n_exact_dups",
+            "mean_norm",
+            "min_norm",
+            "max_norm",
+            "n_dead_dims",
+            "n_lowvar_dims",
+        )
+    )

@@ -1339,7 +1339,7 @@ _BNLJ_ALLOWED = {
     "events_heatmap_hour_dow",
     "events_survival_curve",
     "stats_bootstrap_ci", "stats_chi2", "stats_ks_test", "stats_ttest_welch",
-    "vec_pairwise_dist_hist",
+    "vec_pairwise_dist_hist", "pipeline_embedding_qc",
     "feature_class_weights", "feature_mutual_info",
     "feature_scale", "feature_target_encode", "feature_woe_iv",
     "funnel_ordered",
@@ -1702,3 +1702,39 @@ def test_embedding_exact_dedup_partitions_corpus(spark):
     assert sum(r["n_copies"] for r in rows) == 500
     for r in rows:
         assert 1 <= r["n_labels"] <= r["n_copies"]
+
+
+def test_asof_tolerance_subset_of_asof(spark):
+    tol = {r["purchase_id"]: r for r in
+           QUERIES["join_asof_tolerance"](spark, SF_ORACLE).collect()}
+    base = {r["purchase_id"]: r for r in
+            QUERIES["join_asof"](spark, SF_ORACLE).collect()}
+    assert set(tol) == set(base)  # same left side: every purchase appears
+    n_null, n_match = 0, 0
+    for pid, r in tol.items():
+        if r["click_id"] is None:
+            n_null += 1
+        else:
+            n_match += 1
+            assert 0 <= r["staleness_us"] <= 3_600_000_000
+            # within tolerance the matched click is the same one join_asof picks
+            assert base[pid]["click_id"] == r["click_id"]
+    assert n_match > 0 and n_null > 0  # tolerance actually rejects stale matches
+
+
+def test_interarrival_orderings(spark):
+    rows = QUERIES["events_interarrival"](spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["p50_gap_s"] <= r["p90_gap_s"] <= r["max_gap_s"]
+        assert r["mean_gap_s"] > 0
+
+
+def test_embedding_qc_consistent_with_parts(spark):
+    r = QUERIES["pipeline_embedding_qc"](spark, SF_ORACLE).collect()[0]
+    assert r["n_vecs"] == 500
+    dups = QUERIES["dedup_embedding_exact"](spark, SF_ORACLE).collect()
+    assert r["n_exact_dups"] == sum(x["n_copies"] - 1 for x in dups)
+    assert r["min_norm"] <= r["mean_norm"] <= r["max_norm"]
+    dim = QUERIES["vec_dim_stats"](spark, SF_ORACLE).collect()
+    assert r["n_lowvar_dims"] == sum(1 for d in dim if d["std"] < 0.01)
