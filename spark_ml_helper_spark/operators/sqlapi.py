@@ -75,3 +75,72 @@ def sql_shipping_priority(spark, sf_dir):
     for t in ("customer", "orders", "lineitem"):
         table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q3)
+
+
+_Q6 = """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@query("sql_revenue_q6", oracle=_Q6, family="sqlapi")
+def sql_revenue_q6(spark, sf_dir):
+    """TPC-H Q6-shape forecast-revenue-change query as ONE SQL string
+    (oracle IS the query — both engines parse identical text). The
+    pure scan-filter-aggregate shape: every predicate (date range,
+    discount band, quantity cap) pushes to the parquet reader, the
+    aggregate is a 1-row partial→final fold, and the whole plan is one
+    stage with no shuffle beyond the final merge — the query whose
+    100 TB cost is EXACTLY the I/O the pushdown leaves behind, which
+    is why it's the canonical pushdown benchmark. The discount band
+    sits on the 2-dp value grid (0.05/0.07 are exact fixture values;
+    BETWEEN on doubles is engine-identical at these magnitudes); the
+    revenue sum rounds at 2 dp per the money-grid rule."""
+    from spark_ml_helper_spark.sources.parquet import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q6)
+
+
+_RECURSIVE_SPINE = """
+    WITH RECURSIVE spine(d) AS (
+        SELECT TIMESTAMP '2024-01-01'
+        UNION ALL
+        SELECT d + INTERVAL 1 DAY FROM spine
+        WHERE d < TIMESTAMP '2024-01-30'
+    ),
+    daily AS (
+        SELECT date_trunc('day', ts) AS d,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT spine.d, coalesce(daily.n_events, 0) AS n_events
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+"""
+
+
+@query("sql_recursive_cte", oracle=_RECURSIVE_SPINE, family="sqlapi")
+def sql_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE (Spark 4's recursive CTE support) generating the
+    January 2024 day spine, left-joined to daily event counts so
+    silent days surface as explicit zeros — the standard-SQL twin of
+    ts_gap_fill's sequence()-generated spine, submitted as ONE SQL
+    string both engines parse identically. The recursion is
+    DRIVER-BOUNDED (30 iterations of a 1-row frame, a UnionLoop over
+    constant-size steps), so unlike a data-recursive CTE it adds no
+    scale risk; the event side is one hash agg to the day grid and
+    the join broadcasts the 30-row spine. Recursive CTEs at 100 TB
+    are for bounded structural recursion (date spines, org charts,
+    BOM explosions with depth caps) — unbounded transitive closure
+    belongs to the iterative operators (graph_cc) with explicit
+    convergence checks, and this docstring is where that line is
+    drawn."""
+    from spark_ml_helper_spark.sources.parquet import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SPINE)

@@ -1738,3 +1738,18 @@ def test_embedding_qc_consistent_with_parts(spark):
     assert r["min_norm"] <= r["mean_norm"] <= r["max_norm"]
     dim = QUERIES["vec_dim_stats"](spark, SF_ORACLE).collect()
     assert r["n_lowvar_dims"] == sum(1 for d in dim if d["std"] < 0.01)
+
+
+def test_q6_pushdown_reaches_scan(spark):
+    df = QUERIES["sql_revenue_q6"](spark, SF_ORACLE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+
+
+def test_recursive_spine_matches_gap_free_days(spark):
+    rows = QUERIES["sql_recursive_cte"](spark, SF_ORACLE).collect()
+    assert len(rows) == 30
+    assert sum(r["n_events"] for r in rows) == 10000  # every event lands on the spine
