@@ -703,3 +703,36 @@ def agg_heavy_hitters(spark, sf_dir):
             F.round(F.col("cnt") * 1.0 / F.col("n"), 6).alias("support"),
         )
     )
+
+
+@query(
+    "agg_money_decimal",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS VARCHAR)
+                   AS revenue_exact,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    family="aggregates",
+)
+def agg_money_decimal(spark, sf_dir):
+    """Money aggregation in EXACT DECIMAL(18,2) arithmetic — the
+    financial-reporting discipline where double sums are not
+    acceptable at any drift: cast to decimal at ingest, sum in
+    decimal (Spark widens to DECIMAL(28,2) internally; DuckDB to
+    HUGEINT-backed decimal), emit the canonical string so the oracle
+    compares EXACT digits, not rounded floats. This is the engine's
+    answer to the money-grid hazard the float operators manage by
+    rounding: for ledgers, don't manage drift — eliminate it. Decimal
+    partial aggs merge exactly like longs (128-bit sums), so the
+    map-side-combine plan is identical to the double form at any
+    scale; the cost is ~2× the per-row add, which scan time dwarfs."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("revenue_exact"),
+        F.count("*").alias("n_orders"),
+    )

@@ -1624,3 +1624,39 @@ def events_interarrival(spark, sf_dir):
         F.round(F.max("gap_us") / 1e6, 6).alias("max_gap_s"),
         F.round(F.sum("gap_us") * 1.0 / F.count("*") / 1e6, 6).alias("mean_gap_s"),
     )
+
+
+@query(
+    "events_adoption_curve",
+    oracle="""
+        WITH f AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS d0
+            FROM events GROUP BY user_id
+        ),
+        nw AS (
+            SELECT d0 AS d, CAST(count(*) AS BIGINT) AS n_new
+            FROM f GROUP BY d0
+        )
+        SELECT CAST(d AS TIMESTAMP) AS d, n_new,
+               CAST(sum(n_new) OVER (ORDER BY d) AS BIGINT) AS cum_users
+        FROM nw
+    """,
+    family="analytics",
+)
+def events_adoption_curve(spark, sf_dir):
+    """Cumulative adoption curve: users by first-seen day with the
+    running total — the S-curve product teams track against targets
+    (the cumulative complement of events_growth_accounting's n_new
+    column). One user-keyed hash agg to first-seen days, one day-keyed
+    agg, then a cumulative window over the ≤|days| frame (30 rows here
+    — the global order is on the REDUCED frame, agg_gini's documented
+    trade). Exact integers throughout."""
+    e = table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    nw = f.groupBy(F.col("d0").alias("d")).agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return nw.select(
+        F.col("d").cast("timestamp").alias("d"),
+        "n_new",
+        F.sum("n_new").over(w).alias("cum_users"),
+    )

@@ -823,3 +823,80 @@ def dq_k_anonymity(spark, sf_dir):
             "frac_at_risk"
         ),
     )
+
+
+@query(
+    "dq_reconcile",
+    oracle="""
+        WITH snap AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 100 = 0
+                        THEN o_totalprice + 10.0
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 97 <> 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_totalprice
+            FROM orders WHERE o_orderkey % 101 = 0
+        ),
+        j AS (
+            SELECT a.o_orderkey AS lk, b.o_orderkey AS rk,
+                   a.o_totalprice AS lv, b.o_totalprice AS rv
+            FROM orders a FULL JOIN snap b ON a.o_orderkey = b.o_orderkey
+        )
+        SELECT CAST(count(*) FILTER (WHERE lk IS NOT NULL) AS BIGINT) AS n_left,
+               CAST(count(*) FILTER (WHERE rk IS NOT NULL) AS BIGINT) AS n_right,
+               CAST(count(*) FILTER (WHERE lk IS NOT NULL AND rk IS NOT NULL
+                                       AND lv = rv) AS BIGINT) AS n_same,
+               CAST(count(*) FILTER (WHERE lk IS NOT NULL AND rk IS NOT NULL
+                                       AND lv <> rv) AS BIGINT) AS n_changed,
+               CAST(count(*) FILTER (WHERE rk IS NULL) AS BIGINT) AS n_only_left,
+               CAST(count(*) FILTER (WHERE lk IS NULL) AS BIGINT) AS n_only_right
+        FROM j
+    """,
+    family="curation",
+)
+def dq_reconcile(spark, sf_dir):
+    """Snapshot reconciliation report — the diff-two-table-versions
+    audit run after every migration/backfill: row counts on both
+    sides, matched-and-identical, matched-but-changed, and the two
+    only-in-one-side tails, in ONE full-outer join + one fold. The
+    "new snapshot" is synthesized deterministically from orders (drop
+    keys ≡0 mod 97, bump price +10.00 on keys ≡0 mod 100, insert
+    shifted copies of keys ≡0 mod 101) so both engines reconcile
+    identical inputs; the value comparison is double equality on
+    identical arithmetic — bit-reproducible. At 100 TB the full-outer
+    join shuffles both sides once on the key (bucket both snapshots by
+    the key to skip even that), and comparing wide rows means hashing
+    the non-key columns (md5 of a canonical concat — the scalar-digest
+    discipline of SCALE.md lesson 3) instead of column-by-column
+    predicates."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    snap = (
+        o.where(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 100 == 0, F.col("o_totalprice") + 10.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionAll(
+            o.where(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    a = o.select(F.col("o_orderkey").alias("lk"), F.col("o_totalprice").alias("lv"))
+    b = snap.select(F.col("o_orderkey").alias("rk"), F.col("o_totalprice").alias("rv"))
+    j = a.join(b, a.lk == b.rk, "full")
+    both = F.col("lk").isNotNull() & F.col("rk").isNotNull()
+    return j.agg(
+        F.count(F.when(F.col("lk").isNotNull(), 1)).alias("n_left"),
+        F.count(F.when(F.col("rk").isNotNull(), 1)).alias("n_right"),
+        F.count(F.when(both & (F.col("lv") == F.col("rv")), 1)).alias("n_same"),
+        F.count(F.when(both & (F.col("lv") != F.col("rv")), 1)).alias("n_changed"),
+        F.count(F.when(F.col("rk").isNull(), 1)).alias("n_only_left"),
+        F.count(F.when(F.col("lk").isNull(), 1)).alias("n_only_right"),
+    )

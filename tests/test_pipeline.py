@@ -1753,3 +1753,35 @@ def test_recursive_spine_matches_gap_free_days(spark):
     rows = QUERIES["sql_recursive_cte"](spark, SF_ORACLE).collect()
     assert len(rows) == 30
     assert sum(r["n_events"] for r in rows) == 10000  # every event lands on the spine
+
+
+def test_money_decimal_matches_rounded_double_sum(spark):
+    from spark_ml_helper_spark.sources.parquet import table
+    from pyspark.sql import functions as F
+
+    rows = {r["o_orderpriority"]: r for r in
+            QUERIES["agg_money_decimal"](spark, SF_ORACLE).collect()}
+    dbl = {r["o_orderpriority"]: r["s"] for r in
+           table(spark, SF_ORACLE, "orders")
+           .groupBy("o_orderpriority")
+           .agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()}
+    for k, r in rows.items():
+        assert abs(float(r["revenue_exact"]) - dbl[k]) < 0.02  # decimal vs double
+
+
+def test_adoption_curve_monotone_and_totals(spark):
+    rows = sorted(QUERIES["events_adoption_curve"](spark, SF_ORACLE).collect(),
+                  key=lambda r: r["d"])
+    assert rows[-1]["cum_users"] == 150
+    running = 0
+    for r in rows:
+        running += r["n_new"]
+        assert r["cum_users"] == running
+
+
+def test_reconcile_counts_add_up(spark):
+    r = QUERIES["dq_reconcile"](spark, SF_ORACLE).collect()[0]
+    assert r["n_left"] == 15000
+    assert r["n_same"] + r["n_changed"] + r["n_only_left"] == r["n_left"]
+    assert r["n_same"] + r["n_changed"] + r["n_only_right"] == r["n_right"]
+    assert r["n_changed"] > 0 and r["n_only_left"] > 0 and r["n_only_right"] > 0
