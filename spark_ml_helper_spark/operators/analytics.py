@@ -1660,3 +1660,73 @@ def events_adoption_curve(spark, sf_dir):
         "n_new",
         F.sum("n_new").over(w).alias("cum_users"),
     )
+
+
+@query(
+    "abc_analysis",
+    oracle="""
+        WITH pr AS (
+            SELECT l_partkey,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100.0)
+                        AS BIGINT) AS rev_cents
+            FROM lineitem GROUP BY l_partkey
+        ),
+        tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS t FROM pr),
+        cum AS (
+            SELECT l_partkey, rev_cents,
+                   CAST(sum(rev_cents) OVER (
+                       ORDER BY rev_cents DESC, l_partkey
+                   ) AS BIGINT) AS c
+            FROM pr
+        ),
+        cls AS (
+            SELECT rev_cents,
+                   CASE WHEN 5 * c <= 4 * t THEN 'A'
+                        WHEN 20 * c <= 19 * t THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM cum CROSS JOIN tot
+        )
+        SELECT abc_class,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               round(sum(rev_cents) / 100.0, 2) AS revenue,
+               round(sum(rev_cents) * 1.0 / max(t), 6) AS revenue_share
+        FROM cls CROSS JOIN tot
+        GROUP BY abc_class
+    """,
+    family="analytics",
+)
+def abc_analysis(spark, sf_dir):
+    """ABC (Pareto) classification of parts by revenue: A = parts
+    covering the first 80% of cumulative revenue, B = to 95%, C = the
+    tail — the inventory-management staple behind "which 20% of SKUs
+    earn 80%". All classification arithmetic runs in EXACT INTEGER
+    CENTS (5·cum ≤ 4·total for the 80% cut), so the class boundary
+    can never move with float drift; the only doubles are the final
+    display columns. One lineitem hash agg to the part frame, a
+    cumulative window over that reduced frame (|parts| rows — the
+    agg_gini documented trade; at catalog scale pre-bin by
+    approx-percentile revenue bands), a 3-key fold."""
+    li = table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100.0)
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    tot = pr.agg(F.sum("rev_cents").alias("t"))
+    w = Window.orderBy(F.desc("rev_cents"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = pr.select("rev_cents", F.sum("rev_cents").over(w).alias("c"))
+    cls = cum.join(F.broadcast(tot)).select(
+        "rev_cents",
+        "t",
+        F.when(5 * F.col("c") <= 4 * F.col("t"), "A")
+        .when(20 * F.col("c") <= 19 * F.col("t"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.sum("rev_cents") / 100.0, 2).alias("revenue"),
+        F.round(F.sum("rev_cents") * 1.0 / F.max("t"), 6).alias("revenue_share"),
+    )

@@ -226,3 +226,48 @@ def mm_frame_sample(spark, sf_dir):
             )
 
     return src.mapInPandas(sample_frames, schema="doc_id bigint, frame_no int, frame_hex string")
+
+
+@query(
+    "mm_payload_stats",
+    oracle="""
+        WITH b AS (
+            SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                   ELSE 'webp' END AS fmt,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents
+        )
+        SELECT fmt,
+               CAST(count(*) AS BIGINT) AS n_payloads,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+               CAST(max(n_bytes) AS BIGINT) AS max_bytes,
+               round(quantile_cont(n_bytes, 0.5), 6) AS p50_bytes
+        FROM b GROUP BY fmt
+    """,
+    family="multimodal",
+)
+def mm_payload_stats(spark, sf_dir):
+    """Metadata-only payload audit: per-format counts and byte-size
+    distribution over the binary column — computed WITHOUT the payload
+    ever crossing to Python (octet_length is a JVM-side function on
+    the binary column). This is the posture that makes multimodal
+    storage viable at 100 TB: plan-level pruning and stats on
+    metadata, with the expensive decode (mm_image_features'
+    mapInPandas) reserved for rows that survive filtering. One hash
+    agg on the 3-key format space; exact integers plus an exact-input
+    percentile interpolation."""
+    d = table(spark, sf_dir, "documents")
+    src = d.select(
+        F.element_at(
+            F.array(*[F.lit(f) for f in _FORMATS]), (F.col("doc_id") % 3 + 1).cast("int")
+        ).alias("fmt"),
+        F.octet_length(F.col("text").cast("binary")).alias("n_bytes"),
+    )
+    return src.groupBy("fmt").agg(
+        F.count("*").alias("n_payloads"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("n_bytes").cast("bigint").alias("min_bytes"),
+        F.max("n_bytes").cast("bigint").alias("max_bytes"),
+        F.round(F.percentile("n_bytes", 0.5), 6).alias("p50_bytes"),
+    )

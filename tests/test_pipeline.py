@@ -1331,7 +1331,7 @@ def test_active_users_monotone_and_bounded(spark):
 # operator grew an unplanned non-equi join; run tools/plan_audit.py to see
 # the full-registry picture.
 _BNLJ_ALLOWED = {
-    "agg_heavy_hitters",
+    "abc_analysis", "agg_heavy_hitters",
     "basket_lift", "class_balance", "corpus_bigram_lm",
     "corpus_decontaminate_semantic", "corpus_mix_weights",
     "dedup_containment", "dedup_embedding", "dedup_ngram",
@@ -1785,3 +1785,21 @@ def test_reconcile_counts_add_up(spark):
     assert r["n_same"] + r["n_changed"] + r["n_only_left"] == r["n_left"]
     assert r["n_same"] + r["n_changed"] + r["n_only_right"] == r["n_right"]
     assert r["n_changed"] > 0 and r["n_only_left"] > 0 and r["n_only_right"] > 0
+
+
+def test_abc_classes_partition_revenue(spark):
+    rows = {r["abc_class"]: r for r in
+            QUERIES["abc_analysis"](spark, SF_ORACLE).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-3
+    assert sum(r["n_parts"] for r in rows.values()) == 2000
+    # Pareto shape: A-class parts earn more per part than C-class
+    a, c = rows["A"], rows["C"]
+    assert a["revenue"] / a["n_parts"] > c["revenue"] / c["n_parts"]
+
+
+def test_payload_stats_cover_corpus(spark):
+    rows = QUERIES["mm_payload_stats"](spark, SF_ORACLE).collect()
+    assert sum(r["n_payloads"] for r in rows) == 500
+    for r in rows:
+        assert r["min_bytes"] <= r["p50_bytes"] <= r["max_bytes"]
