@@ -13,6 +13,7 @@ differences cannot flip the value hash (SURVEY.md §7.4 hazard 4).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from spark_ml_helper_spark.registry import query
@@ -735,4 +736,100 @@ def agg_money_decimal(spark, sf_dir):
         .cast("string")
         .alias("revenue_exact"),
         F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+        WITH words AS (
+            SELECT event_type, user_id // 63 AS word_idx,
+                   bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT))
+                       AS word_mask
+            FROM events
+            GROUP BY event_type, user_id // 63
+        )
+        SELECT event_type,
+               CAST(sum(bit_count(word_mask)) AS BIGINT) AS n_users
+        FROM words GROUP BY event_type
+    """,
+    family="aggregates",
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct-user counts via bitmap aggregation — the
+    Doris/ClickHouse bitmap-index technique on plain SQL: pack user
+    ids into 64-bit words (word = id/64, bit = id mod 64), bit_or the
+    masks per (type, word), popcount and sum. Versus COUNT(DISTINCT)'s
+    per-key row expansion, the shuffle carries ≤ |id-space|/64 words
+    per group — fixed-size mergeable state like a sketch, but EXACT,
+    and the per-(type,word) partials roll up across days/partitions
+    for free (the incremental-distinct pattern agg_incremental
+    documents for sums). Needs dense integer ids — at 100 TB that's a
+    dictionary-encode step first (feature_hashing's md5 trick in
+    reverse). Pure integer ops, bit-identical cross-engine."""
+    e = table(spark, sf_dir, "events")
+    words = e.groupBy(
+        "event_type", F.floor(F.col("user_id") / 63).cast("bigint").alias("word_idx")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+        ).alias("word_mask")
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word_mask")).alias("n_users")
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+        WITH v AS (
+            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                   CAST(l_quantity AS BIGINT) AS wgt
+            FROM lineitem
+        ),
+        g AS (
+            SELECT price_c, CAST(sum(wgt) AS BIGINT) AS w
+            FROM v GROUP BY price_c
+        ),
+        c AS (
+            SELECT price_c, w,
+                   CAST(sum(w) OVER (ORDER BY price_c) AS BIGINT) AS cw
+            FROM g
+        ),
+        t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM g)
+        SELECT CAST(max(tw) AS BIGINT) AS total_weight,
+               round(min(price_c) / 100.0, 2) AS weighted_median
+        FROM c CROSS JOIN t
+        WHERE 2 * cw >= tw
+    """,
+    family="aggregates",
+)
+def agg_weighted_median(spark, sf_dir):
+    """Quantity-weighted median line price — the lower weighted median
+    (first value whose cumulative weight reaches half the total),
+    selected ENTIRELY IN INTEGER ARITHMETIC: prices as exact cents,
+    weights as exact units, the 2·cum ≥ total cut on integers — no
+    interpolation, no float boundary, bit-identical cross-engine
+    (unlike engines' percentile(…, weight) builtins, which disagree on
+    interpolation). One hash agg to the per-price frame, a cumulative
+    window over it (distinct prices ≤ rows — the agg_gini documented
+    trade; at 100 TB bin prices to a grid first, which bounds the
+    sorted frame AND the answer's precision explicitly)."""
+    li = table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+        F.col("l_quantity").cast("bigint").alias("wgt"),
+    )
+    g = v.groupBy("price_c").agg(F.sum("wgt").alias("w"))
+    w = Window.orderBy("price_c").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select("price_c", F.sum("w").over(w).alias("cw"))
+    t = g.agg(F.sum("w").alias("tw"))
+    return (
+        c.join(F.broadcast(t))
+        .where(2 * F.col("cw") >= F.col("tw"))
+        .agg(
+            F.max("tw").alias("total_weight"),
+            F.round(F.min("price_c") / 100.0, 2).alias("weighted_median"),
+        )
     )

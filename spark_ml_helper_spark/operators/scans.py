@@ -154,3 +154,53 @@ def scan_file_rowcounts(spark, sf_dir):
     ]
     u = dfs[0].unionAll(dfs[1])
     return u.groupBy("file_name").agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "source_synthetic",
+    oracle="""
+        SELECT i AS id,
+               ['alpha', 'beta', 'gamma', 'delta', 'epsilon'][(i % 5) + 1]
+                   AS category,
+               round((('0x' || substring(md5(CAST(i AS VARCHAR)), 1, 8))::BIGINT
+                      % 1000000) / 1000.0, 3) AS value,
+               TIMESTAMP '2024-01-01' + INTERVAL (i % 30) DAY AS d
+        FROM range(0, 10000) t(i)
+    """,
+    family="scans",
+)
+def source_synthetic(spark, sf_dir):
+    """Deterministic synthetic-data generator — the dbgen pattern on
+    the engine itself: spark.range() provides the distributed integer
+    spine (N rows split across tasks with zero input I/O) and every
+    column is a PURE FUNCTION of the row id (modular category,
+    md5-derived uniform value, cyclic date), so the "data" is
+    reproducible across engines, partitionings, and scales — the same
+    hash discipline as train_test_split. This is how you scale-test a
+    pipeline at 100 TB without a 100 TB fixture: range(1e12) costs
+    nothing until computed, generation is map-only and
+    embarrassingly parallel, and any slice regenerates independently.
+    The md5-uniform is the engine-neutral PRNG; never use rand()
+    (partition-layout-dependent) for data anyone will compare."""
+    return spark.range(0, 10000).select(
+        F.col("id"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in ["alpha", "beta", "gamma", "delta", "epsilon"]]),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("category"),
+        F.round(
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("id").cast("string").cast("binary")), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(1000000),
+            )
+            / 1000.0,
+            3,
+        ).alias("value"),
+        F.expr(
+            "TIMESTAMP '2024-01-01' + make_interval(0, 0, 0, CAST(id % 30 AS INT), 0, 0, 0)"
+        ).alias("d"),
+    )

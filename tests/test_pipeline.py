@@ -1803,3 +1803,40 @@ def test_payload_stats_cover_corpus(spark):
     assert sum(r["n_payloads"] for r in rows) == 500
     for r in rows:
         assert r["min_bytes"] <= r["p50_bytes"] <= r["max_bytes"]
+
+
+def test_bitmap_distinct_equals_count_distinct(spark):
+    from spark_ml_helper_spark.sources.parquet import table
+    from pyspark.sql import functions as F
+
+    rows = {r["event_type"]: r["n_users"] for r in
+            QUERIES["agg_bitmap_distinct"](spark, SF_ORACLE).collect()}
+    truth = {r["event_type"]: r["n"] for r in
+             table(spark, SF_ORACLE, "events")
+             .groupBy("event_type").agg(F.count_distinct("user_id").alias("n"))
+             .collect()}
+    assert rows == truth
+
+
+def test_weighted_median_is_weight_balanced(spark):
+    from spark_ml_helper_spark.sources.parquet import table
+    from pyspark.sql import functions as F
+
+    r = QUERIES["agg_weighted_median"](spark, SF_ORACLE).collect()[0]
+    li = table(spark, SF_ORACLE, "lineitem")
+    below = (
+        li.where(F.col("l_extendedprice") < r["weighted_median"] - 0.005)
+        .agg(F.sum("l_quantity")).collect()[0][0]
+    )
+    assert below <= r["total_weight"] / 2  # median balances the weight
+
+
+def test_synthetic_source_deterministic(spark):
+    a = QUERIES["source_synthetic"](spark, SF_ORACLE).collect()
+    b = QUERIES["source_synthetic"](spark, SF_ORACLE).collect()
+    assert sorted(a) == sorted(b)
+    assert len(a) == 10000
+    cats = {r["category"] for r in a}
+    assert cats == {"alpha", "beta", "gamma", "delta", "epsilon"}
+    vals = [r["value"] for r in a]
+    assert 0.0 <= min(vals) and max(vals) <= 1000.0
