@@ -969,3 +969,89 @@ def text_compression_ratio(spark, sf_dir):
             "ratio", F.round(F.col("comp_len") * 1.0 / F.col("raw_len"), 6)
         )
     )
+
+
+@query(
+    "text_markov_generate",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT string_split(lower(text), ' ') AS w FROM documents
+        ),
+        bg AS (
+            SELECT w[i] AS cur, w[i + 1] AS nxt, count(*) AS c
+            FROM (
+                SELECT w, unnest(range(1, len(w))) AS i FROM toks
+            )
+            GROUP BY cur, nxt
+        ),
+        best AS (
+            SELECT cur, nxt FROM (
+                SELECT cur, nxt,
+                       row_number() OVER (
+                           PARTITION BY cur ORDER BY c DESC, nxt
+                       ) AS rn
+                FROM bg
+            ) WHERE rn = 1
+        ),
+        chain(step, tok) AS (
+            SELECT CAST(0 AS BIGINT), 'the'
+            UNION ALL
+            SELECT ch.step + 1, b.nxt
+            FROM chain ch JOIN best b ON b.cur = ch.tok
+            WHERE ch.step < 19
+        )
+        SELECT step, tok FROM chain
+    """,
+    family="corpus",
+)
+def text_markov_generate(spark, sf_dir):
+    """Greedy bigram-LM text generation: follow the ARGMAX successor
+    chain 20 tokens from the seed 'the' — the deterministic
+    decode-side twin of corpus_bigram_lm's scoring side (train the
+    same counts, then GENERATE instead of scoring), executed as a
+    recursive CTE over the argmax successor table (Spark 4 recursive
+    CTE joining a data-derived frame — each iteration is a 1-row ×
+    vocab broadcast lookup, 20 bounded steps). Fully deterministic:
+    integer bigram counts, (count DESC, token ASC) tiebreak, greedy
+    decode. At 100 TB the successor table is vocabulary-sized (the
+    corpus-sized work is the one bigram count agg) and generation
+    cost is per-step O(1) — the toy version of "the model is small,
+    the data pass builds it"."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), " ")
+    toks = d.select(w.alias("w"))
+    bg = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(w, 1, size(w) - 1), (x, i) -> struct(x AS cur, w[i + 1] AS nxt))"
+                )
+            ).alias("p")
+        )
+        .select("p.cur", "p.nxt")
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("c"))
+    )
+    wname = Window.partitionBy("cur").orderBy(F.desc("c"), F.asc("nxt"))
+    best = (
+        bg.withColumn("rn", F.row_number().over(wname))
+        .where(F.col("rn") == 1)
+        .select("cur", "nxt")
+        # materialize: the recursion references this frame once per step, and
+        # Catalyst would otherwise recompute the corpus-sized bigram count 20
+        # times (SCALE.md lesson 2) — measured 17 s -> ~4 s warm at sf0.1 (the residue is 20 bounded recursion steps' scheduling)
+        .localCheckpoint()
+    )
+    best.createOrReplaceTempView("smhs_markov_succ")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(step, tok) AS (
+            SELECT CAST(0 AS BIGINT), 'the'
+            UNION ALL
+            SELECT ch.step + 1, b.nxt
+            FROM chain ch JOIN smhs_markov_succ b ON b.cur = ch.tok
+            WHERE ch.step < 19
+        )
+        SELECT step, tok FROM chain
+        """
+    )

@@ -1840,3 +1840,26 @@ def test_synthetic_source_deterministic(spark):
     assert cats == {"alpha", "beta", "gamma", "delta", "epsilon"}
     vals = [r["value"] for r in a]
     assert 0.0 <= min(vals) and max(vals) <= 1000.0
+
+
+def test_banded_range_join_equals_nested_loop(spark):
+    banded = {(r["s_suppkey"], r["n_close"]) for r in
+              QUERIES["join_range_banded"](spark, SF_ORACLE).collect()}
+    plain = {(r["s_suppkey"], r["n_close"]) for r in
+             QUERIES["join_range"](spark, SF_ORACLE).collect()}
+    assert banded == plain
+    # and the banded plan is an equi-join, not a nested loop
+    df = QUERIES["join_range_banded"](spark, SF_ORACLE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_markov_chain_follows_argmax(spark):
+    rows = sorted(QUERIES["text_markov_generate"](spark, SF_ORACLE).collect(),
+                  key=lambda r: r["step"])
+    assert rows[0]["tok"] == "the"
+    assert len(rows) == 20
+    assert [r["step"] for r in rows] == list(range(20))
