@@ -833,3 +833,58 @@ def agg_weighted_median(spark, sf_dir):
             F.round(F.min("price_c") / 100.0, 2).alias("weighted_median"),
         )
     )
+
+
+@query(
+    "agg_histogram_equiwidth",
+    oracle="""
+        WITH v AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+            FROM orders
+        ),
+        bounds AS (
+            SELECT CAST(min(xc) AS BIGINT) AS lo, CAST(max(xc) AS BIGINT) AS hi
+            FROM v
+        )
+        SELECT CAST(least(9, (xc - lo) * 10 // (hi - lo + 1)) AS BIGINT)
+                   AS bucket,
+               round((lo + least(9, (xc - lo) * 10 // (hi - lo + 1))
+                      * (hi - lo + 1) / 10.0) / 100.0, 2) AS bin_lo,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM v CROSS JOIN bounds
+        GROUP BY 1, 2
+    """,
+    family="aggregates",
+)
+def agg_histogram_equiwidth(spark, sf_dir):
+    """Equal-width 10-bin value histogram of order totals — the
+    distribution plot behind every dashboard, with bin assignment in
+    EXACT INTEGER arithmetic: cents-scaled values, bin =
+    min(9, (x−lo)·10 div (hi−lo+1)) — integer floor division, no float
+    boundary can move a row between bins cross-engine (the hazard in
+    width_bucket-style float binning). Complements
+    agg_count_histogram (count-of-counts) and feature_bucketize
+    (fixed splits) with data-driven equal-width bins. One aggregate
+    for the bounds (1-row broadcast back), one map-side-combining agg
+    on ≤10 keys; two scans — or one, fusing bounds via approx min/max
+    when a prior stats pass exists."""
+    o = table(spark, sf_dir, "orders")
+    v = o.select(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("xc"))
+    bounds = v.agg(
+        F.min("xc").alias("lo"), F.max("xc").alias("hi")
+    )
+    width = F.col("hi") - F.col("lo") + 1
+    bucket = F.least(
+        F.lit(9), F.floor((F.col("xc") - F.col("lo")) * 10 / width)
+    ).cast("bigint")
+    return (
+        v.join(F.broadcast(bounds))
+        .select(
+            bucket.alias("bucket"),
+            F.round(
+                (F.col("lo") + bucket * width / 10.0) / 100.0, 2
+            ).alias("bin_lo"),
+        )
+        .groupBy("bucket", "bin_lo")
+        .agg(F.count("*").alias("n_orders"))
+    )

@@ -1730,3 +1730,136 @@ def abc_analysis(spark, sf_dir):
         F.round(F.sum("rev_cents") / 100.0, 2).alias("revenue"),
         F.round(F.sum("rev_cents") * 1.0 / F.max("t"), 6).alias("revenue_share"),
     )
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+        WITH f AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        rev AS (
+            SELECT e.user_id,
+                   date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS offset_d,
+                   round(e.value, 6) AS v
+            FROM events e JOIN f ON e.user_id = f.user_id
+            WHERE e.event_type = 'purchase'
+        ),
+        daily AS (
+            SELECT f.cohort_day, r.offset_d,
+                   CAST(count(*) AS BIGINT) AS n_purchases,
+                   round(sum(r.v), 4) AS revenue
+            FROM rev r JOIN f ON r.user_id = f.user_id
+            GROUP BY f.cohort_day, r.offset_d
+        ),
+        sized AS (SELECT cohort_day, count(*) AS n_users FROM f GROUP BY cohort_day)
+        SELECT CAST(d.cohort_day AS TIMESTAMP) AS cohort_day,
+               d.offset_d, d.n_purchases, d.revenue,
+               CAST(sum(d.revenue) OVER (
+                   PARTITION BY d.cohort_day ORDER BY d.offset_d
+               ) AS DOUBLE) AS cum_revenue_raw,
+               CAST(sum(d.revenue) OVER (
+                   PARTITION BY d.cohort_day ORDER BY d.offset_d
+               ) / s.n_users AS DOUBLE) AS ltv_per_user
+        FROM daily d JOIN sized s ON d.cohort_day = s.cohort_day
+        WHERE d.offset_d BETWEEN 0 AND 14
+    """,
+    family="analytics",
+)
+def events_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curves: cumulative purchase value per signup cohort
+    by day offset, normalized per cohort member — the payback-curve
+    view (retention_cohort says who comes back, this says what they're
+    worth). Values round at 6 dp per event and the per-(cohort,offset)
+    sums at 4 dp BEFORE the cumulative window, so both engines fold
+    identical addends over identical frames (a ≤15-step cumsum of
+    4-dp values — exact). Shapes: two user-keyed aggregates, one
+    user_id equi-join, a (cohort, offset)-keyed agg, and the
+    cumulative window over the tiny cohort×offset grid. cum_revenue_raw
+    is exposed unrounded-but-derived-from-rounded-addends — identical
+    cross-engine by the same argument."""
+    e = table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("cohort_day"))
+    rev = (
+        e.where(F.col("event_type") == "purchase")
+        .join(f, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("offset_d"),
+            F.round("value", 6).alias("v"),
+        )
+    )
+    daily = rev.groupBy("cohort_day", "offset_d").agg(
+        F.count("*").alias("n_purchases"), F.round(F.sum("v"), 4).alias("revenue")
+    )
+    sized = f.groupBy("cohort_day").agg(F.count("*").alias("n_users"))
+    w = Window.partitionBy("cohort_day").orderBy("offset_d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        daily.join(F.broadcast(sized), "cohort_day")
+        .where(F.col("offset_d").between(0, 14))
+        .select(
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            "offset_d",
+            "n_purchases",
+            "revenue",
+            F.sum("revenue").over(w).cast("double").alias("cum_revenue_raw"),
+            (F.sum("revenue").over(w) / F.col("n_users"))
+            .cast("double")
+            .alias("ltv_per_user"),
+        )
+    )
+
+
+@query(
+    "orders_repeat_interval",
+    oracle="""
+        WITH gaps AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                       lag(CAST(o_orderdate AS DATE)) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                       ),
+                       CAST(o_orderdate AS DATE)) AS gap_d
+            FROM orders
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_repeat_orders,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_repeat_customers,
+               round(quantile_cont(gap_d, 0.5), 6) AS p50_gap_days,
+               round(quantile_cont(gap_d, 0.9), 6) AS p90_gap_days,
+               round(CAST(sum(gap_d) AS BIGINT) * 1.0 / count(*), 6)
+                   AS mean_gap_days
+        FROM gaps WHERE gap_d IS NOT NULL
+    """,
+    family="analytics",
+)
+def orders_repeat_interval(spark, sf_dir):
+    """Repeat-purchase cadence: the distribution of day gaps between a
+    customer's consecutive orders (p50/p90/mean) — the number that
+    sets re-engagement timing and inventory cycles, and the
+    order-table sibling of events_interarrival. One customer-
+    partitioned lag window (parallel, fully tiebroken on
+    (date, orderkey)) + one global fold; gaps are exact integer days
+    through the sum and into the exact-input percentile
+    interpolation."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_d"),
+    ).where(F.col("gap_d").isNotNull())
+    return gaps.agg(
+        F.count("*").alias("n_repeat_orders"),
+        F.count_distinct("o_custkey").alias("n_repeat_customers"),
+        F.round(F.percentile("gap_d", 0.5), 6).alias("p50_gap_days"),
+        F.round(F.percentile("gap_d", 0.9), 6).alias("p90_gap_days"),
+        F.round(F.sum("gap_d") * 1.0 / F.count("*"), 6).alias("mean_gap_days"),
+    )

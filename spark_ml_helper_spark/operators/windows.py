@@ -418,3 +418,75 @@ def win_time_range_frame(spark, sf_dir):
         F.count("*").over(w).alias("n_last_hour"),
         F.round(F.sum("v").over(w), 4).alias("sum_last_hour"),
     )
+
+
+@query(
+    "win_pareto_frontier",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey AS c_custkey,
+                   CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS spend_c
+            FROM orders GROUP BY o_custkey
+        ),
+        both_axes AS (
+            SELECT s.c_custkey, s.spend_c,
+                   CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_c
+            FROM spend s JOIN customer c ON s.c_custkey = c.c_custkey
+        ),
+        flagged AS (
+            SELECT c_custkey, spend_c, bal_c,
+                   max(bal_c) OVER (
+                       ORDER BY spend_c DESC, c_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS best_bal_before
+            FROM both_axes
+        )
+        SELECT c_custkey,
+               round(spend_c / 100.0, 2) AS total_spend,
+               round(bal_c / 100.0, 2) AS acctbal
+        FROM flagged
+        WHERE best_bal_before IS NULL OR bal_c > best_bal_before
+    """,
+    family="windows",
+)
+def win_pareto_frontier(spark, sf_dir):
+    """Skyline / Pareto-frontier query: customers not DOMINATED on the
+    (total spend, account balance) plane — no other customer is at
+    least as good on both axes and strictly better on one. The classic
+    window formulation: sort by spend descending and keep rows whose
+    balance strictly exceeds the running max of every earlier (higher-
+    spend) row — one window pass instead of the naive O(n²) domination
+    self-join. All comparisons run on EXACT INTEGER CENTS with a full
+    (spend, custkey) tiebreak, so frontier membership is bit-stable.
+    The window is a global sort of the customer frame (agg_gini's
+    documented trade); the distributed form sorts range-partitioned
+    runs and merges per-partition frontiers (frontiers compose:
+    skyline(A ∪ B) ⊆ skyline(A) ∪ skyline(B))."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    spend = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("spend_c")
+    )
+    both = spend.join(
+        c.select(
+            "c_custkey", F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c")
+        ),
+        "c_custkey",
+    )
+    w = Window.orderBy(F.desc("spend_c"), "c_custkey").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = both.select(
+        "c_custkey", "spend_c", "bal_c", F.max("bal_c").over(w).alias("best_bal_before")
+    )
+    return (
+        flagged.where(
+            F.col("best_bal_before").isNull()
+            | (F.col("bal_c") > F.col("best_bal_before"))
+        )
+        .select(
+            "c_custkey",
+            F.round(F.col("spend_c") / 100.0, 2).alias("total_spend"),
+            F.round(F.col("bal_c") / 100.0, 2).alias("acctbal"),
+        )
+    )

@@ -1863,3 +1863,40 @@ def test_markov_chain_follows_argmax(spark):
     assert rows[0]["tok"] == "the"
     assert len(rows) == 20
     assert [r["step"] for r in rows] == list(range(20))
+
+
+def test_cohort_ltv_monotone_cumulative(spark):
+    rows = QUERIES["events_cohort_ltv"](spark, SF_ORACLE).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_day"], []).append(r)
+    for day, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["offset_d"])
+        for a, b in zip(rs, rs[1:]):
+            assert b["cum_revenue_raw"] >= a["cum_revenue_raw"] - 1e-9
+            assert b["ltv_per_user"] >= a["ltv_per_user"] - 1e-9
+
+
+def test_repeat_interval_sane(spark):
+    r = QUERIES["orders_repeat_interval"](spark, SF_ORACLE).collect()[0]
+    assert r["n_repeat_customers"] <= r["n_repeat_orders"]
+    assert 0 <= r["p50_gap_days"] <= r["p90_gap_days"]
+
+
+def test_pareto_frontier_no_dominated_member(spark):
+    rows = QUERIES["win_pareto_frontier"](spark, SF_ORACLE).collect()
+    assert len(rows) >= 2
+    pts = [(r["total_spend"], r["acctbal"]) for r in rows]
+    for i, (s1, b1) in enumerate(pts):
+        for j, (s2, b2) in enumerate(pts):
+            if i != j:
+                dominated = s2 >= s1 and b2 >= b1 and (s2 > s1 or b2 > b1)
+                assert not dominated, (pts[i], pts[j])
+
+
+def test_equiwidth_histogram_covers_all_orders(spark):
+    rows = QUERIES["agg_histogram_equiwidth"](spark, SF_ORACLE).collect()
+    assert sum(r["n_orders"] for r in rows) == 15000
+    assert {r["bucket"] for r in rows} <= set(range(10))
+    los = sorted(r["bin_lo"] for r in rows)
+    assert los == [r["bin_lo"] for r in sorted(rows, key=lambda x: x["bucket"])]
