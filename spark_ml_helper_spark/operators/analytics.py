@@ -1863,3 +1863,74 @@ def orders_repeat_interval(spark, sf_dir):
         F.round(F.percentile("gap_d", 0.9), 6).alias("p90_gap_days"),
         F.round(F.sum("gap_d") * 1.0 / F.count("*"), 6).alias("mean_gap_days"),
     )
+
+
+@query(
+    "events_bot_detection",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                       AS span_us,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+            FROM events GROUP BY user_id
+        ),
+        bursts AS (
+            SELECT user_id, CAST(max(cnt) AS BIGINT) AS max_per_minute
+            FROM (
+                SELECT user_id, date_trunc('minute', ts) AS m,
+                       count(*) AS cnt
+                FROM events GROUP BY user_id, m
+            )
+            GROUP BY user_id
+        )
+        SELECT p.user_id, p.n_events, p.n_types, b.max_per_minute,
+               round(p.n_events * 3600e6 / p.span_us, 6) AS rate_per_hour,
+               CAST(b.max_per_minute >= 5
+                    OR p.n_events * 3600e6 / p.span_us > 12.0
+                    AS BOOLEAN) AS is_suspect
+        FROM per_user p JOIN bursts b ON p.user_id = b.user_id
+        WHERE p.span_us > 0
+    """,
+    family="analytics",
+)
+def events_bot_detection(spark, sf_dir):
+    """Heuristic bot/abuse screening per user: sustained event rate
+    (events per hour over the active span) and peak burst (max events
+    in any minute), with a two-rule OR flag — the first-pass
+    automation filter every event pipeline runs before analytics
+    (bots poison retention, funnels, and training data alike). Two
+    user-keyed hash aggs (the burst one pre-groups on (user, minute) —
+    bounded fan-out) and one user-keyed join. The rate is a ratio of
+    exact integers (identical doubles both engines) and the flag
+    thresholds compare exact integers / identical doubles, so the
+    verdict is bit-stable. Production tune: rules become a weighted
+    score, thresholds come from the gap-CV distribution
+    (events_interarrival is the companion diagnostic)."""
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max(us) - F.min(us)).alias("span_us"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+    bursts = (
+        e.groupBy("user_id", F.date_trunc("minute", F.col("ts")).alias("m"))
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("user_id")
+        .agg(F.max("cnt").alias("max_per_minute"))
+    )
+    rate = F.col("n_events") * 3600e6 / F.col("span_us")
+    return (
+        per_user.join(bursts, "user_id")
+        .where(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            "max_per_minute",
+            F.round(rate, 6).alias("rate_per_hour"),
+            ((F.col("max_per_minute") >= 5) | (rate > 12.0)).alias("is_suspect"),
+        )
+    )

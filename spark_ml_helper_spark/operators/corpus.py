@@ -1055,3 +1055,107 @@ def text_markov_generate(spark, sf_dir):
         SELECT step, tok FROM chain
         """
     )
+
+
+@query(
+    "corpus_span_corruption",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w,
+                   len(string_split(lower(text), ' ')) AS n
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, w, n,
+                   greatest(1, ((n * 15) // 100) // 3) AS n_spans
+            FROM t
+        ),
+        q AS (
+            SELECT doc_id, w, n, n_spans,
+                   n // n_spans AS seg,
+                   least(3, n // n_spans) AS l
+            FROM p
+        ),
+        sp AS (
+            SELECT doc_id, w, l,
+                   unnest(list_transform(range(0, n_spans), i -> {
+                       'span_id': i,
+                       'start_tok': 1 + i * seg
+                           + (('0x' || substring(
+                                  md5(CAST(doc_id AS VARCHAR) || ':'
+                                      || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+                              % greatest(1, seg - l + 1))
+                   })) AS s
+            FROM q
+        )
+        SELECT doc_id,
+               CAST(s.span_id AS BIGINT) AS span_id,
+               CAST(s.start_tok AS BIGINT) AS start_tok,
+               CAST(l AS BIGINT) AS span_len,
+               array_to_string(w[s.start_tok : s.start_tok + l - 1], ' ')
+                   AS masked_tokens
+        FROM sp
+    """,
+    family="corpus",
+)
+def corpus_span_corruption(spark, sf_dir):
+    """T5-style span-corruption mask generation: per document, select
+    ~15% of tokens as NON-OVERLAPPING mask spans (mean length 3) whose
+    positions are pure md5 functions of (doc_id, span index) — the
+    denoising-objective prep step between corpus curation and
+    pack_sequences, with the "randomness" on the engine-neutral hash
+    discipline so the same document masks identically on every engine,
+    run, and partitioning (a replayable data pipeline's requirement
+    for masks). Non-overlap by construction: the doc is cut into
+    n_spans equal segments and each span lands inside its own segment
+    at a hash-chosen offset. Map-only explode — tokens × 15% rows out,
+    no shuffle at all until a downstream agg; at 100 TB this is
+    scan-bound. All arithmetic is exact integers; the masked token
+    slice is exposed for inspection."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("w"))
+    q = (
+        t.withColumn("n", F.size("w"))
+        .withColumn("n_spans", F.expr("greatest(1, ((n * 15) div 100) div 3)"))
+        .withColumn("seg", F.expr("n div n_spans"))
+        .withColumn("l", F.least(F.lit(3), F.col("seg")))
+    )
+
+    def span(i):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("doc_id").cast("string"), i.cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        start = (
+            1
+            + i * F.col("seg")
+            + F.pmod(h, F.greatest(F.lit(1), F.col("seg") - F.col("l") + 1))
+        )
+        return F.struct(i.alias("span_id"), start.alias("start_tok"))
+
+    sp = q.select(
+        "doc_id",
+        "w",
+        "l",
+        F.explode(
+            F.transform(F.sequence(F.lit(0), F.col("n_spans") - 1), span)
+        ).alias("s"),
+    )
+    return sp.select(
+        "doc_id",
+        F.col("s.span_id").cast("bigint").alias("span_id"),
+        F.col("s.start_tok").cast("bigint").alias("start_tok"),
+        F.col("l").cast("bigint").alias("span_len"),
+        F.array_join(
+            F.slice("w", F.col("s.start_tok").cast("int"), F.col("l").cast("int")), " "
+        ).alias("masked_tokens"),
+    )

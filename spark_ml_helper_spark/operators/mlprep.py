@@ -618,3 +618,48 @@ def feature_woe_iv(spark, sf_dir):
             F.round((pg - pb) * woe, 6).alias("iv_contrib"),
         )
     )
+
+
+@query(
+    "feature_crossed",
+    oracle="""
+        SELECT c_custkey,
+               c_nationkey, c_mktsegment,
+               CAST(('0x' || substring(
+                        md5(CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment),
+                        1, 8))::BIGINT % 256 AS BIGINT) AS cross_bucket
+        FROM customer
+    """,
+    family="mlprep",
+)
+def feature_crossed(spark, sf_dir):
+    """Hashed feature cross (nation × market-segment → 256 buckets) —
+    the wide-model / recommender trick for learning interaction terms
+    without materializing the full cross vocabulary: hash the
+    concatenated pair into a fixed bucket space (collisions are the
+    accepted trade, exactly as in feature_hashing's single-column
+    form). md5 keeps the bucket engine-neutral and stable across
+    runs — a model trained on these ids scores identically anywhere.
+    Map-only, no shuffle; the bucket count (256) dials the
+    collision-rate/width trade and at 100 TB crosses of 3+ columns
+    just extend the concat."""
+    c = table(spark, sf_dir, "customer")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("c_nationkey").cast("string"), F.col("c_mktsegment")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(256),
+    )
+    return c.select(
+        "c_custkey", "c_nationkey", "c_mktsegment", bucket.alias("cross_bucket")
+    )

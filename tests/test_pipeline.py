@@ -1900,3 +1900,37 @@ def test_equiwidth_histogram_covers_all_orders(spark):
     assert {r["bucket"] for r in rows} <= set(range(10))
     los = sorted(r["bin_lo"] for r in rows)
     assert los == [r["bin_lo"] for r in sorted(rows, key=lambda x: x["bucket"])]
+
+
+def test_bot_detection_flag_matches_rule(spark):
+    rows = QUERIES["events_bot_detection"](spark, SF_ORACLE).collect()
+    assert len(rows) == 150
+    for r in rows:
+        expect = r["max_per_minute"] >= 5 or r["rate_per_hour"] > 12.0
+        # boundary tolerance: rate_per_hour shown rounded; rule uses raw
+        if abs(r["rate_per_hour"] - 12.0) > 1e-4:
+            assert r["is_suspect"] == expect
+
+
+def test_span_corruption_nonoverlapping_within_doc(spark):
+    rows = QUERIES["corpus_span_corruption"](spark, SF_ORACLE).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 500
+    for doc_id, spans in by_doc.items():
+        spans.sort(key=lambda r: r["span_id"])
+        prev_end = 0
+        for s in spans:
+            assert s["start_tok"] > prev_end  # strictly after previous span
+            prev_end = s["start_tok"] + s["span_len"] - 1
+            assert len(s["masked_tokens"].split(" ")) == s["span_len"]
+
+
+def test_feature_cross_bucket_stable_and_bounded(spark):
+    a = {r["c_custkey"]: r["cross_bucket"] for r in
+         QUERIES["feature_crossed"](spark, SF_ORACLE).collect()}
+    b = {r["c_custkey"]: r["cross_bucket"] for r in
+         QUERIES["feature_crossed"](spark, SF_ORACLE).collect()}
+    assert a == b
+    assert all(0 <= v < 256 for v in a.values())
