@@ -711,3 +711,113 @@ def join_range_banded(spark, sf_dir):
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("n_close"))
     )
+
+
+@query(
+    "join_nearest_value",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+                   0 AS side, c_custkey AS key
+            FROM customer
+        ),
+        s AS (
+            SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS bal_c,
+                   1 AS side, s_suppkey AS key
+            FROM supplier
+        ),
+        u AS (SELECT * FROM c UNION ALL SELECT * FROM s),
+        nav AS (
+            SELECT bal_c, side, key,
+                   last_value(CASE WHEN side = 0 THEN bal_c END IGNORE NULLS)
+                       OVER w_prev AS prev_bal,
+                   last_value(CASE WHEN side = 0 THEN key END IGNORE NULLS)
+                       OVER w_prev AS prev_key,
+                   first_value(CASE WHEN side = 0 THEN bal_c END IGNORE NULLS)
+                       OVER w_next AS next_bal,
+                   first_value(CASE WHEN side = 0 THEN key END IGNORE NULLS)
+                       OVER w_next AS next_key
+            FROM u
+            WINDOW
+                w_prev AS (ORDER BY bal_c, side, key
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                w_next AS (ORDER BY bal_c, side, key
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT key AS s_suppkey,
+               CAST(CASE
+                   WHEN next_bal IS NULL
+                        OR (prev_bal IS NOT NULL
+                            AND bal_c - prev_bal <= next_bal - bal_c)
+                   THEN prev_key ELSE next_key END AS BIGINT) AS nearest_custkey,
+               round(least(
+                   coalesce(bal_c - prev_bal, 9223372036854775807),
+                   coalesce(next_bal - bal_c, 9223372036854775807)
+               ) / 100.0, 2) AS bal_diff
+        FROM nav WHERE side = 1
+    """,
+    family="joins",
+)
+def join_nearest_value(spark, sf_dir):
+    """Nearest-value join: each supplier matched to the customer with
+    the CLOSEST account balance — the numeric-axis sibling of the
+    as-of join (asof = nearest on time, one-sided; this is nearest on
+    value, two-sided), solved with the MERGE pattern: union both
+    sides, one global sort on (balance, side, key), and last/first
+    IGNORE NULLS navigation windows pick each supplier's adjacent
+    customer above and below — O(n log n) total instead of the O(n·m)
+    min-|diff| join. All comparisons on exact integer cents; ties
+    break toward the lower balance, and among equal-balance customers
+    the sort order pins the last one (side 0 sorts before side 1, so
+    an exact-equal customer is always the prev candidate at diff 0).
+    The sort is global (agg_gini's documented trade) — at scale,
+    range-partition by balance and handle the partition seams by
+    replicating each boundary row to its neighbor."""
+    c = table(spark, sf_dir, "customer").select(
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+        F.lit(0).alias("side"),
+        F.col("c_custkey").alias("key"),
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.round(F.col("s_acctbal") * 100).cast("bigint").alias("bal_c"),
+        F.lit(1).alias("side"),
+        F.col("s_suppkey").alias("key"),
+    )
+    u = c.unionAll(s)
+    order = [F.col("bal_c"), F.col("side"), F.col("key")]
+    w_prev = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+    cub = F.when(F.col("side") == 0, F.col("bal_c"))
+    cuk = F.when(F.col("side") == 0, F.col("key"))
+    nav = u.select(
+        "bal_c",
+        "side",
+        "key",
+        F.last(cub, ignorenulls=True).over(w_prev).alias("prev_bal"),
+        F.last(cuk, ignorenulls=True).over(w_prev).alias("prev_key"),
+        F.first(cub, ignorenulls=True).over(w_next).alias("next_bal"),
+        F.first(cuk, ignorenulls=True).over(w_next).alias("next_key"),
+    )
+    big = F.lit(9223372036854775807)
+    pick_prev = F.col("next_bal").isNull() | (
+        F.col("prev_bal").isNotNull()
+        & (F.col("bal_c") - F.col("prev_bal") <= F.col("next_bal") - F.col("bal_c"))
+    )
+    return (
+        nav.where(F.col("side") == 1)
+        .select(
+            F.col("key").alias("s_suppkey"),
+            F.when(pick_prev, F.col("prev_key"))
+            .otherwise(F.col("next_key"))
+            .cast("bigint")
+            .alias("nearest_custkey"),
+            F.round(
+                F.least(
+                    F.coalesce(F.col("bal_c") - F.col("prev_bal"), big),
+                    F.coalesce(F.col("next_bal") - F.col("bal_c"), big),
+                )
+                / 100.0,
+                2,
+            ).alias("bal_diff"),
+        )
+    )

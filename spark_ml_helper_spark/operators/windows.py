@@ -490,3 +490,52 @@ def win_pareto_frontier(spark, sf_dir):
             F.round(F.col("bal_c") / 100.0, 2).alias("acctbal"),
         )
     )
+
+
+@query(
+    "win_islands_ranges",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        grp AS (
+            SELECT user_id, d,
+                   d - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY d
+                   ) AS INTEGER) AS anchor
+            FROM ud
+        )
+        SELECT user_id,
+               CAST(min(d) AS TIMESTAMP) AS streak_start,
+               CAST(max(d) AS TIMESTAMP) AS streak_end,
+               CAST(count(*) AS BIGINT) AS streak_days
+        FROM grp
+        GROUP BY user_id, anchor
+    """,
+    family="windows",
+)
+def win_islands_ranges(spark, sf_dir):
+    """Gaps-and-islands with RANGE output: every maximal run of
+    consecutive active days per user as (start, end, length) rows —
+    the form billing periods, uptime reports, and streak badges
+    consume (win_streaks reports only each user's max; this
+    materializes every island). The classic date-minus-row_number
+    anchor: consecutive days share an anchor, one grouped agg emits
+    the ranges. Integer date arithmetic only — bit-stable. One
+    distinct + one user-partitioned window + one hash agg, all on the
+    user key; scales with user-days."""
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = ud.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    return (
+        grp.groupBy("user_id", "anchor")
+        .agg(
+            F.min("d").cast("timestamp").alias("streak_start"),
+            F.max("d").cast("timestamp").alias("streak_end"),
+            F.count("*").alias("streak_days"),
+        )
+        .drop("anchor")
+    )

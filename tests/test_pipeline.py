@@ -1934,3 +1934,42 @@ def test_feature_cross_bucket_stable_and_bounded(spark):
          QUERIES["feature_crossed"](spark, SF_ORACLE).collect()}
     assert a == b
     assert all(0 <= v < 256 for v in a.values())
+
+
+def test_islands_ranges_consistent_with_streaks(spark):
+    rows = QUERIES["win_islands_ranges"](spark, SF_ORACLE).collect()
+    max_by_user = {}
+    for r in rows:
+        d = (r["streak_end"] - r["streak_start"]).days + 1
+        assert d == r["streak_days"]
+        max_by_user[r["user_id"]] = max(max_by_user.get(r["user_id"], 0),
+                                        r["streak_days"])
+    streaks = {r["user_id"]: (r["longest_streak"], r["n_streaks"]) for r in
+               QUERIES["win_streaks"](spark, SF_ORACLE).collect()}
+    n_islands = {}
+    for r in rows:
+        n_islands[r["user_id"]] = n_islands.get(r["user_id"], 0) + 1
+    for uid, (longest, n) in streaks.items():
+        assert max_by_user[uid] == longest
+        assert n_islands[uid] == n
+
+
+def test_nearest_value_join_is_truly_nearest(spark):
+    from spark_ml_helper_spark.sources.parquet import table
+
+    rows = QUERIES["join_nearest_value"](spark, SF_ORACLE).collect()
+    cust = {r["c_custkey"]: round(r["c_acctbal"] * 100) for r in
+            table(spark, SF_ORACLE, "customer").collect()}
+    supp = {r["s_suppkey"]: round(r["s_acctbal"] * 100) for r in
+            table(spark, SF_ORACLE, "supplier").collect()}
+    assert len(rows) == len(supp)
+    bals = sorted(cust.values())
+    import bisect
+    for r in rows:
+        sb = supp[r["s_suppkey"]]
+        i = bisect.bisect_left(bals, sb)
+        best = min(
+            abs(sb - bals[j]) for j in (i - 1, i) if 0 <= j < len(bals)
+        )
+        assert round(r["bal_diff"] * 100) == best
+        assert abs(cust[r["nearest_custkey"]] - sb) == best
