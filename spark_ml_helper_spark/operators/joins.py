@@ -821,3 +821,97 @@ def join_nearest_value(spark, sf_dir):
             ).alias("bal_diff"),
         )
     )
+
+
+@query(
+    "join_spatial_grid",
+    oracle="""
+        WITH cpts AS (
+            SELECT c_custkey AS key,
+                   ('0x' || substring(md5('x' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                       % 1000 AS x,
+                   ('0x' || substring(md5('y' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                       % 1000 AS y
+            FROM customer
+        ),
+        spts AS (
+            SELECT s_suppkey AS key,
+                   ('0x' || substring(md5('x' || CAST(s_suppkey + 900000 AS VARCHAR)), 1, 8))::BIGINT
+                       % 1000 AS x,
+                   ('0x' || substring(md5('y' || CAST(s_suppkey + 900000 AS VARCHAR)), 1, 8))::BIGINT
+                       % 1000 AS y
+            FROM supplier
+        ),
+        sc AS (
+            SELECT s.key AS s_key, s.x AS sx, s.y AS sy,
+                   cx.gx, cy.gy
+            FROM spts s
+            CROSS JOIN (SELECT unnest([-1, 0, 1]) AS gx) cx
+            CROSS JOIN (SELECT unnest([-1, 0, 1]) AS gy) cy
+        )
+        SELECT sc.s_key AS s_suppkey, c.key AS c_custkey,
+               CAST((sc.sx - c.x) * (sc.sx - c.x)
+                    + (sc.sy - c.y) * (sc.sy - c.y) AS BIGINT) AS dist2
+        FROM sc JOIN cpts c
+          ON c.x // 25 = sc.sx // 25 + sc.gx
+         AND c.y // 25 = sc.sy // 25 + sc.gy
+        WHERE (sc.sx - c.x) * (sc.sx - c.x)
+              + (sc.sy - c.y) * (sc.sy - c.y) <= 625
+    """,
+    family="joins",
+)
+def join_spatial_grid(spark, sf_dir):
+    """Spatial radius join on a GRID INDEX: all (supplier, customer)
+    point pairs within Euclidean distance 25 on a synthetic 1000×1000
+    plane (coordinates are md5 functions of the keys — deterministic
+    test geometry), computed by snapping points to 25-unit grid cells
+    and EQUI-joining each supplier's 3×3 cell neighborhood against
+    customer cells, with the exact distance predicate as a residual
+    filter — the standard geo-join rewrite (geohash/S2/H3 cells all
+    instantiate it) that turns O(n·m) point pairs into a hash join on
+    cell ids. Cell width = radius guarantees the 3×3 neighborhood
+    covers the circle; the 9× explode rides the small side. All
+    arithmetic exact integers (squared distance, no sqrt). At 100 TB
+    the cell id is the shuffle key and skewed cells (cities) get the
+    salting treatment of join_skew_salted."""
+    def pts(df, key_col, shift):
+        k = (F.col(key_col) + shift).cast("string")
+        def coord(prefix):
+            return F.pmod(
+                F.conv(F.substring(F.md5(F.concat(F.lit(prefix), k).cast("binary")), 1, 8), 16, 10).cast("bigint"),
+                F.lit(1000),
+            )
+        return df.select(
+            F.col(key_col).alias("key"), coord("x").alias("x"), coord("y").alias("y")
+        )
+
+    c = pts(table(spark, sf_dir, "customer"), "c_custkey", 0).select(
+        "key", "x", "y",
+        F.floor(F.col("x") / 25).alias("cx"),
+        F.floor(F.col("y") / 25).alias("cy"),
+    )
+    s = pts(table(spark, sf_dir, "supplier"), "s_suppkey", 900_000)
+    offs = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    s9 = (
+        s.select("key", "x", "y", F.explode(offs).alias("gx"))
+        .select("key", "x", "y", "gx", F.explode(offs).alias("gy"))
+        .select(
+            F.col("key").alias("s_key"),
+            F.col("x").alias("sx"),
+            F.col("y").alias("sy"),
+            (F.floor(F.col("x") / 25) + F.col("gx")).alias("cx"),
+            (F.floor(F.col("y") / 25) + F.col("gy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("sx") - F.col("x")) * (F.col("sx") - F.col("x")) + (
+        F.col("sy") - F.col("y")
+    ) * (F.col("sy") - F.col("y"))
+    return (
+        s9.join(c, ["cx", "cy"])
+        .where(d2 <= 625)
+        .select(
+            F.col("s_key").alias("s_suppkey"),
+            F.col("key").alias("c_custkey"),
+            d2.cast("bigint").alias("dist2"),
+        )
+    )

@@ -736,3 +736,52 @@ def ml_eval_regression(spark, sf_dir):
             6,
         ).alias("r2"),
     )
+
+
+@query("ml_gbt", oracle=None, family="ml")
+def ml_gbt(spark, sf_dir):
+    """Gradient-boosted trees regression (20 iterations, depth 3, seed
+    42): predict an embedding's label-as-ordinal from its features —
+    rows-only like the other iterative MLlib fits (boosting is
+    sequential by nature; each tree's fit is the distributed part).
+    Returns residual summary stats per true label plus the ensemble's
+    top feature, all seed-pinned (reproducibility asserted by a
+    twin-run test). MLlib's GBT distributes each tree's split search
+    over (node, feature-bin) statistics — rows never leave the
+    executors — so this exact fit call is the cluster path; boosting
+    rounds are the serial axis, trees-per-round the knob that doesn't
+    exist (use RF when you need tree-level parallelism)."""
+    from pyspark.ml.regression import GBTRegressor
+
+    feats = _features(spark, sf_dir).withColumn(
+        "bucket",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10).cast("bigint"),
+            F.lit(100),
+        ),
+    )
+    train = feats.filter(F.col("bucket") < 80)
+    test = feats.filter(F.col("bucket") >= 80)
+    gbt = GBTRegressor(
+        featuresCol="features",
+        labelCol="label",
+        maxIter=20,
+        maxDepth=3,
+        seed=42,
+        stepSize=0.1,
+    )
+    model = gbt.fit(train)
+    top_feature = int(
+        max(enumerate(model.featureImportances.toArray()), key=lambda t: t[1])[0]
+    )
+    resid = F.col("prediction") - F.col("label")
+    return (
+        model.transform(test)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.round(F.avg(resid), 4).alias("mean_resid"),
+            F.round(F.avg(F.abs(resid)), 4).alias("mae"),
+        )
+        .withColumn("gbt_top_feature", F.lit(top_feature))
+    )

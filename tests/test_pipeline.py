@@ -1973,3 +1973,35 @@ def test_nearest_value_join_is_truly_nearest(spark):
         )
         assert round(r["bal_diff"] * 100) == best
         assert abs(cust[r["nearest_custkey"]] - sb) == best
+
+
+def test_spatial_grid_join_matches_brute_force(spark):
+    rows = {(r["s_suppkey"], r["c_custkey"]): r["dist2"] for r in
+            QUERIES["join_spatial_grid"](spark, SF_ORACLE).collect()}
+    import hashlib
+
+    def coord(prefix, key):
+        h = hashlib.md5(f"{prefix}{key}".encode()).hexdigest()[:8]
+        return int(h, 16) % 1000
+
+    from spark_ml_helper_spark.sources.parquet import table
+    cust = [r["c_custkey"] for r in table(spark, SF_ORACLE, "customer").collect()]
+    supp = [r["s_suppkey"] for r in table(spark, SF_ORACLE, "supplier").collect()]
+    cpts = {k: (coord("x", k), coord("y", k)) for k in cust}
+    spts = {k: (coord("x", k + 900_000), coord("y", k + 900_000)) for k in supp}
+    brute = {}
+    for sk, (sx, sy) in spts.items():
+        for ck, (cx, cy) in cpts.items():
+            d2 = (sx - cx) ** 2 + (sy - cy) ** 2
+            if d2 <= 625:
+                brute[(sk, ck)] = d2
+    assert rows == brute
+
+
+def test_gbt_deterministic_and_sane(spark):
+    a = sorted(QUERIES["ml_gbt"](spark, SF_ORACLE).collect())
+    b = sorted(QUERIES["ml_gbt"](spark, SF_ORACLE).collect())
+    assert a == b  # seed-pinned twin runs identical
+    for r in a:
+        assert r["mae"] >= abs(r["mean_resid"]) - 1e-9
+        assert 0 <= r["gbt_top_feature"] < 64
