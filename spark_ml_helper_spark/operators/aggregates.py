@@ -888,3 +888,76 @@ def agg_histogram_equiwidth(spark, sf_dir):
         .groupBy("bucket", "bin_lo")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@query(
+    "agg_moments_shape",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   round(avg(value), 8)                         AS m1,
+                   round(avg(value * value), 7)                 AS m2,
+                   round(avg(value * value * value), 6)         AS m3,
+                   round(avg(value * value * value * value), 5) AS m4
+            FROM events GROUP BY event_type
+        ),
+        c AS (
+            SELECT event_type, n, m1,
+                   m2 - m1 * m1 AS v,
+                   m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1 AS mu3,
+                   m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2
+                      - 3 * m1 * m1 * m1 * m1 AS mu4
+            FROM m
+        )
+        SELECT event_type, n,
+               round(m1, 6) AS mean,
+               round(sqrt(v), 6) AS std_pop,
+               round(mu3 / pow(v, 1.5), 6) AS skewness,
+               round(mu4 / (v * v) - 3.0, 6) AS excess_kurtosis
+        FROM c
+    """,
+    family="aggregates",
+)
+def agg_moments_shape(spark, sf_dir):
+    """Distribution-shape aggregates — population skewness and excess
+    kurtosis per event type — computed from RAW POWER MOMENTS with the
+    ml_linreg_normal rounding discipline, because the engines' native
+    skewness()/kurtosis() builtins disagree on bias correction
+    (sample vs population) and would never hash-match. Each avg(xᵏ)
+    moment rounds at a per-magnitude grid before the closed-form
+    central-moment expansion, so both engines run identical IEEE
+    arithmetic downstream. One single-pass mergeable aggregate (the
+    moment vector is THE distributed-statistics shape — partials merge
+    by weighted average at any scale); the 5-row closed form is free.
+    Values are O(100) with v ~ O(1000): the rounded-moment grids keep
+    ~1e-9 relative error into mu3/mu4, inside the 6-dp output grid."""
+    e = table(spark, sf_dir, "events")
+    x = F.col("value")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(x), 8).alias("m1"),
+        F.round(F.avg(x * x), 7).alias("m2"),
+        F.round(F.avg(x * x * x), 6).alias("m3"),
+        F.round(F.avg(x * x * x * x), 5).alias("m4"),
+    )
+    v = F.col("m2") - F.col("m1") * F.col("m1")
+    mu3 = (
+        F.col("m3")
+        - 3 * F.col("m1") * F.col("m2")
+        + 2 * F.col("m1") * F.col("m1") * F.col("m1")
+    )
+    mu4 = (
+        F.col("m4")
+        - 4 * F.col("m1") * F.col("m3")
+        + 6 * F.col("m1") * F.col("m1") * F.col("m2")
+        - 3 * F.col("m1") * F.col("m1") * F.col("m1") * F.col("m1")
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(F.col("m1"), 6).alias("mean"),
+        F.round(F.sqrt(v), 6).alias("std_pop"),
+        F.round(mu3 / F.pow(v, 1.5), 6).alias("skewness"),
+        F.round(mu4 / (v * v) - 3.0, 6).alias("excess_kurtosis"),
+    )

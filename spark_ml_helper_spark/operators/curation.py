@@ -900,3 +900,83 @@ def dq_reconcile(spark, sf_dir):
         F.count(F.when(F.col("rk").isNull(), 1)).alias("n_only_left"),
         F.count(F.when(F.col("lk").isNull(), 1)).alias("n_only_right"),
     )
+
+
+@query(
+    "dq_outlier_iqr",
+    oracle="""
+        WITH v AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+            FROM orders
+        ),
+        q AS (
+            SELECT quantile_cont(xc, 0.25) AS q1,
+                   quantile_cont(xc, 0.75) AS q3
+            FROM v
+        ),
+        fences AS (
+            SELECT q1, q3, q3 - q1 AS iqr,
+                   q1 - 1.5 * (q3 - q1) AS lo,
+                   q3 + 1.5 * (q3 - q1) AS hi
+            FROM q
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               round(q1 / 100.0, 4) AS q1,
+               round(q3 / 100.0, 4) AS q3,
+               CAST(count(*) FILTER (WHERE xc < lo) AS BIGINT) AS n_low,
+               CAST(count(*) FILTER (WHERE xc > hi) AS BIGINT) AS n_high,
+               round((count(*) FILTER (WHERE xc < lo OR xc > hi)) * 1.0
+                     / count(*), 6) AS outlier_rate
+        FROM v CROSS JOIN fences
+        GROUP BY q1, q3, lo, hi
+    """,
+    family="curation",
+)
+def dq_outlier_iqr(spark, sf_dir):
+    """Tukey-fence outlier audit (IQR rule: outside [Q1−1.5·IQR,
+    Q3+1.5·IQR]) on order totals — the third classic detector
+    alongside the z-score (events_anomaly) and MAD
+    (events_anomaly_mad) families, and the one most dashboards mean
+    by "outliers". Quartiles interpolate over EXACT INTEGER CENTS
+    (identical inputs → identical doubles both engines), the fences
+    are identical arithmetic on those doubles, and the fence
+    comparisons test exact integers against identical doubles — so
+    the counts are bit-stable. One exact-percentile aggregate (1-row
+    broadcast back) + one counting pass; at 100 TB swap the exact
+    quantiles for approx_percentile and the second pass disappears
+    into the same scan."""
+    o = table(spark, sf_dir, "orders")
+    v = o.select(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("xc"))
+    q = v.agg(
+        F.percentile("xc", 0.25).alias("q1"), F.percentile("xc", 0.75).alias("q3")
+    )
+    iqr = F.col("q3") - F.col("q1")
+    fences = q.select(
+        "q1", "q3", (F.col("q1") - 1.5 * iqr).alias("lo"), (F.col("q3") + 1.5 * iqr).alias("hi")
+    )
+    return (
+        v.join(F.broadcast(fences))
+        .groupBy("q1", "q3", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count(F.when(F.col("xc") < F.col("lo"), 1)).alias("n_low"),
+            F.count(F.when(F.col("xc") > F.col("hi"), 1)).alias("n_high"),
+            F.round(
+                F.count(
+                    F.when((F.col("xc") < F.col("lo")) | (F.col("xc") > F.col("hi")), 1)
+                )
+                * 1.0
+                / F.count("*"),
+                6,
+            ).alias("outlier_rate"),
+        )
+        .select(
+            "n_rows",
+            F.round(F.col("q1") / 100.0, 4).alias("q1"),
+            F.round(F.col("q3") / 100.0, 4).alias("q3"),
+            "n_low",
+            "n_high",
+            "outlier_rate",
+        )
+    )

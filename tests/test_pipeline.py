@@ -2005,3 +2005,30 @@ def test_gbt_deterministic_and_sane(spark):
     for r in a:
         assert r["mae"] >= abs(r["mean_resid"]) - 1e-9
         assert 0 <= r["gbt_top_feature"] < 64
+
+
+def test_moments_shape_matches_numpy(spark):
+    import numpy as np
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    rows = {r["event_type"]: r for r in
+            QUERIES["agg_moments_shape"](spark, SF_ORACLE).collect()}
+    vals = {}
+    for r in table(spark, SF_ORACLE, "events").select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for et, xs in vals.items():
+        a = np.array(xs)
+        mu, sd = a.mean(), a.std()  # population
+        skew = ((a - mu) ** 3).mean() / sd**3
+        kurt = ((a - mu) ** 4).mean() / sd**4 - 3.0
+        r = rows[et]
+        assert abs(r["skewness"] - skew) < 1e-3
+        assert abs(r["excess_kurtosis"] - kurt) < 1e-3
+
+
+def test_iqr_outlier_counts_match_direct(spark):
+    r = QUERIES["dq_outlier_iqr"](spark, SF_ORACLE).collect()[0]
+    assert r["n_rows"] == 15000
+    assert r["q1"] < r["q3"]
+    assert abs(r["outlier_rate"] - (r["n_low"] + r["n_high"]) / 15000) < 1e-6
