@@ -961,3 +961,45 @@ def agg_moments_shape(spark, sf_dir):
         F.round(mu3 / F.pow(v, 1.5), 6).alias("skewness"),
         F.round(mu4 / (v * v) - 3.0, 6).alias("excess_kurtosis"),
     )
+
+
+@query(
+    "agg_mean_family",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(o_totalprice), 2) AS mean_arith,
+               round(exp(round(avg(ln(o_totalprice)), 9)), 2) AS mean_geom,
+               round(count(*) / round(sum(1.0 / o_totalprice), 12), 2)
+                   AS mean_harm,
+               round(sqrt(round(avg(o_totalprice * o_totalprice), 0)), 2)
+                   AS mean_quad
+        FROM orders
+        WHERE o_totalprice > 0
+        GROUP BY o_orderpriority
+    """,
+    family="aggregates",
+)
+def agg_mean_family(spark, sf_dir):
+    """The Pythagorean-means family per priority — arithmetic,
+    geometric (exp∘mean∘ln — the right average for ratios/growth),
+    harmonic (the right average for rates), quadratic (RMS) — with
+    the HM ≤ GM ≤ AM ≤ QM ordering as a built-in sanity invariant
+    (asserted in tests). Cross-engine discipline: the inner
+    aggregates (avg of logs, sum of reciprocals, avg of squares) are
+    rounded at per-magnitude grids BEFORE the nonlinear transform, so
+    exp/sqrt/division run on identical doubles in both engines — the
+    ml_linreg_normal moment treatment applied to means. One
+    single-pass mergeable aggregate; all four partials merge like any
+    moment vector at scale."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    x = F.col("o_totalprice")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(x), 2).alias("mean_arith"),
+        F.round(F.exp(F.round(F.avg(F.log(x)), 9)), 2).alias("mean_geom"),
+        F.round(
+            F.count("*") / F.round(F.sum(1.0 / x), 12), 2
+        ).alias("mean_harm"),
+        F.round(F.sqrt(F.round(F.avg(x * x), 0)), 2).alias("mean_quad"),
+    )

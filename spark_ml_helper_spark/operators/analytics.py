@@ -1934,3 +1934,63 @@ def events_bot_detection(spark, sf_dir):
             ((F.col("max_per_minute") >= 5) | (rate > 12.0)).alias("is_suspect"),
         )
     )
+
+
+@query(
+    "events_paths_topk",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type, 1) OVER w AS p1,
+                   lag(event_type, 2) OVER w AS p2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        paths AS (
+            SELECT p2 || ' > ' || p1 || ' > ' || event_type AS path,
+                   count(*) AS n
+            FROM seq WHERE p2 IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT path, n,
+               CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rnk
+        FROM paths
+        ORDER BY n DESC, path
+        LIMIT 10
+    """,
+    family="analytics",
+)
+def events_paths_topk(spark, sf_dir):
+    """Top-10 most-travelled 3-step user paths (event-type trigrams) —
+    the "common journeys" report extending path_transitions' bigram
+    matrix to the length where sequences become narratives
+    (view > click > purchase vs view > error > view). One
+    user-partitioned double-lag window with a full (ts, event_id)
+    tiebreak, a hash agg over the ≤|types|³ path space, and the
+    (count DESC, path) tiebroken top-10 — rank on exact integers, so
+    the cut is bit-stable. The path key space is bounded (125 here,
+    and vocabulary³ generally), making the final agg constant-size at
+    any event volume."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    paths = (
+        seq.where(F.col("p2").isNotNull())
+        .select(
+            F.concat_ws(" > ", F.col("p2"), F.col("p1"), F.col("event_type")).alias(
+                "path"
+            )
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+    )
+    wr = Window.orderBy(F.desc("n"), "path")
+    return (
+        paths.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rnk") <= 10)
+        .orderBy(F.desc("n"), "path")
+    )

@@ -2032,3 +2032,22 @@ def test_iqr_outlier_counts_match_direct(spark):
     assert r["n_rows"] == 15000
     assert r["q1"] < r["q3"]
     assert abs(r["outlier_rate"] - (r["n_low"] + r["n_high"]) / 15000) < 1e-6
+
+
+def test_paths_topk_ranked_and_bounded(spark):
+    rows = QUERIES["events_paths_topk"](spark, SF_ORACLE).collect()
+    assert len(rows) == 10
+    assert [r["rnk"] for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert (a["n"], b["path"]) >= (b["n"], a["path"]) or a["n"] > b["n"]
+    for r in rows:
+        assert len(r["path"].split(" > ")) == 3
+
+
+def test_pythagorean_means_ordering(spark):
+    rows = QUERIES["agg_mean_family"](spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["mean_harm"] <= r["mean_geom"] + 0.01
+        assert r["mean_geom"] <= r["mean_arith"] + 0.01
+        assert r["mean_arith"] <= r["mean_quad"] + 0.01
