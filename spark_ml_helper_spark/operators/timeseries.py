@@ -748,3 +748,119 @@ def ts_twa(spark, sf_dir):
             F.round(F.col("area") / F.col("span_us"), 6).alias("twa_value"),
         )
     )
+
+
+@query(
+    "ts_control_chart",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        mr AS (
+            SELECT d, x,
+                   abs(x - lag(x) OVER (ORDER BY d)) AS mrange
+            FROM daily
+        ),
+        lims AS (
+            SELECT round(avg(x), 6) AS xbar,
+                   round(avg(mrange), 6) AS mrbar
+            FROM mr
+        )
+        SELECT CAST(d AS TIMESTAMP) AS d, x,
+               CAST(mrange AS BIGINT) AS mrange,
+               round(xbar + 2.66 * mrbar, 6) AS ucl,
+               round(xbar - 2.66 * mrbar, 6) AS lcl,
+               CAST(x > xbar + 2.66 * mrbar
+                    OR x < xbar - 2.66 * mrbar AS BOOLEAN) AS out_of_control
+        FROM mr CROSS JOIN lims
+    """,
+    family="timeseries",
+)
+def ts_control_chart(spark, sf_dir):
+    """XmR (individuals & moving-range) control chart on the daily
+    event count — the Shewhart SPC staple: limits at x̄ ± 2.66·mR̄
+    (2.66 = 3/d₂ for n=2), flagging days outside natural process
+    variation. Statistically distinct from the z-score family: the
+    moving-range estimator is robust to slow drift, which inflates a
+    global σ but not successive differences. One hash agg to the
+    30-row day grid, a lag window on it, and a 1-row limits aggregate
+    broadcast back. x and mR are exact integers; x̄/mR̄ round before
+    the limit arithmetic, so both engines compare identical doubles,
+    and the out_of_control flag tests an exact integer against that
+    identical double — bit-stable."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").alias("x")
+    )
+    w = Window.orderBy("d")
+    mr = daily.select(
+        "d", "x", F.abs(F.col("x") - F.lag("x").over(w)).alias("mrange")
+    )
+    lims = mr.agg(
+        F.round(F.avg("x"), 6).alias("xbar"),
+        F.round(F.avg("mrange"), 6).alias("mrbar"),
+    )
+    ucl = F.col("xbar") + 2.66 * F.col("mrbar")
+    lcl = F.col("xbar") - 2.66 * F.col("mrbar")
+    return (
+        mr.join(F.broadcast(lims))
+        .select(
+            F.col("d").cast("timestamp").alias("d"),
+            "x",
+            F.col("mrange").cast("bigint").alias("mrange"),
+            F.round(ucl, 6).alias("ucl"),
+            F.round(lcl, 6).alias("lcl"),
+            ((F.col("x") > ucl) | (F.col("x") < lcl)).alias("out_of_control"),
+        )
+    )
+
+
+@query(
+    "ts_trend_robust",
+    oracle="""
+        WITH daily AS (
+            SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        slopes AS (
+            SELECT (b.x - a.x) * 1.0 / (b.t - a.t) AS slope
+            FROM daily a JOIN daily b ON b.t > a.t
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+        FROM slopes
+    """,
+    family="timeseries",
+)
+def ts_trend_robust(spark, sf_dir):
+    """Theil–Sen robust trend: the MEDIAN of all pairwise slopes of
+    the daily event-count series — the estimator that shrugs off the
+    outlier days that wreck OLS (ts_seasonal_decompose /
+    ml_linreg_normal are the least-squares counterparts; breakdown
+    point 29% vs 0%). The pair space is |days|² — BOUNDED at 435
+    pairs here and (series length)² generally, which is why Theil-Sen
+    is computed per-series on the AGGREGATED grid, never on raw
+    events; for long series the knob is Siegel's repeated-median or a
+    pair subsample. Each slope is one division of exact integers —
+    identical doubles both engines — and the median interpolates
+    identical inputs. The pair join is a self-join of a 30-row frame
+    (broadcast, trivially)."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "t"
+        )
+    ).agg(F.count("*").alias("x"))
+    a = daily.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = daily.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    slopes = a.join(b, F.col("tb") > F.col("ta")).select(
+        ((F.col("xb") - F.col("xa")) * 1.0 / (F.col("tb") - F.col("ta"))).alias(
+            "slope"
+        )
+    )
+    return slopes.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.percentile("slope", 0.5), 6).alias("theil_sen_slope"),
+    )

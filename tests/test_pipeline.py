@@ -1350,6 +1350,10 @@ _BNLJ_ALLOWED = {
     "sim_threshold_sweep", "text_collocations", "text_tfidf",
     "text_unigram_logprob", "text_vocab_prune", "ts_gap_fill",
     "ts_interpolate",
+    # tiny-frame broadcasts added round 4 session 3: 1-row limit/total
+    # aggregates or ≤30-row self-joins, constant-size at any scale
+    "agg_histogram_equiwidth", "agg_weighted_median",
+    "ts_control_chart", "ts_trend_robust",
 }
 # fast, declarative families — plan construction triggers no jobs here
 _AUDIT_FAMILIES = {
@@ -2051,3 +2055,34 @@ def test_pythagorean_means_ordering(spark):
         assert r["mean_harm"] <= r["mean_geom"] + 0.01
         assert r["mean_geom"] <= r["mean_arith"] + 0.01
         assert r["mean_arith"] <= r["mean_quad"] + 0.01
+
+
+def test_control_chart_limits_contain_most_days(spark):
+    rows = QUERIES["ts_control_chart"](spark, SF_ORACLE).collect()
+    assert len(rows) == 30
+    n_out = sum(r["out_of_control"] for r in rows)
+    assert n_out <= 3  # a stable process stays mostly inside 3-sigma-ish limits
+    for r in rows:
+        assert r["lcl"] < r["ucl"]
+        assert r["out_of_control"] == (r["x"] > r["ucl"] or r["x"] < r["lcl"])
+
+
+def test_theil_sen_matches_numpy_median_of_slopes(spark):
+    import numpy as np
+
+    from spark_ml_helper_spark.sources.parquet import table
+    from pyspark.sql import functions as F
+
+    r = QUERIES["ts_trend_robust"](spark, SF_ORACLE).collect()[0]
+    daily = sorted(
+        (x["t"], x["x"]) for x in
+        table(spark, SF_ORACLE, "events")
+        .groupBy(F.datediff(F.col("ts").cast("date"),
+                            F.lit("2024-01-01").cast("date")).alias("t"))
+        .agg(F.count("*").alias("x")).collect()
+    )
+    slopes = [(x2 - x1) / (t2 - t1)
+              for i, (t1, x1) in enumerate(daily)
+              for (t2, x2) in daily[i + 1:]]
+    assert r["n_pairs"] == len(slopes)
+    assert abs(r["theil_sen_slope"] - float(np.median(slopes))) < 1e-6
