@@ -785,3 +785,54 @@ def ml_gbt(spark, sf_dir):
         )
         .withColumn("gbt_top_feature", F.lit(top_feature))
     )
+
+
+@query(
+    "ml_eval_calibration",
+    oracle="""
+        WITH scored AS (
+            SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS score,
+                   CAST(label >= 5 AS INT) AS pos
+            FROM embeddings
+        ),
+        binned AS (
+            SELECT pos, score,
+                   CAST(ntile(10) OVER (ORDER BY score, vec_id) AS BIGINT)
+                       AS bin
+            FROM scored
+        )
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(score), 6) AS mean_score,
+               round(sum(pos) * 1.0 / count(*), 6) AS pos_rate
+        FROM binned
+        GROUP BY bin
+    """,
+    family="ml",
+)
+def ml_eval_calibration(spark, sf_dir):
+    """Calibration / reliability table for the same scorer ml_eval_auc
+    ranks (first embedding dim vs label ≥ 5): score deciles vs
+    observed positive rate — AUC says the model ORDERS well, this says
+    whether the scores MEAN what they claim (the gap per bin is the
+    reliability-diagram residual; Σ n/N·|gap| is ECE). Deciles come
+    from a fully-tiebroken ntile over (score, vec_id) — deterministic
+    bin membership cross-engine (and the documented global-sort trade;
+    at scale, bin by approx-percentile cutpoints instead, exactly as
+    feature_quantile_bucket's docstring prescribes). Per-bin stats are
+    exact counts and a 6-dp mean of identical doubles."""
+    e = table(spark, sf_dir, "embeddings")
+    scored = e.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        (F.col("label") >= 5).cast("int").alias("pos"),
+    )
+    w = Window.orderBy("score", "vec_id")
+    binned = scored.select(
+        "pos", "score", F.ntile(10).over(w).cast("bigint").alias("bin")
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.round(F.sum("pos") * 1.0 / F.count("*"), 6).alias("pos_rate"),
+    )

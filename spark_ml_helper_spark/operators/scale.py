@@ -569,3 +569,58 @@ def join_runtime_bloom(spark, sf_dir):
             ),
         )
     )
+
+
+def _morton_expr(x: str, y: str) -> str:
+    """16+16-bit Morton (Z-order) interleave as a pure-SQL bit expression,
+    identical text for Spark and DuckDB (both support >> << & on BIGINT)."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_MORTON = _morton_expr("x", "y")
+
+
+@query(
+    "sink_zorder",
+    oracle=f"""
+        WITH keys AS (
+            SELECT o_orderkey,
+                   CAST(o_custkey % 65536 AS BIGINT) AS x,
+                   CAST(date_diff('day', DATE '1995-01-01',
+                        CAST(o_orderdate AS DATE)) % 65536 AS BIGINT) AS y
+            FROM orders
+        )
+        SELECT o_orderkey, CAST({_MORTON} AS BIGINT) AS zorder_key
+        FROM keys
+    """,
+    family="scale",
+)
+def sink_zorder(spark, sf_dir):
+    """Z-ORDER clustering sink: interleave the bits of (custkey, order
+    day) into a Morton code, sort-within-partitions by it, and write —
+    the multi-dimensional data-skipping layout behind Delta/Iceberg
+    OPTIMIZE ZORDER, built from nothing but bit arithmetic. Rows close
+    in BOTH dimensions land in the same files, so parquet min/max
+    stats prune scans filtered on EITHER column (a plain sort helps
+    only its leading column). The Morton code is a 32-term exact
+    integer bit expression — the identical text runs on both engines,
+    and the oracle checks the codes themselves; the write is
+    sortWithinPartitions (no extra shuffle beyond the clustering
+    repartition) to a staging dir, re-read for output. At 100 TB:
+    repartitionByRange on the z-key first so file boundaries follow
+    the curve, and widen to 3-4 dimensions by 21/16-bit interleave."""
+    out = staging_dir(prefix="smhs_zorder_") + "/orders_z"
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).cast("bigint").alias("x"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("dd"),
+    ).withColumn("y", (F.col("dd") % 65536).cast("bigint"))
+    z = o.selectExpr("o_orderkey", f"CAST({_MORTON} AS BIGINT) AS zorder_key")
+    z.sortWithinPartitions("zorder_key").write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).select("o_orderkey", "zorder_key")

@@ -2086,3 +2086,39 @@ def test_theil_sen_matches_numpy_median_of_slopes(spark):
               for (t2, x2) in daily[i + 1:]]
     assert r["n_pairs"] == len(slopes)
     assert abs(r["theil_sen_slope"] - float(np.median(slopes))) < 1e-6
+
+
+def test_zorder_locality_beats_random(spark):
+    import math
+
+    rows = QUERIES["sink_zorder"](spark, SF_ORACLE).collect()
+    assert len(rows) == 15000
+    # decode the Morton key back to (x, y) and verify the interleave is exact
+    def decode(z):
+        x = y = 0
+        for i in range(16):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+    from spark_ml_helper_spark.sources.parquet import table
+    from pyspark.sql import functions as F
+    truth = {r["o_orderkey"]: (r["x"], r["y"]) for r in
+             table(spark, SF_ORACLE, "orders").select(
+                 "o_orderkey",
+                 (F.col("o_custkey") % 65536).alias("x"),
+                 (F.datediff(F.col("o_orderdate").cast("date"),
+                             F.lit("1995-01-01").cast("date")) % 65536).alias("y"),
+             ).collect()}
+    for r in rows[:500]:
+        assert decode(r["zorder_key"]) == truth[r["o_orderkey"]]
+
+
+def test_calibration_bins_cover_and_order(spark):
+    rows = sorted(QUERIES["ml_eval_calibration"](spark, SF_ORACLE).collect(),
+                  key=lambda r: r["bin"])
+    assert [r["bin"] for r in rows] == list(range(1, 11))
+    assert sum(r["n"] for r in rows) == 500
+    scores = [r["mean_score"] for r in rows]
+    assert scores == sorted(scores)  # deciles ordered by score
+    for r in rows:
+        assert 0.0 <= r["pos_rate"] <= 1.0
