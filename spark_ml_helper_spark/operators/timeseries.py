@@ -864,3 +864,85 @@ def ts_trend_robust(spark, sf_dir):
         F.count("*").alias("n_pairs"),
         F.round(F.percentile("slope", 0.5), 6).alias("theil_sen_slope"),
     )
+
+
+@query(
+    "ts_backtest_seasonal",
+    oracle="""
+        WITH hourly AS (
+            SELECT CAST(ts AS DATE) AS d, isodow(ts) AS dow, hour(ts) AS hr,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2, 3
+        ),
+        split AS (SELECT DATE '2024-01-24' AS cutoff),
+        baseline AS (
+            SELECT dow, hr,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(count(*) AS BIGINT) AS nd
+            FROM hourly CROSS JOIN split
+            WHERE d < cutoff
+            GROUP BY dow, hr
+        ),
+        scored AS (
+            SELECT h.d, h.x, b.sx * 1.0 / b.nd AS yhat
+            FROM hourly h
+            JOIN baseline b ON h.dow = b.dow AND h.hr = b.hr
+            CROSS JOIN split
+            WHERE h.d >= cutoff
+        )
+        SELECT CAST(d AS TIMESTAMP) AS d,
+               CAST(count(*) AS BIGINT) AS n_hours,
+               CAST(sum(x) AS BIGINT) AS actual,
+               round(sum(yhat), 6) AS forecast,
+               round(sum(abs(x - yhat)) / count(*), 6) AS mae
+        FROM scored
+        GROUP BY d
+    """,
+    family="timeseries",
+)
+def ts_backtest_seasonal(spark, sf_dir):
+    """Walk-forward BACKTEST of a (weekday × hour) seasonal-profile
+    forecast: train on days 1-23, predict each held-out day's hourly
+    counts as the training mean for that (dow, hour) cell, and report
+    per-day MAE — the honest way to grade any forecaster
+    (ts_forecast_naive supplies the naive baseline this must beat;
+    the seasonal profile is what "traffic looks like last Tuesday 3pm"
+    dashboards implicitly assume). The baseline is a 168-cell
+    aggregate carrying EXACT integer (sum, count) pairs — yhat's
+    division is identical on both engines — joined back via broadcast
+    onto the held-out grid; MAE folds |int − identical-double| over 24
+    cells per day. One corpus hash agg + one broadcast join at any
+    scale; the cutoff generalizes to rolling-origin evaluation by
+    parameterizing the split date."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.col("ts").cast("date").alias("d"),
+        (F.weekday("ts") + 1).alias("dow"),
+        F.hour("ts").alias("hr"),
+    ).agg(F.count("*").alias("x"))
+    cutoff = F.lit("2024-01-24").cast("date")
+    baseline = (
+        hourly.where(F.col("d") < cutoff)
+        .groupBy("dow", "hr")
+        .agg(F.sum("x").alias("sx"), F.count("*").alias("nd"))
+    )
+    yhat = F.col("sx") * 1.0 / F.col("nd")
+    scored = (
+        hourly.where(F.col("d") >= cutoff)
+        .join(F.broadcast(baseline), ["dow", "hr"])
+        .select("d", "x", yhat.alias("yhat"))
+    )
+    return scored.groupBy("d").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("x").alias("actual"),
+        F.round(F.sum("yhat"), 6).alias("forecast"),
+        F.round(F.sum(F.abs(F.col("x") - F.col("yhat"))) / F.count("*"), 6).alias(
+            "mae"
+        ),
+    ).select(
+        F.col("d").cast("timestamp").alias("d"),
+        "n_hours",
+        "actual",
+        "forecast",
+        "mae",
+    )

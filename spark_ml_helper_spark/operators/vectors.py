@@ -1001,3 +1001,122 @@ def pipeline_embedding_qc(spark, sf_dir):
             "n_lowvar_dims",
         )
     )
+
+
+_DUCK_DOT16 = "list_sum(list_transform(range(1, 17), i -> CAST({a}[i] AS DOUBLE) * {b}[i]))"
+_DUCK_NORM16 = "sqrt(list_sum(list_transform({a}[1:16], x -> CAST(x AS DOUBLE) * x)))"
+
+
+@query(
+    "vec_matryoshka_eval",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, embedding,
+                   {_DUCK_NORM.format(a='embedding')} AS nrm64,
+                   {_DUCK_NORM16.format(a='embedding')} AS nrm16
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                   round({_DUCK_DOT.format(a='q.embedding', b='c.embedding')}
+                         / (q.nrm64 * c.nrm64), 6) AS sim64,
+                   round({_DUCK_DOT16.format(a='q.embedding', b='c.embedding')}
+                         / (q.nrm16 * c.nrm16), 6) AS sim16
+            FROM v q JOIN v c ON q.vec_id < 50 AND c.vec_id <> q.vec_id
+        ),
+        full5 AS (
+            SELECT q_id, n_id FROM (
+                SELECT q_id, n_id, row_number() OVER (
+                    PARTITION BY q_id ORDER BY sim64 DESC, n_id) AS rn
+                FROM pairs) WHERE rn <= 5
+        ),
+        trunc5 AS (
+            SELECT q_id, n_id FROM (
+                SELECT q_id, n_id, row_number() OVER (
+                    PARTITION BY q_id ORDER BY sim16 DESC, n_id) AS rn
+                FROM pairs) WHERE rn <= 5
+        )
+        SELECT f.q_id,
+               CAST(count(t.n_id) AS BIGINT) AS n_common,
+               round(count(t.n_id) / 5.0, 6) AS recall_at_5
+        FROM full5 f LEFT JOIN trunc5 t
+          ON f.q_id = t.q_id AND f.n_id = t.n_id
+        GROUP BY f.q_id
+    """,
+    family="vectors",
+)
+def vec_matryoshka_eval(spark, sf_dir):
+    """Matryoshka-style truncation evaluation: for 50 query vectors,
+    how much of the FULL-dimension (64-d) cosine top-5 survives when
+    retrieval uses only the FIRST 16 DIMS — the measurement behind
+    "can we store/search the short prefix and rerank with the full
+    vector", which at 100 TB is a 4× index-size and memory-bandwidth
+    lever (vec_quantize is the same trade on the value axis; this is
+    the dimension axis). Both rankings use rounded sims with full
+    (sim DESC, id) tiebreaks, so list membership is bit-stable; recall
+    is exact-integer counting over the two 5-row lists. Brute-force
+    |Q|·|C| scoring here (50 queries — bounded by contract, same as
+    sim_knn's oracle); the scale path swaps in the block-matmul
+    kernels unchanged."""
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm64"),
+        F.sqrt(
+            F.aggregate(
+                F.slice("embedding", 1, 16),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("nrm16"),
+    )
+    q = v.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm64").alias("q_n64"),
+        F.col("nrm16").alias("q_n16"),
+    )
+    c = v.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm64").alias("c_n64"),
+        F.col("nrm16").alias("c_n16"),
+    )
+    dot16 = F.aggregate(
+        F.zip_with(
+            F.slice("q_emb", 1, 16),
+            F.slice("c_emb", 1, 16),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        c.join(F.broadcast(q), F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_n64") * F.col("c_n64")),
+                6,
+            ).alias("sim64"),
+            F.round(dot16 / (F.col("q_n16") * F.col("c_n16")), 6).alias("sim16"),
+        )
+    )
+    w64 = Window.partitionBy("q_id").orderBy(F.desc("sim64"), "n_id")
+    w16 = Window.partitionBy("q_id").orderBy(F.desc("sim16"), "n_id")
+    full5 = pairs.withColumn("rn", F.row_number().over(w64)).where(
+        F.col("rn") <= 5
+    ).select("q_id", "n_id")
+    trunc5 = pairs.withColumn("rn", F.row_number().over(w16)).where(
+        F.col("rn") <= 5
+    ).select(F.col("q_id").alias("tq"), F.col("n_id").alias("tn"))
+    j = full5.join(
+        trunc5,
+        (F.col("q_id") == F.col("tq")) & (F.col("n_id") == F.col("tn")),
+        "left",
+    )
+    return j.groupBy("q_id").agg(
+        F.count("tn").alias("n_common"),
+        F.round(F.count("tn") / 5.0, 6).alias("recall_at_5"),
+    )

@@ -1339,7 +1339,7 @@ _BNLJ_ALLOWED = {
     "events_heatmap_hour_dow",
     "events_survival_curve",
     "stats_bootstrap_ci", "stats_chi2", "stats_ks_test", "stats_ttest_welch",
-    "vec_pairwise_dist_hist", "pipeline_embedding_qc",
+    "vec_matryoshka_eval", "vec_pairwise_dist_hist", "pipeline_embedding_qc",
     "feature_class_weights", "feature_mutual_info",
     "feature_scale", "feature_target_encode", "feature_woe_iv",
     "funnel_ordered",
@@ -2122,3 +2122,21 @@ def test_calibration_bins_cover_and_order(spark):
     assert scores == sorted(scores)  # deciles ordered by score
     for r in rows:
         assert 0.0 <= r["pos_rate"] <= 1.0
+
+
+def test_backtest_covers_holdout_days(spark):
+    rows = QUERIES["ts_backtest_seasonal"](spark, SF_ORACLE).collect()
+    assert len(rows) == 7  # Jan 24-30 holdout
+    for r in rows:
+        assert r["n_hours"] == 24
+        assert r["mae"] >= 0
+
+
+def test_matryoshka_recall_bounded_and_nontrivial(spark):
+    rows = QUERIES["vec_matryoshka_eval"](spark, SF_ORACLE).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert 0 <= r["n_common"] <= 5
+        assert abs(r["recall_at_5"] - r["n_common"] / 5.0) < 1e-9
+    mean = sum(r["recall_at_5"] for r in rows) / 50
+    assert 0.0 < mean < 1.0  # 16 of 64 dims: informative but lossy
