@@ -539,3 +539,63 @@ def win_islands_ranges(spark, sf_dir):
         )
         .drop("anchor")
     )
+
+
+@query(
+    "win_session_native",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts, ts_us,
+                   CASE WHEN lag(ts_us) OVER w IS NULL
+                             OR ts_us - lag(ts_us) OVER w >= 600000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, ts_us,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts_us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS seq
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) AS last_event_ts,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sess
+        GROUP BY user_id, seq
+    """,
+    family="windows",
+)
+def win_session_native(spark, sf_dir):
+    """Gap sessionization via Spark's NATIVE session_window() in BATCH
+    mode — the same 10-minute-gap semantics as win_sessionize's manual
+    islands algorithm, but executed by the engine's dedicated
+    session-merge operator (UpdatingSessionsExec: sort within user,
+    merge overlapping [t, t+gap) intervals) instead of two window
+    passes — one shuffle either way, but the native form is what the
+    STREAMING path (stream_run_session) uses, so this pins
+    batch/stream semantic parity. The oracle derives identical
+    sessions independently via the islands algorithm — native operator
+    vs manual rewrite hash-matching each other is the strongest
+    equivalence statement the suite can make for an execution
+    operator. session_window.start = first event time; the window's
+    synthetic end (last + gap) is replaced by the observed max(ts) so
+    both engines emit observable quantities."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.session_window(F.col("ts"), "10 minutes").alias("sw")
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event_ts"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "last_event_ts", "n_events")
+    )

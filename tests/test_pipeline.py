@@ -2140,3 +2140,13 @@ def test_matryoshka_recall_bounded_and_nontrivial(spark):
         assert abs(r["recall_at_5"] - r["n_common"] / 5.0) < 1e-9
     mean = sum(r["recall_at_5"] for r in rows) / 50
     assert 0.0 < mean < 1.0  # 16 of 64 dims: informative but lossy
+
+
+def test_native_session_window_matches_manual_islands(spark):
+    native = QUERIES["win_session_native"](spark, SF_ORACLE)
+    n_native = native.count()
+    manual = (
+        QUERIES["win_sessionize"](spark, SF_ORACLE)
+        .select("user_id", "session_seq").distinct().count()
+    )
+    assert n_native == manual  # same session count from both formulations
