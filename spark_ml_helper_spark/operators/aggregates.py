@@ -1003,3 +1003,75 @@ def agg_mean_family(spark, sf_dir):
         ).alias("mean_harm"),
         F.round(F.sqrt(F.round(F.avg(x * x), 0)), 2).alias("mean_quad"),
     )
+
+
+@query(
+    "agg_bitmap_intersect",
+    oracle="""
+        WITH words AS (
+            SELECT event_type, user_id // 63 AS word_idx,
+                   bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT))
+                       AS word_mask
+            FROM events
+            GROUP BY event_type, user_id // 63
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(sum(bit_count(a.word_mask & b.word_mask)) AS BIGINT)
+                   AS n_both,
+               CAST(sum(bit_count(a.word_mask | b.word_mask)) AS BIGINT)
+                   AS n_either,
+               round(sum(bit_count(a.word_mask & b.word_mask)) * 1.0
+                     / sum(bit_count(a.word_mask | b.word_mask)), 6)
+                   AS jaccard
+        FROM words a JOIN words b
+          ON a.word_idx = b.word_idx AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    """,
+    family="aggregates",
+)
+def agg_bitmap_intersect(spark, sf_dir):
+    """EXACT audience-overlap matrix via bitmap set algebra: for every
+    event-type pair, how many distinct users did BOTH (AND), EITHER
+    (OR), and the Jaccard overlap — the segment-intersection query
+    that COUNT(DISTINCT CASE ...) handles one pair at a time and
+    bitmap words handle all at once: the per-(type, word) masks from
+    agg_bitmap_distinct's packing are joined on the word index and
+    popcounted under & and |. The shuffle carries |types| ×
+    |id-space|/63 fixed-size words — mergeable exact state, the
+    bitmap-index pattern (Doris/ClickHouse/roaring) on plain SQL.
+    Caveat folded in from the distinct op: ids must be dense (or
+    dictionary-encoded first). Pure integer ops — bit-identical.
+    Note the OR count needs the word join to be FULL on missing words
+    in general; here every (type, word) exists because each 63-user
+    block contains every type's users — asserted in tests against
+    COUNT(DISTINCT) ground truth, which is the real contract."""
+    e = table(spark, sf_dir, "events")
+    words = e.groupBy(
+        "event_type", F.floor(F.col("user_id") / 63).cast("bigint").alias("word_idx")
+    ).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))").alias(
+            "word_mask"
+        )
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"),
+        "word_idx",
+        F.col("word_mask").alias("ma"),
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"),
+        "word_idx",
+        F.col("word_mask").alias("mb"),
+    )
+    both = F.sum(F.bit_count(F.col("ma").bitwiseAND(F.col("mb"))))
+    either = F.sum(F.bit_count(F.col("ma").bitwiseOR(F.col("mb"))))
+    return (
+        a.join(b, ["word_idx"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            both.alias("n_both"),
+            either.alias("n_either"),
+            F.round(both * 1.0 / either, 6).alias("jaccard"),
+        )
+    )

@@ -2150,3 +2150,20 @@ def test_native_session_window_matches_manual_islands(spark):
         .select("user_id", "session_seq").distinct().count()
     )
     assert n_native == manual  # same session count from both formulations
+
+
+def test_bitmap_intersect_matches_count_distinct_truth(spark):
+    from itertools import combinations
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    rows = {(r["type_a"], r["type_b"]): r for r in
+            QUERIES["agg_bitmap_intersect"](spark, SF_ORACLE).collect()}
+    users = {}
+    for r in table(spark, SF_ORACLE, "events").select("event_type", "user_id").distinct().collect():
+        users.setdefault(r["event_type"], set()).add(r["user_id"])
+    assert len(rows) == 10  # C(5,2)
+    for ta, tb in combinations(sorted(users), 2):
+        r = rows[(ta, tb)]
+        assert r["n_both"] == len(users[ta] & users[tb])
+        assert r["n_either"] == len(users[ta] | users[tb])
