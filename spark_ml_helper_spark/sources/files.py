@@ -309,3 +309,61 @@ def sink_pyds(spark, sf_dir):
     )
     committed = sorted(glob.glob(os.path.join(out_dir, "part-*.jsonl")))
     return spark.read.schema("n_name string, nationkey bigint").json(committed)
+
+
+@query(
+    "source_csv_corrupt",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (WHERE c_custkey % 50 = 0) AS BIGINT)
+                   AS n_corrupt,
+               CAST(count(*) FILTER (WHERE c_custkey % 50 <> 0) AS BIGINT)
+                   AS n_good,
+               CAST(sum(c_custkey) FILTER (WHERE c_custkey % 50 <> 0)
+                    AS BIGINT) AS sum_good_keys
+        FROM customer
+    """,
+    family="sources",
+)
+def source_csv_corrupt(spark, sf_dir):
+    """Malformed-input handling on the CSV read path: stage customer
+    with every 50th row DELIBERATELY CORRUPTED (a non-numeric key —
+    the classic upstream-export bug), read in PERMISSIVE mode with a
+    `_corrupt_record` column, and report good/corrupt/total counts —
+    the quarantine pattern that keeps a 100 TB ingest alive when 0.1%
+    of rows are garbage (FAILFAST would kill the job; DROPMALFORMED
+    would LIE about volumes). The corruption is deterministic
+    (key % 50), so the oracle knows exactly which rows must land in
+    quarantine; the sum over surviving keys proves good rows parse
+    intact. PERMISSIVE needs the corrupt column NOT pruned away — the
+    implementation counts via the materialized frame, the documented
+    Spark subtlety (SPARK-38523: referencing _corrupt_record alone
+    over a pruned parse is disallowed)."""
+    out = os.path.join(staging_dir(prefix="smhs_src_corrupt_"), "customer")
+    c = table(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 50 == 0, F.lit("BADKEY"))
+        .otherwise(F.col("c_custkey").cast("string"))
+        .alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    c.write.mode("overwrite").option("header", True).option("quoteAll", True).csv(out)
+    schema = _CUSTOMER_SCHEMA + ", _corrupt_record string"
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        .cache()  # SPARK-38523: don't query _corrupt_record off a pruned parse
+    )
+    good = F.col("_corrupt_record").isNull() & F.col("c_custkey").isNotNull()
+    res = df.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(~good, 1)).alias("n_corrupt"),
+        F.count(F.when(good, 1)).alias("n_good"),
+        F.sum(F.when(good, F.col("c_custkey"))).alias("sum_good_keys"),
+    )
+    return res

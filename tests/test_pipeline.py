@@ -2167,3 +2167,10 @@ def test_bitmap_intersect_matches_count_distinct_truth(spark):
         r = rows[(ta, tb)]
         assert r["n_both"] == len(users[ta] & users[tb])
         assert r["n_either"] == len(users[ta] | users[tb])
+
+
+def test_csv_corrupt_quarantine_counts(spark):
+    r = QUERIES["source_csv_corrupt"](spark, SF_ORACLE).collect()[0]
+    assert r["n_rows"] == 1500
+    assert r["n_corrupt"] == 1500 // 50
+    assert r["n_good"] + r["n_corrupt"] == r["n_rows"]
