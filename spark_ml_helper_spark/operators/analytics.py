@@ -1994,3 +1994,74 @@ def events_paths_topk(spark, sf_dir):
         .where(F.col("rnk") <= 10)
         .orderBy(F.desc("n"), "path")
     )
+
+
+@query(
+    "stats_diff_in_diff",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(user_id % 2 = 0 AS INT) AS treated,
+                   CAST(CAST(ts AS DATE) >= DATE '2024-01-16' AS INT) AS post,
+                   round(value, 6) AS v
+            FROM events WHERE event_type = 'purchase'
+        ),
+        cells AS (
+            SELECT treated, post,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(v), 8) AS m
+            FROM d GROUP BY treated, post
+        )
+        SELECT max(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n_t_pre,
+               max(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_t_post,
+               max(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n_c_pre,
+               max(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_c_post,
+               round((max(CASE WHEN treated = 1 AND post = 1 THEN m END)
+                      - max(CASE WHEN treated = 1 AND post = 0 THEN m END))
+                     - (max(CASE WHEN treated = 0 AND post = 1 THEN m END)
+                        - max(CASE WHEN treated = 0 AND post = 0 THEN m END)),
+                     6) AS did_estimate
+        FROM cells
+    """,
+    family="analytics",
+)
+def stats_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences estimator: (treated post − treated
+    pre) − (control post − control pre) on purchase values, with a
+    deterministic id-parity "treatment" assignment and a mid-month
+    policy date — the workhorse causal design when randomization isn't
+    available (the A/B test, stats_ab_test, is its randomized
+    sibling; DiD nets out both group-level and time-level
+    confounders). One 4-cell filtered aggregate (map-side combining)
+    and a closed-form fold of the four means — rounded at 8 dp before
+    the subtraction so both engines difference identical doubles. On
+    this synthetic fixture the true effect is ~0 (no policy exists) —
+    the placebo-test reading, asserted in tests; at scale add the
+    parallel-trends check (pre-period slopes per group via
+    trend_per_group)."""
+    e = table(spark, sf_dir, "events")
+    d = e.where(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2 == 0).cast("int").alias("treated"),
+        (F.col("ts").cast("date") >= F.lit("2024-01-16").cast("date"))
+        .cast("int")
+        .alias("post"),
+        F.round("value", 6).alias("v"),
+    )
+    cells = d.groupBy("treated", "post").agg(
+        F.count("*").alias("n"), F.round(F.avg("v"), 8).alias("m")
+    )
+
+    def cell(t, p, col):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col(col))
+        )
+
+    return cells.agg(
+        cell(1, 0, "n").alias("n_t_pre"),
+        cell(1, 1, "n").alias("n_t_post"),
+        cell(0, 0, "n").alias("n_c_pre"),
+        cell(0, 1, "n").alias("n_c_post"),
+        F.round(
+            (cell(1, 1, "m") - cell(1, 0, "m")) - (cell(0, 1, "m") - cell(0, 0, "m")),
+            6,
+        ).alias("did_estimate"),
+    )

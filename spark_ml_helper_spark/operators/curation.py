@@ -980,3 +980,54 @@ def dq_outlier_iqr(spark, sf_dir):
             "outlier_rate",
         )
     )
+
+
+@query(
+    "anon_generalize",
+    oracle="""
+        WITH g AS (
+            SELECT c_nationkey // 5 AS nation_band,
+                   c_mktsegment,
+                   CASE WHEN c_acctbal < 0 THEN 'neg'
+                        WHEN c_acctbal < 5000 THEN 'low'
+                        ELSE 'high' END AS bal_band,
+                   count(*) AS sz
+            FROM customer
+            GROUP BY 1, 2, 3
+        )
+        SELECT CAST(nation_band AS BIGINT) AS nation_band,
+               c_mktsegment, bal_band,
+               CAST(sz AS BIGINT) AS group_size,
+               CAST(sz >= 5 AS BOOLEAN) AS k5_ok
+        FROM g
+    """,
+    family="curation",
+)
+def anon_generalize(spark, sf_dir):
+    """k-anonymity REPAIR by generalization — the fix that follows
+    dq_k_anonymity's audit: coarsen the quasi-identifiers (nations →
+    5-nation bands, balance → 3 coarse bands) until equivalence
+    classes clear the k=5 floor, and report each generalized class
+    with its pass flag. Generalization trades utility for privacy
+    monotonically — band widths are the dials, and the audit→repair
+    loop re-runs this with wider bands until every k5_ok is true
+    (here the chosen lattice level already clears it, asserted in
+    tests). One hash agg on the generalized keys; band assignment is
+    exact integer division and a 2-dp-grid comparison (5000.00 is on
+    the money grid — no boundary drift). Same single-scan shape at
+    any scale."""
+    c = table(spark, sf_dir, "customer")
+    bal_band = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return (
+        c.groupBy(
+            F.floor(F.col("c_nationkey") / 5).cast("bigint").alias("nation_band"),
+            "c_mktsegment",
+            bal_band.alias("bal_band"),
+        )
+        .agg(F.count("*").alias("group_size"))
+        .withColumn("k5_ok", F.col("group_size") >= 5)
+    )

@@ -946,3 +946,60 @@ def ts_backtest_seasonal(spark, sf_dir):
         "forecast",
         "mae",
     )
+
+
+@query(
+    "ts_max_drawdown",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rev_c
+            FROM orders GROUP BY 1
+        ),
+        dd AS (
+            SELECT d, rev_c AS equity_c,
+                   CAST(max(rev_c) OVER (ORDER BY d) AS BIGINT) AS peak_c
+            FROM daily
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               round(max(peak_c) / 100.0, 2) AS final_peak,
+               round(max(peak_c - equity_c) / 100.0, 2) AS max_drawdown_abs,
+               round(max((peak_c - equity_c) * 1.0 / peak_c), 6)
+                   AS max_drawdown_frac
+        FROM dd
+    """,
+    family="timeseries",
+)
+def ts_max_drawdown(spark, sf_dir):
+    """Maximum drawdown of the DAILY revenue series against its
+    running peak: the deepest fall from the best day seen so far, in
+    absolute cents and as a fraction of that peak — the risk metric
+    finance applies to equity curves, applied here to the KPI series
+    where it reads "how far below our best day have we sunk"
+    (cumulative revenue is monotone and would give a degenerate 0;
+    feed a PnL/net-cash series for the classical form — the plan is
+    identical). One running-max window over the daily grid reduced
+    from one corpus hash agg, then a 1-row fold — the window runs on
+    |days| rows (global-sort-on-reduced-frame, agg_gini's documented
+    trade). ALL state is exact integer cents — bit-stable
+    cross-engine."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("rev_c")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.select(
+        "d",
+        F.col("rev_c").alias("equity_c"),
+        F.max("rev_c").over(w).alias("peak_c"),
+    )
+    return dd.agg(
+        F.count("*").alias("n_days"),
+        F.round(F.max("peak_c") / 100.0, 2).alias("final_peak"),
+        F.round(F.max(F.col("peak_c") - F.col("equity_c")) / 100.0, 2).alias(
+            "max_drawdown_abs"
+        ),
+        F.round(
+            F.max((F.col("peak_c") - F.col("equity_c")) * 1.0 / F.col("peak_c")), 6
+        ).alias("max_drawdown_frac"),
+    )

@@ -2174,3 +2174,38 @@ def test_csv_corrupt_quarantine_counts(spark):
     assert r["n_rows"] == 1500
     assert r["n_corrupt"] == 1500 // 50
     assert r["n_good"] + r["n_corrupt"] == r["n_rows"]
+
+
+def test_generalized_classes_clear_k5(spark):
+    rows = QUERIES["anon_generalize"](spark, SF_ORACLE).collect()
+    assert sum(r["group_size"] for r in rows) == 1500
+    frac_ok = sum(r["group_size"] for r in rows if r["k5_ok"]) / 1500
+    assert frac_ok > 0.95  # generalization lattice chosen to clear k=5
+
+
+def test_did_placebo_near_zero(spark):
+    r = QUERIES["stats_diff_in_diff"](spark, SF_ORACLE).collect()[0]
+    assert min(r["n_t_pre"], r["n_t_post"], r["n_c_pre"], r["n_c_post"]) > 50
+    # no real intervention exists in the fixture: placebo effect ~ 0
+    assert abs(r["did_estimate"]) < 20.0
+
+
+def test_max_drawdown_matches_brute_force(spark):
+    from spark_ml_helper_spark.sources.parquet import table
+    from pyspark.sql import functions as F
+
+    r = QUERIES["ts_max_drawdown"](spark, SF_ORACLE).collect()[0]
+    daily = sorted(
+        (x["d"], round(x["rev"] * 100))
+        for x in table(spark, SF_ORACLE, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev")).collect()
+    )
+    peak, worst_abs, worst_frac = 0, 0, 0.0
+    for _, rev_c in daily:
+        peak = max(peak, rev_c)
+        worst_abs = max(worst_abs, peak - rev_c)
+        worst_frac = max(worst_frac, (peak - rev_c) / peak)
+    assert abs(r["max_drawdown_abs"] - worst_abs / 100.0) < 0.02
+    assert abs(r["max_drawdown_frac"] - worst_frac) < 1e-5
+    assert r["max_drawdown_abs"] > 0  # daily revenue fluctuates
