@@ -555,3 +555,106 @@ def sim_ann_ivf(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("q_id", "n_id", "sim", "rn")
     )
+
+
+@query(
+    "pipeline_retrieval",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ),
+        doc_dims AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(w), 1, 8))::BIGINT % 64 AS dim,
+                   count(*) AS tf
+            FROM toks GROUP BY doc_id, dim
+        ),
+        doc_norm AS (
+            SELECT doc_id,
+                   sqrt(sum(CAST(tf AS DOUBLE) * tf)) AS nrm
+            FROM doc_dims GROUP BY doc_id
+        ),
+        qtok AS (
+            SELECT unnest(['table', 'scan', 'merge']) AS w
+        ),
+        q_dims AS (
+            SELECT ('0x' || substring(md5(w), 1, 8))::BIGINT % 64 AS dim,
+                   count(*) AS tf
+            FROM qtok GROUP BY dim
+        ),
+        q_norm AS (
+            SELECT sqrt(sum(CAST(tf AS DOUBLE) * tf)) AS qn FROM q_dims
+        ),
+        scored AS (
+            SELECT d.doc_id,
+                   round(sum(CAST(d.tf AS DOUBLE) * q.tf)
+                         / (max(n.nrm) * max(qn.qn)), 6) AS sim
+            FROM doc_dims d
+            JOIN q_dims q ON d.dim = q.dim
+            JOIN doc_norm n ON n.doc_id = d.doc_id
+            CROSS JOIN q_norm qn
+            GROUP BY d.doc_id
+        )
+        SELECT doc_id, sim,
+               CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT)
+                   AS rnk
+        FROM scored
+        ORDER BY sim DESC, doc_id
+        LIMIT 5
+    """,
+    family="pipeline",
+)
+def pipeline_retrieval(spark, sf_dir):
+    """End-to-end lexical retrieval pipeline — the BM25-lite/RAG-
+    retrieval shape on pure engine primitives: embed every document as
+    a 64-dim HASHED bag-of-words vector (md5(token) mod 64, the
+    feature_hashing trick — vocabulary-free, so the embedding needs no
+    fitted state), embed the query the same way, score cosine via a
+    SPARSE dimension join (only dimensions the query touches are ever
+    scored — the inverted-index property: cost ∝ postings of query
+    dims, not |corpus|), and return the tiebroken top-5. This is the
+    retrieval sibling of corpus_decontaminate (same join-on-shared-
+    structure plan) and the lexical twin of sim_knn's dense path; at
+    100 TB the doc_dims frame IS the inverted index — build once,
+    partition by dim, and every query is a |query-dims|-key lookup
+    join. Integer tfs keep the dot exact; norms/cosines round at 6 dp
+    with full tiebreaks."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+    dim = F.pmod(
+        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+        F.lit(64),
+    )
+    doc_dims = toks.groupBy("doc_id", dim.alias("dim")).agg(
+        F.count("*").alias("tf")
+    )
+    doc_norm = doc_dims.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf").cast("double") * F.col("tf"))).alias("nrm")
+    )
+    qtok = spark.createDataFrame([("table",), ("scan",), ("merge",)], "w string")
+    q_dims = qtok.groupBy(dim.alias("dim")).agg(F.count("*").alias("tf_q"))
+    q_norm = q_dims.agg(
+        F.sqrt(F.sum(F.col("tf_q").cast("double") * F.col("tf_q"))).alias("qn")
+    )
+    scored = (
+        doc_dims.join(F.broadcast(q_dims), "dim")
+        .join(doc_norm, "doc_id")
+        .join(F.broadcast(q_norm))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf").cast("double") * F.col("tf_q"))
+                / (F.max("nrm") * F.max("qn")),
+                6,
+            ).alias("sim")
+        )
+    )
+    w = Window.orderBy(F.desc("sim"), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 5)
+        .orderBy(F.desc("sim"), "doc_id")
+    )

@@ -2209,3 +2209,20 @@ def test_max_drawdown_matches_brute_force(spark):
     assert abs(r["max_drawdown_abs"] - worst_abs / 100.0) < 0.02
     assert abs(r["max_drawdown_frac"] - worst_frac) < 1e-5
     assert r["max_drawdown_abs"] > 0  # daily revenue fluctuates
+
+
+def test_retrieval_returns_query_term_docs(spark):
+    rows = QUERIES["pipeline_retrieval"](spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    assert [r["rnk"] for r in rows] == [1, 2, 3, 4, 5]
+    sims = [r["sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert sims[0] > 0
+    # top hit actually contains at least one query term
+    from spark_ml_helper_spark.sources.parquet import table
+    top_text = (
+        table(spark, SF_ORACLE, "documents")
+        .where(f"doc_id = {rows[0]['doc_id']}")
+        .collect()[0]["text"].lower()
+    )
+    assert any(t in top_text.split() for t in ("table", "scan", "merge"))
