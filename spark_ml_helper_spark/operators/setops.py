@@ -156,3 +156,49 @@ def distinct_subset(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
     )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    family="setops",
+)
+def set_intersect_all(spark, sf_dir):
+    """INTERSECT ALL (bag semantics): each customer key appears
+    min(#open, #filled) times — the multiplicity-preserving form the
+    distinct variant (set_intersect) throws away, and the one
+    reconciliation jobs need when row COUNTS carry meaning
+    ("how many order slots match on both sides"). Spark's
+    intersectAll plans as a counted hash aggregate per side + a
+    min-of-counts regenerate — one shuffle per side on the key, no
+    row-pair join. Exact integer multiplicities — bit-stable."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersectAll(b)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    family="setops",
+)
+def set_except_all(spark, sf_dir):
+    """EXCEPT ALL (bag semantics): each customer key survives
+    max(#open − #filled, 0) times — multiset subtraction, the form
+    that answers "how many MORE open than filled orders does each
+    customer have" in one operator (the distinct EXCEPT collapses
+    that to membership). Same counted-aggregate plan shape as
+    INTERSECT ALL; exact integer multiplicities."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.exceptAll(b)

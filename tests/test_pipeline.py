@@ -2226,3 +2226,23 @@ def test_retrieval_returns_query_term_docs(spark):
         .collect()[0]["text"].lower()
     )
     assert any(t in top_text.split() for t in ("table", "scan", "merge"))
+
+
+def test_bag_set_ops_multiplicity_identities(spark):
+    from collections import Counter
+
+    from spark_ml_helper_spark.sources.parquet import table
+    from pyspark.sql import functions as F
+
+    o = table(spark, SF_ORACLE, "orders")
+    ca = Counter(r["o_custkey"] for r in
+                 o.filter(F.col("o_orderstatus") == "O").select("o_custkey").collect())
+    cb = Counter(r["o_custkey"] for r in
+                 o.filter(F.col("o_orderstatus") == "F").select("o_custkey").collect())
+    inter = Counter(r["o_custkey"] for r in
+                    QUERIES["set_intersect_all"](spark, SF_ORACLE).collect())
+    exc = Counter(r["o_custkey"] for r in
+                  QUERIES["set_except_all"](spark, SF_ORACLE).collect())
+    for k in set(ca) | set(cb):
+        assert inter[k] == min(ca[k], cb[k])
+        assert exc[k] == max(ca[k] - cb[k], 0)
