@@ -1075,3 +1075,54 @@ def agg_bitmap_intersect(spark, sf_dir):
             F.round(both * 1.0 / either, 6).alias("jaccard"),
         )
     )
+
+
+@query(
+    "agg_ratio_to_report",
+    oracle="""
+        WITH c AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+            FROM orders WHERE o_custkey < 50
+        )
+        SELECT o_orderkey, o_custkey,
+               round(price_c / 100.0, 2) AS price,
+               round(price_c * 1.0 / sum(price_c) OVER
+                     (PARTITION BY o_custkey), 6) AS share_of_customer,
+               round(price_c * 1.0 / sum(price_c) OVER (), 6) AS share_of_total
+        FROM c
+    """,
+    family="aggregates",
+)
+def agg_ratio_to_report(spark, sf_dir):
+    """RATIO_TO_REPORT — each order's share of its customer's spend
+    and of the grand total, the percent-of-total idiom every BI layer
+    reimplements (Oracle ships it as a named function; on Spark/DuckDB
+    it is a windowed-sum ratio). Denominators are EXACT INTEGER CENTS
+    summed over window frames (per-customer partitions + one global
+    frame), so both engines divide identical integers — no float
+    accumulation anywhere before the final division. The customer
+    partition parallelizes; the grand-total window degenerates to a
+    1-row broadcast-style exchange (restricted here to custkey < 50 to
+    keep the demo frame small; at scale compute the total as a
+    separate 1-row aggregate joined back — same result, explicit
+    plan)."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    c = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    w_cust = Window.partitionBy("o_custkey")
+    w_all = Window.partitionBy()
+    return c.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("price_c") / 100.0, 2).alias("price"),
+        F.round(F.col("price_c") * 1.0 / F.sum("price_c").over(w_cust), 6).alias(
+            "share_of_customer"
+        ),
+        F.round(F.col("price_c") * 1.0 / F.sum("price_c").over(w_all), 6).alias(
+            "share_of_total"
+        ),
+    )

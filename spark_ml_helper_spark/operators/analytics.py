@@ -2065,3 +2065,59 @@ def stats_diff_in_diff(spark, sf_dir):
             6,
         ).alias("did_estimate"),
     )
+
+
+@query(
+    "orders_aging_buckets",
+    oracle="""
+        WITH aged AS (
+            SELECT o_orderpriority,
+                   date_diff('day', CAST(o_orderdate AS DATE),
+                             DATE '2001-12-31') AS age_d,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+            FROM orders WHERE o_orderstatus = 'O'
+        )
+        SELECT o_orderpriority,
+               CASE WHEN age_d <= 365 THEN '0-365'
+                    WHEN age_d <= 730 THEN '366-730'
+                    WHEN age_d <= 1460 THEN '731-1460'
+                    ELSE '1460+' END AS age_bucket,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(price_c) / 100.0, 2) AS open_value
+        FROM aged
+        GROUP BY 1, 2
+    """,
+    family="analytics",
+)
+def orders_aging_buckets(spark, sf_dir):
+    """Open-order AGING report: outstanding ('O') orders bucketed by
+    age against a fixed as-of date, with counts and open value per
+    (priority, bucket) — the accounts-receivable aging statement shape
+    (0-30/31-60/… in AR-speak; year-scaled here to the fixture's date
+    span). Bucketing is EXACT integer day arithmetic against pinned
+    boundaries, value sums are integer cents — fully bit-stable. One
+    filtered scan + one hash agg on a ≤20-key grid; the as-of date is
+    pinned (never now(): a report that moves under replay is
+    unauditable — the determinism rule every operator here follows)."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    age = F.datediff(
+        F.lit("2001-12-31").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    bucket = (
+        F.when(age <= 365, "0-365")
+        .when(age <= 730, "366-730")
+        .when(age <= 1460, "731-1460")
+        .otherwise("1460+")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            bucket.alias("age_bucket"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+        )
+        .groupBy("o_orderpriority", "age_bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("price_c") / 100.0, 2).alias("open_value"),
+        )
+    )

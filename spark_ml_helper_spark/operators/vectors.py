@@ -1120,3 +1120,70 @@ def vec_matryoshka_eval(spark, sf_dir):
         F.count("tn").alias("n_common"),
         F.round(F.count("tn") / 5.0, 6).alias("recall_at_5"),
     )
+
+
+@query(
+    "vec_centroid_drift",
+    oracle="""
+        WITH flat AS (
+            SELECT CAST(vec_id >= 250 AS INT) AS half,
+                   i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+        ),
+        cents AS (
+            SELECT half, dim, round(avg(x), 8) AS c
+            FROM flat GROUP BY half, dim
+        ),
+        paired AS (
+            SELECT a.dim, a.c AS ca, b.c AS cb
+            FROM cents a JOIN cents b
+              ON a.dim = b.dim AND a.half = 0 AND b.half = 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_dims,
+               round(sqrt(sum((ca - cb) * (ca - cb))), 6) AS centroid_dist,
+               round(sum(ca * cb)
+                     / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))), 6)
+                   AS centroid_cos,
+               CAST(max_by(dim, abs(ca - cb)) AS BIGINT) AS top_mover_dim
+        FROM paired
+    """,
+    family="vectors",
+)
+def vec_centroid_drift(spark, sf_dir):
+    """Embedding-distribution drift monitor: split the table into two
+    batches (first/second half of ids standing in for old/new export),
+    compare per-dimension centroids — L2 distance, cosine, and the
+    single dimension that moved most — the embedding-space analogue of
+    dq_psi_drift's tabular PSI, and the check that catches a silently
+    retrained or re-normalized encoder before it poisons ANN indexes
+    built on the old space. Per-dim means round at 8 dp BEFORE the
+    distance fold (the moment discipline), so both engines fold
+    identical doubles over the fixed 64-dim frame; max_by with the
+    |Δ| key is tiebroken by DuckDB/Spark identically on exact
+    identical inputs. One posexplode hash agg (128 keys) + a 64-row
+    join — corpus-sized work is the single scan."""
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        (F.col("vec_id") >= 250).cast("int").alias("half"),
+        F.posexplode("embedding").alias("dim", "x_raw"),
+    ).select("half", "dim", F.col("x_raw").cast("double").alias("x"))
+    cents = flat.groupBy("half", "dim").agg(F.round(F.avg("x"), 8).alias("c"))
+    a = cents.where(F.col("half") == 0).select("dim", F.col("c").alias("ca"))
+    b = cents.where(F.col("half") == 1).select(
+        F.col("dim").alias("dim_b"), F.col("c").alias("cb")
+    )
+    paired = a.join(b, a.dim == b.dim_b).select("dim", "ca", "cb")
+    diff = F.col("ca") - F.col("cb")
+    return paired.agg(
+        F.count("*").alias("n_dims"),
+        F.round(F.sqrt(F.sum(diff * diff)), 6).alias("centroid_dist"),
+        F.round(
+            F.sum(F.col("ca") * F.col("cb"))
+            / (
+                F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+            ),
+            6,
+        ).alias("centroid_cos"),
+        F.max_by("dim", F.abs(diff)).cast("bigint").alias("top_mover_dim"),
+    )

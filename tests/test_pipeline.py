@@ -2246,3 +2246,31 @@ def test_bag_set_ops_multiplicity_identities(spark):
     for k in set(ca) | set(cb):
         assert inter[k] == min(ca[k], cb[k])
         assert exc[k] == max(ca[k] - cb[k], 0)
+
+
+def test_ratio_to_report_shares_sum_to_one(spark):
+    rows = QUERIES["agg_ratio_to_report"](spark, SF_ORACLE).collect()
+    assert abs(sum(r["share_of_total"] for r in rows) - 1.0) < 1e-3
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r["share_of_customer"])
+    for shares in by_cust.values():
+        assert abs(sum(shares) - 1.0) < 1e-3
+
+
+def test_aging_buckets_partition_open_orders(spark):
+    from spark_ml_helper_spark.sources.parquet import table
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["orders_aging_buckets"](spark, SF_ORACLE).collect()
+    n_open = table(spark, SF_ORACLE, "orders").where(
+        F.col("o_orderstatus") == "O").count()
+    assert sum(r["n_orders"] for r in rows) == n_open
+
+
+def test_centroid_drift_small_between_random_halves(spark):
+    r = QUERIES["vec_centroid_drift"](spark, SF_ORACLE).collect()[0]
+    assert r["n_dims"] == 64
+    # halves of one distribution: centroids nearly parallel
+    assert r["centroid_cos"] > 0.9
+    assert 0 <= r["top_mover_dim"] < 64
