@@ -2271,6 +2271,8 @@ def test_aging_buckets_partition_open_orders(spark):
 def test_centroid_drift_small_between_random_halves(spark):
     r = QUERIES["vec_centroid_drift"](spark, SF_ORACLE).collect()[0]
     assert r["n_dims"] == 64
-    # halves of one distribution: centroids nearly parallel
-    assert r["centroid_cos"] > 0.9
+    # halves of one zero-mean distribution: both centroids are ~0 vectors,
+    # so the DISTANCE is tiny (no drift) while the cosine is noise-dominated
+    assert r["centroid_dist"] < 0.5
+    assert -1.0 <= r["centroid_cos"] <= 1.0
     assert 0 <= r["top_mover_dim"] < 64
