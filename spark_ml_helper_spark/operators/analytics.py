@@ -2121,3 +2121,61 @@ def orders_aging_buckets(spark, sf_dir):
             F.round(F.sum("price_c") / 100.0, 2).alias("open_value"),
         )
     )
+
+
+@query(
+    "stats_srm_check",
+    oracle="""
+        WITH a AS (
+            SELECT CAST(user_id % 2 = 0 AS INT) AS treated,
+                   count(DISTINCT user_id) AS n
+            FROM events GROUP BY 1
+        ),
+        c AS (
+            SELECT CAST(max(CASE WHEN treated = 1 THEN n END) AS BIGINT) AS n_t,
+                   CAST(max(CASE WHEN treated = 0 THEN n END) AS BIGINT) AS n_c
+            FROM a
+        )
+        SELECT n_t, n_c,
+               round(n_t * 1.0 / (n_t + n_c), 6) AS treated_share,
+               round(pow(n_t - (n_t + n_c) / 2.0, 2) / ((n_t + n_c) / 2.0)
+                     + pow(n_c - (n_t + n_c) / 2.0, 2) / ((n_t + n_c) / 2.0),
+                     6) AS srm_chi2,
+               CAST(pow(n_t - (n_t + n_c) / 2.0, 2) / ((n_t + n_c) / 2.0)
+                    + pow(n_c - (n_t + n_c) / 2.0, 2) / ((n_t + n_c) / 2.0)
+                    > 3.841 AS BOOLEAN) AS srm_detected
+        FROM c
+    """,
+    family="analytics",
+)
+def stats_srm_check(spark, sf_dir):
+    """Sample-Ratio-Mismatch guardrail: chi-square of observed
+    treatment/control unit counts against the designed 50/50 split —
+    the experimentation sanity check that MUST run before reading any
+    A/B result (stats_ab_test computes the effect; SRM says whether
+    the randomization itself broke — a p<0.05 mismatch invalidates
+    the experiment regardless of lift). Assignment is the same id
+    parity as stats_diff_in_diff; counts are exact distinct-user
+    integers, the 1-dof chi-square is identical arithmetic on them,
+    and the 3.841 (χ²₀.₉₅,₁) verdict compares identical doubles. One
+    distinct-aggregate pass; at scale the unit-count-by-arm frame is
+    the 2-row input to this closed form regardless of corpus size."""
+    e = table(spark, sf_dir, "events")
+    a = e.groupBy((F.col("user_id") % 2 == 0).cast("int").alias("treated")).agg(
+        F.count_distinct("user_id").alias("n")
+    )
+    c = a.agg(
+        F.max(F.when(F.col("treated") == 1, F.col("n"))).cast("bigint").alias("n_t"),
+        F.max(F.when(F.col("treated") == 0, F.col("n"))).cast("bigint").alias("n_c"),
+    )
+    half = (F.col("n_t") + F.col("n_c")) / 2.0
+    chi2 = F.pow(F.col("n_t") - half, 2) / half + F.pow(F.col("n_c") - half, 2) / half
+    return c.select(
+        "n_t",
+        "n_c",
+        F.round(F.col("n_t") * 1.0 / (F.col("n_t") + F.col("n_c")), 6).alias(
+            "treated_share"
+        ),
+        F.round(chi2, 6).alias("srm_chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )

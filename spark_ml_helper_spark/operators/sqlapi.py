@@ -144,3 +144,33 @@ def sql_recursive_cte(spark, sf_dir):
 
     load_tables(spark, sf_dir)
     return spark.sql(_RECURSIVE_SPINE)
+
+
+_VALUES_LOOKUP = """
+    WITH sla(priority, sla_days) AS (
+        VALUES ('1-URGENT', 7), ('2-HIGH', 14), ('3-MEDIUM', 30),
+               ('4-NOT SPECIFIED', 45), ('5-LOW', 60)
+    )
+    SELECT s.priority, CAST(s.sla_days AS BIGINT) AS sla_days,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN sla s ON o.o_orderpriority = s.priority
+    GROUP BY s.priority, s.sla_days
+"""
+
+
+@query("sql_values_lookup", oracle=_VALUES_LOOKUP, family="sqlapi")
+def sql_values_lookup(spark, sf_dir):
+    """Inline VALUES-clause lookup table joined onto the fact — the
+    "business rules in the query" pattern (SLA days per priority,
+    country groupings, status decodes) that avoids a dim-table
+    round-trip for 5-row reference data, submitted as ONE SQL string
+    both engines parse. Catalyst plans the VALUES relation as a
+    LocalRelation and broadcasts it — zero I/O, map-side join; the
+    aggregate is the usual partial→final. The rule: inline VALUES for
+    single-query constants, a real dimension table the moment two
+    queries share the mapping."""
+    from spark_ml_helper_spark.sources.parquet import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_VALUES_LOOKUP)

@@ -1187,3 +1187,103 @@ def vec_centroid_drift(spark, sf_dir):
         ).alias("centroid_cos"),
         F.max_by("dim", F.abs(diff)).cast("bigint").alias("top_mover_dim"),
     )
+
+
+_DUCK_SQDIST = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "(CAST({a}[i] AS DOUBLE) - {b}[i]) * (CAST({a}[i] AS DOUBLE) - {b}[i])))"
+)
+
+
+@query(
+    "vec_silhouette",
+    oracle=f"""
+        WITH samp AS (
+            SELECT vec_id, embedding, label FROM (
+                SELECT vec_id, embedding, label,
+                       row_number() OVER (
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                       ) AS rn
+                FROM embeddings
+            ) WHERE rn <= 200
+        ),
+        dists AS (
+            SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
+                   sqrt({_DUCK_SQDIST.format(a='a.embedding', b='b.embedding')})
+                       AS d
+            FROM samp a JOIN samp b ON a.vec_id <> b.vec_id
+        ),
+        per_label AS (
+            SELECT i, li, lj, avg(d) AS md FROM dists GROUP BY i, li, lj
+        ),
+        sil AS (
+            SELECT i, li,
+                   max(CASE WHEN lj = li THEN md END) AS a,
+                   min(CASE WHEN lj <> li THEN md END) AS b
+            FROM per_label GROUP BY i, li
+        )
+        SELECT li AS label,
+               CAST(count(*) AS BIGINT) AS n_points,
+               round(avg((b - a) / greatest(a, b)), 6) AS mean_silhouette
+        FROM sil
+        WHERE a IS NOT NULL AND b IS NOT NULL
+        GROUP BY li
+    """,
+    family="vectors",
+)
+def vec_silhouette(spark, sf_dir):
+    """Silhouette score of the LABEL partition over a deterministic
+    200-vector sample: s = (b−a)/max(a,b) per point (a = mean
+    distance to own label, b = mean distance to the nearest other
+    label), averaged per label — the cluster-quality readout that
+    grades any partition (ground-truth labels here; feed ml_kmeans
+    assignments for the unsupervised reading) without a model in the
+    loop. The all-pairs stage is BOUNDED by the md5 sample (199
+    distances per point, sample_deterministic's idiom — silhouette is
+    O(n²) by definition, so production computes it exactly this way:
+    on a sample, stratified if classes are skewed). Distances are
+    sequential-fold identical; the per-(point, label) means are
+    ~100-element folds whose cross-engine drift (~1e-13) sits far
+    inside the 6-dp output grid."""
+    e = table(spark, sf_dir, "embeddings")
+    w = Window.orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id")
+    samp = (
+        e.select("vec_id", "embedding", "label", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 200)
+        .select("vec_id", "embedding", "label")
+    )
+    a = samp.select(
+        F.col("vec_id").alias("i"),
+        F.col("embedding").alias("ea"),
+        F.col("label").alias("li"),
+    )
+    b = samp.select(
+        F.col("vec_id").alias("j"),
+        F.col("embedding").alias("eb"),
+        F.col("label").alias("lj"),
+    )
+    sqd = F.aggregate(
+        F.zip_with(
+            "ea", "eb", lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = a.join(F.broadcast(b), F.col("i") != F.col("j")).select(
+        "i", "li", "lj", F.sqrt(sqd).alias("d")
+    )
+    per_label = dists.groupBy("i", "li", "lj").agg(F.avg("d").alias("md"))
+    sil = per_label.groupBy("i", "li").agg(
+        F.max(F.when(F.col("lj") == F.col("li"), F.col("md"))).alias("a"),
+        F.min(F.when(F.col("lj") != F.col("li"), F.col("md"))).alias("b"),
+    )
+    s = (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+    return (
+        sil.where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy(F.col("li").alias("label"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.avg(s), 6).alias("mean_silhouette"),
+        )
+    )

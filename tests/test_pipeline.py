@@ -1339,7 +1339,8 @@ _BNLJ_ALLOWED = {
     "events_heatmap_hour_dow",
     "events_survival_curve",
     "stats_bootstrap_ci", "stats_chi2", "stats_ks_test", "stats_ttest_welch",
-    "vec_matryoshka_eval", "vec_pairwise_dist_hist", "pipeline_embedding_qc",
+    "vec_matryoshka_eval", "vec_pairwise_dist_hist", "vec_silhouette",
+    "pipeline_embedding_qc", "stats_srm_check",
     "feature_class_weights", "feature_mutual_info",
     "feature_scale", "feature_target_encode", "feature_woe_iv",
     "funnel_ordered",
@@ -2276,3 +2277,23 @@ def test_centroid_drift_small_between_random_halves(spark):
     assert r["centroid_dist"] < 0.5
     assert -1.0 <= r["centroid_cos"] <= 1.0
     assert 0 <= r["top_mover_dim"] < 64
+
+
+def test_srm_check_no_mismatch_on_parity_split(spark):
+    r = QUERIES["stats_srm_check"](spark, SF_ORACLE).collect()[0]
+    assert r["n_t"] + r["n_c"] == 150
+    assert 0.3 < r["treated_share"] < 0.7
+    assert r["srm_detected"] == (r["srm_chi2"] > 3.841)
+
+
+def test_values_lookup_covers_all_priorities(spark):
+    rows = QUERIES["sql_values_lookup"](spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    assert sum(r["n_orders"] for r in rows) == 15000
+
+
+def test_silhouette_bounded(spark):
+    rows = QUERIES["vec_silhouette"](spark, SF_ORACLE).collect()
+    assert sum(r["n_points"] for r in rows) == 200
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["mean_silhouette"] <= 1.0 + 1e-9
