@@ -2179,3 +2179,68 @@ def stats_srm_check(spark, sf_dir):
         F.round(chi2, 6).alias("srm_chi2"),
         (chi2 > 3.841).alias("srm_detected"),
     )
+
+
+@query(
+    "events_mtbf",
+    oracle="""
+        WITH errs AS (
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id
+            FROM events WHERE event_type = 'error'
+        ),
+        gaps AS (
+            SELECT user_id,
+                   ts_us - lag(ts_us) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                   ) AS gap_us
+            FROM errs
+        ),
+        per_user AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap_us) AS BIGINT) AS total_us
+            FROM gaps WHERE gap_us IS NOT NULL
+            GROUP BY user_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(n_gaps) AS BIGINT) AS n_intervals,
+               round(CAST(sum(total_us) AS BIGINT) * 1.0
+                     / sum(n_gaps) / 3.6e9, 6) AS mtbf_hours,
+               round(quantile_cont(total_us * 1.0 / n_gaps / 3.6e9, 0.5), 6)
+                   AS p50_user_mtbf_hours
+        FROM per_user
+    """,
+    family="analytics",
+)
+def events_mtbf(spark, sf_dir):
+    """Mean time between failures: per-user gaps between consecutive
+    error events, folded to the fleet MTBF (total uptime / intervals)
+    and the median per-user MTBF — the reliability pair to
+    win_time_to_next_error's per-event labels (MTBF summarizes the
+    past; TTE labels the future). The fleet MTBF is a ratio of exact
+    integer sums; the per-user MTBFs entering the percentile are
+    identical int-ratio doubles, so the interpolation matches. One
+    filtered scan, one user-partitioned lag window on the ~error
+    subset, two folds."""
+    e = table(spark, sf_dir, "events")
+    errs = e.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = errs.select(
+        "user_id", (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    per_user = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"), F.sum("gap_us").alias("total_us")
+    )
+    user_mtbf = F.col("total_us") * 1.0 / F.col("n_gaps") / 3.6e9
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_gaps").alias("n_intervals"),
+        F.round(F.sum("total_us") * 1.0 / F.sum("n_gaps") / 3.6e9, 6).alias(
+            "mtbf_hours"
+        ),
+        F.round(F.percentile(user_mtbf, 0.5), 6).alias("p50_user_mtbf_hours"),
+    )

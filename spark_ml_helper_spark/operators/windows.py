@@ -599,3 +599,59 @@ def win_session_native(spark, sf_dir):
         )
         .select("user_id", "session_start", "last_event_ts", "n_events")
     )
+
+
+@query(
+    "win_time_to_next_error",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_us(ts) AS ts_us
+            FROM events
+        ),
+        nav AS (
+            SELECT event_id, user_id, event_type,
+                   min(CASE WHEN event_type = 'error' THEN ts_us END)
+                       OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       - ts_us AS tte_us
+            FROM e
+        )
+        SELECT event_id, user_id, event_type,
+               CAST(tte_us AS BIGINT) AS tte_us
+        FROM nav
+        WHERE event_type = 'purchase'
+    """,
+    family="windows",
+)
+def win_time_to_next_error(spark, sf_dir):
+    """Time-to-next-failure labeling: for every purchase, the
+    micros until the SAME USER's next error event (NULL = never fails
+    again) — the survival-analysis label generator ("did the purchase
+    precede a failure, and how soon") built as one conditional
+    navigation window: min over the FOLLOWING frame of error
+    timestamps only. This is the general "time to next event of type
+    X" primitive behind churn labels, failure prediction, and
+    intervention windows — and a shape joins can't express without an
+    O(n²) inequality join (the window form is one user-partitioned
+    sort). Exact integer micros; the frame excludes the current row
+    so an error's own timestamp can't label it."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt_err = F.min(
+        F.when(F.col("event_type") == "error", F.col("ts_us"))
+    ).over(w)
+    return (
+        e.withColumn("tte_us", (nxt_err - F.col("ts_us")).cast("bigint"))
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "event_type", "tte_us")
+    )

@@ -2297,3 +2297,21 @@ def test_silhouette_bounded(spark):
     assert sum(r["n_points"] for r in rows) == 200
     for r in rows:
         assert -1.0 - 1e-9 <= r["mean_silhouette"] <= 1.0 + 1e-9
+
+
+def test_time_to_next_error_nonnegative_or_null(spark):
+    rows = QUERIES["win_time_to_next_error"](spark, SF_ORACLE).collect()
+    assert len(rows) > 1000
+    n_null = sum(1 for r in rows if r["tte_us"] is None)
+    assert 0 < n_null < len(rows)  # some purchases precede no further error
+    for r in rows:
+        if r["tte_us"] is not None:
+            assert r["tte_us"] > 0
+
+
+def test_mtbf_consistent_with_interarrival_scale(spark):
+    r = QUERIES["events_mtbf"](spark, SF_ORACLE).collect()[0]
+    assert r["n_users"] > 100
+    assert r["mtbf_hours"] > 0
+    # 2014 errors over 150 users over 720h -> per-user MTBF ~ 50-60h
+    assert 10 < r["p50_user_mtbf_hours"] < 200
