@@ -1159,3 +1159,65 @@ def corpus_span_corruption(spark, sf_dir):
             F.slice("w", F.col("s.start_tok").cast("int"), F.col("l").cast("int")), " "
         ).alias("masked_tokens"),
     )
+
+
+@query(
+    "corpus_curriculum_order",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id,
+                   len(string_split(lower(text), ' ')) AS n_tok,
+                   len(list_distinct(string_split(lower(text), ' '))) AS n_types
+            FROM documents
+        ),
+        banded AS (
+            SELECT doc_id, n_tok,
+                   CAST(least(4, n_types // 7) AS BIGINT) AS difficulty_band
+            FROM scored
+        ),
+        ordered AS (
+            SELECT doc_id, difficulty_band,
+                   CAST(row_number() OVER (
+                       ORDER BY difficulty_band,
+                                md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS curriculum_rank
+            FROM banded
+        )
+        SELECT doc_id, difficulty_band, curriculum_rank
+        FROM ordered WHERE curriculum_rank <= 100
+    """,
+    family="corpus",
+)
+def corpus_curriculum_order(spark, sf_dir):
+    """Curriculum data ordering: band documents by a difficulty proxy
+    (lexical diversity — distinct-type count), then emit the training
+    order easy→hard with a DETERMINISTIC md5 shuffle inside each band
+    — curriculum learning's data-side contract (monotone difficulty
+    schedule, reproducible within-band order so two runs stream
+    identical batches; rand() would silently break replay — the
+    engine-neutral-hash rule again). First 100 positions shown. The
+    band assignment is exact integer arithmetic; the global rank is a
+    row_number over (band, md5) — the one global sort, on the
+    documented agg_gini trade (at 100 TB: range-partition by band and
+    concatenate per-band md5-sorted runs — same order, no global
+    sort)."""
+    d = table(spark, sf_dir, "documents")
+    w_toks = F.split(F.lower(F.col("text")), " ")
+    banded = d.select(
+        "doc_id",
+        F.least(
+            F.lit(4), F.floor(F.size(F.array_distinct(w_toks)) / 7)
+        )
+        .cast("bigint")
+        .alias("difficulty_band"),
+    )
+    w = Window.orderBy(
+        "difficulty_band",
+        F.md5(F.col("doc_id").cast("string").cast("binary")),
+        "doc_id",
+    )
+    return (
+        banded.withColumn("curriculum_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("curriculum_rank") <= 100)
+        .select("doc_id", "difficulty_band", "curriculum_rank")
+    )

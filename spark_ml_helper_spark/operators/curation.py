@@ -1031,3 +1031,72 @@ def anon_generalize(spark, sf_dir):
         .agg(F.count("*").alias("group_size"))
         .withColumn("k5_ok", F.col("group_size") >= 5)
     )
+
+
+@query(
+    "dq_split_leakage",
+    oracle="""
+        WITH split AS (
+            SELECT vec_id, embedding,
+                   (('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 100) < 80 AS is_train
+            FROM embeddings
+        ),
+        sides AS (
+            SELECT embedding,
+                   CAST(count(*) FILTER (WHERE is_train) AS BIGINT) AS n_train_side,
+                   CAST(count(*) FILTER (WHERE NOT is_train) AS BIGINT) AS n_test_side
+            FROM split GROUP BY embedding
+        )
+        SELECT CAST(sum(n_train_side) AS BIGINT) AS n_train,
+               CAST(sum(n_test_side) AS BIGINT) AS n_test,
+               CAST(count(*) FILTER (WHERE n_train_side > 0 AND n_test_side > 0)
+                    AS BIGINT) AS n_leaked_contents,
+               CAST(coalesce(sum(n_test_side) FILTER (
+                    WHERE n_train_side > 0 AND n_test_side > 0), 0) AS BIGINT)
+                   AS n_test_rows_leaked
+        FROM sides
+    """,
+    family="curation",
+)
+def dq_split_leakage(spark, sf_dir):
+    """Train/test LEAKAGE audit: after the standard md5 80/20 split
+    (train_test_split's idiom, keyed on vec_id), count distinct
+    CONTENTS (byte-identical embeddings) that appear on BOTH sides —
+    the contamination that silently inflates every eval metric, and
+    invisible to the split itself because splitting by id cannot see
+    duplicate content (the same failure corpus_decontaminate catches
+    between train and benchmarks, here caught INSIDE one dataset).
+    One hash agg on the content (at 100 TB: on xxhash64 of the bytes
+    — dedup_exact's digest rule) with per-side conditional counts,
+    one fold. Exact integers; the repair is dedup-BEFORE-split
+    (dedup_embedding_exact), which this audit verifies."""
+    e = table(spark, sf_dir, "embeddings")
+    is_train = (
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(100),
+        )
+        < 80
+    )
+    sides = (
+        e.select("embedding", is_train.alias("is_train"))
+        .groupBy("embedding")
+        .agg(
+            F.count(F.when(F.col("is_train"), 1)).alias("n_train_side"),
+            F.count(F.when(~F.col("is_train"), 1)).alias("n_test_side"),
+        )
+    )
+    leaked = (F.col("n_train_side") > 0) & (F.col("n_test_side") > 0)
+    return sides.agg(
+        F.sum("n_train_side").alias("n_train"),
+        F.sum("n_test_side").alias("n_test"),
+        F.count(F.when(leaked, 1)).alias("n_leaked_contents"),
+        F.coalesce(F.sum(F.when(leaked, F.col("n_test_side"))), F.lit(0)).alias(
+            "n_test_rows_leaked"
+        ),
+    )

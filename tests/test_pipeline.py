@@ -2315,3 +2315,24 @@ def test_mtbf_consistent_with_interarrival_scale(spark):
     assert r["mtbf_hours"] > 0
     # 2014 errors over 150 users over 720h -> per-user MTBF ~ 50-60h
     assert 10 < r["p50_user_mtbf_hours"] < 200
+
+
+def test_curriculum_monotone_difficulty(spark):
+    rows = sorted(QUERIES["corpus_curriculum_order"](spark, SF_ORACLE).collect(),
+                  key=lambda r: r["curriculum_rank"])
+    assert len(rows) == 100
+    bands = [r["difficulty_band"] for r in rows]
+    assert bands == sorted(bands)  # easy -> hard, never backwards
+    # twin-run determinism (the md5 within-band shuffle must replay)
+    again = sorted(QUERIES["corpus_curriculum_order"](spark, SF_ORACLE).collect(),
+                   key=lambda r: r["curriculum_rank"])
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in again]
+
+
+def test_split_leakage_consistent_with_embedding_dedup(spark):
+    r = QUERIES["dq_split_leakage"](spark, SF_ORACLE).collect()[0]
+    assert r["n_train"] + r["n_test"] == 500
+    dups = QUERIES["dedup_embedding_exact"](spark, SF_ORACLE).collect()
+    n_multi = sum(1 for d in dups if d["n_copies"] > 1)
+    # leaked contents are necessarily duplicated contents
+    assert r["n_leaked_contents"] <= n_multi
