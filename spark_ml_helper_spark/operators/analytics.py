@@ -2244,3 +2244,49 @@ def events_mtbf(spark, sf_dir):
         ),
         F.round(F.percentile(user_mtbf, 0.5), 6).alias("p50_user_mtbf_hours"),
     )
+
+
+@query(
+    "orders_shipping_lag",
+    oracle="""
+        WITH lags AS (
+            SELECT o.o_orderpriority,
+                   date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)) AS lag_d
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(min(lag_d) AS BIGINT) AS min_lag_days,
+               round(quantile_cont(lag_d, 0.5), 6) AS p50_lag_days,
+               round(quantile_cont(lag_d, 0.9), 6) AS p90_lag_days,
+               CAST(max(lag_d) AS BIGINT) AS max_lag_days
+        FROM lags
+        GROUP BY o_orderpriority
+    """,
+    family="analytics",
+)
+def orders_shipping_lag(spark, sf_dir):
+    """Order-to-ship lag distribution per priority (min/p50/p90/max
+    days from order date to each line's ship date) — the fulfillment
+    SLA report that orders_aging_buckets' open-order view complements
+    (aging = what's still waiting; this = how long completed lines
+    took), and the fact-to-fact join shape (orders⋈lineitem on the
+    order key — the engine's bread-and-butter shuffle join, with AQE
+    free to broadcast if one side's filtered small). Lags are exact
+    integer days into exact-input percentile interpolation."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    lags = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("lag_d"),
+    )
+    return lags.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.min("lag_d").cast("bigint").alias("min_lag_days"),
+        F.round(F.percentile("lag_d", 0.5), 6).alias("p50_lag_days"),
+        F.round(F.percentile("lag_d", 0.9), 6).alias("p90_lag_days"),
+        F.max("lag_d").cast("bigint").alias("max_lag_days"),
+    )

@@ -915,3 +915,70 @@ def join_spatial_grid(spark, sf_dir):
             d2.cast("bigint").alias("dist2"),
         )
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+        WITH c AS (
+            SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+            FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+            SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+            FROM events WHERE event_type = 'purchase'
+        ),
+        ranked AS (
+            SELECT c.click_id, c.user_id, p.purchase_id, p.p_us, c.c_us,
+                   row_number() OVER (
+                       PARTITION BY c.click_id
+                       ORDER BY p.p_us ASC, p.purchase_id ASC
+                   ) AS rn
+            FROM c LEFT JOIN p
+              ON c.user_id = p.user_id AND p.p_us >= c.c_us
+        )
+        SELECT click_id, user_id, purchase_id,
+               CAST(CASE WHEN purchase_id IS NULL THEN NULL
+                    ELSE p_us - c_us END AS BIGINT) AS lead_us
+        FROM ranked WHERE rn = 1
+    """,
+    family="joins",
+)
+def join_asof_forward(spark, sf_dir):
+    """FORWARD as-of join (pandas merge_asof direction='forward'): for
+    each click, the same user's EARLIEST purchase at-or-after it —
+    the conversion-attribution direction, completing the as-of family
+    (join_asof = backward, join_asof_nearest = either side,
+    join_asof_tolerance = backward + staleness bound). Identical
+    user_id-shuffled composition with the inequality flipped and the
+    top-1 ranked ascending; clicks that never convert keep NULL (the
+    left join preserves them — dropping them silently is the classic
+    attribution bug). Exact integer micros."""
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", us.alias("c_us")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        us.alias("p_us"),
+    )
+    joined = c.join(
+        p, (c.user_id == p.p_user_id) & (p.p_us >= c.c_us), "left"
+    )
+    w = Window.partitionBy("click_id").orderBy(
+        F.asc("p_us"), F.asc("purchase_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "click_id",
+            "user_id",
+            "purchase_id",
+            F.when(F.col("purchase_id").isNull(), F.lit(None).cast("bigint"))
+            .otherwise(F.col("p_us") - F.col("c_us"))
+            .alias("lead_us"),
+        )
+    )

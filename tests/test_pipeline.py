@@ -2336,3 +2336,21 @@ def test_split_leakage_consistent_with_embedding_dedup(spark):
     n_multi = sum(1 for d in dups if d["n_copies"] > 1)
     # leaked contents are necessarily duplicated contents
     assert r["n_leaked_contents"] <= n_multi
+
+
+def test_forward_asof_symmetric_with_backward(spark):
+    fwd = QUERIES["join_asof_forward"](spark, SF_ORACLE).collect()
+    assert len(fwd) == 2006  # one row per click, never dropped
+    n_matched = sum(1 for r in fwd if r["purchase_id"] is not None)
+    assert 0 < n_matched < len(fwd)
+    for r in fwd:
+        if r["lead_us"] is not None:
+            assert r["lead_us"] >= 0
+
+
+def test_shipping_lag_ordered_percentiles(spark):
+    rows = QUERIES["orders_shipping_lag"](spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    assert sum(r["n_lines"] for r in rows) == 60000
+    for r in rows:
+        assert r["min_lag_days"] <= r["p50_lag_days"] <= r["p90_lag_days"] <= r["max_lag_days"]
