@@ -2290,3 +2290,64 @@ def orders_shipping_lag(spark, sf_dir):
         F.round(F.percentile("lag_d", 0.9), 6).alias("p90_lag_days"),
         F.max("lag_d").cast("bigint").alias("max_lag_days"),
     )
+
+
+@query(
+    "stats_power_mde",
+    oracle="""
+        WITH base AS (
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   round(var_samp(v), 6) AS sigma2
+            FROM (
+                SELECT user_id, round(avg(value), 6) AS v
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id
+            )
+        )
+        SELECT n_users, sigma2,
+               round(2.8016 * sqrt(2.0 * sigma2 / (n_users / 2.0)), 6)
+                   AS mde_current,
+               CAST(ceil(2 * 2.8016 * 2.8016 * sigma2
+                         / (0.05 * 0.05 * (SELECT round(avg(v) * avg(v), 4)
+                            FROM (SELECT user_id, round(avg(value), 6) AS v
+                                  FROM events WHERE event_type = 'purchase'
+                                  GROUP BY user_id))))
+                    AS BIGINT) AS n_per_arm_for_5pct
+        FROM base
+    """,
+    family="analytics",
+)
+def stats_power_mde(spark, sf_dir):
+    """Experiment power planning: the minimum detectable effect at
+    80% power / α=5% for a 50/50 split of the CURRENT user base
+    (MDE = (z₀.₀₂₅+z₀.₂)·√(2σ²/n_arm), 2.8016 = 1.96+0.8416), plus
+    the per-arm sample size a 5%-of-mean effect would need — the
+    "should we even run this test" calculator that belongs beside
+    stats_ab_test/stats_srm_check (most underpowered experiments
+    should never have launched). The unit of analysis is the USER
+    (per-user mean purchase value — randomization unit = analysis
+    unit, the cluster-randomization rule), σ² and the mean round
+    before the closed form so both engines compute identical doubles.
+    Two aggregates over the per-user frame; corpus-sized work is one
+    filtered scan."""
+    e = table(spark, sf_dir, "events")
+    per_user = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    base = per_user.agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.var_samp("v"), 6).alias("sigma2"),
+        F.round(F.avg("v") * F.avg("v"), 4).alias("mean_sq"),
+    )
+    mde = 2.8016 * F.sqrt(2.0 * F.col("sigma2") / (F.col("n_users") / 2.0))
+    n_needed = F.ceil(
+        2 * 2.8016 * 2.8016 * F.col("sigma2") / (0.05 * 0.05 * F.col("mean_sq"))
+    ).cast("bigint")
+    return base.select(
+        "n_users",
+        "sigma2",
+        F.round(mde, 6).alias("mde_current"),
+        n_needed.alias("n_per_arm_for_5pct"),
+    )

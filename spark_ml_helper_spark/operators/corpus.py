@@ -1221,3 +1221,64 @@ def corpus_curriculum_order(spark, sf_dir):
         .where(F.col("curriculum_rank") <= 100)
         .select("doc_id", "difficulty_band", "curriculum_rank")
     )
+
+
+@query(
+    "text_burstiness",
+    oracle="""
+        WITH per_doc AS (
+            SELECT doc_id, w, count(*) AS c
+            FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                  FROM documents)
+            GROUP BY doc_id, w
+        ),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        stats AS (
+            SELECT w,
+                   CAST(sum(c) AS BIGINT) AS tot,
+                   CAST(sum(c * c) AS BIGINT) AS tot2,
+                   CAST(count(*) AS BIGINT) AS df
+            FROM per_doc GROUP BY w
+        )
+        SELECT w AS term, tot AS n_occurrences, df AS n_docs_containing,
+               round((tot2 * 1.0 / n_docs
+                      - (tot * 1.0 / n_docs) * (tot * 1.0 / n_docs))
+                     / (tot * 1.0 / n_docs), 6) AS fano_factor
+        FROM stats CROSS JOIN nd
+    """,
+    family="corpus",
+)
+def text_burstiness(spark, sf_dir):
+    """Term burstiness via the Fano factor (variance-to-mean ratio of
+    per-document counts, zeros included): ≈1 means Poisson scatter
+    (function words), ≫1 means the term CLUMPS into few documents
+    (topical/bursty words) — the corpus-linguistics signal behind
+    stopword induction and topical-keyword mining that raw frequency
+    (text_wordcount) can't see. Computed from EXACT integer sufficient
+    statistics (Σc, Σc², df per term) with zero-count docs folded in
+    analytically (E[x]=Σc/N over ALL docs), so no dense doc×term
+    materialization ever exists — one explode + one vocabulary-keyed
+    agg + a 1-row broadcast, the text_wordcount plan shape exactly."""
+    d = table(spark, sf_dir, "documents")
+    per_doc = (
+        d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    nd = d.agg(F.count("*").alias("n_docs"))
+    stats = per_doc.groupBy("w").agg(
+        F.sum("c").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).alias("tot2"),
+        F.count("*").alias("df"),
+    )
+    mean = F.col("tot") * 1.0 / F.col("n_docs")
+    var = F.col("tot2") * 1.0 / F.col("n_docs") - mean * mean
+    return (
+        stats.join(F.broadcast(nd))
+        .select(
+            F.col("w").alias("term"),
+            F.col("tot").alias("n_occurrences"),
+            F.col("df").alias("n_docs_containing"),
+            F.round(var / mean, 6).alias("fano_factor"),
+        )
+    )

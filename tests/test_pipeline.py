@@ -1340,7 +1340,8 @@ _BNLJ_ALLOWED = {
     "events_survival_curve",
     "stats_bootstrap_ci", "stats_chi2", "stats_ks_test", "stats_ttest_welch",
     "vec_matryoshka_eval", "vec_pairwise_dist_hist", "vec_silhouette",
-    "pipeline_embedding_qc", "stats_srm_check",
+    "pipeline_embedding_qc", "stats_srm_check", "stats_power_mde",
+    "text_burstiness",
     "feature_class_weights", "feature_mutual_info",
     "feature_scale", "feature_target_encode", "feature_woe_iv",
     "funnel_ordered",
@@ -2354,3 +2355,21 @@ def test_shipping_lag_ordered_percentiles(spark):
     assert sum(r["n_lines"] for r in rows) == 60000
     for r in rows:
         assert r["min_lag_days"] <= r["p50_lag_days"] <= r["p90_lag_days"] <= r["max_lag_days"]
+
+
+def test_power_mde_scales_inverse_sqrt_n(spark):
+    import math
+
+    r = QUERIES["stats_power_mde"](spark, SF_ORACLE).collect()[0]
+    assert r["n_users"] > 100 and r["sigma2"] > 0
+    expect = 2.8016 * math.sqrt(2 * r["sigma2"] / (r["n_users"] / 2))
+    assert abs(r["mde_current"] - expect) < 1e-4
+    assert r["n_per_arm_for_5pct"] > 0
+
+
+def test_burstiness_fano_nonnegative_and_covers_vocab(spark):
+    rows = QUERIES["text_burstiness"](spark, SF_ORACLE).collect()
+    assert len(rows) == 31  # fixture vocabulary
+    for r in rows:
+        assert r["fano_factor"] >= 0
+        assert r["n_docs_containing"] <= 500
