@@ -624,3 +624,55 @@ def sink_zorder(spark, sf_dir):
     z = o.selectExpr("o_orderkey", f"CAST({_MORTON} AS BIGINT) AS zorder_key")
     z.sortWithinPartitions("zorder_key").write.mode("overwrite").parquet(out)
     return spark.read.parquet(out).select("o_orderkey", "zorder_key")
+
+
+@query(
+    "agg_ivm_merge",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(round(value, 6)), 4) AS sum_v,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY event_type
+    """,
+    family="scale",
+)
+def agg_ivm_merge(spark, sf_dir):
+    """Incremental view maintenance, PROVEN: the per-type aggregate is
+    computed as base (days 1-29) + delta (day 30) with the partial
+    states MERGED — counts add, sums add, distinct-user sets union via
+    re-aggregation of (type, user) keys — and the ORACLE is the full
+    recompute, so the hash match IS the IVM correctness proof
+    (merge(f(A), f(B)) = f(A ∪ B) for these mergeable aggregates).
+    This is the daily-pipeline pattern at 100 TB: never rescan
+    history, maintain partial states per day/partition and fold the
+    new day in (agg_incremental shows the partial-merge plan; this
+    shows the temporal split end-to-end). The distinct-count merge
+    must keep (type, user) grain until the final fold — a distinct
+    COUNT per side would be wrong, the classic IVM trap, which is why
+    the merge carries sets (or at scale, HLL sketches — mergeable by
+    design, agg_hll_sketch)."""
+    e = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-30").cast("date")
+    v6 = F.round("value", 6)
+    base_days = e.where(F.col("ts").cast("date") < cutoff)
+    delta_day = e.where(F.col("ts").cast("date") >= cutoff)
+
+    def partial(df):
+        # mergeable state: (type, user) grain with count/sum partials
+        return df.groupBy("event_type", "user_id").agg(
+            F.count("*").alias("pn"), F.sum(v6).alias("ps")
+        )
+
+    merged = partial(base_days).unionAll(partial(delta_day))
+    return (
+        merged.groupBy("event_type", "user_id")
+        .agg(F.sum("pn").alias("pn"), F.sum("ps").alias("ps"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.round(F.sum("ps"), 4).alias("sum_v"),
+            F.count("*").alias("n_users"),
+        )
+    )

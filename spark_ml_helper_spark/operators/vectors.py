@@ -1287,3 +1287,96 @@ def vec_silhouette(spark, sf_dir):
             F.round(F.avg(s), 6).alias("mean_silhouette"),
         )
     )
+
+
+@query(
+    "vec_energy_distance",
+    oracle=f"""
+        WITH samp AS (
+            SELECT vec_id, embedding,
+                   CAST(vec_id >= 250 AS INT) AS grp
+            FROM (
+                SELECT vec_id, embedding,
+                       row_number() OVER (
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                       ) AS rn
+                FROM embeddings
+            ) WHERE rn <= 200
+        ),
+        dists AS (
+            SELECT a.grp AS ga, b.grp AS gb,
+                   sqrt({_DUCK_SQDIST.format(a='a.embedding', b='b.embedding')})
+                       AS d
+            FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+        ),
+        means AS (
+            SELECT round(avg(CASE WHEN ga <> gb THEN d END), 8) AS m_xy,
+                   round(avg(CASE WHEN ga = 0 AND gb = 0 THEN d END), 8) AS m_xx,
+                   round(avg(CASE WHEN ga = 1 AND gb = 1 THEN d END), 8) AS m_yy,
+                   CAST(count(CASE WHEN ga <> gb THEN 1 END) AS BIGINT) AS n_xy
+            FROM dists
+        )
+        SELECT n_xy, m_xy, m_xx, m_yy,
+               round(2 * m_xy - m_xx - m_yy, 6) AS energy_distance
+        FROM means
+    """,
+    family="vectors",
+)
+def vec_energy_distance(spark, sf_dir):
+    """Two-sample ENERGY DISTANCE between embedding batches
+    (2·E|X−Y| − E|X−X'| − E|Y−Y'|, Székely's statistic — zero iff the
+    distributions match): the PROPER multivariate two-sample test
+    completing the drift toolkit (vec_centroid_drift sees mean shift
+    only; energy distance sees shape/scale/mode changes a centroid
+    can't). Groups are the same id-halves as the centroid monitor;
+    pairwise distances run over the deterministic md5 200-sample
+    (silhouette's bounded-quadratic discipline — energy statistics
+    are O(n²) by definition, so production = sampled estimate,
+    optionally permutation-tested by re-hashing group labels). The
+    three conditional means round at 8 dp before the final linear
+    combination — identical doubles, bit-stable verdicts."""
+    e = table(spark, sf_dir, "embeddings")
+    w = Window.orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id")
+    samp = (
+        e.select("vec_id", "embedding", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 200)
+        .select(
+            "vec_id", "embedding", (F.col("vec_id") >= 250).cast("int").alias("grp")
+        )
+    )
+    a = samp.select(
+        F.col("vec_id").alias("i"), F.col("embedding").alias("ea"), F.col("grp").alias("ga")
+    )
+    b = samp.select(
+        F.col("vec_id").alias("j"), F.col("embedding").alias("eb"), F.col("grp").alias("gb")
+    )
+    sqd = F.aggregate(
+        F.zip_with(
+            "ea", "eb", lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = a.join(F.broadcast(b), F.col("i") < F.col("j")).select(
+        "ga", "gb", F.sqrt(sqd).alias("d")
+    )
+    means = dists.agg(
+        F.round(F.avg(F.when(F.col("ga") != F.col("gb"), F.col("d"))), 8).alias("m_xy"),
+        F.round(
+            F.avg(F.when((F.col("ga") == 0) & (F.col("gb") == 0), F.col("d"))), 8
+        ).alias("m_xx"),
+        F.round(
+            F.avg(F.when((F.col("ga") == 1) & (F.col("gb") == 1), F.col("d"))), 8
+        ).alias("m_yy"),
+        F.count(F.when(F.col("ga") != F.col("gb"), 1)).alias("n_xy"),
+    )
+    return means.select(
+        "n_xy",
+        "m_xy",
+        "m_xx",
+        "m_yy",
+        F.round(2 * F.col("m_xy") - F.col("m_xx") - F.col("m_yy"), 6).alias(
+            "energy_distance"
+        ),
+    )

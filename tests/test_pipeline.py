@@ -1339,7 +1339,8 @@ _BNLJ_ALLOWED = {
     "events_heatmap_hour_dow",
     "events_survival_curve",
     "stats_bootstrap_ci", "stats_chi2", "stats_ks_test", "stats_ttest_welch",
-    "vec_matryoshka_eval", "vec_pairwise_dist_hist", "vec_silhouette",
+    "vec_energy_distance", "vec_matryoshka_eval", "vec_pairwise_dist_hist",
+    "vec_silhouette",
     "pipeline_embedding_qc", "stats_srm_check", "stats_power_mde",
     "text_burstiness",
     "feature_class_weights", "feature_mutual_info",
@@ -2373,3 +2374,27 @@ def test_burstiness_fano_nonnegative_and_covers_vocab(spark):
     for r in rows:
         assert r["fano_factor"] >= 0
         assert r["n_docs_containing"] <= 500
+
+
+def test_ivm_merge_equals_recompute(spark):
+    from spark_ml_helper_spark.sources.parquet import table
+    from pyspark.sql import functions as F
+
+    rows = {r["event_type"]: r for r in
+            QUERIES["agg_ivm_merge"](spark, SF_ORACLE).collect()}
+    truth = {r["event_type"]: r for r in
+             table(spark, SF_ORACLE, "events")
+             .groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.count_distinct("user_id").alias("n_users")).collect()}
+    for et, t in truth.items():
+        assert rows[et]["n"] == t["n"]
+        assert rows[et]["n_users"] == t["n_users"]
+
+
+def test_energy_distance_same_distribution_near_zero(spark):
+    r = QUERIES["vec_energy_distance"](spark, SF_ORACLE).collect()[0]
+    # both halves come from the same distribution: energy distance ~ 0,
+    # and far smaller than the typical pairwise distance scale
+    assert abs(r["energy_distance"]) < 0.1 * r["m_xy"]
+    assert r["m_xy"] > 0 and r["m_xx"] > 0 and r["m_yy"] > 0
