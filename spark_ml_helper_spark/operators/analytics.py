@@ -2351,3 +2351,71 @@ def stats_power_mde(spark, sf_dir):
         F.round(mde, 6).alias("mde_current"),
         n_needed.alias("n_per_arm_for_5pct"),
     )
+
+
+@query(
+    "orders_segment_migration",
+    oracle="""
+        WITH mid AS (SELECT TIMESTAMP '1998-01-01' AS cut),
+        spend AS (
+            SELECT o_custkey,
+                   CAST(o_orderdate < cut AS INT) AS era,
+                   CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS spend_c
+            FROM orders CROSS JOIN mid
+            GROUP BY o_custkey, era
+        ),
+        seg AS (
+            SELECT o_custkey, era,
+                   CASE WHEN ntile(3) OVER (
+                            PARTITION BY era ORDER BY spend_c, o_custkey
+                        ) = 3 THEN 'high'
+                        WHEN ntile(3) OVER (
+                            PARTITION BY era ORDER BY spend_c, o_custkey
+                        ) = 2 THEN 'mid'
+                        ELSE 'low' END AS segment
+            FROM spend
+        )
+        SELECT a.segment AS segment_before, b.segment AS segment_after,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM seg a JOIN seg b
+          ON a.o_custkey = b.o_custkey AND a.era = 1 AND b.era = 0
+        GROUP BY a.segment, b.segment
+    """,
+    family="analytics",
+)
+def orders_segment_migration(spark, sf_dir):
+    """Customer segment MIGRATION matrix: spend-tertile segment in the
+    early era (pre-1998) × segment in the late era, counting customers
+    per flow — the CRM question rfm_segments' snapshot can't answer
+    ("are high-value customers churning down or climbing?"); the 3×3
+    matrix is the whole story. Tertiles are fully tiebroken ntile over
+    (spend_cents, custkey) per era — exact integers, deterministic
+    membership (and the documented global-sort trade per era; at scale
+    use approx-percentile cutpoints exactly as feature_quantile_bucket
+    prescribes). One hash agg to (customer, era), two windows on that
+    reduced frame, one self-join on the customer key."""
+    o = table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    spend = o.groupBy(
+        "o_custkey", (F.col("o_orderdate") < cut).cast("int").alias("era")
+    ).agg(F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("spend_c"))
+    w = Window.partitionBy("era").orderBy("spend_c", "o_custkey")
+    seg = spend.select(
+        "o_custkey",
+        "era",
+        F.when(F.ntile(3).over(w) == 3, "high")
+        .when(F.ntile(3).over(w) == 2, "mid")
+        .otherwise("low")
+        .alias("segment"),
+    )
+    a = seg.where(F.col("era") == 1).select(
+        "o_custkey", F.col("segment").alias("segment_before")
+    )
+    b = seg.where(F.col("era") == 0).select(
+        F.col("o_custkey").alias("ck_b"), F.col("segment").alias("segment_after")
+    )
+    return (
+        a.join(b, a.o_custkey == b.ck_b)
+        .groupBy("segment_before", "segment_after")
+        .agg(F.count("*").alias("n_customers"))
+    )

@@ -1003,3 +1003,79 @@ def ts_max_drawdown(spark, sf_dir):
             F.max((F.col("peak_c") - F.col("equity_c")) * 1.0 / F.col("peak_c")), 6
         ).alias("max_drawdown_frac"),
     )
+
+
+@query(
+    "ts_seasonality_strength",
+    oracle="""
+        WITH hourly AS (
+            SELECT isodow(ts) AS dow, hour(ts) AS hr,
+                   date_trunc('hour', ts) AS cell,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2, 3
+        ),
+        prof AS (
+            SELECT dow, hr,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(count(*) AS BIGINT) AS nc
+            FROM hourly GROUP BY dow, hr
+        ),
+        tot AS (
+            SELECT CAST(sum(x) AS BIGINT) AS gx,
+                   CAST(count(*) AS BIGINT) AS gn
+            FROM hourly
+        ),
+        resid AS (
+            SELECT h.x,
+                   h.x - p.sx * 1.0 / p.nc AS e_seasonal,
+                   h.x - t.gx * 1.0 / t.gn AS e_mean
+            FROM hourly h
+            JOIN prof p ON h.dow = p.dow AND h.hr = p.hr
+            CROSS JOIN tot t
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               round(sum(e_mean * e_mean), 4) AS sst,
+               round(sum(e_seasonal * e_seasonal), 4) AS sse,
+               round(1.0 - sum(e_seasonal * e_seasonal)
+                         / sum(e_mean * e_mean), 6) AS seasonality_r2
+        FROM resid
+    """,
+    family="timeseries",
+)
+def ts_seasonality_strength(spark, sf_dir):
+    """Seasonality STRENGTH: the share of hourly-count variance
+    explained by the (weekday × hour) profile, R² = 1 − SSE/SST — the
+    single number that says whether seasonal models
+    (ts_backtest_seasonal, ts_seasonal_decompose) are worth their
+    complexity on this series (R² ≈ 0 → the profile is noise, use the
+    flat/naive baseline). Residuals are (exact int − identical
+    double) per cell; the sums of squares round at 4 dp and the ratio
+    divides values drifting ~1e-10 against a 1e-4 grid. One hash agg
+    to the hour grid, a 168-cell profile broadcast back, one fold —
+    the backtest's plan without the temporal split."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        (F.weekday("ts") + 1).alias("dow"),
+        F.hour("ts").alias("hr"),
+        F.date_trunc("hour", F.col("ts")).alias("cell"),
+    ).agg(F.count("*").alias("x"))
+    prof = hourly.groupBy("dow", "hr").agg(
+        F.sum("x").alias("sx"), F.count("*").alias("nc")
+    )
+    tot = hourly.agg(F.sum("x").alias("gx"), F.count("*").alias("gn"))
+    resid = (
+        hourly.join(F.broadcast(prof), ["dow", "hr"])
+        .join(F.broadcast(tot))
+        .select(
+            (F.col("x") - F.col("sx") * 1.0 / F.col("nc")).alias("e_seasonal"),
+            (F.col("x") - F.col("gx") * 1.0 / F.col("gn")).alias("e_mean"),
+        )
+    )
+    sse = F.sum(F.col("e_seasonal") * F.col("e_seasonal"))
+    sst = F.sum(F.col("e_mean") * F.col("e_mean"))
+    return resid.agg(
+        F.count("*").alias("n_cells"),
+        F.round(sst, 4).alias("sst"),
+        F.round(sse, 4).alias("sse"),
+        F.round(1.0 - sse / sst, 6).alias("seasonality_r2"),
+    )

@@ -2398,3 +2398,19 @@ def test_energy_distance_same_distribution_near_zero(spark):
     # and far smaller than the typical pairwise distance scale
     assert abs(r["energy_distance"]) < 0.1 * r["m_xy"]
     assert r["m_xy"] > 0 and r["m_xx"] > 0 and r["m_yy"] > 0
+
+
+def test_seasonality_r2_bounded(spark):
+    r = QUERIES["ts_seasonality_strength"](spark, SF_ORACLE).collect()[0]
+    assert r["n_cells"] == 720
+    assert 0.0 <= r["seasonality_r2"] <= 1.0
+    assert r["sse"] <= r["sst"] + 1e-6
+
+
+def test_segment_migration_matrix_complete(spark):
+    rows = QUERIES["orders_segment_migration"](spark, SF_ORACLE).collect()
+    total = sum(r["n_customers"] for r in rows)
+    segs = {"low", "mid", "high"}
+    assert {r["segment_before"] for r in rows} <= segs
+    assert {r["segment_after"] for r in rows} <= segs
+    assert total > 1000  # most customers order in both eras
