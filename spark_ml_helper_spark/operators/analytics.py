@@ -2419,3 +2419,97 @@ def orders_segment_migration(spark, sf_dir):
         .groupBy("segment_before", "segment_after")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+@query(
+    "stats_cuped",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   round(avg(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                                  THEN value END), 6) AS pre,
+                   round(avg(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                                  THEN value END), 6) AS post
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        both_sides AS (
+            SELECT pre, post FROM per_user
+            WHERE pre IS NOT NULL AND post IS NOT NULL
+        ),
+        m AS (
+            SELECT count(*) AS n,
+                   round(avg(pre), 8) AS mp,
+                   round(avg(post), 8) AS mq,
+                   round(avg(pre * pre), 7) AS mpp,
+                   round(avg(post * post), 7) AS mqq,
+                   round(avg(pre * post), 7) AS mpq
+            FROM both_sides
+        ),
+        c AS (
+            SELECT n,
+                   mpp - mp * mp AS var_pre,
+                   mqq - mq * mq AS var_post,
+                   mpq - mp * mq AS cov_pq
+            FROM m
+        )
+        SELECT CAST(n AS BIGINT) AS n_users,
+               round(cov_pq / var_pre, 6) AS theta,
+               round(var_post, 6) AS var_post,
+               round(var_post - cov_pq * cov_pq / var_pre, 6) AS var_cuped,
+               round(100.0 * (cov_pq * cov_pq / var_pre) / var_post, 6)
+                   AS var_reduction_pct
+        FROM c
+    """,
+    family="analytics",
+)
+def stats_cuped(spark, sf_dir):
+    """CUPED variance reduction (Deng et al.): adjust each user's
+    post-period metric by θ·(pre − mean_pre), θ = cov(pre,post)/
+    var(pre) — the industry-standard trick that shrinks experiment
+    variance by the pre-period's explanatory share (reduction =
+    ρ²·100%), letting the same experiment detect smaller effects or
+    finish sooner (stats_power_mde quantifies exactly how much
+    sooner). Computed entirely from ROUNDED power moments over the
+    per-user pre/post frame (the ml_linreg_normal discipline — both
+    engines fold identical doubles through the closed form); the
+    per-user frame itself is one conditional aggregate, user-keyed.
+    On this fixture pre and post are independent draws, so the
+    measured reduction is honestly near zero — the placebo reading
+    (asserted in tests), exactly what CUPED reports when the
+    covariate carries no signal."""
+    e = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("date")
+    per_user = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("ts").cast("date") < cut, F.col("value"))), 6
+            ).alias("pre"),
+            F.round(
+                F.avg(F.when(F.col("ts").cast("date") >= cut, F.col("value"))), 6
+            ).alias("post"),
+        )
+        .where(F.col("pre").isNotNull() & F.col("post").isNotNull())
+    )
+    m = per_user.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("pre"), 8).alias("mp"),
+        F.round(F.avg("post"), 8).alias("mq"),
+        F.round(F.avg(F.col("pre") * F.col("pre")), 7).alias("mpp"),
+        F.round(F.avg(F.col("post") * F.col("post")), 7).alias("mqq"),
+        F.round(F.avg(F.col("pre") * F.col("post")), 7).alias("mpq"),
+    )
+    var_pre = F.col("mpp") - F.col("mp") * F.col("mp")
+    var_post = F.col("mqq") - F.col("mq") * F.col("mq")
+    cov = F.col("mpq") - F.col("mp") * F.col("mq")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(cov / var_pre, 6).alias("theta"),
+        F.round(var_post, 6).alias("var_post"),
+        F.round(var_post - cov * cov / var_pre, 6).alias("var_cuped"),
+        F.round(100.0 * (cov * cov / var_pre) / var_post, 6).alias(
+            "var_reduction_pct"
+        ),
+    )

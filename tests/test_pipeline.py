@@ -2414,3 +2414,10 @@ def test_segment_migration_matrix_complete(spark):
     assert {r["segment_before"] for r in rows} <= segs
     assert {r["segment_after"] for r in rows} <= segs
     assert total > 1000  # most customers order in both eras
+
+
+def test_cuped_identities(spark):
+    r = QUERIES["stats_cuped"](spark, SF_ORACLE).collect()[0]
+    assert r["n_users"] > 100
+    assert 0 <= r["var_cuped"] <= r["var_post"] + 1e-9  # CUPED never hurts
+    assert 0 <= r["var_reduction_pct"] < 25.0  # placebo covariate: tiny gain
