@@ -1079,3 +1079,95 @@ def ts_seasonality_strength(spark, sf_dir):
         F.round(sse, 4).alias("sse"),
         F.round(1.0 - sse / sst, 6).alias("seasonality_r2"),
     )
+
+
+@query(
+    "ts_alert_persistence",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        win AS (
+            SELECT hr, x,
+                   count(*) OVER w AS n, sum(x) OVER w AS sx,
+                   sum(x * x) OVER w AS sxx
+            FROM hourly
+            WINDOW w AS (ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        ),
+        z AS (
+            SELECT hr, x,
+                   round((n * x - sx)
+                         / sqrt(n * (n * sxx - sx * sx) * 1.0 / (n - 1)),
+                         6) AS z
+            FROM win WHERE n = 24 AND (n * sxx - sx * sx) > 0
+        ),
+        anom AS (
+            SELECT hr, x, z,
+                   epoch(hr) // 3600
+                       - row_number() OVER (ORDER BY hr) AS anchor
+            FROM z WHERE abs(z) > 2.0
+        )
+        SELECT min(hr) AS alert_start,
+               max(hr) AS alert_end,
+               CAST(count(*) AS BIGINT) AS n_hours,
+               round(max(abs(z)), 6) AS peak_abs_z
+        FROM anom
+        GROUP BY anchor
+        HAVING count(*) >= 2
+    """,
+    family="timeseries",
+)
+def ts_alert_persistence(spark, sf_dir):
+    """Persistence-gated alerting: fire only when the trailing-window
+    z-score (ts_zscore_rolling's detector) stays beyond |z| > 2 for at
+    least TWO CONSECUTIVE HOURS, and emit each sustained episode as a
+    (start, end, duration, peak) alert row — the debounce rule that
+    separates pages worth waking someone for from single-sample
+    blips (the #1 alert-fatigue fix: require persistence, not
+    amplitude). Episodes come from the islands trick on the hour
+    index (consecutive anomalous hours share an anchor). The flag
+    tests the ROUNDED z; hour arithmetic is exact integers. Same
+    plan as the z-score detector plus one tiny grouped fold over the
+    anomalous subset."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count("*").alias("x")
+    )
+    w = Window.orderBy("hr").rowsBetween(-24, -1)
+    win = hourly.select(
+        "hr",
+        "x",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    var_n = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    z = win.where((F.col("n") == 24) & (var_n > 0)).select(
+        "hr",
+        "x",
+        F.round(
+            (F.col("n") * F.col("x") - F.col("sx"))
+            / F.sqrt(F.col("n") * var_n * 1.0 / (F.col("n") - 1)),
+            6,
+        ).alias("z"),
+    )
+    wr = Window.orderBy("hr")
+    anom = z.where(F.abs(F.col("z")) > 2.0).select(
+        "hr",
+        "z",
+        (
+            F.floor(F.unix_timestamp("hr") / 3600) - F.row_number().over(wr)
+        ).alias("anchor"),
+    )
+    return (
+        anom.groupBy("anchor")
+        .agg(
+            F.min("hr").alias("alert_start"),
+            F.max("hr").alias("alert_end"),
+            F.count("*").alias("n_hours"),
+            F.round(F.max(F.abs(F.col("z"))), 6).alias("peak_abs_z"),
+        )
+        .where(F.col("n_hours") >= 2)
+        .drop("anchor")
+    )

@@ -2421,3 +2421,19 @@ def test_cuped_identities(spark):
     assert r["n_users"] > 100
     assert 0 <= r["var_cuped"] <= r["var_post"] + 1e-9  # CUPED never hurts
     assert 0 <= r["var_reduction_pct"] < 25.0  # placebo covariate: tiny gain
+
+
+def test_alert_persistence_requires_consecutive_hours(spark):
+    import datetime
+
+    rows = QUERIES["ts_alert_persistence"](spark, SF_ORACLE).collect()
+    zs = {r["hr"]: r["z"] for r in
+          QUERIES["ts_zscore_rolling"](spark, SF_ORACLE).collect()}
+    for r in rows:
+        assert r["n_hours"] >= 2
+        span_h = int((r["alert_end"] - r["alert_start"]).total_seconds() // 3600)
+        assert span_h == r["n_hours"] - 1  # consecutive hours, no gaps
+        # every hour in the episode is genuinely anomalous
+        for k in range(r["n_hours"]):
+            hr = r["alert_start"] + datetime.timedelta(hours=k)
+            assert abs(zs[hr]) > 2.0
