@@ -1171,3 +1171,67 @@ def ts_alert_persistence(spark, sf_dir):
         .where(F.col("n_hours") >= 2)
         .drop("anchor")
     )
+
+
+@query(
+    "ts_seasonal_index",
+    oracle="""
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rev_c
+            FROM orders GROUP BY 1
+        ),
+        ma AS (
+            SELECT m, rev_c,
+                   CAST(count(*) OVER w AS BIGINT) AS n_win,
+                   CAST(sum(rev_c) OVER w AS BIGINT) AS sum_win
+            FROM monthly
+            WINDOW w AS (ORDER BY m ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+        ),
+        ratio AS (
+            SELECT CAST(month(m) AS INT) AS cal_month,
+                   round(rev_c * 1.0 * n_win / sum_win, 8) AS r
+            FROM ma WHERE n_win = 13
+        )
+        SELECT cal_month,
+               CAST(count(*) AS BIGINT) AS n_years,
+               round(avg(r), 6) AS seasonal_index
+        FROM ratio
+        GROUP BY cal_month
+    """,
+    family="timeseries",
+)
+def ts_seasonal_index(spark, sf_dir):
+    """Classical seasonal indices by RATIO-TO-MOVING-AVERAGE: each
+    month's revenue divided by its centered 13-month moving average,
+    averaged per calendar month across years — index > 1 marks the
+    high season, and dividing a forecast by these indices
+    deseasonalizes it (the decomposition method census bureaus used
+    before X-11, still the right first tool; ts_seasonal_decompose is
+    the additive sibling on the hourly grid). The moving average
+    carries EXACT integer (sum, count) window state — the ratio
+    r = rev·n/Σ is identical-double arithmetic, rounded at 8 dp
+    before the cross-year average. Edge months without a full window
+    are excluded by exact count (the standard treatment). One hash
+    agg to ~84 month rows; windows ride the reduced frame."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("m")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("rev_c")
+    )
+    w = Window.orderBy("m").rowsBetween(-6, 6)
+    ma = monthly.select(
+        "m",
+        "rev_c",
+        F.count("*").over(w).alias("n_win"),
+        F.sum("rev_c").over(w).alias("sum_win"),
+    )
+    ratio = ma.where(F.col("n_win") == 13).select(
+        F.month("m").cast("int").alias("cal_month"),
+        F.round(
+            F.col("rev_c") * 1.0 * F.col("n_win") / F.col("sum_win"), 8
+        ).alias("r"),
+    )
+    return ratio.groupBy("cal_month").agg(
+        F.count("*").alias("n_years"),
+        F.round(F.avg("r"), 6).alias("seasonal_index"),
+    )

@@ -2437,3 +2437,13 @@ def test_alert_persistence_requires_consecutive_hours(spark):
         for k in range(r["n_hours"]):
             hr = r["alert_start"] + datetime.timedelta(hours=k)
             assert abs(zs[hr]) > 2.0
+
+
+def test_seasonal_indices_average_near_one(spark):
+    rows = QUERIES["ts_seasonal_index"](spark, SF_ORACLE).collect()
+    assert len(rows) == 12
+    mean_idx = sum(r["seasonal_index"] for r in rows) / 12
+    assert abs(mean_idx - 1.0) < 0.05  # indices average to ~1 by construction
+    for r in rows:
+        assert 0.5 < r["seasonal_index"] < 2.0
+        assert r["n_years"] >= 4
