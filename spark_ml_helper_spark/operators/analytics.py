@@ -2513,3 +2513,83 @@ def stats_cuped(spark, sf_dir):
             "var_reduction_pct"
         ),
     )
+
+
+@query(
+    "stats_anova",
+    oracle="""
+        WITH g AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(o_totalprice), 6) AS m,
+                   round(avg(o_totalprice * o_totalprice), 2) AS m2
+            FROM orders GROUP BY o_orderpriority
+        ),
+        tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS nt,
+                   CAST(count(*) AS BIGINT) AS k,
+                   round(sum(n * m) / sum(n), 6) AS gm
+            FROM g
+        ),
+        ss AS (
+            SELECT nt, k,
+                   round(sum(n * (m - gm) * (m - gm)), 2) AS ssb,
+                   round(sum(n * (m2 - m * m)), 2) AS ssw
+            FROM g CROSS JOIN tot
+            GROUP BY nt, k, gm
+        )
+        SELECT CAST(k - 1 AS BIGINT) AS df_between,
+               CAST(nt - k AS BIGINT) AS df_within,
+               round((ssb / (k - 1)) / (ssw / (nt - k)), 6) AS f_stat,
+               round(ssb / (ssb + ssw), 6) AS eta_squared
+        FROM ss
+    """,
+    family="analytics",
+)
+def stats_anova(spark, sf_dir):
+    """One-way ANOVA across the five order priorities: F = between-
+    group variance over within-group variance, with η² effect size —
+    the k-group generalization closing the inference family
+    (stats_ttest_welch = 2 groups, this = k; chi2/KS cover categorical
+    and distributional axes). Built entirely from per-group ROUNDED
+    moments (n, mean, mean-square — the ml_linreg_normal discipline),
+    so the sums of squares and the F ratio are identical IEEE
+    arithmetic in both engines; the group frame is 5 rows, the grand
+    mean a weighted fold of it. One single-pass mergeable aggregate
+    over the corpus — the distributed-ANOVA shape at any scale. (The
+    fixture's priorities are assigned independently of price, so
+    F ≈ 1 and η² ≈ 0 — the true-null reading, asserted in tests.)"""
+    o = table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(x), 6).alias("m"),
+        F.round(F.avg(x * x), 2).alias("m2"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        F.count("*").alias("k"),
+        F.round(F.sum(F.col("n") * F.col("m")) / F.sum("n"), 6).alias("gm"),
+    )
+    ss = (
+        g.join(F.broadcast(tot))
+        .groupBy("nt", "k", "gm")
+        .agg(
+            F.round(
+                F.sum(F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))),
+                2,
+            ).alias("ssb"),
+            F.round(
+                F.sum(F.col("n") * (F.col("m2") - F.col("m") * F.col("m"))), 2
+            ).alias("ssw"),
+        )
+    )
+    return ss.select(
+        (F.col("k") - 1).cast("bigint").alias("df_between"),
+        (F.col("nt") - F.col("k")).cast("bigint").alias("df_within"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("nt") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias("eta_squared"),
+    )

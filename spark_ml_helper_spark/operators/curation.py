@@ -1100,3 +1100,60 @@ def dq_split_leakage(spark, sf_dir):
             "n_test_rows_leaked"
         ),
     )
+
+
+@query(
+    "dq_benford",
+    oracle="""
+        WITH digits AS (
+            SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS INT) AS d
+            FROM orders WHERE o_totalprice > 0
+        ),
+        counts AS (
+            SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d
+        ),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts)
+        SELECT d AS leading_digit, n,
+               round(n * 1.0 / t, 6) AS observed_freq,
+               round(log10(1.0 + 1.0 / d), 6) AS benford_freq,
+               round(n * 1.0 / t - log10(1.0 + 1.0 / d), 6) AS deviation
+        FROM counts CROSS JOIN tot
+    """,
+    family="curation",
+)
+def dq_benford(spark, sf_dir):
+    """Benford's-law audit on order totals: the leading-digit
+    distribution vs log10(1+1/d) — the forensic-accounting screen for
+    fabricated or tampered amounts (organic multiplicative data
+    follows Benford; invented numbers over-use middle digits). The
+    leading digit is extracted from the INTEGER CENTS STRING — no
+    float log/pow anywhere near the classification, so digit counts
+    are exact and bit-stable (scaling by 100 preserves the leading
+    digit); only the reference frequencies are (identical-constant)
+    float arithmetic. One map-side-combining agg on 9 keys + a 1-row
+    total broadcast. Caveat the docstring owes every user: Benford
+    applies to wide-dynamic-range organic data — bounded or assigned
+    quantities (IDs, prices from a fixed menu) legitimately deviate,
+    so deviations select WHAT TO INSPECT, never prove fraud."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            F.col("d").alias("leading_digit"),
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("t"), 6).alias("observed_freq"),
+            F.round(benford, 6).alias("benford_freq"),
+            F.round(F.col("n") * 1.0 / F.col("t") - benford, 6).alias("deviation"),
+        )
+    )

@@ -2447,3 +2447,20 @@ def test_seasonal_indices_average_near_one(spark):
     for r in rows:
         assert 0.5 < r["seasonal_index"] < 2.0
         assert r["n_years"] >= 4
+
+
+def test_benford_frequencies_partition(spark):
+    rows = QUERIES["dq_benford"](spark, SF_ORACLE).collect()
+    assert {r["leading_digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["observed_freq"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["benford_freq"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert abs(r["deviation"] - (r["observed_freq"] - r["benford_freq"])) < 1e-5
+
+
+def test_anova_true_null_small_f(spark):
+    r = QUERIES["stats_anova"](spark, SF_ORACLE).collect()[0]
+    assert r["df_between"] == 4
+    assert r["df_within"] == 15000 - 5
+    assert 0 <= r["eta_squared"] < 0.01  # priorities independent of price
+    assert r["f_stat"] >= 0
