@@ -2593,3 +2593,85 @@ def stats_anova(spark, sf_dir):
         ).alias("f_stat"),
         F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias("eta_squared"),
     )
+
+
+@query(
+    "events_hazard_rate",
+    oracle="""
+        WITH f AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events
+            GROUP BY user_id
+        ),
+        conv AS (
+            SELECT e.user_id,
+                   date_diff('day', f.d0, min(CAST(e.ts AS DATE))) AS conv_t
+            FROM events e JOIN f ON e.user_id = f.user_id
+            WHERE e.event_type = 'purchase'
+            GROUP BY e.user_id, f.d0
+        ),
+        horizon AS (SELECT max(CAST(ts AS DATE)) AS dmax FROM events),
+        spine AS (SELECT unnest(range(0, 15)) AS t),
+        risk AS (
+            SELECT s.t,
+                   CAST(count(*) AS BIGINT) AS n_at_risk,
+                   CAST(count(*) FILTER (WHERE c.conv_t = s.t) AS BIGINT)
+                       AS n_converted
+            FROM spine s
+            CROSS JOIN horizon h
+            JOIN f ON date_diff('day', f.d0, h.dmax) >= s.t
+            LEFT JOIN conv c ON c.user_id = f.user_id
+            WHERE c.conv_t IS NULL OR c.conv_t >= s.t
+            GROUP BY s.t
+        )
+        SELECT CAST(t AS BIGINT) AS t, n_at_risk, n_converted,
+               round(n_converted * 1.0 / n_at_risk, 6) AS hazard
+        FROM risk WHERE n_at_risk > 0
+    """,
+    family="analytics",
+)
+def events_hazard_rate(spark, sf_dir):
+    """Discrete-time conversion HAZARD: h(t) = P(first purchase on day
+    t | still unconverted and under observation at t) for offsets
+    0-14 from each user's first-seen day — the survival-analysis
+    proper view that events_survival_curve's descriptive S(t) can't
+    give (hazard tells you WHEN the conversion propensity peaks, with
+    censoring handled by the risk set: users whose observation window
+    ends before t simply leave the denominator, never biasing it —
+    the mistake naive "converted by day t" funnels make). Risk sets
+    are exact integer day comparisons over the per-user first/
+    conversion frame (150 rows here, |users| generally — the
+    corpus-sized work is the two first-event aggregates); the 15-day
+    spine explodes against it. Exact integer ratios."""
+    e = table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    conv = (
+        e.where(F.col("event_type") == "purchase")
+        .join(f, "user_id")
+        .groupBy("user_id", "d0")
+        .agg(
+            F.datediff(F.min(F.col("ts").cast("date")), F.first("d0")).alias("conv_t")
+        )
+        .select("user_id", "conv_t")
+    )
+    horizon = e.agg(F.max(F.col("ts").cast("date")).alias("dmax"))
+    spine = spark.range(0, 15).select(F.col("id").cast("bigint").alias("t"))
+    base = (
+        f.join(conv, "user_id", "left")
+        .join(F.broadcast(horizon))
+        .select("user_id", "d0", "conv_t", F.datediff("dmax", "d0").alias("obs_t"))
+    )
+    risk = (
+        base.join(F.broadcast(spine), F.col("obs_t") >= F.col("t"))
+        .where(F.col("conv_t").isNull() | (F.col("conv_t") >= F.col("t")))
+        .groupBy("t")
+        .agg(
+            F.count("*").alias("n_at_risk"),
+            F.count(F.when(F.col("conv_t") == F.col("t"), 1)).alias("n_converted"),
+        )
+    )
+    return risk.where(F.col("n_at_risk") > 0).select(
+        "t",
+        "n_at_risk",
+        "n_converted",
+        F.round(F.col("n_converted") * 1.0 / F.col("n_at_risk"), 6).alias("hazard"),
+    )

@@ -1336,7 +1336,7 @@ _BNLJ_ALLOWED = {
     "corpus_decontaminate_semantic", "corpus_mix_weights",
     "dedup_containment", "dedup_embedding", "dedup_ngram",
     "events_active_users", "events_growth_accounting",
-    "events_heatmap_hour_dow",
+    "events_hazard_rate", "events_heatmap_hour_dow",
     "events_survival_curve",
     "stats_bootstrap_ci", "stats_chi2", "stats_ks_test", "stats_ttest_welch",
     "vec_energy_distance", "vec_matryoshka_eval", "vec_pairwise_dist_hist",
@@ -2464,3 +2464,14 @@ def test_anova_true_null_small_f(spark):
     assert r["df_within"] == 15000 - 5
     assert 0 <= r["eta_squared"] < 0.01  # priorities independent of price
     assert r["f_stat"] >= 0
+
+
+def test_hazard_rate_risk_sets_shrink(spark):
+    rows = sorted(QUERIES["events_hazard_rate"](spark, SF_ORACLE).collect(),
+                  key=lambda r: r["t"])
+    assert rows[0]["t"] == 0
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_at_risk"] <= a["n_at_risk"]  # risk set only shrinks
+    for r in rows:
+        assert 0.0 <= r["hazard"] <= 1.0
+        assert r["n_converted"] <= r["n_at_risk"]
