@@ -1338,7 +1338,8 @@ _BNLJ_ALLOWED = {
     "events_active_users", "events_growth_accounting",
     "events_hazard_rate", "events_heatmap_hour_dow",
     "events_survival_curve",
-    "stats_bootstrap_ci", "stats_chi2", "stats_ks_test", "stats_ttest_welch",
+    "stats_anova", "stats_bootstrap_ci", "stats_chi2", "stats_ks_test",
+    "stats_ttest_welch", "ts_seasonality_strength",
     "vec_energy_distance", "vec_matryoshka_eval", "vec_pairwise_dist_hist",
     "vec_silhouette",
     "pipeline_embedding_qc", "stats_srm_check", "stats_power_mde",
