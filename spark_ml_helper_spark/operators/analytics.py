@@ -2675,3 +2675,71 @@ def events_hazard_rate(spark, sf_dir):
         "n_converted",
         F.round(F.col("n_converted") * 1.0 / F.col("n_at_risk"), 6).alias("hazard"),
     )
+
+
+@query(
+    "orders_return_rate",
+    oracle="""
+        WITH lines AS (
+            SELECT o.o_orderpriority,
+                   CAST(l.l_returnflag = 'R' AS INT) AS is_return,
+                   CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_c
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        tot AS (
+            SELECT CAST(sum(is_return) AS BIGINT) AS r_all,
+                   CAST(count(*) AS BIGINT) AS n_all
+            FROM lines
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(is_return) AS BIGINT) AS n_returned,
+               round(sum(is_return) * 1.0 / count(*), 6) AS return_rate,
+               round((sum(is_return) * 1.0 / count(*))
+                     / (r_all * 1.0 / n_all), 6) AS lift_vs_global,
+               round(sum(CASE WHEN is_return = 1 THEN price_c ELSE 0 END)
+                     / 100.0, 2) AS returned_value
+        FROM lines CROSS JOIN tot
+        GROUP BY o_orderpriority, r_all, n_all
+    """,
+    family="analytics",
+)
+def orders_return_rate(spark, sf_dir):
+    """Return-rate scoreboard per priority: share of lineitems flagged
+    'R', the lift against the global base rate, and the returned
+    value — the retail quality metric that triages "who's sending
+    things back and how much it costs" (lift ≈ 1 everywhere means
+    returns are priority-independent — this fixture's truth, which is
+    itself the useful placebo reading). One fact⋈fact equi-join on
+    the order key (orders_shipping_lag's shape), one hash agg, the
+    global base as a 1-row broadcast. Counts and cents exact; rates
+    are exact-integer ratios."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        (F.col("l_returnflag") == "R").cast("int").alias("is_return"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+    )
+    tot = lines.agg(
+        F.sum("is_return").alias("r_all"), F.count("*").alias("n_all")
+    )
+    rate = F.sum("is_return") * 1.0 / F.count("*")
+    return (
+        lines.join(F.broadcast(tot))
+        .groupBy("o_orderpriority", "r_all", "n_all")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("is_return").alias("n_returned"),
+            F.round(rate, 6).alias("return_rate"),
+            F.round(rate / (F.col("r_all") * 1.0 / F.col("n_all")), 6).alias(
+                "lift_vs_global"
+            ),
+            F.round(
+                F.sum(F.when(F.col("is_return") == 1, F.col("price_c")).otherwise(0))
+                / 100.0,
+                2,
+            ).alias("returned_value"),
+        )
+        .drop("r_all", "n_all")
+    )

@@ -2476,3 +2476,12 @@ def test_hazard_rate_risk_sets_shrink(spark):
     for r in rows:
         assert 0.0 <= r["hazard"] <= 1.0
         assert r["n_converted"] <= r["n_at_risk"]
+
+
+def test_return_rate_lift_averages_to_one(spark):
+    rows = QUERIES["orders_return_rate"](spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    total = sum(r["n_lines"] for r in rows)
+    assert total == 60000
+    weighted_lift = sum(r["lift_vs_global"] * r["n_lines"] for r in rows) / total
+    assert abs(weighted_lift - 1.0) < 0.01
