@@ -2743,3 +2743,104 @@ def orders_return_rate(spark, sf_dir):
         )
         .drop("r_all", "n_all")
     )
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts_us,
+                   CASE WHEN lag(ts_us) OVER w IS NULL
+                             OR ts_us - lag(ts_us) OVER w >= 600000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ),
+        sess AS (
+            SELECT user_id,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts_us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS seq,
+                   ts_us
+            FROM flagged
+        ),
+        intervals AS (
+            SELECT CAST(min(ts_us) AS BIGINT) AS s_us,
+                   CAST(max(ts_us) AS BIGINT) AS e_us
+            FROM sess GROUP BY user_id, seq
+        ),
+        deltas AS (
+            SELECT s_us AS t, 1 AS delta FROM intervals
+            UNION ALL
+            SELECT e_us AS t, -1 FROM intervals
+        ),
+        sweep AS (
+            SELECT t, delta,
+                   CAST(sum(delta) OVER (
+                       ORDER BY t, delta
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS load
+            FROM deltas
+        )
+        SELECT CAST(max(load) AS BIGINT) AS peak_concurrent,
+               CAST(min(CASE WHEN load = (SELECT max(load) FROM sweep)
+                             THEN t END) AS BIGINT) AS first_peak_us,
+               CAST(count(*) / 2 AS BIGINT) AS n_sessions
+        FROM sweep
+    """,
+    family="analytics",
+)
+def events_peak_concurrency(spark, sf_dir):
+    """Peak concurrent sessions via the SWEEP LINE: explode each
+    session interval (win_sessionize's gap rule) into (+1 at start,
+    −1 at end) deltas, running-sum over the time-sorted delta stream,
+    take the max — the capacity-planning number ("how many sessions
+    were open AT ONCE") that per-hour counts systematically
+    understate. The tie rule is pinned IN THE SORT KEY (t, delta):
+    a session ending at instant T closes before one starting at T
+    opens, so touching intervals don't double-count — an explicitly
+    deterministic convention both engines share. Exact integer micros
+    and deltas; the sweep is a global sort of 2×|sessions| rows (the
+    reduced frame — agg_gini's trade; at scale, sweep per
+    range-partition and stitch boundary offsets, the standard
+    distributed sweep-line)."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) >= 600_000_000),
+            1,
+        ).otherwise(0),
+    )
+    wsum = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = flagged.select(
+        "user_id", "ts_us", F.sum("is_new").over(wsum).alias("seq")
+    )
+    intervals = sess.groupBy("user_id", "seq").agg(
+        F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us")
+    )
+    deltas = intervals.select(
+        F.col("s_us").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(intervals.select(F.col("e_us").alias("t"), F.lit(-1).alias("delta")))
+    wsweep = Window.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    sweep = deltas.select("t", "delta", F.sum("delta").over(wsweep).alias("load"))
+    peak = sweep.agg(F.max("load").alias("peak"))
+    return (
+        sweep.join(F.broadcast(peak))
+        .agg(
+            F.max("load").alias("peak_concurrent"),
+            F.min(F.when(F.col("load") == F.col("peak"), F.col("t")))
+            .cast("bigint")
+            .alias("first_peak_us"),
+            (F.count("*") / 2).cast("bigint").alias("n_sessions"),
+        )
+    )

@@ -1337,6 +1337,7 @@ _BNLJ_ALLOWED = {
     "dedup_containment", "dedup_embedding", "dedup_ngram",
     "events_active_users", "events_growth_accounting",
     "events_hazard_rate", "events_heatmap_hour_dow",
+    "events_peak_concurrency",
     "events_survival_curve",
     "stats_anova", "stats_bootstrap_ci", "stats_chi2", "stats_ks_test",
     "stats_ttest_welch", "ts_seasonality_strength",
@@ -2485,3 +2486,11 @@ def test_return_rate_lift_averages_to_one(spark):
     assert total == 60000
     weighted_lift = sum(r["lift_vs_global"] * r["n_lines"] for r in rows) / total
     assert abs(weighted_lift - 1.0) < 0.01
+
+
+def test_peak_concurrency_bounded_by_sessions_and_users(spark):
+    r = QUERIES["events_peak_concurrency"](spark, SF_ORACLE).collect()[0]
+    n_native = QUERIES["win_session_native"](spark, SF_ORACLE).count()
+    assert r["n_sessions"] == n_native
+    assert 1 <= r["peak_concurrent"] <= 150  # can't exceed user count
+    assert r["first_peak_us"] > 0
