@@ -1337,7 +1337,7 @@ _BNLJ_ALLOWED = {
     "dedup_containment", "dedup_embedding", "dedup_ngram",
     "events_active_users", "events_growth_accounting",
     "events_hazard_rate", "events_heatmap_hour_dow",
-    "events_peak_concurrency",
+    "events_peak_concurrency", "orders_return_rate",
     "events_survival_curve",
     "stats_anova", "stats_bootstrap_ci", "stats_chi2", "stats_ks_test",
     "stats_ttest_welch", "ts_seasonality_strength",
