@@ -1282,3 +1282,62 @@ def text_burstiness(spark, sf_dir):
             F.round(var / mean, 6).alias("fano_factor"),
         )
     )
+
+
+@query(
+    "text_heaps_law",
+    oracle="""
+        WITH pts AS (
+            SELECT cap,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS v_types
+            FROM (
+                SELECT cap.cap, t.w, count(*) AS c
+                FROM (SELECT unnest([50, 100, 200, 300, 400, 500]) AS cap) cap
+                JOIN (
+                    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                    FROM documents
+                ) t ON t.doc_id < cap.cap
+                GROUP BY cap.cap, t.w
+            )
+            GROUP BY cap
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_points,
+               round(regr_slope(ln(v_types), ln(n_tokens)), 4) AS heaps_beta,
+               round(exp(regr_intercept(ln(v_types), ln(n_tokens))), 4)
+                   AS heaps_k,
+               round(regr_r2(ln(v_types), ln(n_tokens)), 4) AS r2
+        FROM pts
+    """,
+    family="corpus",
+)
+def text_heaps_law(spark, sf_dir):
+    """Heaps'-law fit: vocabulary growth V(n) ≈ K·n^β measured at six
+    corpus prefixes (docs < 50, 100, …, 500) and fitted log-log —
+    text_zipf's companion law, and the projection a data team
+    actually uses ("how big does the tokenizer vocab get at 10× the
+    corpus?" → V(10n)/V(n) ≈ 10^β). On this closed-vocabulary
+    synthetic fixture β ≈ 0 (V saturates at 31) — itself the
+    diagnostic reading: sublinear-β corpora are vocabulary-saturated,
+    real web text runs β ≈ 0.5. Each prefix point is one
+    (cap × token) aggregate over the prefix join; counts are exact
+    and the 6-point regression uses both engines' regr_* at 4 dp
+    (text_zipf's documented tolerance). At 100 TB the prefixes come
+    from cumulative daily vocab snapshots, not re-scans."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+    caps = spark.createDataFrame([(c,) for c in [50, 100, 200, 300, 400, 500]], "cap bigint")
+    pts = (
+        toks.join(F.broadcast(caps), F.col("doc_id") < F.col("cap"))
+        .groupBy("cap", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("cap")
+        .agg(F.sum("c").alias("n_tokens"), F.count("*").alias("v_types"))
+    )
+    lv, ln_ = F.log("v_types"), F.log("n_tokens")
+    return pts.agg(
+        F.count("*").alias("n_points"),
+        F.round(F.regr_slope(lv, ln_), 4).alias("heaps_beta"),
+        F.round(F.exp(F.regr_intercept(lv, ln_)), 4).alias("heaps_k"),
+        F.round(F.regr_r2(lv, ln_), 4).alias("r2"),
+    )

@@ -663,3 +663,57 @@ def feature_crossed(spark, sf_dir):
     return c.select(
         "c_custkey", "c_nationkey", "c_mktsegment", bucket.alias("cross_bucket")
     )
+
+
+@query(
+    "ml_kfold_assign",
+    oracle="""
+        WITH folds AS (
+            SELECT (('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 5) AS fold,
+                   label
+            FROM embeddings
+        )
+        SELECT CAST(fold AS BIGINT) AS fold,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+               round(count(*) * 1.0
+                     / (SELECT count(*) FROM embeddings), 6) AS fold_share
+        FROM folds
+        GROUP BY fold
+    """,
+    family="mlprep",
+)
+def ml_kfold_assign(spark, sf_dir):
+    """Deterministic k-fold assignment (md5(id) mod 5) with the fold
+    balance report — the auditable version of cross-validation's
+    split step (ml_cross_validate runs MLlib's internal CV; this
+    exposes WHICH rows land where so folds are reproducible across
+    engines, runs, and team members — the same hash discipline as
+    train_test_split, extended to k partitions). The report per fold
+    (size, share, label coverage) is what you eyeball before trusting
+    CV numbers: a fold missing a label invalidates stratified
+    metrics. Map-only assignment + one hash agg; at 100 TB each
+    fold's train set is a ≠-fold filter on the same scan — no
+    materialized copies."""
+    e = table(spark, sf_dir, "embeddings")
+    fold = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(5),
+    )
+    folds = e.select(fold.alias("fold"), "label")
+    tot = e.agg(F.count("*").alias("t"))
+    return (
+        folds.groupBy("fold")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("label").alias("n_labels"),
+        )
+        .join(F.broadcast(tot))
+        .withColumn("fold_share", F.round(F.col("n_rows") * 1.0 / F.col("t"), 6))
+        .drop("t")
+    )

@@ -1344,7 +1344,7 @@ _BNLJ_ALLOWED = {
     "vec_energy_distance", "vec_matryoshka_eval", "vec_pairwise_dist_hist",
     "vec_silhouette",
     "pipeline_embedding_qc", "stats_srm_check", "stats_power_mde",
-    "text_burstiness",
+    "text_burstiness", "text_heaps_law", "ml_kfold_assign",
     "feature_class_weights", "feature_mutual_info",
     "feature_scale", "feature_target_encode", "feature_woe_iv",
     "funnel_ordered",
@@ -2494,3 +2494,19 @@ def test_peak_concurrency_bounded_by_sessions_and_users(spark):
     assert r["n_sessions"] == n_native
     assert 1 <= r["peak_concurrent"] <= 150  # can't exceed user count
     assert r["first_peak_us"] > 0
+
+
+def test_kfold_assignment_balanced_and_exhaustive(spark):
+    rows = QUERIES["ml_kfold_assign"](spark, SF_ORACLE).collect()
+    assert {r["fold"] for r in rows} == set(range(5))
+    assert sum(r["n_rows"] for r in rows) == 500
+    for r in rows:
+        assert 0.1 < r["fold_share"] < 0.3  # roughly balanced md5 split
+        assert r["n_labels"] >= 8  # every fold sees most labels
+
+
+def test_heaps_beta_saturated_vocab(spark):
+    r = QUERIES["text_heaps_law"](spark, SF_ORACLE).collect()[0]
+    assert r["n_points"] == 6
+    # 31-token closed vocabulary: growth exponent ~ 0
+    assert -0.05 <= r["heaps_beta"] <= 0.1
