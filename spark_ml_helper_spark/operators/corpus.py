@@ -1302,12 +1302,22 @@ def text_burstiness(spark, sf_dir):
             )
             GROUP BY cap
         )
-        SELECT CAST(count(*) AS BIGINT) AS n_points,
-               round(regr_slope(ln(v_types), ln(n_tokens)), 4) AS heaps_beta,
-               round(exp(regr_intercept(ln(v_types), ln(n_tokens))), 4)
+        , m AS (
+            SELECT count(*) AS np,
+                   round(avg(ln(n_tokens)), 10) AS mx,
+                   round(avg(ln(v_types)), 10) AS my,
+                   round(avg(ln(n_tokens) * ln(n_tokens)), 9) AS mxx,
+                   round(avg(ln(n_tokens) * ln(v_types)), 9) AS mxy,
+                   round(avg(ln(v_types) * ln(v_types)), 9) AS myy
+            FROM pts
+        )
+        SELECT CAST(np AS BIGINT) AS n_points,
+               round((mxy - mx * my) / (mxx - mx * mx), 4) AS heaps_beta,
+               round(exp(my - (mxy - mx * my) / (mxx - mx * mx) * mx), 4)
                    AS heaps_k,
-               round(regr_r2(ln(v_types), ln(n_tokens)), 4) AS r2
-        FROM pts
+               round((mxy - mx * my) * (mxy - mx * my)
+                     / ((mxx - mx * mx) * (myy - my * my)), 4) AS r2
+        FROM m
     """,
     family="corpus",
 )
@@ -1321,9 +1331,13 @@ def text_heaps_law(spark, sf_dir):
     diagnostic reading: sublinear-β corpora are vocabulary-saturated,
     real web text runs β ≈ 0.5. Each prefix point is one
     (cap × token) aggregate over the prefix join; counts are exact
-    and the 6-point regression uses both engines' regr_* at 4 dp
-    (text_zipf's documented tolerance). At 100 TB the prefixes come
-    from cumulative daily vocab snapshots, not re-scans."""
+    and the 6-point regression is solved in CLOSED FORM from rounded
+    moments (regr_slope over a multi-partition frame proved
+    RUN-TO-RUN flaky at round(,4) — Spark's partial-merge order
+    varies per run; the rounded-moment solve is the
+    ml_linreg_normal discipline that removes the order dependence
+    entirely). At 100 TB the prefixes come from cumulative daily
+    vocab snapshots, not re-scans."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
     caps = spark.createDataFrame([(c,) for c in [50, 100, 200, 300, 400, 500]], "cap bigint")
@@ -1334,10 +1348,29 @@ def text_heaps_law(spark, sf_dir):
         .groupBy("cap")
         .agg(F.sum("c").alias("n_tokens"), F.count("*").alias("v_types"))
     )
-    lv, ln_ = F.log("v_types"), F.log("n_tokens")
-    return pts.agg(
-        F.count("*").alias("n_points"),
-        F.round(F.regr_slope(lv, ln_), 4).alias("heaps_beta"),
-        F.round(F.exp(F.regr_intercept(lv, ln_)), 4).alias("heaps_k"),
-        F.round(F.regr_r2(lv, ln_), 4).alias("r2"),
+    lv, lx = F.log("v_types"), F.log("n_tokens")
+    m = pts.agg(
+        F.count("*").alias("np"),
+        F.round(F.avg(lx), 10).alias("mx"),
+        F.round(F.avg(lv), 10).alias("my"),
+        F.round(F.avg(lx * lx), 9).alias("mxx"),
+        F.round(F.avg(lx * lv), 9).alias("mxy"),
+        F.round(F.avg(lv * lv), 9).alias("myy"),
+    )
+    slope = (F.col("mxy") - F.col("mx") * F.col("my")) / (
+        F.col("mxx") - F.col("mx") * F.col("mx")
+    )
+    return m.select(
+        F.col("np").cast("bigint").alias("n_points"),
+        F.round(slope, 4).alias("heaps_beta"),
+        F.round(F.exp(F.col("my") - slope * F.col("mx")), 4).alias("heaps_k"),
+        F.round(
+            (F.col("mxy") - F.col("mx") * F.col("my"))
+            * (F.col("mxy") - F.col("mx") * F.col("my"))
+            / (
+                (F.col("mxx") - F.col("mx") * F.col("mx"))
+                * (F.col("myy") - F.col("my") * F.col("my"))
+            ),
+            4,
+        ).alias("r2"),
     )
