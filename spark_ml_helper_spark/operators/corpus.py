@@ -1500,3 +1500,87 @@ def corpus_trigram_lm(spark, sf_dir):
         F.round(F.sum("lp"), 4).alias("total_logscore"),
         F.round(F.sum("lp") / F.count("*"), 6).alias("avg_logscore"),
     )
+
+
+@query(
+    "corpus_filter_ablation",
+    oracle="""
+        WITH flags AS (
+            SELECT doc_id,
+                   CAST(len(string_split(lower(text), ' ')) < 20 AS INT)
+                       AS f_short,
+                   CAST(len(list_distinct(string_split(lower(text), ' ')))
+                        * 1.0 / len(string_split(lower(text), ' ')) < 0.35
+                        AS INT) AS f_repetitive,
+                   CAST(n_chars > 450 AS INT) AS f_too_long,
+                   CAST(lang NOT IN ('en', 'de', 'fr') AS INT) AS f_lang
+            FROM documents
+        ),
+        per_filter AS (
+            SELECT 1 AS ord, 'short' AS filter,
+                   CAST(sum(f_short) AS BIGINT) AS n_flagged_alone,
+                   CAST(sum(CAST(f_short = 1 AS INT)) AS BIGINT) AS n_cum
+            FROM flags
+            UNION ALL
+            SELECT 2, 'repetitive', CAST(sum(f_repetitive) AS BIGINT),
+                   CAST(sum(CAST(f_short = 1 OR f_repetitive = 1 AS INT)) AS BIGINT)
+            FROM flags
+            UNION ALL
+            SELECT 3, 'too_long', CAST(sum(f_too_long) AS BIGINT),
+                   CAST(sum(CAST(f_short = 1 OR f_repetitive = 1
+                                 OR f_too_long = 1 AS INT)) AS BIGINT)
+            FROM flags
+            UNION ALL
+            SELECT 4, 'lang', CAST(sum(f_lang) AS BIGINT),
+                   CAST(sum(CAST(f_short = 1 OR f_repetitive = 1
+                                 OR f_too_long = 1 OR f_lang = 1 AS INT)) AS BIGINT)
+            FROM flags
+        )
+        SELECT CAST(ord AS BIGINT) AS stack_order, filter,
+               n_flagged_alone, n_cum AS n_removed_cumulative
+        FROM per_filter
+    """,
+    family="corpus",
+)
+def corpus_filter_ablation(spark, sf_dir):
+    """Curation-filter ABLATION table: for each quality filter (short,
+    repetitive, over-long, off-language), how many documents it flags
+    ALONE and how many the stacked pipeline has removed once it is
+    applied — the overlap analysis behind every filter-tuning
+    decision (a filter whose alone-count is high but whose marginal
+    cumulative contribution is ~0 is redundant with earlier filters
+    and can be dropped; pipeline_curate applies the stack, this
+    explains it). One scan computes all flags, then four exact
+    conditional sums over the same tiny flag frame — adding a filter
+    to the analysis is one more column, not one more scan. All
+    integers; thresholds sit on exact token/char counts."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), " ")
+    flags = d.select(
+        (F.size(w) < 20).cast("int").alias("f_short"),
+        (F.size(F.array_distinct(w)) * 1.0 / F.size(w) < 0.35)
+        .cast("int")
+        .alias("f_repetitive"),
+        (F.col("n_chars") > 450).cast("int").alias("f_too_long"),
+        (~F.col("lang").isin("en", "de", "fr")).cast("int").alias("f_lang"),
+    )
+    f1, f2, f3, f4 = (F.col(c) == 1 for c in ["f_short", "f_repetitive", "f_too_long", "f_lang"])
+    rows = [
+        (1, "short", F.sum("f_short"), F.sum(f1.cast("int"))),
+        (2, "repetitive", F.sum("f_repetitive"), F.sum((f1 | f2).cast("int"))),
+        (3, "too_long", F.sum("f_too_long"), F.sum((f1 | f2 | f3).cast("int"))),
+        (4, "lang", F.sum("f_lang"), F.sum((f1 | f2 | f3 | f4).cast("int"))),
+    ]
+    parts = [
+        flags.agg(
+            F.lit(o).cast("bigint").alias("stack_order"),
+            F.lit(nm).alias("filter"),
+            alone.alias("n_flagged_alone"),
+            cum.alias("n_removed_cumulative"),
+        )
+        for o, nm, alone, cum in rows
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

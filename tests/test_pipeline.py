@@ -2522,3 +2522,15 @@ def test_trigram_lm_scores_negative_and_cover_docs(spark):
     bi = {r["doc_id"]: r for r in
           QUERIES["corpus_bigram_lm"](spark, SF_ORACLE).collect()}
     assert len(bi) == 500
+
+
+def test_filter_ablation_cumulative_monotone(spark):
+    rows = sorted(QUERIES["corpus_filter_ablation"](spark, SF_ORACLE).collect(),
+                  key=lambda r: r["stack_order"])
+    assert [r["filter"] for r in rows] == ["short", "repetitive", "too_long", "lang"]
+    prev = 0
+    for r in rows:
+        assert r["n_removed_cumulative"] >= prev  # stacking never un-removes
+        assert r["n_removed_cumulative"] >= r["n_flagged_alone"] or r["stack_order"] == 1
+        prev = r["n_removed_cumulative"]
+    assert rows[-1]["n_removed_cumulative"] <= 500
