@@ -2534,3 +2534,15 @@ def test_filter_ablation_cumulative_monotone(spark):
         assert r["n_removed_cumulative"] >= r["n_flagged_alone"] or r["stack_order"] == 1
         prev = r["n_removed_cumulative"]
     assert rows[-1]["n_removed_cumulative"] <= 500
+
+
+def test_learning_curve_nested_and_converging(spark):
+    rows = sorted(QUERIES["ml_learning_curve"](spark, SF_ORACLE).collect(),
+                  key=lambda r: r["train_pct"])
+    assert [r["train_pct"] for r in rows] == [10, 25, 50, 100]
+    ns = [r["n_train"] for r in rows]
+    assert ns == sorted(ns) and ns[-1] == 60000  # nested md5 subsets
+    full = rows[-1]["r2_on_full"]
+    for r in rows:
+        # any subset fit scores at most the full fit (OLS optimality on full)
+        assert r["r2_on_full"] <= full + 1e-9
