@@ -2844,3 +2844,68 @@ def events_peak_concurrency(spark, sf_dir):
             (F.count("*") / 2).cast("bigint").alias("n_sessions"),
         )
     )
+
+
+@query(
+    "events_new_vs_returning",
+    oracle="""
+        WITH f AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events
+            GROUP BY user_id
+        ),
+        p AS (
+            SELECT CAST(e.ts AS DATE) AS d,
+                   CAST(CAST(e.ts AS DATE) = f.d0 AS INT) AS is_new,
+                   round(e.value, 6) AS v
+            FROM events e JOIN f ON e.user_id = f.user_id
+            WHERE e.event_type = 'purchase'
+        )
+        SELECT CAST(d AS TIMESTAMP) AS d,
+               CAST(count(*) FILTER (WHERE is_new = 1) AS BIGINT)
+                   AS n_new_purchases,
+               CAST(count(*) FILTER (WHERE is_new = 0) AS BIGINT)
+                   AS n_returning_purchases,
+               round(coalesce(sum(v) FILTER (WHERE is_new = 1), 0), 4)
+                   AS new_revenue,
+               round(coalesce(sum(v) FILTER (WHERE is_new = 0), 0), 4)
+                   AS returning_revenue
+        FROM p GROUP BY d
+    """,
+    family="analytics",
+)
+def events_new_vs_returning(spark, sf_dir):
+    """Daily revenue split by NEW vs RETURNING purchasers (new = the
+    purchase lands on the user's first-ever active day) — the
+    composition metric behind "is growth acquisition or retention",
+    read alongside events_growth_accounting's user ledger (this is
+    the money view of the same split). One user-keyed first-day
+    aggregate joined back (broadcast-sized next to events), one
+    day-keyed conditional agg. Counts exact; values round at 6 dp
+    per event and 4 dp per daily sum (bounded addend counts)."""
+    e = table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(f, "user_id")
+        .select(
+            F.col("ts").cast("date").alias("d"),
+            (F.col("ts").cast("date") == F.col("d0")).cast("int").alias("is_new"),
+            F.round("value", 6).alias("v"),
+        )
+    )
+    return p.groupBy("d").agg(
+        F.count(F.when(F.col("is_new") == 1, 1)).alias("n_new_purchases"),
+        F.count(F.when(F.col("is_new") == 0, 1)).alias("n_returning_purchases"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("is_new") == 1, F.col("v"))), F.lit(0.0)), 4
+        ).alias("new_revenue"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("is_new") == 0, F.col("v"))), F.lit(0.0)), 4
+        ).alias("returning_revenue"),
+    ).select(
+        F.col("d").cast("timestamp").alias("d"),
+        "n_new_purchases",
+        "n_returning_purchases",
+        "new_revenue",
+        "returning_revenue",
+    )

@@ -2546,3 +2546,19 @@ def test_learning_curve_nested_and_converging(spark):
     for r in rows:
         # any subset fit scores at most the full fit (OLS optimality on full)
         assert r["r2_on_full"] <= full + 1e-9
+
+
+def test_new_vs_returning_split_partitions_purchases(spark):
+    from spark_ml_helper_spark.sources.parquet import table
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["events_new_vs_returning"](spark, SF_ORACLE).collect()
+    n_total = sum(r["n_new_purchases"] + r["n_returning_purchases"] for r in rows)
+    n_purch = table(spark, SF_ORACLE, "events").where(
+        F.col("event_type") == "purchase").count()
+    assert n_total == n_purch
+    # day 1: every purchaser is new; late days: mostly returning
+    first = min(rows, key=lambda r: r["d"])
+    assert first["n_returning_purchases"] == 0
+    last = max(rows, key=lambda r: r["d"])
+    assert last["n_returning_purchases"] > last["n_new_purchases"]
