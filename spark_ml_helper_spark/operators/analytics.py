@@ -2909,3 +2909,86 @@ def events_new_vs_returning(spark, sf_dir):
         "new_revenue",
         "returning_revenue",
     )
+
+
+@query(
+    "orders_duplicate_payment",
+    oracle="""
+        WITH keyed AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+                   epoch_us(o_orderdate) AS t_us
+            FROM orders
+        ),
+        flagged AS (
+            SELECT o_orderkey, o_custkey, price_c, t_us,
+                   lag(t_us) OVER (
+                       PARTITION BY o_custkey, price_c
+                       ORDER BY t_us, o_orderkey
+                   ) AS prev_us,
+                   lag(o_orderkey) OVER (
+                       PARTITION BY o_custkey, price_c
+                       ORDER BY t_us, o_orderkey
+                   ) AS prev_key
+            FROM keyed
+        )
+        SELECT o_custkey,
+               prev_key AS first_orderkey,
+               o_orderkey AS second_orderkey,
+               round(price_c / 100.0, 2) AS amount,
+               CAST((t_us - prev_us) // 86400000000 AS BIGINT) AS gap_days
+        FROM flagged
+        WHERE prev_us IS NOT NULL
+          AND t_us - prev_us <= 30 * 86400000000
+    """,
+    family="analytics",
+)
+def orders_duplicate_payment(spark, sf_dir):
+    """Duplicate-payment screen: pairs of orders by the SAME customer
+    for the EXACT same amount within 30 days — the double-charge /
+    double-entry detector every billing reconciliation runs (exact
+    amount match is the point: true duplicates repeat to the cent,
+    and fuzzy-amount matching belongs to fuzzy_match). The
+    (customer, amount-in-cents) composite key makes it ONE
+    partitioned lag window — no self-join, no pair space: candidates
+    are consecutive orders within their own tiny key group, which at
+    any scale is the shuffle of the orders table once on the
+    composite key. Exact integer cents and micros throughout;
+    consecutive-pair semantics (A,B,C same amount → pairs A-B, B-C)
+    are the auditor's convention — each charge implicated with its
+    nearest repeat. On this fixture the screen comes back EMPTY —
+    continuous to-the-cent amounts produce no exact repeats — which
+    is the correct clean-audit reading; the pytest plants duplicates
+    in a staged copy and asserts the detector fires on exactly
+    them."""
+    o = table(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t_us"),
+    )
+    w = Window.partitionBy("o_custkey", "price_c").orderBy("t_us", "o_orderkey")
+    flagged = keyed.select(
+        "o_orderkey",
+        "o_custkey",
+        "price_c",
+        "t_us",
+        F.lag("t_us").over(w).alias("prev_us"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+    )
+    return (
+        flagged.where(
+            F.col("prev_us").isNotNull()
+            & (F.col("t_us") - F.col("prev_us") <= 30 * 86_400_000_000)
+        )
+        .select(
+            "o_custkey",
+            F.col("prev_key").alias("first_orderkey"),
+            F.col("o_orderkey").alias("second_orderkey"),
+            F.round(F.col("price_c") / 100.0, 2).alias("amount"),
+            F.floor((F.col("t_us") - F.col("prev_us")) / 86_400_000_000)
+            .cast("bigint")
+            .alias("gap_days"),
+        )
+    )

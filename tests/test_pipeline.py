@@ -2562,3 +2562,31 @@ def test_new_vs_returning_split_partitions_purchases(spark):
     assert first["n_returning_purchases"] == 0
     last = max(rows, key=lambda r: r["d"])
     assert last["n_returning_purchases"] > last["n_new_purchases"]
+
+
+def test_duplicate_payment_fires_on_planted_dupes(spark, tmp_path):
+    import shutil
+
+    # clean fixture: no exact repeats
+    assert QUERIES["orders_duplicate_payment"](spark, SF_ORACLE).count() == 0
+    # stage a copy with planted double-charges
+    from spark_ml_helper_spark.sources.parquet import table
+    from pyspark.sql import functions as F
+
+    staged = str(tmp_path / "sfdup")
+    o = table(spark, SF_ORACLE, "orders")
+    dupes = (
+        o.limit(5)
+        .select(
+            (F.col("o_orderkey") + 90_000_000).alias("o_orderkey"),
+            "o_custkey", "o_orderstatus", "o_totalprice",
+            (F.col("o_orderdate") + F.expr("INTERVAL 2 DAYS")).alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+    o.unionByName(dupes).write.parquet(staged + "/orders.parquet")
+    rows = QUERIES["orders_duplicate_payment"](spark, staged).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["gap_days"] == 2
+        assert r["second_orderkey"] - 90_000_000 == r["first_orderkey"]
