@@ -1584,3 +1584,91 @@ def corpus_filter_ablation(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@query(
+    "text_js_divergence",
+    oracle="""
+        WITH counts AS (
+            SELECT source, w, count(*) AS c
+            FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+                  FROM documents)
+            GROUP BY source, w
+        ),
+        totals AS (
+            SELECT source, CAST(sum(c) AS BIGINT) AS t FROM counts GROUP BY source
+        ),
+        probs AS (
+            SELECT c.source, c.w, c.c * 1.0 / t.t AS p
+            FROM counts c JOIN totals t ON c.source = t.source
+        ),
+        pairs AS (
+            SELECT a.source AS src_a, b.source AS src_b, a.w,
+                   coalesce(a.p, 0) AS pa, coalesce(b.p, 0) AS pb
+            FROM probs a JOIN probs b
+              ON a.w = b.w AND a.source < b.source
+        ),
+        js AS (
+            SELECT src_a, src_b,
+                   round(sum(
+                       0.5 * pa * ln(2.0 * pa / (pa + pb))
+                       + 0.5 * pb * ln(2.0 * pb / (pa + pb))
+                   ), 8) AS jsd
+            FROM pairs GROUP BY src_a, src_b
+        )
+        SELECT src_a, src_b, round(jsd, 6) AS jsd,
+               CAST(row_number() OVER (ORDER BY jsd DESC, src_a, src_b)
+                    AS BIGINT) AS rnk
+        FROM js
+        ORDER BY jsd DESC, src_a, src_b
+        LIMIT 10
+    """,
+    family="corpus",
+)
+def text_js_divergence(spark, sf_dir):
+    """Jensen–Shannon divergence between per-source unigram
+    distributions, top-10 most-divergent source pairs — the
+    corpus-drift measure for text ("does feed X speak a different
+    language than feed Y"), bounded, symmetric, and zero iff the
+    distributions match — the tabular sibling of dq_psi_drift and the
+    lexical sibling of vec_energy_distance. The pair join runs on the
+    (source × vocab) probability frame — 20 × 31 rows here, sources ×
+    vocabulary generally: divergence compares DISTRIBUTIONS, so the
+    corpus-sized work is exactly one token-count aggregate and the
+    pair space is dictionary-sized by construction. On this fixture
+    every source shares the full 31-token support, so the
+    shared-vocabulary inner join IS the complete JS sum (zero-support
+    terms contribute zero; a real corpus adds the one-sided tail
+    terms — documented, and the 0.5·p·ln(2p/(p+q)) form never
+    divides by zero on shared support). Probabilities are exact-int
+    ratios; per-pair folds span ≤ |vocab| addends, rounded at 8 then
+    6 dp."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    probs = counts.join(F.broadcast(totals), "source").select(
+        "source", "w", (F.col("c") * 1.0 / F.col("t")).alias("p")
+    )
+    a = probs.select(
+        F.col("source").alias("src_a"), "w", F.col("p").alias("pa")
+    )
+    b = probs.select(
+        F.col("source").alias("src_b"), F.col("w").alias("wb"), F.col("p").alias("pb")
+    )
+    pairs = a.join(
+        b, (F.col("w") == F.col("wb")) & (F.col("src_a") < F.col("src_b"))
+    )
+    term = 0.5 * F.col("pa") * F.log(2.0 * F.col("pa") / (F.col("pa") + F.col("pb"))) + \
+        0.5 * F.col("pb") * F.log(2.0 * F.col("pb") / (F.col("pa") + F.col("pb")))
+    js = pairs.groupBy("src_a", "src_b").agg(F.round(F.sum(term), 8).alias("jsd"))
+    w_rank = Window.orderBy(F.desc("jsd"), "src_a", "src_b")
+    return (
+        js.select("src_a", "src_b", F.round(F.col("jsd"), 6).alias("jsd"))
+        .withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .where(F.col("rnk") <= 10)
+        .orderBy(F.desc("jsd"), "src_a", "src_b")
+    )

@@ -708,3 +708,71 @@ def graph_assortativity(spark, sf_dir):
             6,
         ).alias("assortativity"),
     )
+
+
+@query(
+    "graph_knn_degree",
+    oracle=f"""
+        WITH edges AS MATERIALIZED ({_EDGES_SQL}),
+        deg AS (
+            SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges
+            ) GROUP BY v
+        ),
+        nbr AS (
+            SELECT e.src AS v, dd.d AS nd FROM edges e JOIN deg dd ON dd.v = e.dst
+            UNION ALL
+            SELECT e.dst AS v, ds.d AS nd FROM edges e JOIN deg ds ON ds.v = e.src
+        ),
+        per_v AS (
+            SELECT n.v, dv.d,
+                   CAST(sum(n.nd) AS BIGINT) AS snd,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM nbr n JOIN deg dv ON dv.v = n.v
+            GROUP BY n.v, dv.d
+        )
+        SELECT d AS degree,
+               CAST(count(*) AS BIGINT) AS n_vertices,
+               round(sum(snd) * 1.0 / sum(cnt), 6) AS avg_neighbor_degree
+        FROM per_v
+        GROUP BY d
+    """,
+    family="graph",
+)
+def graph_knn_degree(spark, sf_dir):
+    """The k_nn(k) curve — average neighbor degree as a function of a
+    vertex's own degree — the DETAILED view of graph_assortativity's
+    single correlation number (a rising curve = assortative mixing, a
+    falling curve = hubs feeding leaves; the shape matters for
+    epidemic/diffusion modeling on the co-purchase graph).
+    Vertex-keyed joins tag each edge endpoint with the other side's
+    degree, one vertex-keyed agg, one degree-keyed fold — every
+    shuffle key is a vertex id or a degree value, nothing pair-space.
+    Exact integer sums into one final ratio per degree class."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    nbr = (
+        edges.join(
+            F.broadcast(deg.select(F.col("v").alias("dst"), F.col("d").alias("nd"))),
+            "dst",
+        ).select(F.col("src").alias("v"), "nd")
+    ).unionAll(
+        edges.join(
+            F.broadcast(deg.select(F.col("v").alias("src"), F.col("d").alias("nd"))),
+            "src",
+        ).select(F.col("dst").alias("v"), "nd")
+    )
+    per_v = (
+        nbr.join(F.broadcast(deg), "v")
+        .groupBy("v", "d")
+        .agg(F.sum("nd").alias("snd"), F.count("*").alias("cnt"))
+    )
+    return per_v.groupBy(F.col("d").alias("degree")).agg(
+        F.count("*").alias("n_vertices"),
+        F.round(F.sum("snd") * 1.0 / F.sum("cnt"), 6).alias("avg_neighbor_degree"),
+    )

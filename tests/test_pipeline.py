@@ -2590,3 +2590,23 @@ def test_duplicate_payment_fires_on_planted_dupes(spark, tmp_path):
     for r in rows:
         assert r["gap_days"] == 2
         assert r["second_orderkey"] - 90_000_000 == r["first_orderkey"]
+
+
+def test_knn_degree_weighted_mean_matches_handshake(spark):
+    rows = QUERIES["graph_knn_degree"](spark, SF_ORACLE).collect()
+    deg_hist = {r["degree"]: r["n_vertices"] for r in
+                QUERIES["graph_degree"](spark, SF_ORACLE).collect()}
+    assert {r["degree"] for r in rows} == set(deg_hist)
+    for r in rows:
+        assert r["n_vertices"] == deg_hist[r["degree"]]
+        assert r["avg_neighbor_degree"] > 0
+
+
+def test_js_divergence_bounded_and_ranked(spark):
+    import math
+
+    rows = QUERIES["text_js_divergence"](spark, SF_ORACLE).collect()
+    assert len(rows) == 10
+    assert [r["rnk"] for r in rows] == list(range(1, 11))
+    for r in rows:
+        assert 0.0 <= r["jsd"] <= math.log(2) + 1e-9  # JS divergence bound (nats)
