@@ -174,3 +174,45 @@ def sql_values_lookup(spark, sf_dir):
 
     load_tables(spark, sf_dir)
     return spark.sql(_VALUES_LOOKUP)
+
+
+_PIVOT_SPARK = """
+    SELECT * FROM (
+        SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders
+    )
+    PIVOT (
+        round(sum(o_totalprice), 2) AS rev
+        FOR o_orderstatus IN ('O' AS status_o, 'F' AS status_f, 'P' AS status_p)
+    )
+"""
+
+
+@query(
+    "sql_pivot",
+    oracle="""
+        SELECT o_orderpriority,
+               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2)
+                   AS status_o,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)
+                   AS status_f,
+               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2)
+                   AS status_p
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    family="sqlapi",
+)
+def sql_pivot(spark, sf_dir):
+    """SQL PIVOT clause (Spark's `PIVOT (agg FOR col IN (...))`
+    syntax): revenue cross-tab of priority × status as ONE SQL string
+    — the SQL-surface twin of op_pivot's DataFrame groupBy().pivot()
+    (identical physical plan: Catalyst rewrites PIVOT into the
+    conditional-aggregate form the ORACLE spells out longhand, which
+    is also why the pivot column list must be EXPLICIT at scale —
+    an open-ended IN list needs a pre-pass to enumerate values, the
+    documented two-step for dynamic pivots). Money sums round at 2 dp
+    per the money-grid rule."""
+    from spark_ml_helper_spark.sources.parquet import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_PIVOT_SPARK)

@@ -2610,3 +2610,15 @@ def test_js_divergence_bounded_and_ranked(spark):
     assert [r["rnk"] for r in rows] == list(range(1, 11))
     for r in rows:
         assert 0.0 <= r["jsd"] <= math.log(2) + 1e-9  # JS divergence bound (nats)
+
+
+def test_sql_pivot_matches_dataframe_pivot_totals(spark):
+    rows = QUERIES["sql_pivot"](spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    total = sum((r["status_o"] or 0) + (r["status_f"] or 0) + (r["status_p"] or 0)
+                for r in rows)
+    from spark_ml_helper_spark.sources.parquet import table
+    from pyspark.sql import functions as F
+    direct = table(spark, SF_ORACLE, "orders").agg(
+        F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+    assert abs(total - direct) < 1.0  # five 2-dp group sums vs one global sum
