@@ -2992,3 +2992,85 @@ def orders_duplicate_payment(spark, sf_dir):
             .alias("gap_days"),
         )
     )
+
+
+@query(
+    "stats_simpson_check",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(user_id % 2 = 0 AS INT) AS grp,
+                   isodow(ts) AS dow,
+                   round(value, 6) AS v
+            FROM events WHERE event_type = 'purchase'
+        ),
+        agg AS (
+            SELECT round(avg(CASE WHEN grp = 1 THEN v END), 8)
+                   - round(avg(CASE WHEN grp = 0 THEN v END), 8) AS diff
+            FROM d
+        ),
+        sub AS (
+            SELECT dow,
+                   round(avg(CASE WHEN grp = 1 THEN v END), 8)
+                   - round(avg(CASE WHEN grp = 0 THEN v END), 8) AS diff
+            FROM d GROUP BY dow
+        )
+        SELECT CAST(sign(agg.diff) AS BIGINT) AS aggregate_direction,
+               CAST(count(*) FILTER (WHERE sign(sub.diff) = sign(agg.diff))
+                    AS BIGINT) AS n_subgroups_agree,
+               CAST(count(*) FILTER (WHERE sign(sub.diff) <> sign(agg.diff))
+                    AS BIGINT) AS n_subgroups_disagree,
+               CAST(count(*) FILTER (WHERE sign(sub.diff) <> sign(agg.diff))
+                    > count(*) / 2.0 AS BOOLEAN) AS simpson_flag
+        FROM sub CROSS JOIN agg
+        GROUP BY agg.diff
+    """,
+    family="analytics",
+)
+def stats_simpson_check(spark, sf_dir):
+    """Simpson's-paradox screen: does the aggregate group difference
+    (treated − control mean purchase value) keep its SIGN inside each
+    weekday subgroup, or do a majority of strata point the other way —
+    the aggregation-reversal trap every metrics review should test
+    before trusting a topline (a flipped majority means a confounder
+    correlated with the stratifier is driving the aggregate; read the
+    per-stratum numbers, not the topline). Group/stratum means round
+    at 8 dp before differencing, so sign() compares identical doubles
+    in both engines; the verdict is exact integer counting over the 7
+    strata. One conditional aggregate for the topline + one for the
+    strata over a single scan."""
+    e = table(spark, sf_dir, "events")
+    d = e.where(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2 == 0).cast("int").alias("grp"),
+        (F.weekday("ts") + 1).alias("dow"),
+        F.round("value", 6).alias("v"),
+    )
+
+    def diff(df, *keys):
+        agg = df.groupBy(*keys) if keys else df
+        return agg.agg(
+            (
+                F.round(F.avg(F.when(F.col("grp") == 1, F.col("v"))), 8)
+                - F.round(F.avg(F.when(F.col("grp") == 0, F.col("v"))), 8)
+            ).alias("diff")
+        )
+
+    agg = diff(d).select(F.col("diff").alias("agg_diff"))
+    sub = diff(d, "dow")
+    agree = F.signum("diff") == F.signum("agg_diff")
+    return (
+        sub.join(F.broadcast(agg))
+        .groupBy("agg_diff")
+        .agg(
+            F.count(F.when(agree, 1)).alias("n_subgroups_agree"),
+            F.count(F.when(~agree, 1)).alias("n_subgroups_disagree"),
+        )
+        .select(
+            F.signum("agg_diff").cast("bigint").alias("aggregate_direction"),
+            "n_subgroups_agree",
+            "n_subgroups_disagree",
+            (
+                F.col("n_subgroups_disagree")
+                > (F.col("n_subgroups_agree") + F.col("n_subgroups_disagree")) / 2.0
+            ).alias("simpson_flag"),
+        )
+    )

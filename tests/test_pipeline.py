@@ -1340,6 +1340,7 @@ _BNLJ_ALLOWED = {
     "events_peak_concurrency", "orders_return_rate",
     "events_survival_curve",
     "stats_anova", "stats_bootstrap_ci", "stats_chi2", "stats_ks_test",
+    "stats_simpson_check",
     "stats_ttest_welch", "ts_seasonality_strength",
     "vec_energy_distance", "vec_matryoshka_eval", "vec_pairwise_dist_hist",
     "vec_silhouette",
@@ -2622,3 +2623,12 @@ def test_sql_pivot_matches_dataframe_pivot_totals(spark):
     direct = table(spark, SF_ORACLE, "orders").agg(
         F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
     assert abs(total - direct) < 1.0  # five 2-dp group sums vs one global sum
+
+
+def test_simpson_check_strata_partition(spark):
+    r = QUERIES["stats_simpson_check"](spark, SF_ORACLE).collect()[0]
+    assert r["n_subgroups_agree"] + r["n_subgroups_disagree"] == 7
+    assert r["aggregate_direction"] in (-1, 0, 1)
+    assert r["simpson_flag"] == (
+        r["n_subgroups_disagree"] > (r["n_subgroups_agree"] + r["n_subgroups_disagree"]) / 2
+    )
