@@ -3074,3 +3074,65 @@ def stats_simpson_check(spark, sf_dir):
             ).alias("simpson_flag"),
         )
     )
+
+
+@query(
+    "orders_revenue_bridge",
+    oracle="""
+        WITH yr AS (
+            SELECT CAST(year(o_orderdate) AS INT) AS y,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(o_totalprice), 4) AS aov,
+                   round(sum(o_totalprice), 2) AS rev
+            FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+            GROUP BY 1
+        )
+        SELECT a.rev AS rev_1996, b.rev AS rev_1997,
+               round(b.rev - a.rev, 2) AS delta,
+               round((b.n - a.n) * a.aov, 2) AS volume_effect,
+               round(b.n * (b.aov - a.aov), 2) AS price_effect,
+               round((b.rev - a.rev)
+                     - (b.n - a.n) * a.aov - b.n * (b.aov - a.aov), 2)
+                   AS residual
+        FROM yr a JOIN yr b ON a.y = 1996 AND b.y = 1997
+    """,
+    family="analytics",
+)
+def orders_revenue_bridge(spark, sf_dir):
+    """Revenue BRIDGE (waterfall decomposition) 1996 → 1997:
+    Δrevenue = volume effect ((n₂−n₁)·AOV₁, at old prices) + price
+    effect (n₂·(AOV₂−AOV₁)) — the Laspeyres-convention split every
+    finance review wants under the topline ("did we sell more, or
+    sell dearer?"). The identity is exact up to AOV rounding, so a
+    residual column carries the (tiny) rounding remainder explicitly
+    rather than silently — bridges that don't reconcile to the delta
+    get rejected in review, so the residual IS part of the contract.
+    One filtered two-group aggregate; the 2-row self-join is
+    broadcast-trivial. AOVs round at 4 dp before the arithmetic —
+    identical doubles both engines; revenue at 2 dp (money grid)."""
+    o = table(spark, sf_dir, "orders")
+    yr = (
+        o.where(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(F.year("o_orderdate").cast("int").alias("y"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("aov"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    a, b = yr.alias("a"), yr.alias("b")
+    c = F.col
+    delta = c("b.rev") - c("a.rev")
+    vol = (c("b.n") - c("a.n")) * c("a.aov")
+    price = c("b.n") * (c("b.aov") - c("a.aov"))
+    return (
+        a.join(b, (c("a.y") == 1996) & (c("b.y") == 1997))
+        .select(
+            c("a.rev").alias("rev_1996"),
+            c("b.rev").alias("rev_1997"),
+            F.round(delta, 2).alias("delta"),
+            F.round(vol, 2).alias("volume_effect"),
+            F.round(price, 2).alias("price_effect"),
+            F.round(delta - vol - price, 2).alias("residual"),
+        )
+    )

@@ -2632,3 +2632,11 @@ def test_simpson_check_strata_partition(spark):
     assert r["simpson_flag"] == (
         r["n_subgroups_disagree"] > (r["n_subgroups_agree"] + r["n_subgroups_disagree"]) / 2
     )
+
+
+def test_revenue_bridge_reconciles(spark):
+    r = QUERIES["orders_revenue_bridge"](spark, SF_ORACLE).collect()[0]
+    assert abs(r["delta"] - (r["rev_1997"] - r["rev_1996"])) < 0.02
+    recon = r["volume_effect"] + r["price_effect"] + r["residual"]
+    assert abs(recon - r["delta"]) < 0.05  # bridge must reconcile
+    assert abs(r["residual"]) < abs(r["delta"]) * 0.01 + 100
