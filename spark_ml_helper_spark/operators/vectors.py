@@ -1380,3 +1380,154 @@ def vec_energy_distance(spark, sf_dir):
             "energy_distance"
         ),
     )
+
+
+_PCA_ROUNDS = 10
+
+
+def _pca_oracle() -> str:
+    # every CTE MATERIALIZED: DuckDB otherwise inlines the chained rounds and
+    # re-evaluates the covariance subtree exponentially (measured: >120 s vs 2 s)
+    rounds = []
+    prev = "v0"
+    for r in range(1, _PCA_ROUNDS + 1):
+        rounds.append(f"""
+        w{r} AS MATERIALIZED (
+            SELECT c.i, sum(c.c * v.vj) AS wi
+            FROM cov c JOIN {prev} v ON c.j = v.j
+            GROUP BY c.i
+        ),
+        n{r} AS MATERIALIZED (
+            SELECT round(sqrt(sum(wi * wi)), 9) AS nrm FROM w{r}
+        ),
+        v{r} AS MATERIALIZED (
+            SELECT w.i AS j, round(w.wi / n.nrm, 9) AS vj
+            FROM w{r} w CROSS JOIN n{r} n
+        )""")
+        prev = f"v{r}"
+    return f"""
+        WITH flat AS MATERIALIZED (
+            SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+        ),
+        means AS MATERIALIZED (
+            SELECT i, round(avg(x), 8) AS m FROM flat GROUP BY i
+        ),
+        prods AS MATERIALIZED (
+            SELECT a.i AS i, b.i AS j, round(avg(a.x * b.x), 8) AS mxy
+            FROM flat a JOIN flat b ON a.vec_id = b.vec_id
+            GROUP BY a.i, b.i
+        ),
+        cov AS MATERIALIZED (
+            SELECT p.i, p.j, p.mxy - ma.m * mb.m AS c
+            FROM prods p
+            JOIN means ma ON ma.i = p.i
+            JOIN means mb ON mb.i = p.j
+        ),
+        v0 AS MATERIALIZED (
+            SELECT i AS j, 0.125 AS vj FROM (SELECT unnest(range(0, 64)) AS i)
+        ),
+        {",".join(rounds)},
+        wf AS MATERIALIZED (
+            SELECT c.i, sum(c.c * v.vj) AS wi
+            FROM cov c JOIN v{_PCA_ROUNDS} v ON c.j = v.j GROUP BY c.i
+        ),
+        lam AS MATERIALIZED (
+            SELECT round(sqrt(sum(wi * wi)), 6) AS ev FROM wf
+        ),
+        tr AS MATERIALIZED (
+            SELECT round(sum(c), 6) AS trace FROM cov WHERE i = j
+        ),
+        sgn AS MATERIALIZED (
+            SELECT CASE WHEN sum(vj) < 0 THEN -1.0 ELSE 1.0 END AS s
+            FROM v{_PCA_ROUNDS}
+        )
+        SELECT CAST(v.j AS BIGINT) AS dim,
+               round(v.vj * sgn.s, 6) AS loading,
+               lam.ev AS eigenvalue,
+               round(lam.ev / tr.trace, 6) AS explained_share
+        FROM v{_PCA_ROUNDS} v CROSS JOIN lam CROSS JOIN tr CROSS JOIN sgn
+    """
+
+
+@query("vec_pca_power", oracle=_pca_oracle(), family="vectors")
+def vec_pca_power(spark, sf_dir):
+    """Top principal component by POWER ITERATION, fully
+    oracle-verified — the eigenvector MLlib's ml_pca computes as an
+    opaque rows-only fit, here built from engine primitives so DuckDB
+    replays it bit-for-bit: the 64×64 covariance comes from ROUNDED
+    moment aggregates (avg(xᵢxⱼ) at 8 dp — the one corpus-sized pass,
+    self-joined on vec_id so the shuffle key is the row id), then 10
+    unrolled multiply-normalize rounds on the 64-row vector frame
+    with the vector RE-ROUNDED at 9 dp each round — the re-rounding
+    is what keeps ten rounds of cross-engine float drift from
+    compounding (each round's input is bit-identical again). Sign
+    fixed by Σv > 0; eigenvalue = ‖Cv‖ of a final multiply; explained
+    share against the exact trace. Both sides materialize the shared
+    frames explicitly — Spark via localCheckpoint (SCALE.md lesson
+    2), DuckDB via AS MATERIALIZED (its CTE inlining re-evaluates the
+    covariance subtree exponentially otherwise — same lesson, other
+    engine). At 100 TB the covariance pass is the mergeable-moment
+    pattern (ml_linreg_normal scaled to p² moments) and the iteration
+    cost is p² per round — driver-free, shuffle-free after the first
+    aggregate. (On this isotropic fixture the spectrum is
+    near-degenerate — top eigenvalues within ~3% — so 10 rounds
+    deliver a unit vector IN the top eigenspace with its Rayleigh
+    quotient in the top band, which is what the numpy cross-check
+    asserts; on real data with a dominant direction the same rounds
+    nail the eigvec. Determinism is unaffected either way — both
+    engines take identical steps.)"""
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x_raw")
+    ).select("vec_id", "i", F.col("x_raw").cast("double").alias("x"))
+    means = flat.groupBy("i").agg(F.round(F.avg("x"), 8).alias("m"))
+    a = flat.select("vec_id", F.col("i").alias("ai"), F.col("x").alias("ax"))
+    b = flat.select("vec_id", F.col("i").alias("bi"), F.col("x").alias("bx"))
+    prods = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("ai").alias("i"), F.col("bi").alias("j"))
+        .agg(F.round(F.avg(F.col("ax") * F.col("bx")), 8).alias("mxy"))
+    )
+    cov = (
+        prods.join(F.broadcast(means.withColumnRenamed("i", "mi")), F.col("i") == F.col("mi"))
+        .withColumnRenamed("m", "ma")
+        .drop("mi")
+        .join(F.broadcast(means.withColumnRenamed("i", "mj")), F.col("j") == F.col("mj"))
+        .withColumnRenamed("m", "mb")
+        .drop("mj")
+        .select("i", "j", (F.col("mxy") - F.col("ma") * F.col("mb")).alias("c"))
+        .localCheckpoint()  # referenced 12x: one covariance, not 12 recomputes
+    )
+    v = spark.range(64).select(F.col("id").alias("j"), F.lit(0.125).alias("vj"))
+    for _ in range(_PCA_ROUNDS):
+        w = (
+            cov.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("vj")).alias("wi"))
+        )
+        nrm = w.agg(F.round(F.sqrt(F.sum(F.col("wi") * F.col("wi"))), 9).alias("nrm"))
+        v = (
+            w.join(F.broadcast(nrm))
+            .select(F.col("i").alias("j"), F.round(F.col("wi") / F.col("nrm"), 9).alias("vj"))
+            .localCheckpoint()
+        )
+    wf = (
+        cov.join(F.broadcast(v), "j").groupBy("i").agg(F.sum(F.col("c") * F.col("vj")).alias("wi"))
+    )
+    lam = wf.agg(F.round(F.sqrt(F.sum(F.col("wi") * F.col("wi"))), 6).alias("ev"))
+    tr = cov.where(F.col("i") == F.col("j")).agg(F.round(F.sum("c"), 6).alias("trace"))
+    sgn = v.agg(
+        F.when(F.sum("vj") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("s")
+    )
+    return (
+        v.join(F.broadcast(lam))
+        .join(F.broadcast(tr))
+        .join(F.broadcast(sgn))
+        .select(
+            F.col("j").cast("bigint").alias("dim"),
+            F.round(F.col("vj") * F.col("s"), 6).alias("loading"),
+            F.col("ev").alias("eigenvalue"),
+            F.round(F.col("ev") / F.col("trace"), 6).alias("explained_share"),
+        )
+    )
