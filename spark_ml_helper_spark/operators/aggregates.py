@@ -1126,3 +1126,56 @@ def agg_ratio_to_report(spark, sf_dir):
             "share_of_total"
         ),
     )
+
+
+@query(
+    "rollup_ytd",
+    oracle="""
+        WITH monthly AS (
+            SELECT CAST(year(o_orderdate) AS INT) AS y,
+                   CAST(month(o_orderdate) AS INT) AS m,
+                   CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rev_c,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT y, m, n_orders,
+               round(rev_c / 100.0, 2) AS revenue,
+               round(CAST(sum(rev_c) OVER (
+                   PARTITION BY y ORDER BY m
+               ) AS BIGINT) / 100.0, 2) AS revenue_ytd,
+               CAST(sum(n_orders) OVER (
+                   PARTITION BY y ORDER BY m
+               ) AS BIGINT) AS orders_ytd
+        FROM monthly
+    """,
+    family="aggregates",
+)
+def rollup_ytd(spark, sf_dir):
+    """Year-to-date running totals with a YEARLY RESET — the fiscal
+    cumulative every finance report pairs with the monthly number
+    (rollup_time_multires gives the grains; this gives the
+    within-year accumulation that resets at January, i.e. a
+    PARTITIONED cumulative window, not a global one — the reset IS
+    the partition key). Cumulative state is exact integer cents and
+    counts; the window partitions by year so it parallelizes across
+    years and never needs a global sort. One corpus hash agg to the
+    ~84-month frame, windows on the reduced frame."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+    ).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("rev_c"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.partitionBy("y").orderBy("m").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return monthly.select(
+        "y",
+        "m",
+        "n_orders",
+        F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+        F.round(F.sum("rev_c").over(w) / 100.0, 2).alias("revenue_ytd"),
+        F.sum("n_orders").over(w).alias("orders_ytd"),
+    )

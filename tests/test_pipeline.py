@@ -2665,3 +2665,17 @@ def test_pca_power_matches_numpy_eigsh(spark):
     assert proj > 0.9
     assert evals[-5] <= rows[0]["eigenvalue"] <= evals[-1] * 1.01
     assert 0.0 < rows[0]["explained_share"] < 0.1
+
+
+def test_ytd_resets_each_january(spark):
+    rows = QUERIES["rollup_ytd"](spark, SF_ORACLE).collect()
+    by_year = {}
+    for r in rows:
+        by_year.setdefault(r["y"], []).append(r)
+    for y, rs in by_year.items():
+        rs.sort(key=lambda r: r["m"])
+        assert abs(rs[0]["revenue_ytd"] - rs[0]["revenue"]) < 0.01  # reset
+        run = 0
+        for r in rs:
+            run += r["n_orders"]
+            assert r["orders_ytd"] == run
