@@ -3136,3 +3136,67 @@ def orders_revenue_bridge(spark, sf_dir):
             F.round(delta - vol - price, 2).alias("residual"),
         )
     )
+
+
+@query(
+    "orders_whale_concentration",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS spend_c
+            FROM orders GROUP BY o_custkey
+        ),
+        top10 AS (
+            SELECT spend_c FROM spend
+            ORDER BY spend_c DESC, o_custkey
+            LIMIT 10
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(spend_c) AS BIGINT) AS total_c
+            FROM spend
+        )
+        SELECT tot.n_customers,
+               round(sum(top10.spend_c) / 100.0, 2) AS top10_revenue,
+               round(tot.total_c / 100.0, 2) AS total_revenue,
+               round(sum(top10.spend_c) * 1.0 / tot.total_c, 6) AS top10_share
+        FROM top10 CROSS JOIN tot
+        GROUP BY tot.n_customers, tot.total_c
+    """,
+    family="analytics",
+)
+def orders_whale_concentration(spark, sf_dir):
+    """Whale-risk concentration: the revenue share held by the top-10
+    customers — the single number sales leadership quotes next to the
+    Gini (agg_gini) and the ABC classes (abc_analysis): "how exposed
+    are we if our biggest accounts churn". The top-10 comes from a
+    TakeOrderedAndProject heap (each task keeps 10 rows — NO global
+    sort, the limit_topk discipline; this is deliberately different
+    from the gini/ABC global-rank forms because a fixed top-N never
+    needs one), totals are a 1-row aggregate broadcast in, and
+    everything folds in exact integer cents with a fully tiebroken
+    (spend, custkey) cut."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("spend_c")
+    )
+    top10 = spend.orderBy(F.desc("spend_c"), "o_custkey").limit(10)
+    tot = spend.agg(
+        F.count("*").alias("n_customers"), F.sum("spend_c").alias("total_c")
+    )
+    return (
+        top10.join(F.broadcast(tot))
+        .groupBy("n_customers", "total_c")
+        .agg(
+            F.round(F.sum("spend_c") / 100.0, 2).alias("top10_revenue"),
+            F.round(F.sum("spend_c") * 1.0 / F.max("total_c"), 6).alias(
+                "top10_share"
+            ),
+        )
+        .select(
+            "n_customers",
+            "top10_revenue",
+            F.round(F.col("total_c") / 100.0, 2).alias("total_revenue"),
+            "top10_share",
+        )
+    )

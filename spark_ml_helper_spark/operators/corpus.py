@@ -1672,3 +1672,77 @@ def text_js_divergence(spark, sf_dir):
         .where(F.col("rnk") <= 10)
         .orderBy(F.desc("jsd"), "src_a", "src_b")
     )
+
+
+@query(
+    "text_cooccurrence_pmi",
+    oracle="""
+        WITH dt AS (
+            SELECT DISTINCT doc_id, w FROM (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            )
+        ),
+        df AS (SELECT w, CAST(count(*) AS BIGINT) AS d FROM dt GROUP BY w),
+        nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM dt),
+        pairs AS (
+            SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS d12
+            FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w
+            GROUP BY a.w, b.w
+        )
+        SELECT p.w1, p.w2, p.d12,
+               round(ln((p.d12 * 1.0 / n.n)
+                     / ((da.d * 1.0 / n.n) * (db.d * 1.0 / n.n))), 6) AS pmi
+        FROM pairs p
+        JOIN df da ON da.w = p.w1
+        JOIN df db ON db.w = p.w2
+        CROSS JOIN nd n
+        WHERE p.d12 >= 50
+    """,
+    family="corpus",
+)
+def text_cooccurrence_pmi(spark, sf_dir):
+    """Document-level co-occurrence PMI: for token pairs sharing ≥ 50
+    documents, ln(P(both)/P(a)P(b)) over DOCUMENT incidence — the
+    topical-association view that adjacency PMI (text_collocations)
+    can't see (terms that live in the same documents without ever
+    touching). The pair space is bounded by the VOCABULARY squared —
+    the per-doc distinct-token self-join fans out ≤ |doc vocab|² per
+    document and aggregates onto ≤ |V|² keys (961 here; at web scale
+    you prune df below a support floor first, which also kills the
+    quadratic's long tail — the dedup_jaccard prefix-filter idea
+    applied to co-occurrence). Counts are exact document incidences;
+    one distinct, one doc-keyed self-join, vocabulary-keyed folds."""
+    d = table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).distinct()
+    df_ = dt.groupBy("w").agg(F.count("*").alias("d"))
+    nd = dt.agg(F.count_distinct("doc_id").alias("n"))
+    a = dt.select("doc_id", F.col("w").alias("w1"))
+    b = dt.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("w2"))
+    pairs = (
+        a.join(b, (F.col("doc_id") == F.col("doc_b")) & (F.col("w1") < F.col("w2")))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("d12"))
+        .where(F.col("d12") >= 50)
+    )
+    da = df_.select(F.col("w").alias("w1"), F.col("d").alias("da"))
+    db = df_.select(F.col("w").alias("w2"), F.col("d").alias("db"))
+    return (
+        pairs.join(F.broadcast(da), "w1")
+        .join(F.broadcast(db), "w2")
+        .join(F.broadcast(nd))
+        .select(
+            "w1",
+            "w2",
+            "d12",
+            F.round(
+                F.log(
+                    (F.col("d12") * 1.0 / F.col("n"))
+                    / ((F.col("da") * 1.0 / F.col("n")) * (F.col("db") * 1.0 / F.col("n")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

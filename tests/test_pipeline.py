@@ -2679,3 +2679,20 @@ def test_ytd_resets_each_january(spark):
         for r in rs:
             run += r["n_orders"]
             assert r["orders_ytd"] == run
+
+
+def test_whale_concentration_consistent_with_gini_total(spark):
+    r = QUERIES["orders_whale_concentration"](spark, SF_ORACLE).collect()[0]
+    g = QUERIES["agg_gini"](spark, SF_ORACLE).collect()[0]
+    assert r["n_customers"] == g["n"]
+    assert abs(r["total_revenue"] - g["total_spend"]) < 1.0
+    assert 0 < r["top10_share"] < 1
+    assert r["top10_revenue"] <= r["total_revenue"]
+
+
+def test_cooccurrence_pmi_symmetric_support(spark):
+    rows = QUERIES["text_cooccurrence_pmi"](spark, SF_ORACLE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["w1"] < r["w2"]  # canonical unordered pairs
+        assert r["d12"] >= 50
