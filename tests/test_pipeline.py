@@ -1338,7 +1338,8 @@ _BNLJ_ALLOWED = {
     "events_active_users", "events_growth_accounting",
     "events_hazard_rate", "events_heatmap_hour_dow",
     "events_peak_concurrency", "orders_return_rate",
-    "orders_revenue_bridge", "vec_pca_power",
+    "orders_revenue_bridge", "orders_whale_concentration", "vec_pca_power",
+    "rollup_ytd",
     "events_survival_curve",
     "stats_anova", "stats_bootstrap_ci", "stats_chi2", "stats_ks_test",
     "stats_simpson_check",
