@@ -28,15 +28,15 @@ load_all_operators()
 # verification window (~50 queries, taken from the head of ``queries()``)
 # re-records them.
 _REVERIFY_FIRST = [
-    "sim_knn",            # r2-green but rewritten since (blocked BLAS preselect) — re-record
-    "events_anomaly_mad", # mad>0 guard added to Spark filter + oracle this round
-    # money-grid rounding pins (price-scale sums 6dp → 2dp in Spark AND
-    # oracle, fixing sf0.1 last-digit drift) — re-record the new hashes:
-    "agg_group",
-    "agg_cube",
-    "agg_filtered",
-    "rollup_time_multires",
-    "sql_star_join",
+    # r4 money-grid repin that never got a driver row (its sums were
+    # re-rounded 6dp → 2dp alongside agg_group et al.) — pin until recorded:
+    "join_runtime_bloom",
+    # r5 ADVICE fixes — implementation and/or oracle changed, re-record:
+    "corpus_trigram_lm",      # size(w) >= 3 guard before the trigram transform
+    "events_session_stats",   # event_id tiebreak on the session_seq window
+    "events_peak_concurrency",  # same tiebreak
+    "win_session_native",     # oracle's islands windows gained the tiebreak
+    "stream_session",         # same latent tie hazard fixed in the oracle
 ]
 
 

@@ -758,9 +758,11 @@ def agg_money_decimal(spark, sf_dir):
 def agg_bitmap_distinct(spark, sf_dir):
     """EXACT distinct-user counts via bitmap aggregation — the
     Doris/ClickHouse bitmap-index technique on plain SQL: pack user
-    ids into 64-bit words (word = id/64, bit = id mod 64), bit_or the
+    ids into 63-user blocks of one BIGINT each (word = id/63, bit =
+    id mod 63 — bits 0..62, leaving the sign bit untouched so the
+    shifted mask is always positive in both engines), bit_or the
     masks per (type, word), popcount and sum. Versus COUNT(DISTINCT)'s
-    per-key row expansion, the shuffle carries ≤ |id-space|/64 words
+    per-key row expansion, the shuffle carries ≤ |id-space|/63 words
     per group — fixed-size mergeable state like a sketch, but EXACT,
     and the per-(type,word) partials roll up across days/partitions
     for free (the incremental-distinct pattern agg_incremental

@@ -1283,7 +1283,7 @@ def stats_ttest_welch(spark, sf_dir):
             SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
         ),
         flagged AS (
-            SELECT user_id, ts_us,
+            SELECT user_id, event_id, ts_us,
                    CASE WHEN lag(ts_us) OVER w IS NULL
                              OR ts_us - lag(ts_us) OVER w >= 600000000
                         THEN 1 ELSE 0 END AS is_new
@@ -1293,7 +1293,7 @@ def stats_ttest_welch(spark, sf_dir):
         sess AS (
             SELECT user_id, ts_us,
                    sum(is_new) OVER (
-                       PARTITION BY user_id ORDER BY ts_us
+                       PARTITION BY user_id ORDER BY ts_us, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS session_seq
             FROM flagged
@@ -1337,7 +1337,10 @@ def events_session_stats(spark, sf_dir):
             1,
         ).otherwise(0),
     )
-    wsum = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+    # Cumulative-sum window carries the event_id tiebreak too: tied
+    # (user_id, ts_us) rows must land in a deterministic session in both
+    # engines, matching win_sessionize's fully-tiebroken ordering.
+    wsum = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sess = flagged.select(
@@ -2752,7 +2755,7 @@ def orders_return_rate(spark, sf_dir):
             SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
         ),
         flagged AS (
-            SELECT user_id, ts_us,
+            SELECT user_id, event_id, ts_us,
                    CASE WHEN lag(ts_us) OVER w IS NULL
                              OR ts_us - lag(ts_us) OVER w >= 600000000
                         THEN 1 ELSE 0 END AS is_new
@@ -2761,7 +2764,7 @@ def orders_return_rate(spark, sf_dir):
         sess AS (
             SELECT user_id,
                    sum(is_new) OVER (
-                       PARTITION BY user_id ORDER BY ts_us
+                       PARTITION BY user_id ORDER BY ts_us, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS seq,
                    ts_us
@@ -2819,7 +2822,9 @@ def events_peak_concurrency(spark, sf_dir):
             1,
         ).otherwise(0),
     )
-    wsum = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+    # (ts_us, event_id) ordering on the running sum: tied timestamps get a
+    # deterministic session in both engines (ADVICE r4).
+    wsum = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     sess = flagged.select(

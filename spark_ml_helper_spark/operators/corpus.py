@@ -1448,6 +1448,11 @@ def corpus_trigram_lm(spark, sf_dir):
     (≤ hundreds of addends — drift far inside the 4/6-dp outputs)."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("w"))
+    # Guard: for size(w) < 3, sequence(0, size(w)-3) would run DOWNWARD
+    # (Spark defaults to step -1), emitting spurious NULL-padded trigram
+    # rows the oracle's empty range never produces. Docs with <3 tokens
+    # have no trigrams in either engine.
+    toks = toks.where(F.size("w") >= 3)
     tri = toks.select(
         "doc_id",
         F.explode(

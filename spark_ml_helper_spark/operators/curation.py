@@ -615,7 +615,7 @@ def dedup_containment(spark, sf_dir):
     low Jaccard). A pipeline drops is_contained docs, keeping the
     supersets. Exact, not probabilistic, and the pair space NEVER
     reaches the output: identical sets collapse to representatives, a
-    blocked float32 matmul produces every |A∩B| count (both directions
+    blocked float64 matmul produces every |A∩B| count (both directions
     per block pair in one kernel — see containment_rep_pairs), exact JVM
     rescore confirms candidates, and the count/max aggregate folds the
     rep-level pair stream down to one row per rep BEFORE membership

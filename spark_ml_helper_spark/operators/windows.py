@@ -548,7 +548,7 @@ def win_islands_ranges(spark, sf_dir):
             SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us FROM events
         ),
         flagged AS (
-            SELECT user_id, ts, ts_us,
+            SELECT user_id, event_id, ts, ts_us,
                    CASE WHEN lag(ts_us) OVER w IS NULL
                              OR ts_us - lag(ts_us) OVER w >= 600000000
                         THEN 1 ELSE 0 END AS is_new
@@ -558,7 +558,7 @@ def win_islands_ranges(spark, sf_dir):
         sess AS (
             SELECT user_id, ts, ts_us,
                    sum(is_new) OVER (
-                       PARTITION BY user_id ORDER BY ts_us
+                       PARTITION BY user_id ORDER BY ts_us, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS seq
             FROM flagged

@@ -71,19 +71,19 @@ def stream_sliding(spark, sf_dir):
     "stream_session",
     oracle="""
         WITH e AS (
-            SELECT user_id, ts, epoch_us(ts) AS ts_us FROM events
+            SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us FROM events
         ),
         flagged AS (
-            SELECT user_id, ts, ts_us,
+            SELECT user_id, event_id, ts, ts_us,
                    CASE WHEN lag(ts_us) OVER w IS NULL
                              OR ts_us - lag(ts_us) OVER w >= 600000000
                         THEN 1 ELSE 0 END AS is_new
-            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         ),
         sessions AS (
             SELECT user_id, ts,
                    sum(is_new) OVER (
-                       PARTITION BY user_id ORDER BY ts_us
+                       PARTITION BY user_id ORDER BY ts_us, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS session_seq
             FROM flagged
