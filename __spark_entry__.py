@@ -37,6 +37,11 @@ _REVERIFY_FIRST = [
     "events_peak_concurrency",  # same tiebreak
     "win_session_native",     # oracle's islands windows gained the tiebreak
     "stream_session",         # same latent tie hazard fixed in the oracle
+    # r5 rows-only → SQL-oracled flips (exact-twin + bounded-error booleans):
+    "ml_pca",
+    "agg_approx_percentile",
+    "agg_approx_distinct",
+    "agg_hll_sketch",
 ]
 
 

@@ -113,17 +113,38 @@ def agg_distinct(spark, sf_dir):
     )
 
 
-@query("agg_approx_distinct", oracle=None, family="aggregates")
+@query(
+    "agg_approx_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+               TRUE AS within_rsd
+        FROM orders GROUP BY o_orderstatus
+    """,
+    family="aggregates",
+)
 def agg_approx_distinct(spark, sf_dir):
-    """HyperLogLog++ approximate distinct (rows-only: approx ≠ hash-match).
-    The paired exact count lives in `agg_distinct`; tests assert the HLL
-    estimate is within the configured rsd of the exact value. At 100 TB this
-    is THE distinct-count operator — fixed-size sketch per group, mergeable,
-    no expand."""
-    return (
-        table(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_n_custs"))
+    """HyperLogLog++ approximate distinct — SQL-oracled (round 5, was
+    rows-only) with the exact-twin + bounded-error-boolean pattern: the
+    HLL estimate isn't hash-stable across engines, so the hash-matched
+    columns are the exact distinct count plus a boolean asserting the
+    estimate landed within 5× the configured rsd (0.02; HLL++ error is
+    ~1 rsd rms, so 5σ is deterministic-fixture-safe while still failing
+    loudly on any real defect — wrong column, wrong grouping, broken
+    merge). The oracle emits literal TRUE; an estimate excursion flips
+    the boolean → hash mismatch. The exact twin is the fixture-scale
+    verification device only — at 100 TB the sketch column IS the
+    operator (fixed-size mergeable state per group, no expand; the
+    exact arm would be agg_distinct's shuffle)."""
+    o = table(spark, sf_dir, "orders")
+    approx = F.approx_count_distinct("o_custkey", 0.02)
+    exact = F.count_distinct("o_custkey")
+    return o.groupBy("o_orderstatus").agg(
+        exact.alias("n_custs"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= 5 * 0.02 * exact.cast("double") + 1.0
+        ).alias("within_rsd"),
     )
 
 
@@ -383,19 +404,55 @@ def agg_minmax_by(spark, sf_dir):
     )
 
 
-@query("agg_approx_percentile", oracle=None, family="aggregates")
+@query(
+    "agg_approx_percentile",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 6)  AS med_qty,
+               round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+               round(quantile_cont(l_quantity, 0.75), 6) AS p75_qty,
+               TRUE AS med_in_bounds,
+               TRUE AS p25_in_bounds,
+               TRUE AS p75_in_bounds
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    family="aggregates",
+)
 def agg_approx_percentile(spark, sf_dir):
     """Approximate percentiles via Spark's mergeable quantile sketch
     (`approx_percentile`, accuracy 10000) — the 100 TB form of
-    agg_percentile: fixed-size state per group, no per-group value buffer.
-    Rows-only (sketch estimates aren't hash-stable across engines); tests
-    assert each estimate lands within 1% of the exact `agg_percentile`
-    twin."""
+    agg_percentile: fixed-size state per group, no per-group value
+    buffer. SQL-oracled (round 5, was rows-only) with the EXACT-TWIN +
+    BOUNDED-ERROR pattern: the sketch estimate itself isn't
+    hash-stable across engines, so the output hash-matches on the
+    exact percentile columns and on per-quantile booleans asserting
+    the sketch landed inside its documented rank guarantee — the
+    estimate must sit between the exact values at quantiles q ± 2ε
+    (ε = 1/accuracy; 2× is slack for the interpolation gap between
+    a rank bound and quantile_cont's interpolated value). The oracle
+    emits literal TRUE: a sketch excursion past its bound flips the
+    boolean → hash mismatch → driver FAIL. Tests additionally assert
+    the estimates land within 1% of the exact twin. The exact columns
+    double as the ground truth (they ARE agg_percentile's values), so
+    one driver row now checks both the sketch's contract and the
+    group-by plumbing around it."""
     li = table(spark, sf_dir, "lineitem")
+    eps = 2.0 / 10000
+
+    def in_bounds(q: float):
+        lo = F.expr(f"percentile(l_quantity, {max(q - eps, 0.0)})")
+        hi = F.expr(f"percentile(l_quantity, {min(q + eps, 1.0)})")
+        ap = F.expr(f"approx_percentile(l_quantity, {q}, 10000)")
+        return (ap >= lo - 1e-9) & (ap <= hi + 1e-9)
+
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("approx_percentile(l_quantity, 0.5, 10000)"), 6).alias("med_qty"),
-        F.round(F.expr("approx_percentile(l_quantity, 0.25, 10000)"), 6).alias("p25_qty"),
-        F.round(F.expr("approx_percentile(l_quantity, 0.75, 10000)"), 6).alias("p75_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("med_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75_qty"),
+        in_bounds(0.5).alias("med_in_bounds"),
+        in_bounds(0.25).alias("p25_in_bounds"),
+        in_bounds(0.75).alias("p75_in_bounds"),
     )
 
 
@@ -448,7 +505,21 @@ def rollup_time_multires(spark, sf_dir):
     )
 
 
-@query("agg_hll_sketch", family="aggregates")
+@query(
+    "agg_hll_sketch",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               TRUE AS within_5pct
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT '__ALL__',
+               CAST(count(DISTINCT user_id) AS BIGINT),
+               TRUE
+        FROM events
+    """,
+    family="aggregates",
+)
 def agg_hll_sketch(spark, sf_dir):
     """Mergeable HyperLogLog sketches (Apache DataSketches via Spark 3.5+
     hll_sketch_agg): per-event-type distinct-user sketches, re-merged with
@@ -456,9 +527,17 @@ def agg_hll_sketch(spark, sf_dir):
     again. The merge step is the 100 TB story: sketches are tiny fixed-size
     binaries, so daily/partition-level sketches roll up to any grouping at
     interactive cost — the pattern exact count_distinct can't follow
-    because its state is the value set itself. Rows-only (estimates are
-    approximate); tests/test_pipeline.py pins the error vs the exact twin
-    to < 5% and checks merged ≤ sum of parts."""
+    because its state is the value set itself. SQL-oracled (round 5, was
+    rows-only) via the exact-twin + bounded-error-boolean pattern: the
+    hash-matched columns are the exact distinct counts (per type and for
+    the merged __ALL__ row), plus a boolean asserting each DataSketches
+    estimate — including the one that went through the hll_union_agg
+    merge — landed within 5% of exact (lgK=14 → rms error ~0.8%, so 5%
+    is fixture-deterministic). The oracle emits literal TRUE; a sketch
+    or merge defect flips the boolean → hash mismatch. The exact twin is
+    fixture-scale verification only; production emits the sketch
+    columns. tests/test_pipeline.py additionally checks merged ≤ sum of
+    parts."""
     e = table(spark, sf_dir, "events")
     per_type = e.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
@@ -470,7 +549,20 @@ def agg_hll_sketch(spark, sf_dir):
     merged = per_type.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     ).select(F.lit("__ALL__").alias("event_type"), "approx_users")
-    return est.unionByName(merged)
+    est_all = est.unionByName(merged)
+    exact = e.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_users"))
+    exact_all = e.agg(F.count_distinct("user_id").alias("n_users")).select(
+        F.lit("__ALL__").alias("event_type"), "n_users"
+    )
+    ex = exact.unionByName(exact_all)
+    return est_all.join(ex, "event_type").select(
+        "event_type",
+        "n_users",
+        (
+            F.abs(F.col("approx_users").cast("double") - F.col("n_users").cast("double"))
+            <= 0.05 * F.col("n_users").cast("double")
+        ).alias("within_5pct"),
+    )
 
 
 @query(

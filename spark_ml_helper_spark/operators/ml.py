@@ -78,12 +78,49 @@ def ml_logreg(spark, sf_dir):
     )
 
 
-@query("ml_pca", oracle=None, family="ml")
+@query(
+    "ml_pca",
+    oracle="""
+        WITH v AS (
+            SELECT i, round(var_samp(CAST(embedding[i] AS DOUBLE)), 8) AS vv
+            FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+            GROUP BY i
+        ),
+        s AS (
+            SELECT round(sum(vv), 6) AS trace,
+                   round(max(vv), 6) AS max_diag
+            FROM v
+        )
+        SELECT CAST(c AS BIGINT) AS component, s.trace, s.max_diag,
+               TRUE AS ratio_consistent, TRUE AS desc_ok, TRUE AS spectrum_ok
+        FROM (SELECT unnest(range(0, 8)) AS c) CROSS JOIN s
+    """,
+    family="ml",
+)
 def ml_pca(spark, sf_dir):
-    """PCA to 8 components over the embeddings; returns the explained-
-    variance ratios (sign-invariant, unlike the loadings/scores, which flip
-    per eigen-solver run). The projection itself is exercised but reduced
-    to per-component score variance — also sign-invariant."""
+    """PCA to 8 components over the embeddings — SQL-oracled (round 5,
+    was rows-only) via SPECTRAL INVARIANTS rather than raw eigen-output:
+    MLlib's solver emits explained-variance ratios and projected scores
+    whose floats DuckDB cannot reproduce, but every mathematical claim
+    about them CAN be checked against SQL-exact quantities, so the
+    output carries (a) the covariance trace and largest diagonal
+    element (Σ/max of per-dim sample variances, rounded on the shared
+    8dp→6dp grid — hash-matched values), and (b) per-component booleans
+    the oracle asserts as literal TRUE: `ratio_consistent` (explained
+    ratio equals projected-score variance over the trace — the
+    Rayleigh-quotient identity vᵀCv = λ, tolerance 1e-4),
+    `desc_ok` (ratios non-increasing), and `spectrum_ok` (ratios
+    positive, summing ≤ 1, and λ₁ ≥ max C_ii — a top-eigenvalue lower
+    bound any correct solver must clear). A wrong component order,
+    scaling, or projection flips a boolean → hash mismatch → driver
+    FAIL, which is exactly the contract a rows-only record could not
+    enforce. Loadings/scores stay out of the output (sign flips per
+    eigen-solver run). The exact top eigenvector itself is oracle-
+    verified in vec_pca_power via power iteration from engine
+    primitives; this operator pins the MLlib WRAPPER against the same
+    data moments. Booleans compare unrounded doubles with slack, so no
+    boundary risk; the hash-matched trace/max_diag round per-dim at
+    8 dp before the fold (both engines sum identical addends)."""
     from pyspark.ml.feature import PCA
     from pyspark.ml.functions import vector_to_array
 
@@ -93,11 +130,45 @@ def ml_pca(spark, sf_dir):
     ev = [float(x) for x in model.explainedVariance]
     per_comp = scored.select(
         F.posexplode(F.col("pc")).alias("component", "score")
-    ).groupBy("component").agg(F.round(F.var_samp("score"), 6).alias("score_var"))
+    ).groupBy("component").agg(F.var_samp("score").alias("score_var"))
     ev_df = per_comp.sparkSession.createDataFrame(
-        [(i, round(v, 6)) for i, v in enumerate(ev)], "component int, explained_var double"
+        [(i, v) for i, v in enumerate(ev)], "component int, explained_var double"
     )
-    return per_comp.join(ev_df, "component").select("component", "explained_var", "score_var")
+    dims = (
+        table(spark, sf_dir, "embeddings")
+        .select(F.posexplode("embedding").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.round(F.var_samp(F.col("x").cast("double")), 8).alias("vv"))
+    )
+    stats = dims.agg(
+        F.round(F.sum("vv"), 6).alias("trace"),
+        F.round(F.max("vv"), 6).alias("max_diag"),
+        F.sum("vv").alias("trace_raw"),
+        F.max("vv").alias("max_diag_raw"),
+    )
+    w = Window.orderBy("component")
+    wall = Window.partitionBy()
+    joined = per_comp.join(ev_df, "component").join(F.broadcast(stats))
+    next_ev = F.lead("explained_var").over(w)
+    sum_ev = F.sum("explained_var").over(wall)
+    return joined.select(
+        F.col("component").cast("bigint").alias("component"),
+        "trace",
+        "max_diag",
+        (
+            F.abs(F.col("explained_var") - F.col("score_var") / F.col("trace_raw"))
+            < 1e-4
+        ).alias("ratio_consistent"),
+        (next_ev.isNull() | (F.col("explained_var") >= next_ev - 1e-9)).alias("desc_ok"),
+        (
+            (F.col("explained_var") > 0)
+            & (sum_ev <= 1.0 + 1e-6)
+            & (
+                (F.col("component") != 0)
+                | (F.col("explained_var") * F.col("trace_raw") >= F.col("max_diag_raw") - 1e-6)
+            )
+        ).alias("spectrum_ok"),
+    )
 
 
 @query(

