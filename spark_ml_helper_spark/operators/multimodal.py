@@ -7,13 +7,21 @@ relational plan (filter/join/prune on metadata WITHOUT touching bytes),
 and cross into Python only for the decode step — one Arrow batch at a
 time, never one row at a time.
 
-Real image/audio codecs (PIL, torchvision, ffmpeg) are NOT installed in
-this environment, so the codec call itself is a clearly-marked stub
-(``decode_image``/``decode_audio`` below raise NotImplementedError). The
-Spark-side plumbing — binary schema, mapInPandas signature, Arrow batch
-shape, multi-row frame expansion — is real and oracle-checked by driving
-a DETERMINISTIC fake decode (header arithmetic over the payload bytes)
-that DuckDB can reproduce from the source text.
+Compressed-format codecs (PIL, torchvision, ffmpeg) are NOT installed in
+this environment, but since round 5 the decode path is REAL for the two
+formats the Python stdlib can handle: ``decode_image`` parses
+uncompressed 24-bit BMP (struct header walk, bottom-up rows, 4-byte row
+padding) and ``decode_audio`` parses RIFF/WAV PCM via the stdlib
+``wave`` module. ``mm_decode_image_real`` / ``mm_decode_audio_real``
+drive them end-to-end: payloads are ENCODED from deterministic pixel /
+sample data inside the pipeline, decoded back through the real parsers,
+and the decoded features hash-match a DuckDB oracle that derives the
+expected values independently from the source text — a genuine
+spec-conformance round trip, not a fake. The earlier deterministic fake
+decodes (``fake_image_meta``) are kept alongside: they exercise the
+mapInPandas plumbing for the compressed formats whose codecs remain
+absent (probed again round 5: PIL/soundfile/cv2/imageio/librosa all
+missing).
 """
 
 from __future__ import annotations
@@ -28,29 +36,110 @@ from spark_ml_helper_spark.registry import query
 from spark_ml_helper_spark.sources.parquet import table
 
 # ---------------------------------------------------------------------------
-# Codec stubs — the real decode path, gated off because the libs aren't in
-# this container. Swap the body for PIL/soundfile/ffmpeg in production; the
-# mapInPandas plumbing above them does not change.
-# Environment probes (PIL/soundfile/cv2/librosa/imageio/av all absent):
-# rounds 2, 3, and 4 (2026-08-14) — stubs remain the correct call.
+# Real pure-stdlib codecs (round 5). Compressed formats (PNG/JPEG/OGG/MP4)
+# still need PIL/soundfile/ffmpeg, which are absent from this container
+# (probed rounds 2-5, 2026-08-14); for those, swap the body and keep the
+# mapInPandas plumbing. BMP and WAV need only `struct` + `wave`, so they
+# are decoded for real below.
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 BGR array as an uncompressed 24-bit BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows, each row padded
+    to a 4-byte boundary — the on-disk layout per the public BMP spec)."""
+    import struct
+
+    h, w, _ = pixels.shape
+    row_len = w * 3
+    pad = (4 - row_len % 4) % 4
+    body = b"".join(
+        pixels[r].tobytes() + b"\x00" * pad for r in range(h - 1, -1, -1)
+    )
+    pixel_offset = 14 + 40
+    file_header = struct.pack("<2sIHHI", b"BM", pixel_offset + len(body), 0, 0, pixel_offset)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + body
 
 
 def decode_image(payload: bytes):
-    """STUB: decode an encoded image payload to (height, width, channels,
-    pixel array). Requires PIL/opencv — not installed here."""
-    raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "use fake_image_meta() for the deterministic test decode"
+    """REAL decode of an uncompressed 24-bit BMP payload → (height, width,
+    channels, (h, w, 3) uint8 pixel array in BGR, top-down). Pure-stdlib
+    header walk: validates the 'BM' magic, reads the pixel-data offset
+    from the file header and geometry/bpp/compression from the 40-byte
+    info header, honors 4-byte row padding and the bottom-up row order
+    (negative height = top-down, also handled). Compressed formats need
+    PIL/opencv — absent here; they raise NotImplementedError so callers
+    fail loudly instead of mis-parsing."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise NotImplementedError(
+            "only BMP payloads are decodable without external codec libraries"
+        )
+    if len(payload) < 54:
+        raise ValueError("payload too short for a BMP header")
+    _, _, _, _, off = struct.unpack_from("<2sIHHI", payload, 0)
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP is supported")
+    bottom_up = h > 0
+    h = abs(h)
+    row_len = w * 3
+    stride = (row_len + 3) // 4 * 4
+    if off + h * stride > len(payload):
+        raise ValueError("BMP pixel data truncated")
+    rows = [
+        np.frombuffer(payload, dtype=np.uint8, count=row_len, offset=off + r * stride)
+        for r in range(h)
+    ]
+    if bottom_up:
+        rows = rows[::-1]
+    return h, w, 3, np.stack(rows).reshape(h, w, 3)
+
+
+def encode_wav(samples, rate: int = 8000) -> bytes:
+    """Encode an int16 sample array as a mono RIFF/WAV PCM payload
+    (RIFF + fmt + data chunks per the public WAVE spec)."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
     )
 
 
 def decode_audio(payload: bytes):
-    """STUB: decode an audio payload to (sample_rate, samples). Requires
-    soundfile/ffmpeg — not installed here."""
-    raise NotImplementedError(
-        "audio codecs are not available in this environment; "
-        "the frame-sampling plumbing is exercised by mm_frame_sample"
-    )
+    """REAL decode of a RIFF/WAV PCM payload → (sample_rate, int16 sample
+    array), via the stdlib `wave` parser (chunk walk, fmt validation).
+    Mono 16-bit only — the shape encode_wav emits; compressed audio
+    (OGG/MP3/FLAC) needs soundfile/ffmpeg, absent here, and raises."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+                raise NotImplementedError("only mono 16-bit PCM WAV is supported")
+            rate = wf.getframerate()
+            raw = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError) as exc:
+        raise NotImplementedError(
+            "only WAV payloads are decodable without external codec libraries"
+        ) from exc
+    return rate, np.frombuffer(raw, dtype="<i2")
 
 
 def fake_image_meta(payload: bytes) -> dict:
@@ -270,4 +359,164 @@ def mm_payload_stats(spark, sf_dir):
         F.min("n_bytes").cast("bigint").alias("min_bytes"),
         F.max("n_bytes").cast("bigint").alias("max_bytes"),
         F.round(F.percentile("n_bytes", 0.5), 6).alias("p50_bytes"),
+    )
+
+
+@query(
+    "mm_decode_image_real",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id, text, n_chars,
+                   CAST(doc_id % 8 + 2 AS INTEGER) AS width,
+                   CAST(doc_id % 5 + 2 AS INTEGER) AS height
+            FROM documents
+        )
+        SELECT doc_id, width, height,
+               CAST(3 AS INTEGER) AS channels,
+               CAST(width * height AS BIGINT) AS n_pixels,
+               CAST(list_sum(list_transform(
+                    range(0, width * height * 3),
+                    i -> ascii(substr(text, CAST(i % n_chars AS INTEGER) + 1, 1))
+               )) AS BIGINT) AS pix_sum
+        FROM b
+    """,
+    family="multimodal",
+)
+def mm_decode_image_real(spark, sf_dir):
+    """REAL image decode, end to end: per document, deterministic pixel
+    bytes (the text bytes cycled to w·h·3, w/h derived from doc_id) are
+    ENCODED into a spec-conformant uncompressed 24-bit BMP
+    (encode_bmp: header structs, bottom-up rows, 4-byte row padding)
+    and DECODED back through decode_image's real header walk — all
+    inside one Arrow-batched mapInPandas pass. The emitted geometry and
+    pixel checksum come from the DECODED array only, while the oracle
+    derives the expected values independently from the source text, so
+    a decoder defect (wrong stride, padding read into pixels, row-order
+    flip dropping a row) breaks the hash match. This closes the round-4
+    'partial-by-environment' multimodal gap for the one image format
+    the stdlib can carry; compressed formats still go through
+    fake_image_meta until a codec library exists in the container.
+    Partition-parallel, shuffle-free; bytes cross to Python once."""
+    import numpy as np
+
+    d = table(spark, sf_dir, "documents")
+    src = d.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        (F.col("doc_id") % 8 + 2).cast("int").alias("w"),
+        (F.col("doc_id") % 5 + 2).cast("int").alias("h"),
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, chans, npx, sums = [], [], [], [], [], []
+            for doc_id, payload, w, h in zip(
+                pdf["doc_id"], pdf["payload"], pdf["w"], pdf["h"]
+            ):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                need = int(w) * int(h) * 3
+                pix = raw[np.arange(need) % len(raw)].reshape(int(h), int(w), 3)
+                bmp = encode_bmp(pix)
+                dh, dw, dc, arr = decode_image(bmp)
+                ids.append(doc_id)
+                ws.append(dw)
+                hs.append(dh)
+                chans.append(dc)
+                npx.append(dw * dh)
+                sums.append(int(arr.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(chans, dtype="int32"),
+                    "n_pixels": pd.Series(npx, dtype="int64"),
+                    "pix_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(
+        roundtrip,
+        schema=(
+            "doc_id bigint, width int, height int, channels int, "
+            "n_pixels bigint, pix_sum bigint"
+        ),
+    )
+
+
+@query(
+    "mm_decode_audio_real",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id, text,
+                   CAST(least(n_chars, 64) AS INTEGER) AS ns
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, ns,
+                   list_transform(
+                       range(0, ns),
+                       i -> (ascii(substr(text, CAST(i AS INTEGER) + 1, 1)) - 96) * 256
+                   ) AS smp
+            FROM b
+        )
+        SELECT doc_id,
+               CAST(8000 AS INTEGER) AS sample_rate,
+               CAST(ns AS BIGINT) AS n_samples,
+               CAST(list_sum(smp) AS BIGINT) AS amp_sum,
+               CAST(list_max(list_transform(smp, x -> abs(x))) AS INTEGER) AS peak_amp,
+               round(ns / 8000.0, 6) AS duration_s
+        FROM s
+    """,
+    family="multimodal",
+)
+def mm_decode_audio_real(spark, sf_dir):
+    """REAL audio decode, end to end: per document, a deterministic int16
+    sample train ((text byte − 96)·256, up to 64 samples — well inside
+    int16) is ENCODED as a mono 16-bit RIFF/WAV payload (encode_wav:
+    RIFF/fmt/data chunks) and DECODED back through the stdlib `wave`
+    parser in decode_audio, inside one Arrow-batched mapInPandas pass.
+    Emitted rate / sample count / amplitude stats come from the DECODED
+    array; the oracle recomputes them from the source text, so an
+    endianness slip, header miscount, or chunk-walk bug breaks the hash
+    match. Duration = n/8000 lands exactly on the 6-dp grid (n·125 µs).
+    Same scale posture as the image twin: partition-parallel decode,
+    metadata math vectorized on the batch."""
+    import numpy as np
+
+    d = table(spark, sf_dir, "documents")
+    src = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, ns, sums, peaks = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                take = min(len(raw), 64)
+                samples = (raw[:take].astype(np.int32) - 96) * 256
+                wav = encode_wav(samples.astype(np.int16), rate=8000)
+                rate, decoded = decode_audio(wav)
+                ids.append(doc_id)
+                rates.append(rate)
+                ns.append(len(decoded))
+                sums.append(int(decoded.astype(np.int64).sum()))
+                peaks.append(int(np.abs(decoded.astype(np.int32)).max()) if len(decoded) else 0)
+            ns_arr = pd.Series(ns, dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": ns_arr,
+                    "amp_sum": pd.Series(sums, dtype="int64"),
+                    "peak_amp": pd.Series(peaks, dtype="int32"),
+                    "duration_s": (ns_arr / 8000.0).round(6),
+                }
+            )
+
+    return src.mapInPandas(
+        roundtrip,
+        schema=(
+            "doc_id bigint, sample_rate int, n_samples bigint, "
+            "amp_sum bigint, peak_amp int, duration_s double"
+        ),
     )

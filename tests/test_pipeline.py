@@ -123,13 +123,70 @@ def test_mm_frame_sample_shape(spark):
         assert sorted(frames) == list(range(len(frames)))
 
 
-def test_decode_stubs_raise():
+def test_decode_rejects_unsupported_formats():
     from spark_ml_helper_spark.operators.multimodal import decode_audio, decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\x89PNG" + b"\x00" * 64)  # PNG magic → unsupported codec
     with pytest.raises(NotImplementedError):
-        decode_audio(b"RIFF")
+        decode_audio(b"RIFF")  # truncated RIFF → not a parseable WAV
+    with pytest.raises(ValueError):
+        decode_image(b"BM" + b"\x00" * 10)  # right magic, truncated header
+
+
+def test_bmp_roundtrip_with_row_padding():
+    import numpy as np
+
+    from spark_ml_helper_spark.operators.multimodal import decode_image, encode_bmp
+
+    # w=3 → row_len=9, pad=3: exercises the 4-byte row-padding path; the
+    # asymmetric pattern catches row-order flips and stride errors
+    rng = np.random.default_rng(7)
+    for w, h in ((3, 5), (4, 2), (7, 3), (1, 1)):
+        pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = encode_bmp(pix)
+        dh, dw, dc, arr = decode_image(payload)
+        assert (dh, dw, dc) == (h, w, 3)
+        assert np.array_equal(arr, pix)
+
+
+def test_bmp_decode_handcrafted_reference():
+    import numpy as np
+
+    from spark_ml_helper_spark.operators.multimodal import decode_image
+
+    # hand-built 2x2 24-bit BMP, bottom-up rows, rows padded 6→8 bytes:
+    # top row = (B1,G1,R1),(B2,G2,R2); bottom row = (B3,G3,R3),(B4,G4,R4)
+    top = bytes([1, 2, 3, 4, 5, 6])
+    bot = bytes([7, 8, 9, 10, 11, 12])
+    body = bot + b"\x00\x00" + top + b"\x00\x00"  # stored bottom-up
+    import struct
+
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    h, w, c, arr = decode_image(hdr + info + body)
+    assert (h, w, c) == (2, 2, 3)
+    assert arr.tobytes() == top + bot  # top-down, padding stripped
+    # negative height = stored top-down: same pixels, no flip
+    info_td = struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    body_td = top + b"\x00\x00" + bot + b"\x00\x00"
+    _, _, _, arr_td = decode_image(hdr + info_td + body_td)
+    assert np.array_equal(arr_td, arr)
+
+
+def test_wav_roundtrip_and_reference():
+    import numpy as np
+
+    from spark_ml_helper_spark.operators.multimodal import decode_audio, encode_wav
+
+    samples = np.array([0, 1, -1, 32767, -32768, 1000], dtype=np.int16)
+    rate, decoded = decode_audio(encode_wav(samples, rate=16000))
+    assert rate == 16000
+    assert np.array_equal(decoded, samples)
+    # byte-level reference: little-endian int16 PCM in the data chunk
+    payload = encode_wav(np.array([258], dtype=np.int16), rate=8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    assert payload.endswith(b"\x02\x01")  # 258 = 0x0102 little-endian
 
 
 def test_langid_outputs_valid(spark):
