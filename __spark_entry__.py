@@ -42,6 +42,9 @@ _REVERIFY_FIRST = [
     "agg_approx_percentile",
     "agg_approx_distinct",
     "agg_hll_sketch",
+    # r5 perf rewrite (covariance pair stream now map-side posexplode²,
+    # no vec_id self-join) — identical at 8 dp but re-record the hash:
+    "vec_pca_power",
 ]
 
 

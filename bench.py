@@ -52,6 +52,8 @@ HEADLINE = [
     "corpus_bigram_lm", # bigram-LM perplexity scoring
     "basket_lift",      # per-order array pair explode + lift (round-4)
     "ts_cusum",         # windowed CUSUM change detection (round-4)
+    "vec_pca_power",    # power-iteration PCA top component (round-5)
+    "graph_label_prop", # semi-supervised label propagation (round-5)
 ]
 
 
