@@ -1063,3 +1063,125 @@ def ml_learning_curve(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+@query(
+    "ml_tree_stump",
+    oracle="""
+        WITH g AS (
+            SELECT l_quantity AS q, count(*) AS cnt,
+                   round(avg(l_extendedprice), 4) AS m1,
+                   round(avg(l_extendedprice * l_extendedprice), 1) AS m2
+            FROM lineitem GROUP BY l_quantity
+        ),
+        c AS (
+            SELECT q, cnt, m1,
+                   CAST(sum(cnt) OVER w AS BIGINT) AS n_left,
+                   sum(cnt * m1) OVER w AS s1_left,
+                   CAST(sum(cnt) OVER () AS BIGINT) AS n_tot,
+                   sum(cnt * m1) OVER () AS s1_tot,
+                   sum(cnt * m2) OVER () AS s2_tot
+            FROM g
+            WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        d AS (
+            SELECT q, n_left, n_tot - n_left AS n_right,
+                   s1_left, s1_tot - s1_left AS s1_right,
+                   s2_tot - s1_tot * s1_tot / n_tot AS sse_parent,
+                   s1_tot, n_tot
+            FROM c WHERE n_tot - n_left > 0
+        ),
+        e AS (
+            SELECT q, n_left, n_right,
+                   round(s1_left / n_left, 4) AS mean_left,
+                   round(s1_right / n_right, 4) AS mean_right,
+                   round((s1_left * s1_left / n_left
+                          + s1_right * s1_right / n_right
+                          - s1_tot * s1_tot / n_tot) / sse_parent,
+                         6) AS gain_share
+            FROM d
+        )
+        SELECT q AS split_qty, n_left, n_right, mean_left, mean_right,
+               gain_share,
+               gain_share = max(gain_share) OVER () AS is_best
+        FROM e
+    """,
+    family="ml",
+)
+def ml_tree_stump(spark, sf_dir):
+    """Exact best-split search for a regression decision stump —
+    l_extendedprice split on l_quantity — the histogram-based split
+    finder that is THE inner loop of ml_random_forest / ml_gbt, built
+    from engine primitives so the tree models' rows-only fits get a
+    fully SQL-oracled structural twin (the role vec_kmeans_lloyd /
+    vec_pca_power play for ml_kmeans / ml_pca). One pass aggregates
+    per-feature-value sufficient statistics (count + ROUNDED first /
+    second moment — the mergeable histogram bins LightGBM-style split
+    finding ships to workers); a cumulative window over the ≤50 bins
+    then yields every threshold's left/right stats at once, and the
+    variance gain uses the algebraically cancelled form
+    s1l²/nl + s1r²/nr − s1²/n (second moments cancel out of the gain,
+    so the only large-magnitude sum, Σy², appears ONLY in the
+    parent-SSE normalizer). Cross-engine determinism: bin moments are
+    rounded per magnitude (avg(y) 4 dp, avg(y²) 1 dp) BEFORE the
+    window, downstream sums are ≤50 terms (drift ~1e-13 relative),
+    and gain_share is a scale-free ratio rounded at 6 dp; is_best
+    compares the ROUNDED gains so a cross-engine tie is a tie on both
+    sides. At 100 TB nothing changes but the scan: the bin table is
+    (distinct feature values)-sized, the window runs over ≤ the bin
+    count on one task, and for continuous features the same plan runs
+    on width_bucket quantile bins — depth-d trees repeat this
+    node-local, feature-parallel."""
+    li = table(spark, sf_dir, "lineitem")
+    y = F.col("l_extendedprice")
+    g = li.groupBy(F.col("l_quantity").alias("q")).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.avg(y), 4).alias("m1"),
+        F.round(F.avg(y * y), 1).alias("m2"),
+    )
+    wcum = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "q",
+        F.sum("cnt").over(wcum).alias("n_left"),
+        F.sum(F.col("cnt") * F.col("m1")).over(wcum).alias("s1_left"),
+        F.sum("cnt").over(wall).alias("n_tot"),
+        F.sum(F.col("cnt") * F.col("m1")).over(wall).alias("s1_tot"),
+        F.sum(F.col("cnt") * F.col("m2")).over(wall).alias("s2_tot"),
+    )
+    d = c.select(
+        "q",
+        "n_left",
+        (F.col("n_tot") - F.col("n_left")).alias("n_right"),
+        "s1_left",
+        (F.col("s1_tot") - F.col("s1_left")).alias("s1_right"),
+        (F.col("s2_tot") - F.col("s1_tot") * F.col("s1_tot") / F.col("n_tot"))
+        .alias("sse_parent"),
+        "s1_tot",
+        "n_tot",
+    ).where(F.col("n_right") > 0)
+    gain = (
+        F.col("s1_left") * F.col("s1_left") / F.col("n_left")
+        + F.col("s1_right") * F.col("s1_right") / F.col("n_right")
+        - F.col("s1_tot") * F.col("s1_tot") / F.col("n_tot")
+    )
+    e = d.select(
+        "q",
+        "n_left",
+        "n_right",
+        F.round(F.col("s1_left") / F.col("n_left"), 4).alias("mean_left"),
+        F.round(F.col("s1_right") / F.col("n_right"), 4).alias("mean_right"),
+        F.round(gain / F.col("sse_parent"), 6).alias("gain_share"),
+    )
+    return e.select(
+        F.col("q").alias("split_qty"),
+        "n_left",
+        "n_right",
+        "mean_left",
+        "mean_right",
+        "gain_share",
+        (F.col("gain_share") == F.max("gain_share").over(wall)).alias("is_best"),
+    )

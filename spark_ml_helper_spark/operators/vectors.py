@@ -1539,3 +1539,177 @@ def vec_pca_power(spark, sf_dir):
             F.round(F.col("ev") / F.col("trace"), 6).alias("explained_share"),
         )
     )
+
+
+_KM_K = 8
+_KM_ROUNDS = 5
+
+
+def _kmeans_oracle() -> str:
+    # Generated SQL mirrors the Spark rounds term for term. The 64-term
+    # squared-distance sum is emitted LEFT-ASSOCIATED, which is the same
+    # IEEE evaluation order as Spark's F.aggregate fold ((0+t1)+t2)+...,
+    # so the per-(point, centroid) distance is bit-identical across
+    # engines and the argmin assignment cannot diverge. Every CTE is
+    # MATERIALIZED (DuckDB otherwise inlines the chained rounds — the
+    # same exponential re-evaluation _pca_oracle hit).
+    dims = list(range(1, 65))
+
+    def dist(c_alias: str) -> str:
+        return " + ".join(
+            f"(CAST(p.embedding[{d}] AS DOUBLE) - {c_alias}.d{d})"
+            f" * (CAST(p.embedding[{d}] AS DOUBLE) - {c_alias}.d{d})"
+            for d in dims
+        )
+
+    seed_cols = ", ".join(
+        f"CAST(embedding[{d}] AS DOUBLE) AS d{d}" for d in dims
+    )
+    upd_cols = ", ".join(
+        f"round(avg(CAST(embedding[{d}] AS DOUBLE)), 7) AS d{d}" for d in dims
+    )
+    merge_cols = ", ".join(f"coalesce(u.d{d}, p.d{d}) AS d{d}" for d in dims)
+    norm = " + ".join(f"c.d{d} * c.d{d}" for d in dims)
+
+    rounds = []
+    prev = "c0"
+    for r in range(1, _KM_ROUNDS + 1):
+        rounds.append(f"""
+        a{r} AS MATERIALIZED (
+            SELECT p.vec_id, p.embedding, c.cluster, {dist("c")} AS dist
+            FROM pts p CROSS JOIN {prev} c
+        ),
+        s{r} AS MATERIALIZED (
+            SELECT vec_id, embedding, cluster FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cluster
+                ) AS rn FROM a{r}
+            ) WHERE rn = 1
+        ),
+        u{r} AS MATERIALIZED (
+            SELECT cluster, {upd_cols} FROM s{r} GROUP BY cluster
+        ),
+        c{r} AS MATERIALIZED (
+            SELECT p.cluster, {merge_cols}
+            FROM {prev} p LEFT JOIN u{r} u USING (cluster)
+        )""")
+        prev = f"c{r}"
+    return f"""
+        WITH pts AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+        c0 AS MATERIALIZED (
+            SELECT vec_id AS cluster, {seed_cols}
+            FROM embeddings WHERE vec_id < {_KM_K}
+        ),
+        {",".join(rounds)},
+        af AS MATERIALIZED (
+            SELECT p.vec_id, c.cluster, {dist("c")} AS dist
+            FROM pts p CROSS JOIN {prev} c
+        ),
+        sf AS MATERIALIZED (
+            SELECT vec_id, cluster, dist FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cluster
+                ) AS rn FROM af
+            ) WHERE rn = 1
+        ),
+        st AS MATERIALIZED (
+            SELECT cluster, count(*) AS n, round(avg(dist), 6) AS md
+            FROM sf GROUP BY cluster
+        )
+        SELECT c.cluster AS cluster,
+               coalesce(st.n, CAST(0 AS BIGINT)) AS n_members,
+               st.md AS mean_dist,
+               round(sqrt({norm}), 6) AS centroid_norm
+        FROM {prev} c LEFT JOIN st USING (cluster)
+    """
+
+
+@query("vec_kmeans_lloyd", oracle=_kmeans_oracle(), family="vectors")
+def vec_kmeans_lloyd(spark, sf_dir):
+    """Seeded Lloyd k-means (k=8, 5 rounds) built from engine
+    primitives and fully ORACLE-VERIFIED — the deterministic twin of
+    the rows-only MLlib ml_kmeans, the same role vec_pca_power plays
+    for ml_pca. Init is the k lowest vec_ids (deterministic, no RNG);
+    each round assigns every point to its nearest centroid by squared
+    L2 and recomputes centroids as per-dimension means RE-ROUNDED at
+    7 dp — the re-rounding resets cross-engine float drift each round
+    exactly as vec_pca_power does, and the distance itself needs no
+    rounding because both engines evaluate the identical
+    left-associated 64-term sum (bit-equal IEEE doubles), so the
+    argmin (tie → lowest cluster id) cannot diverge. Empty clusters
+    keep their previous centroid (left-join coalesce). Output: per-
+    cluster membership count, mean assigned distance, centroid norm.
+    Scale shape: centroids are a k-row broadcast, assignment is a
+    map-side cross with the argmin taken in a per-point window, and
+    the update is one (cluster, dim)-keyed partial agg — per round
+    that is one corpus scan, zero corpus shuffles beyond the k×64
+    partial states, which is exactly MLlib's treeAggregate pattern
+    spelled out; rounds × scan is the 100 TB cost, and the centroid
+    frame stays driver-free throughout (localCheckpoint per round
+    truncates the 5-round lineage)."""
+    e = table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    cent = pts.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster"), F.col("emb").alias("cent")
+    )
+    sqdist = F.aggregate(
+        F.zip_with("emb", "cent", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    for _ in range(_KM_ROUNDS):
+        assigned = (
+            pts.crossJoin(F.broadcast(cent))
+            .withColumn("dist", sqdist)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+        )
+        upd = (
+            assigned.select("cluster", F.posexplode("emb").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("x"), 7).alias("v"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                    lambda s: s["v"],
+                ).alias("newc")
+            )
+        )
+        cent = (
+            cent.join(upd, "cluster", "left")
+            .select("cluster", F.coalesce("newc", "cent").alias("cent"))
+            .localCheckpoint()
+        )
+    final = (
+        pts.crossJoin(F.broadcast(cent))
+        .withColumn("dist", sqdist)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    stats = final.groupBy("cluster").agg(
+        F.count("*").alias("n"), F.round(F.avg("dist"), 6).alias("md")
+    )
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform("cent", lambda c: c * c),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        ),
+        6,
+    )
+    return (
+        cent.join(stats, "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_members"),
+            F.col("md").alias("mean_dist"),
+            norm.alias("centroid_norm"),
+        )
+    )

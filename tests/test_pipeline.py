@@ -1426,6 +1426,7 @@ _BNLJ_ALLOWED = {
     "events_hazard_rate", "events_heatmap_hour_dow",
     "events_peak_concurrency", "orders_return_rate",
     "orders_revenue_bridge", "orders_whale_concentration", "vec_pca_power",
+    "vec_kmeans_lloyd",
     "rollup_ytd",
     "events_survival_curve",
     "stats_anova", "stats_bootstrap_ci", "stats_chi2", "stats_ks_test",
@@ -2784,3 +2785,67 @@ def test_cooccurrence_pmi_symmetric_support(spark):
     for r in rows:
         assert r["w1"] < r["w2"]  # canonical unordered pairs
         assert r["d12"] >= 50
+
+
+def test_kmeans_lloyd_matches_numpy_replay(spark):
+    import numpy as np
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    rows = {r["cluster"]: r for r in
+            QUERIES["vec_kmeans_lloyd"](spark, SF_ORACLE).collect()}
+    assert set(rows) == set(range(8))
+    emb = sorted(table(spark, SF_ORACLE, "embeddings").collect(),
+                 key=lambda r: r["vec_id"])
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    C = X[:8].copy()
+    for _ in range(5):
+        d = ((X[:, None, :] - C[None]) ** 2).sum(-1)
+        a = d.argmin(1)  # np.argmin ties → lowest index, same as the op
+        for c in range(8):
+            if (a == c).any():
+                C[c] = np.round(X[a == c].mean(0), 7)
+    d = ((X[:, None, :] - C[None]) ** 2).sum(-1)
+    a = d.argmin(1)
+    md = d[np.arange(len(X)), a]
+    for c in range(8):
+        n = int((a == c).sum())
+        assert rows[c]["n_members"] == n
+        if n:
+            assert abs(rows[c]["mean_dist"] - md[a == c].mean()) < 1e-5
+        else:
+            assert rows[c]["mean_dist"] is None
+        assert abs(rows[c]["centroid_norm"] - np.linalg.norm(C[c])) < 1e-5
+    # a k-means fit should beat the trivial one-cluster solution
+    global_inertia = ((X - X.mean(0)) ** 2).sum(-1).mean()
+    fitted = md.mean()
+    assert fitted < global_inertia
+
+
+def test_tree_stump_matches_numpy_brute_force(spark):
+    import numpy as np
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    rows = sorted(QUERIES["ml_tree_stump"](spark, SF_ORACLE).collect(),
+                  key=lambda r: r["split_qty"])
+    li = table(spark, SF_ORACLE, "lineitem").select(
+        "l_quantity", "l_extendedprice").collect()
+    q = np.array([r["l_quantity"] for r in li])
+    y = np.array([r["l_extendedprice"] for r in li])
+    thresholds = np.unique(q)[:-1]  # last value has an empty right side
+    assert len(rows) == len(thresholds)
+    sse_parent = ((y - y.mean()) ** 2).sum()
+    best_gain, best_t = -1.0, None
+    for r, t in zip(rows, thresholds):
+        left, right = y[q <= t], y[q > t]
+        assert r["split_qty"] == t
+        assert r["n_left"] == len(left) and r["n_right"] == len(right)
+        assert abs(r["mean_left"] - left.mean()) < 1e-3
+        assert abs(r["mean_right"] - right.mean()) < 1e-3
+        gain = (sse_parent - ((left - left.mean()) ** 2).sum()
+                - ((right - right.mean()) ** 2).sum())
+        assert abs(r["gain_share"] - gain / sse_parent) < 1e-5
+        if gain > best_gain:
+            best_gain, best_t = gain, t
+    assert [r["split_qty"] for r in rows if r["is_best"]] == [best_t]

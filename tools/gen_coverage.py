@@ -1,0 +1,46 @@
+"""Regenerate COVERAGE.md from the live registry.
+
+Usage: python -m tools.gen_coverage   (writes COVERAGE.md in the repo root)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+HEADER = """# COVERAGE — registry inventory vs SURVEY.md §2
+
+Generated from `spark_ml_helper_spark/registry.py` via
+`python -m tools.gen_coverage`. One row per registered query;
+`oracle` = SQL (DuckDB hash-match at sf0.01) or rows-only
+(approx/iterative/streaming — covered by recall or determinism tests
+in `tests/test_pipeline.py` instead).
+
+**{total} queries**, {sql} SQL-oracled, {ro} rows-only.
+
+| query | family | oracle | summary |
+|---|---|---|---|
+"""
+
+
+def main() -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    from spark_ml_helper_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+    names = sorted(REGISTRY)
+    sql = sum(1 for n in names if REGISTRY[n].oracle is not None)
+    out = [HEADER.format(total=len(names), sql=sql, ro=len(names) - sql)]
+    for n in names:
+        spec = REGISTRY[n]
+        doc = (spec.fn.__doc__ or "").strip().split("\n")[0][:64].strip()
+        kind = "SQL" if spec.oracle is not None else "rows-only"
+        out.append(f"| `{n}` | {spec.family} | {kind} | {doc} |\n")
+    with open(os.path.join(root, "COVERAGE.md"), "w") as fh:
+        fh.writelines(out)
+    print(f"COVERAGE.md: {len(names)} queries, {sql} SQL-oracled")
+
+
+if __name__ == "__main__":
+    main()
