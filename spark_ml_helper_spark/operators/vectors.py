@@ -1713,3 +1713,178 @@ def vec_kmeans_lloyd(spark, sf_dir):
             norm.alias("centroid_norm"),
         )
     )
+
+
+_PQ_SUBS = 8  # subspaces
+_PQ_SUBDIM = 8  # dims per subspace
+_PQ_K = 4  # centroids per codebook
+_PQ_ROUNDS = 3
+
+
+def _pq_oracle() -> str:
+    # Grouped k-means: ONE chain of CTEs trains all 8 subspace codebooks
+    # simultaneously (centroids keyed by (sub, cluster)). The 8-term
+    # squared-distance sum is LEFT-ASSOCIATED — bit-identical to Spark's
+    # F.aggregate fold — so assignment argmins cannot diverge; centroid
+    # updates re-round at 7 dp per round (the vec_kmeans_lloyd recipe).
+    ds = list(range(1, _PQ_SUBDIM + 1))
+    x_cols = ", ".join(
+        f"CAST(embedding[sub * {_PQ_SUBDIM} + {d}] AS DOUBLE) AS x{d}"
+        for d in ds
+    )
+    dist = " + ".join(f"(p.x{d} - c.d{d}) * (p.x{d} - c.d{d})" for d in ds)
+    seed_cols = ", ".join(f"x{d} AS d{d}" for d in ds)
+    upd_cols = ", ".join(f"round(avg(x{d}), 7) AS d{d}" for d in ds)
+    merge_cols = ", ".join(f"coalesce(u.d{d}, p.d{d}) AS d{d}" for d in ds)
+    px = ", ".join(f"p.x{d}" for d in ds)
+
+    rounds = []
+    prev = "c0"
+    for r in range(1, _PQ_ROUNDS + 1):
+        rounds.append(f"""
+        a{r} AS MATERIALIZED (
+            SELECT p.vec_id, p.sub, {px}, c.cluster, {dist} AS dist
+            FROM pts p JOIN {prev} c ON p.sub = c.sub
+        ),
+        s{r} AS MATERIALIZED (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id, sub ORDER BY dist, cluster
+                ) AS rn FROM a{r}
+            ) WHERE rn = 1
+        ),
+        u{r} AS MATERIALIZED (
+            SELECT sub, cluster, {upd_cols}
+            FROM s{r} GROUP BY sub, cluster
+        ),
+        c{r} AS MATERIALIZED (
+            SELECT p.sub, p.cluster, {merge_cols}
+            FROM {prev} p LEFT JOIN u{r} u USING (sub, cluster)
+        )""")
+        prev = f"c{r}"
+    return f"""
+        WITH pts AS MATERIALIZED (
+            SELECT vec_id, s.sub, {x_cols}
+            FROM embeddings
+            CROSS JOIN (SELECT unnest(range(0, {_PQ_SUBS})) AS sub) s
+        ),
+        c0 AS MATERIALIZED (
+            SELECT sub, vec_id AS cluster, {seed_cols}
+            FROM pts WHERE vec_id < {_PQ_K}
+        ),
+        {",".join(rounds)},
+        af AS MATERIALIZED (
+            SELECT p.vec_id, p.sub, c.cluster, {dist} AS dist
+            FROM pts p JOIN {prev} c ON p.sub = c.sub
+        ),
+        sf AS MATERIALIZED (
+            SELECT vec_id, sub, cluster, dist FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id, sub ORDER BY dist, cluster
+                ) AS rn FROM af
+            ) WHERE rn = 1
+        ),
+        codes AS MATERIALIZED (
+            SELECT vec_id,
+                   CAST(sum(cluster * CAST(pow({_PQ_K}, sub) AS BIGINT))
+                        AS BIGINT) AS pq_code,
+                   round(sum(dist), 6) AS recon_err
+            FROM sf GROUP BY vec_id
+        ),
+        mse AS MATERIALIZED (
+            SELECT round(avg(dist), 6) AS corpus_mse FROM sf
+        )
+        SELECT c.vec_id, c.pq_code, c.recon_err, m.corpus_mse
+        FROM codes c CROSS JOIN mse m
+    """
+
+
+@query("vec_pq_encode", oracle=_pq_oracle(), family="vectors")
+def vec_pq_encode(spark, sf_dir):
+    """PRODUCT QUANTIZATION (Jégou et al., PAMI 2011): split the 64-dim
+    embedding into 8 subspaces of 8 dims, train a 4-centroid codebook
+    per subspace by seeded Lloyd iterations, and encode every vector
+    as the 8 nearest-centroid ids packed into one BIGINT (2 bits per
+    subspace) — the memory-bound ANN scale path that complements
+    sim_ann_ivf's compute-bound cell probe: 64 floats (256 B) compress
+    to 2 bytes/vector, so a 100 TB embedding corpus's codes fit in
+    ~1% of the space and asymmetric-distance scans become table
+    lookups. Fully ORACLE-VERIFIED via the vec_kmeans_lloyd recipe
+    generalized to GROUPED k-means: ONE plan trains all 8 codebooks
+    simultaneously (centroids keyed by (sub, cluster), assignment
+    joins on sub, updates aggregate per (sub, cluster, dim)), the
+    8-term distances fold in identical left-associated IEEE order on
+    both engines, and centroids re-round at 7 dp per round. Output:
+    per-vector packed code + reconstruction error, plus the corpus
+    MSE. Scale shape: the codebook is a 32-row broadcast, training is
+    one corpus scan per round into k×subs×subdim mergeable partials,
+    and encoding is map-side — at 100 TB raise k to 256 (8 bits) and
+    subs to 16; the plan is unchanged."""
+    e = table(spark, sf_dir, "embeddings")
+    pts = (
+        e.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+        .select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_SUBS - 1))).alias("sub"),
+            "emb",
+        )
+        .select(
+            "vec_id",
+            "sub",
+            F.expr(f"slice(emb, sub * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("sv"),
+        )
+    )
+    cent = pts.where(F.col("vec_id") < _PQ_K).select(
+        "sub", F.col("vec_id").alias("cluster"), F.col("sv").alias("cent")
+    )
+    sqdist = F.aggregate(
+        F.zip_with("sv", "cent", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("dist", "cluster")
+    for _ in range(_PQ_ROUNDS):
+        assigned = (
+            pts.join(F.broadcast(cent), "sub")
+            .withColumn("dist", sqdist)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+        )
+        upd = (
+            assigned.select("sub", "cluster", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("sub", "cluster", "dim")
+            .agg(F.round(F.avg("x"), 7).alias("v"))
+            .groupBy("sub", "cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                    lambda s: s["v"],
+                ).alias("newc")
+            )
+        )
+        cent = (
+            cent.join(upd, ["sub", "cluster"], "left")
+            .select(
+                "sub", "cluster", F.coalesce("newc", "cent").alias("cent")
+            )
+            .localCheckpoint()
+        )
+    final = (
+        pts.join(F.broadcast(cent), "sub")
+        .withColumn("dist", sqdist)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    codes = final.groupBy("vec_id").agg(
+        F.sum(
+            F.col("cluster") * F.pow(F.lit(_PQ_K), F.col("sub")).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("pq_code"),
+        F.round(F.sum("dist"), 6).alias("recon_err"),
+    )
+    mse = final.agg(F.round(F.avg("dist"), 6).alias("corpus_mse"))
+    return codes.crossJoin(F.broadcast(mse))

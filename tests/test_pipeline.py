@@ -1426,7 +1426,7 @@ _BNLJ_ALLOWED = {
     "events_hazard_rate", "events_heatmap_hour_dow",
     "events_peak_concurrency", "orders_return_rate",
     "orders_revenue_bridge", "orders_whale_concentration", "vec_pca_power",
-    "vec_kmeans_lloyd",
+    "vec_kmeans_lloyd", "vec_pq_encode",
     "rollup_ytd",
     "events_survival_curve",
     "stats_anova", "stats_bootstrap_ci", "stats_chi2", "stats_ks_test",
@@ -2876,3 +2876,44 @@ def test_logreg_gd_matches_numpy_replay(spark):
     assert abs(rows[0]["accuracy"] - acc) < 1e-3
     assert rows[0]["accuracy"] > 0.55  # beats the ~50% base rate
     assert rows[0]["log_loss"] < np.log(2)  # better than the uninformed model
+
+
+def test_pq_encode_matches_numpy_replay(spark):
+    import numpy as np
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    rows = {r["vec_id"]: r for r in
+            QUERIES["vec_pq_encode"](spark, SF_ORACLE).collect()}
+    emb = sorted(table(spark, SF_ORACLE, "embeddings").collect(),
+                 key=lambda r: r["vec_id"])
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    n = len(X)
+    assert len(rows) == n
+    codes = np.zeros(n, dtype=np.int64)
+    total_dist = np.zeros(n)
+    for sub in range(8):
+        S = X[:, sub * 8:(sub + 1) * 8]
+        C = S[:4].copy()
+        for _ in range(3):
+            d = ((S[:, None, :] - C[None]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for c in range(4):
+                if (a == c).any():
+                    C[c] = np.round(S[a == c].mean(0), 7)
+        d = ((S[:, None, :] - C[None]) ** 2).sum(-1)
+        a = d.argmin(1)
+        codes += a * 4 ** sub
+        total_dist += d[np.arange(n), a]
+    mismatches = sum(1 for i, r in enumerate(emb)
+                     if rows[r["vec_id"]]["pq_code"] != codes[i])
+    assert mismatches == 0
+    for i, r in enumerate(emb):
+        assert abs(rows[r["vec_id"]]["recon_err"] - total_dist[i]) < 1e-5
+    assert abs(next(iter(rows.values()))["corpus_mse"]
+               - total_dist.mean() / 8) < 1e-5
+    # quantization must actually compress toward the data: reconstruction
+    # error below the zero-codebook baseline (distance to subspace means)
+    base = sum(((X[:, s*8:(s+1)*8] - X[:, s*8:(s+1)*8].mean(0)) ** 2)
+               .sum(-1).mean() for s in range(8))
+    assert total_dist.mean() < base
