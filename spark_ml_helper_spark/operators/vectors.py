@@ -1721,9 +1721,9 @@ _PQ_K = 4  # centroids per codebook
 _PQ_ROUNDS = 3
 
 
-def _pq_oracle() -> str:
-    # Grouped k-means: ONE chain of CTEs trains all 8 subspace codebooks
-    # simultaneously (centroids keyed by (sub, cluster)). The 8-term
+def _pq_chain() -> str:
+    # Shared CTE chain: grouped k-means training of all 8 subspace
+    # codebooks + final per-(vec_id, sub) assignment `sf`. The 8-term
     # squared-distance sum is LEFT-ASSOCIATED — bit-identical to Spark's
     # F.aggregate fold — so assignment argmins cannot diverge; centroid
     # updates re-round at 7 dp per round (the vec_kmeans_lloyd recipe).
@@ -1783,7 +1783,12 @@ def _pq_oracle() -> str:
                     PARTITION BY vec_id, sub ORDER BY dist, cluster
                 ) AS rn FROM af
             ) WHERE rn = 1
-        ),
+        )"""
+
+
+def _pq_oracle() -> str:
+    return f"""
+        {_pq_chain()},
         codes AS MATERIALIZED (
             SELECT vec_id,
                    CAST(sum(cluster * CAST(pow({_PQ_K}, sub) AS BIGINT))
@@ -1799,27 +1804,10 @@ def _pq_oracle() -> str:
     """
 
 
-@query("vec_pq_encode", oracle=_pq_oracle(), family="vectors")
-def vec_pq_encode(spark, sf_dir):
-    """PRODUCT QUANTIZATION (Jégou et al., PAMI 2011): split the 64-dim
-    embedding into 8 subspaces of 8 dims, train a 4-centroid codebook
-    per subspace by seeded Lloyd iterations, and encode every vector
-    as the 8 nearest-centroid ids packed into one BIGINT (2 bits per
-    subspace) — the memory-bound ANN scale path that complements
-    sim_ann_ivf's compute-bound cell probe: 64 floats (256 B) compress
-    to 2 bytes/vector, so a 100 TB embedding corpus's codes fit in
-    ~1% of the space and asymmetric-distance scans become table
-    lookups. Fully ORACLE-VERIFIED via the vec_kmeans_lloyd recipe
-    generalized to GROUPED k-means: ONE plan trains all 8 codebooks
-    simultaneously (centroids keyed by (sub, cluster), assignment
-    joins on sub, updates aggregate per (sub, cluster, dim)), the
-    8-term distances fold in identical left-associated IEEE order on
-    both engines, and centroids re-round at 7 dp per round. Output:
-    per-vector packed code + reconstruction error, plus the corpus
-    MSE. Scale shape: the codebook is a 32-row broadcast, training is
-    one corpus scan per round into k×subs×subdim mergeable partials,
-    and encoding is map-side — at 100 TB raise k to 256 (8 bits) and
-    subs to 16; the plan is unchanged."""
+def _pq_train(spark, sf_dir):
+    """Spark half of the shared chain: returns (pts, final_assignment)
+    where pts = (vec_id, sub, sv: array<double>) and the assignment is
+    (vec_id, sub, cluster, dist) from the trained codebooks."""
     e = table(spark, sf_dir, "embeddings")
     pts = (
         e.select(
@@ -1877,7 +1865,34 @@ def vec_pq_encode(spark, sf_dir):
         .withColumn("dist", sqdist)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
+        .select("vec_id", "sub", "cluster", "dist")
     )
+    return pts, cent, final
+
+
+@query("vec_pq_encode", oracle=_pq_oracle(), family="vectors")
+def vec_pq_encode(spark, sf_dir):
+    """PRODUCT QUANTIZATION (Jégou et al., PAMI 2011): split the 64-dim
+    embedding into 8 subspaces of 8 dims, train a 4-centroid codebook
+    per subspace by seeded Lloyd iterations, and encode every vector
+    as the 8 nearest-centroid ids packed into one BIGINT (2 bits per
+    subspace) — the memory-bound ANN scale path that complements
+    sim_ann_ivf's compute-bound cell probe: 64 floats (256 B) compress
+    to 2 bytes/vector, so a 100 TB embedding corpus's codes fit in
+    ~1% of the space and asymmetric-distance scans become table
+    lookups (sim_pq_adc). Fully ORACLE-VERIFIED via the
+    vec_kmeans_lloyd recipe generalized to GROUPED k-means: ONE plan
+    trains all 8 codebooks simultaneously (centroids keyed by
+    (sub, cluster), assignment joins on sub, updates aggregate per
+    (sub, cluster, dim)), the 8-term distances fold in identical
+    left-associated IEEE order on both engines, and centroids
+    re-round at 7 dp per round. Output: per-vector packed code +
+    reconstruction error, plus the corpus MSE. Scale shape: the
+    codebook is a 32-row broadcast, training is one corpus scan per
+    round into k×subs×subdim mergeable partials, and encoding is
+    map-side — at 100 TB raise k to 256 (8 bits) and subs to 16; the
+    plan is unchanged."""
+    _, _, final = _pq_train(spark, sf_dir)
     codes = final.groupBy("vec_id").agg(
         F.sum(
             F.col("cluster") * F.pow(F.lit(_PQ_K), F.col("sub")).cast("bigint")
@@ -1888,3 +1903,84 @@ def vec_pq_encode(spark, sf_dir):
     )
     mse = final.agg(F.round(F.avg("dist"), 6).alias("corpus_mse"))
     return codes.crossJoin(F.broadcast(mse))
+
+
+def _pq_adc_oracle() -> str:
+    ds = list(range(1, _PQ_SUBDIM + 1))
+    qdist = " + ".join(f"(q.x{d} - c.d{d}) * (q.x{d} - c.d{d})" for d in ds)
+    return f"""
+        {_pq_chain()},
+        qs AS MATERIALIZED (
+            SELECT vec_id AS query_id, sub, {", ".join(f"x{d}" for d in ds)}
+            FROM pts WHERE vec_id % 100 = 0
+        ),
+        lut AS MATERIALIZED (
+            SELECT q.query_id, q.sub, c.cluster, {qdist} AS qd
+            FROM qs q JOIN c{_PQ_ROUNDS} c ON q.sub = c.sub
+        ),
+        adc AS MATERIALIZED (
+            SELECT l.query_id, s.vec_id, round(sum(l.qd), 6) AS adc_dist
+            FROM sf s JOIN lut l ON s.sub = l.sub AND s.cluster = l.cluster
+            WHERE s.vec_id != l.query_id
+            GROUP BY l.query_id, s.vec_id
+        )
+        SELECT query_id, vec_id AS neighbor_id,
+               CAST(rn AS BIGINT) AS rnk, adc_dist
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc_dist, vec_id
+            ) AS rn FROM adc
+        ) WHERE rn <= 5
+    """
+
+
+@query("sim_pq_adc", oracle=_pq_adc_oracle(), family="vectors")
+def sim_pq_adc(spark, sf_dir):
+    """ASYMMETRIC-DISTANCE top-5 search over the PQ codes — the FAISS
+    ADC formulation, fully ORACLE-VERIFIED on top of vec_pq_encode's
+    shared codebook chain. Per query (every 100th vec_id) a 32-entry
+    LOOKUP TABLE holds the exact squared distance from each query
+    subvector to each codebook centroid; a corpus vector's
+    approximate distance is then the SUM OF 8 TABLE LOOKUPS keyed by
+    its code — no float math against the corpus at all. The plan is
+    the scale shape verbatim: the LUT (queries × subs × k rows) is a
+    broadcast, the corpus side is the (vec_id, sub, cluster)
+    assignment scanned ONCE with an equi-join on (sub, cluster), and
+    the per-(query, vector) sum is a partial agg — at 100 TB with
+    k=256/16 subs this is the memory-bandwidth-bound scan that makes
+    billion-vector search tractable, and the candidate set it emits
+    is what the exact rescore (sim_knn's JVM path) re-ranks.
+    Determinism: LUT entries are bit-identical left-associated sums
+    on both engines, and the 8-lookup ADC sum is rounded at 6 dp
+    before the (adc_dist, vec_id)-tiebroken top-5 window. Recall vs
+    exact L2 is asserted in tests (2-bit codebooks are deliberately
+    coarse — the recall/memory dial is k)."""
+    pts, cent, final = _pq_train(spark, sf_dir)
+    qs = pts.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qv")
+    )
+    qd = F.aggregate(
+        F.zip_with("qv", "cent", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    lut = qs.join(F.broadcast(cent), "sub").select(
+        "query_id", "sub", "cluster", qd.alias("qd")
+    )
+    adc = (
+        final.join(F.broadcast(lut), ["sub", "cluster"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("qd"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rn").cast("bigint").alias("rnk"),
+            "adc_dist",
+        )
+    )

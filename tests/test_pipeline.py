@@ -2917,3 +2917,28 @@ def test_pq_encode_matches_numpy_replay(spark):
     base = sum(((X[:, s*8:(s+1)*8] - X[:, s*8:(s+1)*8].mean(0)) ** 2)
                .sum(-1).mean() for s in range(8))
     assert total_dist.mean() < base
+
+
+def test_pq_adc_correlates_with_exact_distance(spark):
+    import numpy as np
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    rows = QUERIES["sim_pq_adc"](spark, SF_ORACLE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in table(spark, SF_ORACLE, "embeddings").collect()}
+    n = len(emb)
+    assert set(by_q) == {q for q in emb if q % 100 == 0}
+    med_rank = []
+    for q, nbrs in by_q.items():
+        assert [r["rnk"] for r in sorted(nbrs, key=lambda r: r["rnk"])] == [1, 2, 3, 4, 5]
+        exact = sorted((np.sum((emb[q] - v) ** 2), vid)
+                       for vid, v in emb.items() if vid != q)
+        pos = {vid: i for i, (_, vid) in enumerate(exact)}
+        med_rank.append(np.median([pos[r["neighbor_id"]] for r in nbrs]))
+    # 2-bit/subspace codes are coarse, but ADC top-5 must still land far
+    # into the true-nearest head, not at the ~n/2 random-guess median
+    assert np.mean(med_rank) < n / 4
