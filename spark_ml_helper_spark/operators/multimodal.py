@@ -520,3 +520,96 @@ def mm_decode_audio_real(spark, sf_dir):
             "amp_sum bigint, peak_amp int, duration_s double"
         ),
     )
+
+
+@query(
+    "mm_image_resize_real",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id, text, n_chars,
+                   CAST(doc_id % 8 + 4 AS INTEGER) AS w,
+                   CAST(doc_id % 5 + 4 AS INTEGER) AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               w AS src_w, h AS src_h,
+               CAST(4 AS INTEGER) AS out_w,
+               CAST(4 AS INTEGER) AS out_h,
+               CAST(list_sum(list_transform(
+                    range(0, 48),
+                    i -> ascii(substr(text, CAST(
+                        ((((i // 12) * h // 4) * w + ((i % 12) // 3) * w // 4)
+                         * 3 + i % 3) % n_chars AS INTEGER) + 1, 1))
+               )) AS BIGINT) AS resized_sum,
+               CAST(ascii(substr(text, CAST(
+                    (((2 * h // 4) * w + (2 * w // 4)) * 3) % n_chars
+                    AS INTEGER) + 1, 1)) AS INTEGER) AS center_b
+        FROM b
+    """,
+    family="multimodal",
+)
+def mm_image_resize_real(spark, sf_dir):
+    """REAL image resize, end to end — the remaining member of the
+    decode / feature-extract / RESIZE / frame-sample quartet: per
+    document, deterministic pixels (text bytes cycled, geometry from
+    doc_id) are encoded into a spec-conformant 24-bit BMP, decoded
+    back through decode_image's real header walk, and NEAREST-NEIGHBOR
+    RESAMPLED to 4×4 with integer source indexing
+    (src_row = out_row·h // 4) — all inside one Arrow-batched
+    mapInPandas pass. The emitted checksum and center-pixel value come
+    from the RESIZED array only, while the oracle re-derives both
+    straight from the source text through the same index arithmetic,
+    so a resample defect (wrong stride, row/col transposed, off-by-one
+    in the index floor) breaks the hash match. Same 100 TB posture as
+    the other mm_ ops: metadata prunes first, bytes cross to Python
+    once per surviving row, partition-parallel and shuffle-free; a
+    real downscale pipeline swaps the kernel (area/lanczos via a codec
+    lib) inside the same plumbing."""
+    import numpy as np
+
+    d = table(spark, sf_dir, "documents")
+    src = d.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        (F.col("doc_id") % 8 + 4).cast("int").alias("w"),
+        (F.col("doc_id") % 5 + 4).cast("int").alias("h"),
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sws, shs, sums, centers = [], [], [], [], []
+            for doc_id, payload, w, h in zip(
+                pdf["doc_id"], pdf["payload"], pdf["w"], pdf["h"]
+            ):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                w, h = int(w), int(h)
+                need = w * h * 3
+                pix = raw[np.arange(need) % len(raw)].reshape(h, w, 3)
+                dh, dw, _, arr = decode_image(encode_bmp(pix))
+                rows = (np.arange(4) * dh) // 4
+                cols = (np.arange(4) * dw) // 4
+                small = arr[rows][:, cols]
+                ids.append(doc_id)
+                sws.append(dw)
+                shs.append(dh)
+                sums.append(int(small.sum()))
+                centers.append(int(small[2, 2, 0]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "src_w": pd.Series(sws, dtype="int32"),
+                    "src_h": pd.Series(shs, dtype="int32"),
+                    "out_w": pd.Series([4] * len(ids), dtype="int32"),
+                    "out_h": pd.Series([4] * len(ids), dtype="int32"),
+                    "resized_sum": pd.Series(sums, dtype="int64"),
+                    "center_b": pd.Series(centers, dtype="int32"),
+                }
+            )
+
+    return src.mapInPandas(
+        resize,
+        schema=(
+            "doc_id bigint, src_w int, src_h int, out_w int, out_h int, "
+            "resized_sum bigint, center_b int"
+        ),
+    )

@@ -2942,3 +2942,35 @@ def test_pq_adc_correlates_with_exact_distance(spark):
     # 2-bit/subspace codes are coarse, but ADC top-5 must still land far
     # into the true-nearest head, not at the ~n/2 random-guess median
     assert np.mean(med_rank) < n / 4
+
+
+def test_image_resize_real_handcrafted(spark):
+    import numpy as np
+
+    from spark_ml_helper_spark.operators.multimodal import (
+        decode_image, encode_bmp)
+
+    # 8x6 gradient image: resized 4x4 must pick exact source pixels at
+    # rows (0,1,3,4) = (i*6)//4 and cols (0,2,4,6) = (i*8)//4
+    pix = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    dh, dw, _, arr = decode_image(encode_bmp(pix))
+    assert (dh, dw) == (6, 8)
+    rows = (np.arange(4) * dh) // 4
+    cols = (np.arange(4) * dw) // 4
+    small = arr[rows][:, cols]
+    assert np.array_equal(rows, [0, 1, 3, 4])
+    assert np.array_equal(cols, [0, 2, 4, 6])
+    for ri, r in enumerate(rows):
+        for ci, c in enumerate(cols):
+            assert np.array_equal(small[ri, ci], pix[r, c])
+
+
+def test_image_resize_real_rows(spark):
+    rows = QUERIES["mm_image_resize_real"](spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        assert r["out_w"] == r["out_h"] == 4
+        assert 4 <= r["src_w"] <= 11 and 4 <= r["src_h"] <= 8
+        # 48 uint8 pixels bound the checksum
+        assert 0 <= r["resized_sum"] <= 48 * 255
+        assert 0 <= r["center_b"] <= 255
