@@ -776,3 +776,115 @@ def graph_knn_degree(spark, sf_dir):
         F.count("*").alias("n_vertices"),
         F.round(F.sum("snd") * 1.0 / F.sum("cnt"), 6).alias("avg_neighbor_degree"),
     )
+
+
+@query(
+    "graph_cc_largestar",
+    oracle=f"""
+        WITH RECURSIVE e0 AS (
+            SELECT o.o_custkey AS c, l.l_suppkey AS s
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2 HAVING count(*) >= {_CC_MIN_COOCCUR}
+        ),
+        nodes AS (
+            SELECT DISTINCT c AS node FROM e0
+            UNION SELECT DISTINCT s + {_CC_SUPP_OFFSET} FROM e0
+        ),
+        edges AS (
+            SELECT c AS src, s + {_CC_SUPP_OFFSET} AS dst FROM e0
+            UNION ALL SELECT s + {_CC_SUPP_OFFSET}, c FROM e0
+        ),
+        walk(node, lab) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node
+        )
+        SELECT node, min(lab) AS cluster_id FROM walk GROUP BY node
+    """,
+    family="graph",
+)
+def graph_cc_largestar(spark, sf_dir):
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    (Kiveris et al., 'Connected Components in MapReduce and Beyond',
+    SoCC 2014) — the algorithm SCALE.md and the dedup_clusters /
+    graph_cc docstrings name as the high-diameter scale tool, now
+    implemented and hash-checked against the SAME recursive-CTE
+    min-label closure oracle as graph_cc: two different algorithms,
+    one fixpoint. Edges live in canonical (hi > lo) orientation;
+    large-star hooks every larger neighbor of u onto min(Γ(u) ∪ {u}),
+    small-star re-points each node's smaller neighbors (and itself)
+    at the local minimum, and the alternation converges in O(log n)
+    rounds REGARDLESS OF GRAPH DIAMETER — the property min-label
+    propagation (O(diameter) rounds) lacks, and the reason this
+    variant wins on path-shaped near-dup chains at 100 TB. Every
+    round's shuffle keys on node id over the CURRENT edge set (which
+    only shrinks toward the star forest: |E| never grows under
+    either step, per the paper's invariant); convergence is an
+    edge-set fixpoint detected by count + order-insensitive hash sum
+    in one aggregate per round; non-convergence in 30 rounds raises.
+    At the fixpoint the edge set IS the star forest (node → component
+    minimum), so labels fall out without a closure pass."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _CC_MIN_COOCCUR)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + _CC_SUPP_OFFSET).alias("s"),
+        )
+    )
+    canon = (
+        e0.select(
+            F.greatest("c", "s").alias("hi"), F.least("c", "s").alias("lo")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def edge_sig(df):
+        row = df.agg(
+            F.count("*").alias("n"),
+            # pmod before the sum: ANSI mode makes a raw Σxxhash64 overflow
+            F.sum(F.pmod(F.xxhash64("hi", "lo"), F.lit(10**12))).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    def large_star(df):
+        bi = df.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            df.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        m = bi.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
+        return (
+            bi.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+
+    def small_star(df):
+        m = df.groupBy("hi").agg(F.min("lo").alias("m"))
+        withm = df.join(m, "hi")
+        re_pointed = withm.where(F.col("lo") != F.col("m")).select(
+            F.col("lo").alias("hi"), F.col("m").alias("lo")
+        )
+        self_edge = m.select(F.col("hi"), F.col("m").alias("lo"))
+        return re_pointed.unionByName(self_edge).distinct()
+
+    sig = edge_sig(canon)
+    for _ in range(30):
+        canon = small_star(large_star(canon)).localCheckpoint(eager=False)
+        new_sig = edge_sig(canon)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError("graph_cc_largestar: no convergence in 30 rounds")
+    roots = canon.select(F.col("lo").alias("node")).distinct().join(
+        canon.select(F.col("hi").alias("node")).distinct(), "node", "anti"
+    )
+    return canon.select(
+        F.col("hi").alias("node"), F.col("lo").alias("cluster_id")
+    ).unionByName(roots.select("node", F.col("node").alias("cluster_id")))

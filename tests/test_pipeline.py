@@ -2974,3 +2974,11 @@ def test_image_resize_real_rows(spark):
         # 48 uint8 pixels bound the checksum
         assert 0 <= r["resized_sum"] <= 48 * 255
         assert 0 <= r["center_b"] <= 255
+
+
+def test_cc_largestar_equals_min_label_cc(spark):
+    a = {(r["node"], r["cluster_id"])
+         for r in QUERIES["graph_cc_largestar"](spark, SF_ORACLE).collect()}
+    b = {(r["node"], r["cluster_id"])
+         for r in QUERIES["graph_cc"](spark, SF_ORACLE).collect()}
+    assert a == b  # two algorithms, one fixpoint
