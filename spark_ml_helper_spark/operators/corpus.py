@@ -1751,3 +1751,102 @@ def text_cooccurrence_pmi(spark, sf_dir):
             ).alias("pmi"),
         )
     )
+
+
+@query(
+    "corpus_token_budget",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, source,
+                   len(string_split(lower(text), ' ')) AS n_tokens,
+                   round(
+                       len(list_distinct(string_split(lower(text), ' ')))
+                       * 1.0 / len(string_split(lower(text), ' ')),
+                       6) AS ttr
+            FROM documents
+        ),
+        tot AS (
+            SELECT CAST(floor(sum(n_tokens) * 0.5) AS BIGINT) AS budget,
+                   sum(n_tokens) AS corpus_tokens
+            FROM d
+        ),
+        ranked AS (
+            SELECT d.*, t.budget, t.corpus_tokens,
+                   sum(n_tokens) OVER (
+                       ORDER BY ttr DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_tokens
+            FROM d CROSS JOIN tot t
+        ),
+        kept AS (
+            SELECT * FROM ranked WHERE cum_tokens <= budget
+        )
+        SELECT r.source,
+               count(*) AS n_docs,
+               CAST(count(k.doc_id) AS BIGINT) AS docs_kept,
+               CAST(sum(r.n_tokens) AS BIGINT) AS tokens_total,
+               CAST(coalesce(sum(k.n_tokens), 0) AS BIGINT) AS tokens_kept,
+               round(coalesce(sum(k.n_tokens), 0) * 1.0 / sum(r.n_tokens), 6)
+                   AS keep_share
+        FROM ranked r LEFT JOIN kept k ON r.doc_id = k.doc_id
+        GROUP BY r.source
+    """,
+    family="corpus",
+)
+def corpus_token_budget(spark, sf_dir):
+    """TOKEN-BUDGET SELECTION — the data-constrained-scaling step every
+    modern pretraining pipeline runs (Muennighoff et al. 2023; the
+    'which half of the corpus do we keep' decision): rank documents by
+    a quality signal (type-token ratio here — repetitive docs rank
+    last; tiebreak doc_id), take the cumulative token sum in rank
+    order, and keep documents until the budget (50% of corpus tokens)
+    is filled. Output is the per-source audit: docs/tokens kept vs
+    total and the keep share — the table a data lead reads to see
+    WHICH sources the quality cut actually spends the budget on.
+    Exact integer arithmetic end to end (token counts, cumulative
+    sums, floor budget) — hash-stable across engines with no rounding
+    hazards except the two declared 6 dp ratios. Scale shape: one
+    tokenize pass (map-side), a single-row total broadcast, and ONE
+    global rank window — the documented exact-but-global form; at
+    100 TB replace the global sort with quality-bucket histograms +
+    per-bucket budgets (the feature_quantile_bucket pattern, same
+    answer within one bucket's granularity), exactly as the
+    sort_multi/limit_topk scale twins prescribe."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(_tokens()).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(_tokens()))
+            / F.size(_tokens()).cast("double"),
+            6,
+        ).alias("ttr"),
+    )
+    tot = d.agg(
+        F.floor(F.sum("n_tokens") * 0.5).cast("bigint").alias("budget"),
+        F.sum("n_tokens").alias("corpus_tokens"),
+    )
+    wcum = Window.orderBy(F.col("ttr").desc(), "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = d.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_tokens", F.sum("n_tokens").over(wcum)
+    )
+    kept = ranked.where(F.col("cum_tokens") <= F.col("budget")).select(
+        F.col("doc_id").alias("k_doc_id"), F.col("n_tokens").alias("k_tokens")
+    )
+    return (
+        ranked.join(kept, ranked.doc_id == kept.k_doc_id, "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("k_doc_id").cast("bigint").alias("docs_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+            F.coalesce(F.sum("k_tokens"), F.lit(0)).cast("bigint").alias("tokens_kept"),
+            F.round(
+                F.coalesce(F.sum("k_tokens"), F.lit(0))
+                / F.sum("n_tokens").cast("double"),
+                6,
+            ).alias("keep_share"),
+        )
+    )

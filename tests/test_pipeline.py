@@ -2982,3 +2982,17 @@ def test_cc_largestar_equals_min_label_cc(spark):
     b = {(r["node"], r["cluster_id"])
          for r in QUERIES["graph_cc"](spark, SF_ORACLE).collect()}
     assert a == b  # two algorithms, one fixpoint
+
+
+def test_token_budget_invariants(spark):
+    rows = QUERIES["corpus_token_budget"](spark, SF_ORACLE).collect()
+    assert len(rows) == 20  # one row per source
+    total = sum(r["tokens_total"] for r in rows)
+    kept = sum(r["tokens_kept"] for r in rows)
+    # kept fills the 50% budget to within one document's tokens
+    assert kept <= total // 2
+    assert kept > total // 2 - 200
+    for r in rows:
+        assert 0 <= r["docs_kept"] <= r["n_docs"]
+        assert 0 <= r["tokens_kept"] <= r["tokens_total"]
+        assert abs(r["keep_share"] - r["tokens_kept"] / r["tokens_total"]) < 1e-5
