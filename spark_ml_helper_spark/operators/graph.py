@@ -296,6 +296,7 @@ def min_label_fixpoint(edges, max_rounds=50, small_graph_nodes=100_000):
         return _union_find_single_task(edges)
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("lab")).first()[0]
+    rounds = 0
     for _ in range(max_rounds):
         nbr_min = (
             edges.join(labels, edges.src == labels.node)
@@ -321,6 +322,7 @@ def min_label_fixpoint(edges, max_rounds=50, small_graph_nodes=100_000):
             .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("lab")).first()[0]
+        rounds += 1
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -328,6 +330,7 @@ def min_label_fixpoint(edges, max_rounds=50, small_graph_nodes=100_000):
         raise RuntimeError(
             f"min_label_fixpoint: no convergence in {max_rounds} rounds"
         )
+    labels._ml_rounds = rounds  # probe bookkeeping (tools/scale_probe_cc.py)
     return labels
 
 
@@ -843,6 +846,18 @@ def graph_cc_largestar(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=True)
     )
+    return largestar_fixpoint(canon).select(
+        "node", F.col("lab").alias("cluster_id")
+    )
+
+
+def largestar_fixpoint(canon, max_rounds=30):
+    """Alternating large-star / small-star rounds over a canonical
+    (hi > lo) edge frame until the edge-set fixpoint; returns labels
+    (node, lab) with lab = component minimum. Shared by
+    graph_cc_largestar and the high-diameter scale probe
+    (tools/scale_probe_cc.py). Also reports the round count via the
+    returned frame's ``_ls_rounds`` attribute for probe bookkeeping."""
 
     def edge_sig(df):
         row = df.agg(
@@ -874,17 +889,21 @@ def graph_cc_largestar(spark, sf_dir):
         return re_pointed.unionByName(self_edge).distinct()
 
     sig = edge_sig(canon)
-    for _ in range(30):
+    rounds = 0
+    for _ in range(max_rounds):
         canon = small_star(large_star(canon)).localCheckpoint(eager=False)
+        rounds += 1
         new_sig = edge_sig(canon)
         if new_sig == sig:
             break
         sig = new_sig
     else:
-        raise RuntimeError("graph_cc_largestar: no convergence in 30 rounds")
+        raise RuntimeError(f"largestar_fixpoint: no convergence in {max_rounds} rounds")
     roots = canon.select(F.col("lo").alias("node")).distinct().join(
         canon.select(F.col("hi").alias("node")).distinct(), "node", "anti"
     )
-    return canon.select(
-        F.col("hi").alias("node"), F.col("lo").alias("cluster_id")
-    ).unionByName(roots.select("node", F.col("node").alias("cluster_id")))
+    labels = canon.select(
+        F.col("hi").alias("node"), F.col("lo").alias("lab")
+    ).unionByName(roots.select("node", F.col("node").alias("lab")))
+    labels._ls_rounds = rounds
+    return labels
