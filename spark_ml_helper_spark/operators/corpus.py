@@ -1850,3 +1850,97 @@ def corpus_token_budget(spark, sf_dir):
             ).alias("keep_share"),
         )
     )
+
+
+@query(
+    "corpus_epoch_schedule",
+    oracle="""
+        WITH avail AS (
+            SELECT source,
+                   CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+                       AS tokens_avail
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT sum(tokens_avail) AS corpus_tokens,
+                   sum(sqrt(tokens_avail)) AS sqrt_total
+            FROM avail
+        ),
+        shares AS (
+            SELECT a.source, a.tokens_avail,
+                   round(a.tokens_avail * 1.0 / t.corpus_tokens, 6)
+                       AS share_raw,
+                   round(sqrt(a.tokens_avail) / t.sqrt_total, 6)
+                       AS share_temp,
+                   CAST(2 * t.corpus_tokens AS BIGINT) AS budget
+            FROM avail a CROSS JOIN tot t
+        ),
+        plan AS (
+            SELECT source, tokens_avail, share_raw, share_temp,
+                   CAST(floor(budget * share_temp) AS BIGINT) AS target_tokens
+            FROM shares
+        )
+        SELECT source, tokens_avail, share_raw, share_temp, target_tokens,
+               round(least(target_tokens * 1.0 / tokens_avail, 4.0), 3)
+                   AS epochs,
+               CAST(least(target_tokens, 4 * tokens_avail) AS BIGINT)
+                   AS tokens_served,
+               (target_tokens > 4 * tokens_avail) AS capped
+        FROM plan
+    """,
+    family="corpus",
+)
+def corpus_epoch_schedule(spark, sf_dir):
+    """EPOCH SCHEDULING under temperature-based source mixing — the
+    data-constrained-scaling plan (Muennighoff et al. 2023: repeating
+    data beyond ~4 epochs stops paying) a pretraining run computes
+    before it starts: per-source available tokens → τ=0.5 temperature
+    shares (∝ √tokens, the standard multilingual-mix rule that
+    upweights small sources without letting the head dominate) → a
+    2×-corpus training budget allocated by share → per-source epoch
+    count CAPPED AT 4 with the capped flag telling the data lead
+    which sources are repetition-bound (spend there goes to
+    acquisition, not sampling). Determinism: shares are rounded at
+    6 dp BEFORE the budget multiply, so the floor/cap arithmetic runs
+    on bit-identical doubles in both engines; token counts and served
+    totals are exact integers. Scale shape: one tokenize scan into a
+    20-key agg, a single-row total broadcast, and per-row arithmetic
+    — nothing grows with the corpus but the scan."""
+    d = table(spark, sf_dir, "documents")
+    avail = d.groupBy("source").agg(
+        F.sum(F.size(_tokens())).cast("bigint").alias("tokens_avail")
+    )
+    tot = avail.agg(
+        F.sum("tokens_avail").alias("corpus_tokens"),
+        F.sum(F.sqrt("tokens_avail")).alias("sqrt_total"),
+    )
+    shares = avail.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens_avail",
+        F.round(F.col("tokens_avail") / F.col("corpus_tokens").cast("double"), 6)
+        .alias("share_raw"),
+        F.round(F.sqrt("tokens_avail") / F.col("sqrt_total"), 6).alias("share_temp"),
+        (F.lit(2) * F.col("corpus_tokens")).cast("bigint").alias("budget"),
+    )
+    plan = shares.withColumn(
+        "target_tokens",
+        F.floor(F.col("budget") * F.col("share_temp")).cast("bigint"),
+    )
+    return plan.select(
+        "source",
+        "tokens_avail",
+        "share_raw",
+        "share_temp",
+        "target_tokens",
+        F.round(
+            F.least(
+                F.col("target_tokens") / F.col("tokens_avail").cast("double"),
+                F.lit(4.0),
+            ),
+            3,
+        ).alias("epochs"),
+        F.least(F.col("target_tokens"), F.lit(4) * F.col("tokens_avail"))
+        .cast("bigint")
+        .alias("tokens_served"),
+        (F.col("target_tokens") > F.lit(4) * F.col("tokens_avail")).alias("capped"),
+    )

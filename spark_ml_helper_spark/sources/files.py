@@ -367,3 +367,42 @@ def source_csv_corrupt(spark, sf_dir):
         F.sum(F.when(good, F.col("c_custkey"))).alias("sum_good_keys"),
     )
     return res
+
+
+@query("source_xml", oracle=_ORACLE, family="sources")
+def source_xml(spark, sf_dir):
+    """XML source — Spark 4's BUILT-IN xml data source (the spark-xml
+    package was folded into core in 4.0; no external jar): stage
+    customer to one-row-per-<customer>-element XML via the xml WRITER,
+    read it back with an explicit schema and rowTag, filter + project.
+    Same lossless round-trip proof as source_csv — the oracle reads the
+    original parquet, so element escaping, float formatting, and the
+    row-tag walk all have to survive the text round trip. Scale note:
+    XML scan parallelism is per-file (multi-line documents can't split
+    on newlines the way JSONL does), so the stage writes many part
+    files — at 100 TB keep XML inputs sharded or convert-once to
+    parquet (compact_small_files is the repair tool)."""
+    key = (sf_dir, "xml")
+    if key not in _STAGED:
+        out = os.path.join(staging_dir(prefix="smhs_src_xml_"), "customer")
+        (
+            table(spark, sf_dir, "customer")
+            .write.mode("overwrite")
+            .option("rowTag", "customer")
+            .format("xml")
+            .save(out)
+        )
+        _STAGED[key] = out
+    df = (
+        spark.read.schema(_CUSTOMER_SCHEMA)
+        .option("rowTag", "customer")
+        .format("xml")
+        .load(_STAGED[key])
+    )
+    return df.filter(F.col("c_acctbal") > 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )

@@ -2996,3 +2996,26 @@ def test_token_budget_invariants(spark):
         assert 0 <= r["docs_kept"] <= r["n_docs"]
         assert 0 <= r["tokens_kept"] <= r["tokens_total"]
         assert abs(r["keep_share"] - r["tokens_kept"] / r["tokens_total"]) < 1e-5
+
+
+def test_xml_source_roundtrip_row_count(spark):
+    rows = QUERIES["source_xml"](spark, SF_ORACLE).collect()
+    src = QUERIES["source_csv"](spark, SF_ORACLE).collect()
+    assert {r["c_custkey"] for r in rows} == {r["c_custkey"] for r in src}
+
+
+def test_epoch_schedule_invariants(spark):
+    rows = QUERIES["corpus_epoch_schedule"](spark, SF_ORACLE).collect()
+    assert len(rows) == 20
+    assert abs(sum(r["share_temp"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["share_raw"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert 0 < r["epochs"] <= 4.0
+        assert r["tokens_served"] <= r["target_tokens"]
+        assert r["tokens_served"] <= 4 * r["tokens_avail"]
+        assert r["capped"] == (r["target_tokens"] > 4 * r["tokens_avail"])
+    # temperature mixing flattens the raw distribution
+    import numpy as np
+    raw = np.array([r["share_raw"] for r in rows])
+    temp = np.array([r["share_temp"] for r in rows])
+    assert temp.std() < raw.std() or abs(raw.std() - temp.std()) < 1e-9
