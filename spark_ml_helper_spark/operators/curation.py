@@ -1157,3 +1157,120 @@ def dq_benford(spark, sf_dir):
             F.round(F.col("n") * 1.0 / F.col("t") - benford, 6).alias("deviation"),
         )
     )
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+        WITH ref AS (
+            SELECT count(*) AS n_orphans FROM orders o
+            WHERE NOT EXISTS (
+                SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+            )
+        ),
+        base AS (
+            SELECT count(*) AS n,
+                   sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_key,
+                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+                   count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+                   sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
+                   sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                            THEN 1 ELSE 0 END) AS bad_status,
+                   sum(CASE WHEN o_orderdate < DATE '1992-01-01'
+                             OR o_orderdate > DATE '1998-12-31'
+                            THEN 1 ELSE 0 END) AS bad_date
+            FROM orders
+        )
+        SELECT * FROM (
+            SELECT 'orderkey_not_null' AS expectation, n AS n_checked,
+                   CAST(null_key AS BIGINT) AS n_failed,
+                   null_key = 0 AS pass FROM base
+            UNION ALL
+            SELECT 'custkey_not_null', n, CAST(null_cust AS BIGINT),
+                   null_cust = 0 FROM base
+            UNION ALL
+            SELECT 'orderkey_unique', n, CAST(dup_keys AS BIGINT),
+                   dup_keys = 0 FROM base
+            UNION ALL
+            SELECT 'totalprice_positive', n, CAST(bad_price AS BIGINT),
+                   bad_price = 0 FROM base
+            UNION ALL
+            SELECT 'status_in_domain', n, CAST(bad_status AS BIGINT),
+                   bad_status = 0 FROM base
+            UNION ALL
+            SELECT 'orderdate_in_range', n, CAST(bad_date AS BIGINT),
+                   bad_date = 0 FROM base
+            UNION ALL
+            SELECT 'custkey_references_customer', n,
+                   CAST(r.n_orphans AS BIGINT), r.n_orphans = 0
+            FROM base CROSS JOIN ref r
+        )
+    """,
+    family="curation",
+)
+def dq_expectations(spark, sf_dir):
+    """Expectation-suite data-quality audit (the Great-Expectations /
+    dbt-test shape): seven declarative assertions over orders —
+    not-null keys, primary-key uniqueness, positive money, a value
+    domain, a date range, and CROSS-TABLE referential integrity
+    against customer — each reported as (expectation, n_checked,
+    n_failed, pass) so a pipeline gate can fail on any row with
+    pass = false. All six single-table checks fuse into ONE
+    conditional-aggregate scan (no per-check rescans — the same fused
+    multi-aggregate pattern pipeline_daily_kpis uses); the
+    referential check is a broadcast anti-join count against the dim
+    table. Exact integer arithmetic throughout — no rounding hazards.
+    At 100 TB this is the nightly gate before a snapshot is
+    published: one fact scan + one broadcast, both partial-agg
+    friendly, and the expectation list extends by adding columns to
+    the same scan, not new jobs."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    orphans = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_orphans"))
+    )
+    base = o.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("null_key"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_cust"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_keys"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("bad_price"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+                | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date")),
+                1,
+            ).otherwise(0)
+        ).alias("bad_date"),
+    )
+    b = base.crossJoin(F.broadcast(orphans))
+    checks = [
+        ("orderkey_not_null", "null_key"),
+        ("custkey_not_null", "null_cust"),
+        ("orderkey_unique", "dup_keys"),
+        ("totalprice_positive", "bad_price"),
+        ("status_in_domain", "bad_status"),
+        ("orderdate_in_range", "bad_date"),
+        ("custkey_references_customer", "n_orphans"),
+    ]
+    # ONE generate over an array of check structs — a 7-way union of
+    # selects over `b` would re-evaluate the aggregate subtree per branch
+    return b.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("expectation"),
+                        F.col("n").alias("n_checked"),
+                        F.col(col).cast("bigint").alias("n_failed"),
+                        (F.col(col) == 0).alias("pass"),
+                    )
+                    for name, col in checks
+                ]
+            )
+        ).alias("e")
+    ).select("e.expectation", "e.n_checked", "e.n_failed", "e.pass")

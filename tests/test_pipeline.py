@@ -3019,3 +3019,13 @@ def test_epoch_schedule_invariants(spark):
     raw = np.array([r["share_raw"] for r in rows])
     temp = np.array([r["share_temp"] for r in rows])
     assert temp.std() < raw.std() or abs(raw.std() - temp.std()) < 1e-9
+
+
+def test_dq_expectations_all_pass_on_clean_fixture(spark):
+    rows = {r["expectation"]: r
+            for r in QUERIES["dq_expectations"](spark, SF_ORACLE).collect()}
+    assert len(rows) == 7
+    for name, r in rows.items():
+        assert r["pass"] is True, name
+        assert r["n_failed"] == 0
+        assert r["n_checked"] > 0
