@@ -1176,8 +1176,8 @@ def dq_benford(spark, sf_dir):
                    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
                    sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
                             THEN 1 ELSE 0 END) AS bad_status,
-                   sum(CASE WHEN o_orderdate < DATE '1992-01-01'
-                             OR o_orderdate > DATE '1998-12-31'
+                   sum(CASE WHEN o_orderdate < DATE '1995-01-01'
+                             OR o_orderdate > DATE '2001-12-31'
                             THEN 1 ELSE 0 END) AS bad_date
             FROM orders
         )
@@ -1241,8 +1241,8 @@ def dq_expectations(spark, sf_dir):
         ).alias("bad_status"),
         F.sum(
             F.when(
-                (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
-                | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date")),
+                (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+                | (F.col("o_orderdate") > F.lit("2001-12-31").cast("date")),
                 1,
             ).otherwise(0)
         ).alias("bad_date"),
