@@ -1461,14 +1461,14 @@ _AUDIT_FAMILIES = {
 def test_plan_audit_no_new_nested_loops(spark):
     from spark_ml_helper_spark.registry import REGISTRY
 
+    from spark_ml_helper_spark.plans.audit import explain_formatted
+
     bnlj, cart = [], []
     for name, spec in REGISTRY.items():
         if spec.family not in _AUDIT_FAMILIES:
             continue
         df = spec.fn(spark, SF_ORACLE)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        plan = explain_formatted(df)
         if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
             bnlj.append(name)
         if "CartesianProduct" in plan:
@@ -3029,3 +3029,19 @@ def test_dq_expectations_all_pass_on_clean_fixture(spark):
         assert r["pass"] is True, name
         assert r["n_failed"] == 0
         assert r["n_checked"] > 0
+
+
+def test_plan_summary_extracts_known_shapes(spark):
+    from spark_ml_helper_spark.plans.audit import (
+        plan_summary, scan_read_schemas)
+
+    s = plan_summary(QUERIES["agg_group"](spark, SF_ORACLE))
+    assert s["parquet_scans"] == 1
+    assert s["scans_with_pushdown"] == 1  # the date filter reaches the scan
+    assert s["partial_aggs"] == 2  # partial + final pair
+    assert s["cartesian_products"] == 0
+    j = plan_summary(QUERIES["join_multi"](spark, SF_ORACLE))
+    assert j["broadcast_joins"] >= 2  # both dims broadcast
+    assert j["sortmerge_joins"] == 0
+    schemas = scan_read_schemas(QUERIES["scan_pruned"](spark, SF_ORACLE))
+    assert schemas and all("l_comment" not in s for s in schemas)  # pruned
