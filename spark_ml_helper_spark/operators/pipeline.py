@@ -658,3 +658,226 @@ def pipeline_retrieval(spark, sf_dir):
         .where(F.col("rnk") <= 5)
         .orderBy(F.desc("sim"), "doc_id")
     )
+
+
+@query(
+    "pipeline_pretrain_report",
+    oracle=f"""
+        WITH base AS MATERIALIZED (
+            SELECT doc_id, text, lower(text) AS key,
+                   string_split(lower(text), ' ') AS t
+            FROM documents
+        ),
+        feat AS MATERIALIZED (
+            SELECT doc_id, text, key, t,
+                   len(t) AS n_tokens,
+                   round(len(list_distinct(t)) * 1.0 / len(t), 6) AS ttr,
+                   {_DUCK_SIMHASH} AS sh
+            FROM base
+        ),
+        q AS MATERIALIZED (
+            SELECT *, (n_tokens BETWEEN 20 AND 1000 AND ttr > 0.3) AS q_pass
+            FROM feat
+        ),
+        ex AS MATERIALIZED (
+            SELECT *, q_pass AND row_number() OVER (
+                PARTITION BY key
+                ORDER BY CASE WHEN q_pass THEN 0 ELSE 1 END, doc_id
+            ) = 1 AS exact_keep FROM q
+        ),
+        nr AS MATERIALIZED (
+            SELECT *, exact_keep AND row_number() OVER (
+                PARTITION BY sh
+                ORDER BY CASE WHEN exact_keep THEN 0 ELSE 1 END, doc_id
+            ) = 1 AS near_keep FROM ex
+        ),
+        benchsh AS MATERIALIZED (
+            SELECT DISTINCT unnest(list_distinct(
+                list_transform(range(1, len(t) - 2),
+                               i -> array_to_string(t[i:i+3], ' ')))) AS shingle
+            FROM base WHERE doc_id % 97 = 0
+        ),
+        contam AS MATERIALIZED (
+            SELECT DISTINCT s.doc_id FROM (
+                SELECT doc_id, unnest(list_distinct(
+                    list_transform(range(1, len(t) - 2),
+                                   i -> array_to_string(t[i:i+3], ' ')))) AS shingle
+                FROM base WHERE doc_id % 97 <> 0
+            ) s JOIN benchsh b ON s.shingle = b.shingle
+        ),
+        dc AS MATERIALIZED (
+            SELECT n.*,
+                   n.near_keep AND n.doc_id % 97 <> 0 AND c.doc_id IS NULL
+                       AS decon_keep
+            FROM nr n LEFT JOIN contam c ON n.doc_id = c.doc_id
+        ),
+        tot AS MATERIALIZED (
+            SELECT CAST(floor(
+                sum(CASE WHEN decon_keep THEN n_tokens ELSE 0 END) * 0.5
+            ) AS BIGINT) AS budget FROM dc
+        ),
+        flags AS MATERIALIZED (
+            SELECT doc_id, n_tokens, q_pass, exact_keep, near_keep, decon_keep,
+                   decon_keep AND
+                   sum(CASE WHEN decon_keep THEN n_tokens ELSE 0 END) OVER (
+                       ORDER BY CASE WHEN decon_keep THEN 0 ELSE 1 END,
+                                ttr DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) <= t.budget AS budget_keep
+            FROM dc CROSS JOIN tot t
+        )
+        SELECT CAST(0 AS BIGINT) AS stage, 'input' AS stage_name,
+               count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
+        FROM flags
+        UNION ALL SELECT 1, 'quality_filter', count(*) FILTER (q_pass),
+               CAST(coalesce(sum(n_tokens) FILTER (q_pass), 0) AS BIGINT) FROM flags
+        UNION ALL SELECT 2, 'exact_dedup', count(*) FILTER (exact_keep),
+               CAST(coalesce(sum(n_tokens) FILTER (exact_keep), 0) AS BIGINT) FROM flags
+        UNION ALL SELECT 3, 'neardup_collapse', count(*) FILTER (near_keep),
+               CAST(coalesce(sum(n_tokens) FILTER (near_keep), 0) AS BIGINT) FROM flags
+        UNION ALL SELECT 4, 'decontaminated', count(*) FILTER (decon_keep),
+               CAST(coalesce(sum(n_tokens) FILTER (decon_keep), 0) AS BIGINT) FROM flags
+        UNION ALL SELECT 5, 'token_budget', count(*) FILTER (budget_keep),
+               CAST(coalesce(sum(n_tokens) FILTER (budget_keep), 0) AS BIGINT) FROM flags
+    """,
+    family="pipeline",
+)
+def pipeline_pretrain_report(spark, sf_dir):
+    """END-TO-END PRETRAIN CURATION FUNNEL in one plan — the composed
+    pipeline the individual operators exist for, reported as the
+    docs/tokens-surviving-each-stage table a data lead signs off on:
+    input → quality filter (length window + type-token ratio) → exact
+    dedup (min doc_id per normalized text) → near-dup collapse
+    (identical 60-bit SimHash signature, the same signature
+    dedup_simhash bands) → benchmark decontamination (4-token shingle
+    overlap vs the doc_id%97 eval slice, corpus_decontaminate's exact
+    filter) → 50% token-budget fill in quality order
+    (corpus_token_budget's rule). Stages compose as PER-DOC BOOLEAN
+    FLAGS, each conditioned on the previous via stage-aware window
+    tiebreaks (survivors sort first inside each dedup partition), so
+    the whole funnel is ONE pass over documents plus two dedup
+    windows, one broadcast shingle join, and one budget window — then
+    a single fused aggregate fans the 6 stage rows out through an
+    explode (dq_expectations' pattern: no per-stage rescans). Exact
+    integer outputs, hash-stable. At 100 TB each stage is the scale
+    shape its standalone operator documents; composing them as flags
+    keeps the corpus scanned ONCE instead of once per stage."""
+    d = table(spark, sf_dir, "documents").repartition("doc_id")
+    feat = (
+        d.select(
+            "doc_id",
+            "text",
+            F.lower(F.col("text")).alias("key"),
+            F.split(F.lower(F.col("text")), " ").alias("t"),
+        )
+        .withColumn("n_tokens", F.size("t"))
+        .withColumn(
+            "ttr",
+            F.round(
+                F.size(F.array_distinct("t")) / F.size("t").cast("double"), 6
+            ),
+        )
+        .withColumn("th", F.expr(_SPARK_TH))
+        .withColumn("bitsum", F.expr(_SPARK_BITSUM))
+        .withColumn("sh", F.expr(_SPARK_SH))
+        .drop("th", "bitsum")
+        .localCheckpoint()  # signature build feeds every later branch once
+    )
+    q = feat.withColumn(
+        "q_pass",
+        F.col("n_tokens").between(20, 1000) & (F.col("ttr") > 0.3),
+    )
+    wkey = Window.partitionBy("key").orderBy(
+        F.when(F.col("q_pass"), 0).otherwise(1), "doc_id"
+    )
+    ex = q.withColumn(
+        "exact_keep", F.col("q_pass") & (F.row_number().over(wkey) == 1)
+    )
+    wsh = Window.partitionBy("sh").orderBy(
+        F.when(F.col("exact_keep"), 0).otherwise(1), "doc_id"
+    )
+    nr = ex.withColumn(
+        "near_keep", F.col("exact_keep") & (F.row_number().over(wsh) == 1)
+    )
+    shingles = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size(F.split(F.lower(F.col("text")), " ")) < 4,
+                    F.expr("cast(array() as array<string>)"),
+                ).otherwise(
+                    F.expr(
+                        "transform(sequence(0, size(split(lower(text), ' ')) - 4), "
+                        "i -> array_join(slice(split(lower(text), ' '), i + 1, 4), ' '))"
+                    )
+                )
+            )
+        ).alias("shingle"),
+    )
+    bench = shingles.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    contam = (
+        shingles.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    dc = nr.join(contam, "doc_id", "left").withColumn(
+        "decon_keep",
+        F.col("near_keep")
+        & (F.col("doc_id") % 97 != 0)
+        & F.col("contaminated").isNull(),
+    )
+    tot = dc.agg(
+        F.floor(
+            F.sum(F.when(F.col("decon_keep"), F.col("n_tokens")).otherwise(0)) * 0.5
+        )
+        .cast("bigint")
+        .alias("budget")
+    )
+    wcum = Window.orderBy(
+        F.when(F.col("decon_keep"), 0).otherwise(1),
+        F.col("ttr").desc(),
+        "doc_id",
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    flags = dc.crossJoin(F.broadcast(tot)).withColumn(
+        "budget_keep",
+        F.col("decon_keep")
+        & (
+            F.sum(F.when(F.col("decon_keep"), F.col("n_tokens")).otherwise(0)).over(
+                wcum
+            )
+            <= F.col("budget")
+        ),
+    )
+    stages = [
+        ("input", F.lit(True)),
+        ("quality_filter", F.col("q_pass")),
+        ("exact_dedup", F.col("exact_keep")),
+        ("neardup_collapse", F.col("near_keep")),
+        ("decontaminated", F.col("decon_keep")),
+        ("token_budget", F.col("budget_keep")),
+    ]
+    aggs = []
+    for i, (name, flag) in enumerate(stages):
+        aggs.append(F.sum(F.when(flag, 1).otherwise(0)).alias(f"d{i}"))
+        aggs.append(
+            F.sum(F.when(flag, F.col("n_tokens")).otherwise(0)).alias(f"t{i}")
+        )
+    one = flags.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("bigint").alias("stage"),
+                        F.lit(name).alias("stage_name"),
+                        F.col(f"d{i}").cast("bigint").alias("docs"),
+                        F.col(f"t{i}").cast("bigint").alias("tokens"),
+                    )
+                    for i, (name, _) in enumerate(stages)
+                ]
+            )
+        ).alias("e")
+    ).select("e.stage", "e.stage_name", "e.docs", "e.tokens")

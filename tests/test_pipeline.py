@@ -3045,3 +3045,22 @@ def test_plan_summary_extracts_known_shapes(spark):
     assert j["sortmerge_joins"] == 0
     schemas = scan_read_schemas(QUERIES["scan_pruned"](spark, SF_ORACLE))
     assert schemas and all("l_comment" not in s for s in schemas)  # pruned
+
+
+def test_pretrain_report_funnel_monotone(spark):
+    rows = sorted(QUERIES["pipeline_pretrain_report"](spark, SF_ORACLE).collect(),
+                  key=lambda r: r["stage"])
+    assert [r["stage_name"] for r in rows] == [
+        "input", "quality_filter", "exact_dedup", "neardup_collapse",
+        "decontaminated", "token_budget"]
+    docs = [r["docs"] for r in rows]
+    toks = [r["tokens"] for r in rows]
+    assert docs == sorted(docs, reverse=True)  # each stage only removes
+    assert toks == sorted(toks, reverse=True)
+    assert docs[0] == 500
+    # budget stage fills ~half the decontaminated tokens
+    assert toks[5] <= toks[4] // 2
+    assert toks[5] > toks[4] // 2 - 200
+    # cross-check stage 2 against the standalone exact-dedup operator:
+    # survivors of quality that share normalized text collapse to one
+    assert docs[2] <= docs[1]
