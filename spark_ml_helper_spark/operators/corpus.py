@@ -1944,3 +1944,199 @@ def corpus_epoch_schedule(spark, sf_dir):
         .alias("tokens_served"),
         (F.col("target_tokens") > F.lit(4) * F.col("tokens_avail")).alias("capped"),
     )
+
+
+_WE_ROUNDS = 10
+
+
+def _word_embed_oracle() -> str:
+    # Unrolled power iteration over the PPMI matrix keyed by WORD
+    # (the _pca_oracle recipe on a token-indexed matrix). Every CTE
+    # MATERIALIZED; vector re-rounded at 9 dp per round so per-round
+    # group-sum order drift (≤ |V| terms) cannot compound.
+    rounds = []
+    prev = "v0"
+    for r in range(1, _WE_ROUNDS + 1):
+        rounds.append(f"""
+        w{r} AS MATERIALIZED (
+            SELECT vb.word, coalesce(s.wi, 0.0) AS wi
+            FROM vocab vb LEFT JOIN (
+                SELECT m.w AS word, sum(m.val * v.vj) AS wi
+                FROM ppmi m JOIN {prev} v ON m.c = v.word GROUP BY m.w
+            ) s ON vb.word = s.word
+        ),
+        n{r} AS MATERIALIZED (
+            SELECT round(sqrt(sum(wi * wi)), 9) AS nrm FROM w{r}
+        ),
+        v{r} AS MATERIALIZED (
+            SELECT w.word, round(w.wi / n.nrm, 9) AS vj
+            FROM w{r} w CROSS JOIN n{r} n
+        )""")
+        prev = f"v{r}"
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ),
+        raw AS MATERIALIZED (
+            SELECT p.w AS w, p.c AS c FROM (
+                SELECT unnest(list_concat(
+                    list_transform(range(1, len(t)),
+                                   i -> {{'w': t[i], 'c': t[i + 1]}}),
+                    list_transform(range(1, len(t) - 1),
+                                   i -> {{'w': t[i], 'c': t[i + 2]}})
+                )) AS p FROM toks
+            )
+        ),
+        prs AS MATERIALIZED (
+            SELECT w, c, CAST(count(*) AS BIGINT) AS n_wc FROM (
+                SELECT w, c FROM raw UNION ALL SELECT c, w FROM raw
+            ) GROUP BY w, c
+        ),
+        nw AS MATERIALIZED (
+            SELECT w, CAST(sum(n_wc) AS BIGINT) AS d FROM prs GROUP BY w
+        ),
+        tot AS MATERIALIZED (SELECT CAST(sum(n_wc) AS BIGINT) AS n FROM prs),
+        ppmi AS MATERIALIZED (
+            SELECT p.w, p.c,
+                   greatest(0.0, round(ln(
+                       (p.n_wc * 1.0 / t.n)
+                       / ((a.d * 1.0 / t.n) * (b.d * 1.0 / t.n))
+                   ), 8)) AS val
+            FROM prs p
+            JOIN nw a ON a.w = p.w
+            JOIN nw b ON b.w = p.c
+            CROSS JOIN tot t
+        ),
+        vocab AS MATERIALIZED (SELECT w AS word FROM nw),
+        nv AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS k FROM vocab),
+        v0 AS MATERIALIZED (
+            SELECT word, 1.0 / sqrt(k) AS vj FROM vocab CROSS JOIN nv
+        ),
+        {",".join(rounds)},
+        wf AS MATERIALIZED (
+            SELECT vb.word, coalesce(s.wi, 0.0) AS wi
+            FROM vocab vb LEFT JOIN (
+                SELECT m.w AS word, sum(m.val * v.vj) AS wi
+                FROM ppmi m JOIN v{_WE_ROUNDS} v ON m.c = v.word GROUP BY m.w
+            ) s ON vb.word = s.word
+        ),
+        lam AS MATERIALIZED (
+            SELECT round(sqrt(sum(wi * wi)), 6) AS ev FROM wf
+        ),
+        sgn AS MATERIALIZED (
+            SELECT CASE WHEN sum(vj) < 0 THEN -1.0 ELSE 1.0 END AS s
+            FROM v{_WE_ROUNDS}
+        )
+        SELECT v.word, round(v.vj * sgn.s, 6) AS embed, lam.ev AS eigenvalue
+        FROM v{_WE_ROUNDS} v CROSS JOIN lam CROSS JOIN sgn
+    """
+
+
+@query("vec_word_embed_svd", oracle=_word_embed_oracle(), family="corpus")
+def vec_word_embed_svd(spark, sf_dir):
+    """Count-based WORD EMBEDDINGS, fully oracle-verified — the
+    deterministic twin of the rows-only ml_word2vec, resting on the
+    Levy & Goldberg (NeurIPS 2014) result that skip-gram with
+    negative sampling implicitly factorizes the shifted PPMI matrix:
+    build the symmetric ±2-window co-occurrence counts (map-side pair
+    expansion over the token arrays — no self-join), convert to PPMI
+    (max(0, ln(P(w,c)/P(w)P(c))), rounded at 8 dp), and extract the
+    TOP SINGULAR DIMENSION by the vec_pca_power recipe: 10 unrolled
+    multiply-normalize rounds on the word-keyed matrix with the
+    vector re-rounded at 9 dp per round, sign fixed by Σv > 0. The
+    output is each word's first embedding coordinate + the dominant
+    singular value — dimension 1 of the classic PPMI-SVD embedding;
+    more dimensions = repeat with deflation. Scale shape: the pair
+    expansion is corpus-linear and map-side, the PPMI matrix is
+    |V|²-bounded (vocabulary-keyed shuffles only), and each
+    iteration round is one |V|-keyed join+agg over the matrix —
+    at web-scale vocabularies this is exactly the randomized-SVD
+    block iteration, word-partitioned. The corpus scan happens ONCE;
+    everything after runs on vocabulary-sized frames."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.lower(F.col("text")), " ").alias("t"))
+    fwd = toks.select(
+        F.explode(
+            F.expr(
+                "concat("
+                "transform(sequence(1, size(t) - 1), "
+                "  i -> struct(element_at(t, i) as w, element_at(t, i + 1) as c)), "
+                "transform(sequence(1, size(t) - 2), "
+                "  i -> struct(element_at(t, i) as w, element_at(t, i + 2) as c)))"
+            )
+        ).alias("p")
+    ).select("p.w", "p.c")
+    prs = (
+        fwd.unionByName(fwd.select(F.col("c").alias("w"), F.col("w").alias("c")))
+        .groupBy("w", "c")
+        .agg(F.count("*").cast("bigint").alias("n_wc"))
+    )
+    nw = prs.groupBy("w").agg(F.sum("n_wc").cast("bigint").alias("d"))
+    tot = prs.agg(F.sum("n_wc").cast("bigint").alias("n"))
+    ppmi = (
+        prs.join(F.broadcast(nw.select(F.col("w"), F.col("d").alias("da"))), "w")
+        .join(
+            F.broadcast(
+                nw.select(F.col("w").alias("c"), F.col("d").alias("db"))
+            ),
+            "c",
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "w",
+            "c",
+            F.greatest(
+                F.lit(0.0),
+                F.round(
+                    F.log(
+                        (F.col("n_wc") * 1.0 / F.col("n"))
+                        / (
+                            (F.col("da") * 1.0 / F.col("n"))
+                            * (F.col("db") * 1.0 / F.col("n"))
+                        )
+                    ),
+                    8,
+                ),
+            ).alias("val"),
+        )
+        .localCheckpoint()  # referenced 11x by the iteration rounds
+    )
+    vocab = nw.select(F.col("w").alias("word"))
+    nv = vocab.agg(F.count("*").cast("bigint").alias("k"))
+    v = vocab.crossJoin(F.broadcast(nv)).select(
+        "word", (F.lit(1.0) / F.sqrt("k")).alias("vj")
+    )
+
+    def multiply(vec):
+        s = (
+            ppmi.join(F.broadcast(vec), ppmi.c == vec.word)
+            .groupBy("w")
+            .agg(F.sum(F.col("val") * F.col("vj")).alias("wi"))
+            .withColumnRenamed("w", "word")
+        )
+        return vocab.join(s, "word", "left").select(
+            "word", F.coalesce("wi", F.lit(0.0)).alias("wi")
+        )
+
+    for _ in range(_WE_ROUNDS):
+        w_ = multiply(v)
+        nrm = w_.agg(F.round(F.sqrt(F.sum(F.col("wi") * F.col("wi"))), 9).alias("nrm"))
+        v = (
+            w_.join(F.broadcast(nrm))
+            .select("word", F.round(F.col("wi") / F.col("nrm"), 9).alias("vj"))
+            .localCheckpoint()
+        )
+    wf = multiply(v)
+    lam = wf.agg(F.round(F.sqrt(F.sum(F.col("wi") * F.col("wi"))), 6).alias("ev"))
+    sgn = v.agg(
+        F.when(F.sum("vj") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("s")
+    )
+    return (
+        v.join(F.broadcast(lam))
+        .join(F.broadcast(sgn))
+        .select(
+            "word",
+            F.round(F.col("vj") * F.col("s"), 6).alias("embed"),
+            F.col("ev").alias("eigenvalue"),
+        )
+    )

@@ -3064,3 +3064,42 @@ def test_pretrain_report_funnel_monotone(spark):
     # cross-check stage 2 against the standalone exact-dedup operator:
     # survivors of quality that share normalized text collapse to one
     assert docs[2] <= docs[1]
+
+
+def test_word_embed_svd_matches_numpy_eig(spark):
+    import numpy as np
+
+    rows = QUERIES["vec_word_embed_svd"](spark, SF_ORACLE).collect()
+    words = sorted(r["word"] for r in rows)
+    assert len(words) == len(set(words))  # one embedding per vocab word
+    v = np.array([r["embed"] for r in sorted(rows, key=lambda r: r["word"])])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+    # rebuild the PPMI matrix in numpy and check the Rayleigh quotient
+    from spark_ml_helper_spark.sources.parquet import table
+    docs = table(spark, SF_ORACLE, "documents").select("text").collect()
+    from collections import Counter
+    pair = Counter()
+    for r in docs:
+        t = r["text"].lower().split(" ")
+        for i, w in enumerate(t):
+            for k in (1, 2):
+                if i + k < len(t):
+                    pair[(w, t[i + k])] += 1
+                    pair[(t[i + k], w)] += 1
+    vocab = sorted({w for w, _ in pair})
+    idx = {w: i for i, w in enumerate(vocab)}
+    assert vocab == words
+    N = sum(pair.values())
+    nw = Counter()
+    for (w, c), n in pair.items():
+        nw[w] += n
+    M = np.zeros((len(vocab), len(vocab)))
+    for (w, c), n in pair.items():
+        val = np.log((n / N) / ((nw[w] / N) * (nw[c] / N)))
+        M[idx[w], idx[c]] = max(0.0, round(val, 8))
+    evals = np.linalg.eigvalsh(M)
+    rq = float(v @ M @ v)
+    ev = rows[0]["eigenvalue"]
+    # power iteration's Rayleigh quotient sits at the top of the spectrum
+    assert abs(rq - ev) < 0.05 * abs(ev) + 1e-6
+    assert ev >= 0.95 * evals[-1]
