@@ -1334,3 +1334,130 @@ def ml_logreg_gd(spark, sf_dir):
         [(d, wv) for d, wv in enumerate([b0] + warr)], "dim bigint, weight double"
     )
     return weights.crossJoin(F.broadcast(metrics))
+
+
+_ALS_ROUNDS = 6
+_ALS_LAMBDA = 0.1
+
+
+def _als_rank1_oracle() -> str:
+    # Unrolled alternating ridge solves. Ratings are rounded at 6 dp on
+    # construction and every factor update re-rounds at 8 dp, so group-sum
+    # order drift (~1e-13) never crosses a grid. All CTEs MATERIALIZED.
+    rounds = []
+    prev_v = "v0"
+    for r in range(1, _ALS_ROUNDS + 1):
+        rounds.append(f"""
+        u{r} AS MATERIALIZED (
+            SELECT r.u_id,
+                   round(sum(r.rating * v.f) /
+                         ({_ALS_LAMBDA} + sum(v.f * v.f)), 8) AS f
+            FROM ratings r JOIN {prev_v} v ON r.i_id = v.i_id
+            GROUP BY r.u_id
+        ),
+        v{r} AS MATERIALIZED (
+            SELECT r.i_id,
+                   round(sum(r.rating * u.f) /
+                         ({_ALS_LAMBDA} + sum(u.f * u.f)), 8) AS f
+            FROM ratings r JOIN u{r} u ON r.u_id = u.u_id
+            GROUP BY r.i_id
+        )""")
+        prev_v = f"v{r}"
+    return f"""
+        WITH ratings AS MATERIALIZED (
+            SELECT user_id AS u_id, event_id % 50 AS i_id,
+                   round(sum("value"), 6) AS rating
+            FROM events GROUP BY user_id, event_id % 50
+        ),
+        v0 AS MATERIALIZED (
+            SELECT DISTINCT i_id, 1.0 AS f FROM ratings
+        ),
+        {",".join(rounds)},
+        pred AS MATERIALIZED (
+            SELECT r.rating, u.f * v.f AS yhat
+            FROM ratings r
+            JOIN u{_ALS_ROUNDS} u ON r.u_id = u.u_id
+            JOIN v{_ALS_ROUNDS} v ON r.i_id = v.i_id
+        ),
+        rmse AS MATERIALIZED (
+            SELECT round(sqrt(avg((rating - yhat) * (rating - yhat))), 6)
+                AS rmse,
+                CAST(count(*) AS BIGINT) AS n_obs
+            FROM pred
+        )
+        SELECT v.i_id AS item, v.f AS item_factor,
+               m.rmse, m.n_obs
+        FROM v{_ALS_ROUNDS} v CROSS JOIN rmse m
+    """
+
+
+@query("ml_als_rank1", oracle=_als_rank1_oracle(), family="ml")
+def ml_als_rank1(spark, sf_dir):
+    """RANK-1 ALTERNATING LEAST SQUARES, fully oracle-verified — the
+    deterministic twin of the rows-only MLlib ml_als, on the SAME
+    user × (event_id % 50) summed-value ratings matrix: with one
+    latent dimension the ridge normal equations collapse to closed
+    form (u_i = Σr_ij·v_j / (λ + Σv_j²) over user i's observed items,
+    then symmetrically for items), so six alternating rounds are
+    twelve grouped aggregates — ALS's actual algebra, hash-matchable
+    because ratings round at 6 dp on construction and every factor
+    update re-rounds at 8 dp before the next solve. Output: the item
+    factor vector plus training RMSE on observed entries. Scale
+    shape: each half-round shuffles the ratings once on its grouping
+    side and broadcasts the small factor frame — exactly MLlib ALS's
+    block solve with the block count at 1; at rank k the same rounds
+    solve k×k normal equations per group (mergeable Gramians), which
+    is the documented path, not a different plan."""
+    e = table(spark, sf_dir, "events")
+    ratings = (
+        e.groupBy(
+            F.col("user_id").alias("u_id"),
+            (F.col("event_id") % 50).alias("i_id"),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("rating"))
+        .localCheckpoint()  # scanned twice per round across 6 rounds
+    )
+    v = ratings.select("i_id").distinct().select("i_id", F.lit(1.0).alias("f"))
+    for _ in range(_ALS_ROUNDS):
+        u = (
+            ratings.join(F.broadcast(v), "i_id")
+            .groupBy("u_id")
+            .agg(
+                F.round(
+                    F.sum(F.col("rating") * F.col("f"))
+                    / (F.lit(_ALS_LAMBDA) + F.sum(F.col("f") * F.col("f"))),
+                    8,
+                ).alias("f")
+            )
+            .localCheckpoint(eager=False)
+        )
+        v = (
+            ratings.join(F.broadcast(u), "u_id")
+            .groupBy("i_id")
+            .agg(
+                F.round(
+                    F.sum(F.col("rating") * F.col("f"))
+                    / (F.lit(_ALS_LAMBDA) + F.sum(F.col("f") * F.col("f"))),
+                    8,
+                ).alias("f")
+            )
+            .localCheckpoint(eager=False)
+        )
+    pred = (
+        ratings.join(F.broadcast(u.withColumnRenamed("f", "uf")), "u_id")
+        .join(F.broadcast(v.withColumnRenamed("f", "vf")), "i_id")
+        .select("rating", (F.col("uf") * F.col("vf")).alias("yhat"))
+    )
+    rmse = pred.agg(
+        F.round(
+            F.sqrt(F.avg((F.col("rating") - F.col("yhat")) * (F.col("rating") - F.col("yhat")))),
+            6,
+        ).alias("rmse"),
+        F.count("*").cast("bigint").alias("n_obs"),
+    )
+    # no 6 dp re-round here: f is already on the 8 dp grid, and
+    # re-rounding a grid value hits exact half-boundaries where Spark
+    # (HALF_UP) and DuckDB (scaled-double) disagree — the known hazard
+    return v.select(
+        F.col("i_id").alias("item"), F.col("f").alias("item_factor")
+    ).crossJoin(F.broadcast(rmse))

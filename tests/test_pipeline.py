@@ -3103,3 +3103,42 @@ def test_word_embed_svd_matches_numpy_eig(spark):
     # power iteration's Rayleigh quotient sits at the top of the spectrum
     assert abs(rq - ev) < 0.05 * abs(ev) + 1e-6
     assert ev >= 0.95 * evals[-1]
+
+
+def test_als_rank1_matches_numpy_replay(spark):
+    import numpy as np
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    rows = {r["item"]: r for r in
+            QUERIES["ml_als_rank1"](spark, SF_ORACLE).collect()}
+    e = table(spark, SF_ORACLE, "events").select("user_id", "event_id", "value").collect()
+    from collections import defaultdict
+    agg = defaultdict(float)
+    for r in e:
+        agg[(r["user_id"], r["event_id"] % 50)] += r["value"]
+    ratings = {k: round(v, 6) for k, v in agg.items()}
+    items = sorted({i for _, i in ratings})
+    vf = {i: 1.0 for i in items}
+    for _ in range(6):
+        num, den = defaultdict(float), defaultdict(float)
+        for (u, i), rr in ratings.items():
+            num[u] += rr * vf[i]
+            den[u] += vf[i] * vf[i]
+        uf = {u: round(num[u] / (0.1 + den[u]), 8) for u in num}
+        num, den = defaultdict(float), defaultdict(float)
+        for (u, i), rr in ratings.items():
+            num[i] += rr * uf[u]
+            den[i] += uf[u] * uf[u]
+        vf = {i: round(num[i] / (0.1 + den[i]), 8) for i in num}
+    sq = [(rr - uf[u] * vf[i]) ** 2 for (u, i), rr in ratings.items()]
+    rmse = float(np.sqrt(np.mean(sq)))
+    assert set(rows) == set(items)
+    for i in items:
+        assert abs(rows[i]["item_factor"] - vf[i]) < 1e-6
+    any_row = next(iter(rows.values()))
+    assert abs(any_row["rmse"] - rmse) < 1e-4
+    assert any_row["n_obs"] == len(ratings)
+    # the rank-1 fit must beat predicting zero everywhere
+    base = float(np.sqrt(np.mean([rr ** 2 for rr in ratings.values()])))
+    assert any_row["rmse"] < base
