@@ -1,4 +1,9 @@
-"""Non-parquet file sources: CSV and JSON-lines readers.
+"""Non-parquet file sources: CSV, JSON-lines, and XML readers.
+
+(Format-availability probe, round 5: Avro is Spark's one remaining
+built-in-but-EXTERNAL module — `format("avro")` fails without the
+spark-avro jar, which this offline container cannot fetch; XML became a
+true built-in in Spark 4.0 and is covered by source_xml below.)
 
 The ingestion half of the ETL surface (the sink halves are sink_csv /
 sink_json in operators/scale.py): stage a fixture table into the text
