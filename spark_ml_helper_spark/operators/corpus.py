@@ -2055,14 +2055,20 @@ def vec_word_embed_svd(spark, sf_dir):
     everything after runs on vocabulary-sized frames."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(F.split(F.lower(F.col("text")), " ").alias("t"))
+    # IF guards: for docs under 3 tokens Spark's sequence(1, size-2)
+    # DESCENDS ([1, 0, ...]) and element_at(t, 0) throws under ANSI,
+    # while DuckDB's range() returns empty — same hazard class as the
+    # corpus_trigram_lm guard (round-5 ADVICE). Empty arrays on both.
     fwd = toks.select(
         F.explode(
             F.expr(
                 "concat("
-                "transform(sequence(1, size(t) - 1), "
+                "IF(size(t) >= 2, transform(sequence(1, size(t) - 1), "
                 "  i -> struct(element_at(t, i) as w, element_at(t, i + 1) as c)), "
-                "transform(sequence(1, size(t) - 2), "
-                "  i -> struct(element_at(t, i) as w, element_at(t, i + 2) as c)))"
+                "  cast(array() as array<struct<w: string, c: string>>)), "
+                "IF(size(t) >= 3, transform(sequence(1, size(t) - 2), "
+                "  i -> struct(element_at(t, i) as w, element_at(t, i + 2) as c)), "
+                "  cast(array() as array<struct<w: string, c: string>>)))"
             )
         ).alias("p")
     ).select("p.w", "p.c")
