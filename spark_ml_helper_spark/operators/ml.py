@@ -1404,10 +1404,13 @@ def ml_als_rank1(spark, sf_dir):
     update re-rounds at 8 dp before the next solve. Output: the item
     factor vector plus training RMSE on observed entries. Scale
     shape: each half-round shuffles the ratings once on its grouping
-    side and broadcasts the small factor frame — exactly MLlib ALS's
-    block solve with the block count at 1; at rank k the same rounds
-    solve k×k normal equations per group (mergeable Gramians), which
-    is the documented path, not a different plan."""
+    side; the ITEM factor frame (bounded at 50) broadcasts, while the
+    user-factor join deliberately carries no broadcast hint — user
+    cardinality is unbounded at 100 TB and that side must shuffle on
+    u_id. This is MLlib ALS's block solve with the block count at 1;
+    at rank k the same rounds solve k×k normal equations per group
+    (mergeable Gramians), which is the documented path, not a
+    different plan."""
     e = table(spark, sf_dir, "events")
     ratings = (
         e.groupBy(
@@ -1432,7 +1435,10 @@ def ml_als_rank1(spark, sf_dir):
             .localCheckpoint(eager=False)
         )
         v = (
-            ratings.join(F.broadcast(u), "u_id")
+            # no broadcast hint on the USER-factor side: user cardinality
+            # is unbounded at scale (the item frame is the small one);
+            # this join shuffles on u_id, which is the correct plan
+            ratings.join(u, "u_id")
             .groupBy("i_id")
             .agg(
                 F.round(
@@ -1444,7 +1450,7 @@ def ml_als_rank1(spark, sf_dir):
             .localCheckpoint(eager=False)
         )
     pred = (
-        ratings.join(F.broadcast(u.withColumnRenamed("f", "uf")), "u_id")
+        ratings.join(u.withColumnRenamed("f", "uf"), "u_id")
         .join(F.broadcast(v.withColumnRenamed("f", "vf")), "i_id")
         .select("rating", (F.col("uf") * F.col("vf")).alias("yhat"))
     )
