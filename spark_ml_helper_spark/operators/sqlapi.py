@@ -216,3 +216,43 @@ def sql_pivot(spark, sf_dir):
 
     load_tables(spark, sf_dir)
     return spark.sql(_PIVOT_SPARK)
+
+
+_LATERAL_TOPK = """
+    SELECT c.c_custkey, c.c_acctbal, t.o_orderkey, t.o_totalprice, t.rnk
+    FROM customer c,
+    LATERAL (
+        SELECT o.o_orderkey, o.o_totalprice,
+               CAST(row_number() OVER (
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey
+               ) AS BIGINT) AS rnk
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 3
+    ) t
+    WHERE c.c_acctbal > 9000
+"""
+
+
+@query("sql_lateral_topk", oracle=_LATERAL_TOPK, family="sqlapi")
+def sql_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery — top-3 orders per high-balance
+    customer, written the way an analyst writes it (per-row subquery
+    with ORDER BY ... LIMIT) rather than the window-function rewrite
+    win_topk_group uses. The IDENTICAL SQL string runs on both
+    engines: Spark 4 supports lateral correlated derived tables and
+    Catalyst DECORRELATES the subquery into the same
+    partitioned-window + filter plan the explicit rewrite produces —
+    per-customer ranks shuffle once on the join key, no per-row
+    re-execution survives optimization (DuckDB's optimizer performs
+    the same decorrelation). The full tiebreak (o_totalprice DESC,
+    o_orderkey) makes the LIMIT deterministic cross-engine. At 100 TB
+    this is the pattern to TEACH: the lateral form is the readable
+    spec, and the decorrelated plan is what actually runs — asserting
+    the two stay equivalent is exactly what this oracle pairing
+    does."""
+    from spark_ml_helper_spark.sources.parquet import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK)

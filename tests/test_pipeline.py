@@ -3142,3 +3142,27 @@ def test_als_rank1_matches_numpy_replay(spark):
     # the rank-1 fit must beat predicting zero everywhere
     base = float(np.sqrt(np.mean([rr ** 2 for rr in ratings.values()])))
     assert any_row["rmse"] < base
+
+
+def test_lateral_topk_agrees_with_window_rewrite(spark):
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    rows = QUERIES["sql_lateral_topk"](spark, SF_ORACLE).collect()
+    # rewrite with an explicit window over the same predicate
+    from pyspark.sql import Window
+    c = table(spark, SF_ORACLE, "customer").where(F.col("c_acctbal") > 9000)
+    o = table(spark, SF_ORACLE, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey")
+    expect = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("c_custkey", "o_orderkey", "rnk")
+        .collect()
+    )
+    got = {(r["c_custkey"], r["o_orderkey"], r["rnk"]) for r in rows}
+    want = {(r["c_custkey"], r["o_orderkey"], r["rnk"]) for r in expect}
+    assert got == want and len(got) > 0
