@@ -454,3 +454,58 @@ def stream_run_exactly_once(spark, sf_dir):
     run_once()
     run_once()  # replay: must be a no-op against the same checkpoint
     return spark.read.parquet(out)
+
+
+@query("stream_run_stream_join_outer", oracle=None, family="streaming")
+def stream_run_stream_join_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER join with watermarks on both sides — the
+    semantics the inner join (stream_run_stream_join) cannot show: a
+    'view' with no 'purchase' inside its one-hour window must still
+    emit, with nulls, but ONLY once the watermark passes the end of
+    its match window (before that, a matching purchase could still
+    arrive — emitting early would be wrong, so the row waits in the
+    state store). The run feeds the time-ranged event files two per
+    micro-batch so the watermark genuinely advances mid-stream and
+    null-expiry fires; unmatched rows younger than the FINAL watermark
+    are still buffered when the bounded stream ends and are correctly
+    NOT emitted — the documented at-least-once-per-expired-row
+    contract, and the reason the test asserts the outer result is a
+    superset of the inner result rather than a full anti-join. State
+    size is bounded by watermark horizon × arrival rate per key, same
+    as the inner form; at 100 TB the RocksDB state store holds the
+    window."""
+    views = (
+        _events_stream(spark, sf_dir, max_files_per_trigger=2)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").cast("timestamp").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        .withWatermark("v_ts", "30 minutes")
+    )
+    buys = (
+        _events_stream(spark, sf_dir, max_files_per_trigger=2)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").cast("timestamp").alias("b_ts"),
+            F.col("value").alias("b_value"),
+        )
+        .withWatermark("b_ts", "30 minutes")
+    )
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        "v_user", "v_id", "v_ts", "b_ts", F.round("b_value", 6).alias("b_value")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _run(joined, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -3166,3 +3166,23 @@ def test_lateral_topk_agrees_with_window_rewrite(spark):
     got = {(r["c_custkey"], r["o_orderkey"], r["rnk"]) for r in rows}
     want = {(r["c_custkey"], r["o_orderkey"], r["rnk"]) for r in expect}
     assert got == want and len(got) > 0
+
+
+def test_stream_outer_join_expires_unmatched_views(spark):
+    inner = QUERIES["stream_run_stream_join"](spark, SF_ORACLE).collect()
+    outer = QUERIES["stream_run_stream_join_outer"](spark, SF_ORACLE).collect()
+    nulls = [r for r in outer if r["b_ts"] is None]
+    matched = [r for r in outer if r["b_ts"] is not None]
+    # watermark expiry must actually fire (the point of the operator)
+    assert len(nulls) > 0
+    for r in nulls:
+        assert r["b_value"] is None  # null emission is all-or-nothing
+    # matched outer rows are genuine inner matches; the multi-batch run
+    # may drop late-side rows the single-batch inner run keeps, so
+    # subset, not equality
+    inner_keys = {(r["v_user"], r["v_id"], r["b_ts"]) for r in inner}
+    for r in matched:
+        assert (r["v_user"], r["v_id"], r["b_ts"]) in inner_keys
+    # a view never emits both matched and null rows
+    null_ids = {r["v_id"] for r in nulls}
+    assert null_ids.isdisjoint({r["v_id"] for r in matched})
