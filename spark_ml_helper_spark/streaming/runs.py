@@ -59,16 +59,39 @@ def _run(df, mode="complete"):
 
 def _multifile_events(spark, sf_dir, n_files=8):
     """Rewrite events as n time-ranged files so maxFilesPerTrigger yields a
-    multi-batch stream (lets the watermark actually advance mid-run)."""
+    multi-batch stream (lets the watermark actually advance mid-run).
+
+    Staging is fully DETERMINISTIC across processes: buckets come from a
+    tiebroken ntile (not repartitionByRange, whose boundary sampling and
+    parallel-write mtimes vary per process and silently reshuffle the
+    FileStreamSource's mtime-then-path listing order — measured as
+    run-to-run row-count drift in the append-mode session/outer-join
+    runs), each bucket lands as one explicitly-named file, and mtimes are
+    set strictly increasing in time order. The global ntile window is
+    staging-only test-scale shaping, not a production path."""
     if sf_dir in _MULTIFILE_CACHE:
         return _MULTIFILE_CACHE[sf_dir]
+    import shutil
+
+    from pyspark.sql import Window
+
     out = os.path.join(staging_dir(prefix="smhs_stream_"), "events_files")
-    (
-        table(spark, sf_dir, "events")  # ts already normalized to timestamp_ntz
-        .repartitionByRange(n_files, "ts")
-        .write.mode("overwrite")
-        .parquet(out)
-    )
+    os.makedirs(out, exist_ok=True)
+    ev = table(spark, sf_dir, "events")  # ts already normalized
+    b = ev.withColumn(
+        "_b", F.ntile(n_files).over(Window.orderBy("ts", "event_id"))
+    ).localCheckpoint()
+    base = 1_600_000_000
+    for k in range(1, n_files + 1):
+        tmp = os.path.join(out, f"_tmp{k}")
+        b.filter(F.col("_b") == k).drop("_b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet"))
+        dst = os.path.join(out, f"{k:02d}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (base + k, base + k))
     _MULTIFILE_CACHE[sf_dir] = out
     return out
 
@@ -509,3 +532,38 @@ def stream_run_stream_join_outer(spark, sf_dir):
         return _run(joined, "append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@query("stream_run_session_append", oracle=None, family="streaming")
+def stream_run_session_append(spark, sf_dir):
+    """Session windows in APPEND mode — the production form
+    stream_run_session (complete mode) cannot show: a session row
+    emits EXACTLY ONCE, and only after the watermark passes its end
+    (i.e. the gap has provably closed — no later event can extend the
+    session anymore). Until then the merging-session state store
+    keeps it open and emits nothing. The run feeds the time-ranged
+    files two per micro-batch so the watermark advances and sessions
+    genuinely close mid-stream; sessions still open when the bounded
+    stream ends stay in state and are correctly not emitted (the test
+    asserts the append result is a prefix-in-time subset of the
+    complete-mode result). This emit-once-on-close contract is what
+    lets a downstream sink treat each session row as final —
+    complete mode re-emits the whole table every batch and cannot.
+    State per key is one open session row; the watermark horizon
+    bounds it exactly as in the windowed aggs."""
+    e = (
+        _events_stream(spark, sf_dir, max_files_per_trigger=2)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 minutes")
+    )
+    agg = (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n",
+        )
+    )
+    return _run(agg, "append")

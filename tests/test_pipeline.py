@@ -3186,3 +3186,21 @@ def test_stream_outer_join_expires_unmatched_views(spark):
     # a view never emits both matched and null rows
     null_ids = {r["v_id"] for r in nulls}
     assert null_ids.isdisjoint({r["v_id"] for r in matched})
+
+
+def test_stream_session_append_emits_closed_sessions_once(spark):
+    app = QUERIES["stream_run_session_append"](spark, SF_ORACLE).collect()
+    comp = QUERIES["stream_run_session"](spark, SF_ORACLE).collect()
+    assert 0 < len(app) <= len(comp)
+    # emit-once: a (user, session-start) appears exactly once
+    keys = [(r["user_id"], r["s_start"]) for r in app]
+    assert len(keys) == len(set(keys))
+    # every emitted session respects the 10-minute gap contract
+    for r in app[:500]:
+        assert (r["s_end"] - r["s_start"]).total_seconds() >= 600
+        assert r["n"] >= 1
+    # with deterministic time-ordered staging, nearly every session closes
+    # before end of stream: emitted sessions match complete-mode sessions
+    ckeys = {(r["user_id"], r["s_start"], r["s_end"], r["n"]) for r in comp}
+    akeys = {(r["user_id"], r["s_start"], r["s_end"], r["n"]) for r in app}
+    assert len(akeys & ckeys) / len(akeys) > 0.95
