@@ -567,3 +567,49 @@ def stream_run_session_append(spark, sf_dir):
         )
     )
     return _run(agg, "append")
+
+
+@query("stream_run_rocksdb", oracle=None, family="streaming")
+def stream_run_rocksdb(spark, sf_dir):
+    """Watermarked tumbling aggregation under the ROCKSDB state-store
+    provider — the 100 TB state path every scale note in this repo
+    points at ("state store → RocksDB provider"), here actually
+    executed: rocksdbjni ships inside Spark 4, so the provider swap is
+    ONE session conf, and the run proves the plan, checkpoint format,
+    and state schema all work unchanged on the off-heap store. The
+    default HDFS-backed provider keeps every key's state in executor
+    heap — fine until keys × state-row-width outgrow memory; RocksDB
+    spills to local SSD with the same exactly-once checkpoint
+    contract, which is what makes billion-key watermarked aggregations
+    operable. Output is the same hourly per-type windowed count the
+    default-provider runs produce (the test asserts result equality
+    provider-to-provider — the store is an implementation detail,
+    never a semantics change). The conf is set/restored around the
+    run, matching the shuffle-partition pattern of the join runs."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        e = (
+            _events_stream(spark, sf_dir, max_files_per_trigger=2)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "30 minutes")
+        )
+        agg = (
+            e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_v"))
+            .select(
+                F.col("w.start").alias("w_start"),
+                "event_type",
+                "n",
+                "sum_v",
+            )
+        )
+        return _run(agg, "append")
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

@@ -3204,3 +3204,26 @@ def test_stream_session_append_emits_closed_sessions_once(spark):
     ckeys = {(r["user_id"], r["s_start"], r["s_end"], r["n"]) for r in comp}
     akeys = {(r["user_id"], r["s_start"], r["s_end"], r["n"]) for r in app}
     assert len(akeys & ckeys) / len(akeys) > 0.95
+
+
+def test_rocksdb_provider_matches_default_provider(spark):
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.streaming.runs import _events_stream, _run
+
+    rocks = QUERIES["stream_run_rocksdb"](spark, SF_ORACLE).collect()
+    assert len(rocks) > 0
+    # identical query under the default HDFS-backed provider
+    e = (
+        _events_stream(spark, SF_ORACLE, max_files_per_trigger=2)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 minutes")
+    )
+    agg = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_v"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_v")
+    )
+    default = _run(agg, "append").collect()
+    k = lambda r: (r["w_start"], r["event_type"], r["n"], r["sum_v"])
+    assert {k(r) for r in rocks} == {k(r) for r in default}
