@@ -3227,3 +3227,43 @@ def test_rocksdb_provider_matches_default_provider(spark):
     default = _run(agg, "append").collect()
     k = lambda r: (r["w_start"], r["event_type"], r["n"], r["sum_v"])
     assert {k(r) for r in rocks} == {k(r) for r in default}
+
+
+# Shuffle budget per headline query: the exchange count each plan is
+# ALLOWED — a new Exchange (lost broadcast, extra repartition, lost
+# bucketing) fails here before it ever shows up in the bench numbers.
+_EXCHANGE_BUDGET = {
+    "agg_group": 2,          # partial→final agg + output sort
+    "join_multi": 1,         # dims broadcast; one agg shuffle
+    "win_topk_group": 1,     # one window shuffle
+    "join_asof": 1,          # one union-merge window shuffle
+    "stream_tumbling": 1,
+    "win_sessionize": 1,
+    "text_wordcount": 1,
+    "train_test_split": 0,   # map-side hash split — any shuffle is a bug
+    "source_json_col": 0,    # map-side JSON extraction
+    "dedup_exact": 1,
+    "join_broadcast": 0,     # THE broadcast demo — a shuffle defeats it
+    "scan_pruned": 0,
+    "join_bucketed": 0,      # zero-Exchange is this operator's contract
+}
+
+
+def test_headline_exchange_budgets(spark):
+    from spark_ml_helper_spark.plans.audit import plan_summary
+    from spark_ml_helper_spark.registry import REGISTRY
+
+    over = {}
+    for name, budget in _EXCHANGE_BUDGET.items():
+        s = plan_summary(REGISTRY[name].fn(spark, SF_ORACLE))
+        if s["exchanges"] > budget:
+            over[name] = (s["exchanges"], budget)
+    assert not over, f"plans over shuffle budget (got, allowed): {over}"
+
+
+def test_bucketed_join_stays_sortmerge_without_exchange(spark):
+    from spark_ml_helper_spark.plans.audit import plan_summary
+    from spark_ml_helper_spark.registry import REGISTRY
+
+    s = plan_summary(REGISTRY["join_bucketed"].fn(spark, SF_ORACLE))
+    assert s["exchanges"] == 0 and s["sortmerge_joins"] == 1
