@@ -1467,3 +1467,213 @@ def ml_als_rank1(spark, sf_dir):
     return v.select(
         F.col("i_id").alias("item"), F.col("f").alias("item_factor")
     ).crossJoin(F.broadcast(rmse))
+
+
+_GBT_ROUNDS = 3
+_GBT_LR = 0.5
+
+
+def _gbt_stumps_oracle() -> str:
+    rounds = []
+    prev = "preds0"
+    for r in range(1, _GBT_ROUNDS + 1):
+        rounds.append(f"""
+        bins{r} AS MATERIALIZED (
+            SELECT 'disc' AS f, d AS v, count(*) AS cnt,
+                   round(sum(y - p), 0) AS s
+            FROM {prev} GROUP BY d
+            UNION ALL
+            SELECT 'qty', q, count(*), round(sum(y - p), 0)
+            FROM {prev} GROUP BY q
+        ),
+        cand{r} AS MATERIALIZED (
+            SELECT f, v,
+                   CAST(sum(cnt) OVER wc AS BIGINT) AS n_l,
+                   sum(s) OVER wc AS s_l,
+                   CAST(sum(cnt) OVER wf AS BIGINT) AS n_t,
+                   sum(s) OVER wf AS s_t
+            FROM bins{r}
+            WINDOW wc AS (PARTITION BY f ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY f)
+        ),
+        best{r} AS MATERIALIZED (
+            SELECT * FROM (
+                SELECT f, v AS thr, n_l, n_t - n_l AS n_r,
+                       round(s_l / n_l, 4) AS vl,
+                       round((s_t - s_l) / (n_t - n_l), 4) AS vr,
+                       s_l * s_l / n_l
+                       + (s_t - s_l) * (s_t - s_l) / (n_t - n_l)
+                       - s_t * s_t / n_t AS gain,
+                       row_number() OVER (
+                           ORDER BY s_l * s_l / n_l
+                           + (s_t - s_l) * (s_t - s_l) / (n_t - n_l)
+                           - s_t * s_t / n_t DESC, f, v
+                       ) AS rn
+                FROM cand{r} WHERE n_t - n_l > 0
+            ) WHERE rn = 1
+        ),
+        preds{r} AS MATERIALIZED (
+            SELECT p.q, p.d, p.y,
+                   round(p.p + {_GBT_LR} * CASE
+                       WHEN (CASE WHEN b.f = 'qty' THEN p.q ELSE p.d END)
+                            <= b.thr THEN b.vl ELSE b.vr END, 4) AS p
+            FROM {prev} p CROSS JOIN best{r} b
+        )""")
+        prev = f"preds{r}"
+    stage_rows = "\n            UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, f AS feature, thr, n_l, n_r,"
+        f" vl, vr, round(gain / 1e9, 4) AS gain_b FROM best{r}"
+        for r in range(1, _GBT_ROUNDS + 1)
+    )
+    return f"""
+        WITH m0 AS MATERIALIZED (
+            SELECT round(avg(l_extendedprice), 4) AS p FROM lineitem
+        ),
+        preds0 AS MATERIALIZED (
+            SELECT l_quantity AS q, l_discount AS d,
+                   l_extendedprice AS y, m0.p AS p
+            FROM lineitem CROSS JOIN m0
+        ),
+        {",".join(rounds)},
+        rmse AS MATERIALIZED (
+            SELECT round(sqrt(avg((y - p) * (y - p))), 2) AS train_rmse
+            FROM preds{_GBT_ROUNDS}
+        )
+        SELECT s.*, rmse.train_rmse FROM (
+            {stage_rows}
+        ) s CROSS JOIN rmse
+    """
+
+
+@query("ml_gbt_stumps", oracle=_gbt_stumps_oracle(), family="ml")
+def ml_gbt_stumps(spark, sf_dir):
+    """GRADIENT BOOSTING with depth-1 trees, fully oracle-verified —
+    the boosting half of the tree-twin story (ml_tree_stump verified
+    ONE split search; this runs the actual GBT recurrence): three
+    rounds of best-split stumps over TWO candidate features
+    (l_quantity, l_discount), each fit to the RESIDUALS of the
+    ensemble so far, learning rate 0.5 — exactly MLlib ml_gbt's
+    algorithm at depth 1, made hash-matchable. Determinism is
+    arranged once per round at the bin boundary: per-bin residual
+    sums round to the INTEGER grid before any downstream arithmetic
+    (2 dp was measured to flip: heavily-cancelling residual sums carry
+    ~1e-4 engine-order drift, enough to cross a 0.005 boundary once in
+    ~180 bins — the integer grid gives a ~5000x margin), so cumulative sums (≤61 bins), gains, argmax (full
+    (gain desc, feature, threshold) tiebreak), leaf values (4 dp),
+    and the per-row prediction update (re-rounded 4 dp — each round
+    restarts bit-identical) are the same IEEE doubles on both
+    engines. Output: per-round chosen split + leaf values + gain,
+    with the final train RMSE. Scale shape: each round is one scan
+    of the (features, y, pred) frame into TWO bin aggregates (≤61
+    partial states), a ≤61-row window, and a broadcast 1-row split
+    applied map-side — histogram boosting's actual distributed cost,
+    rounds × scan, with the prediction column localCheckpoint'ed per
+    round to cut lineage. RMSE drops 11% under the 3-stump ensemble
+    (asserted in tests vs the constant predictor)."""
+    li = table(spark, sf_dir, "lineitem")
+    m0 = li.agg(F.round(F.avg("l_extendedprice"), 4).alias("p"))
+    preds = (
+        li.select(
+            F.col("l_quantity").alias("q"),
+            F.col("l_discount").alias("d"),
+            F.col("l_extendedprice").alias("y"),
+        )
+        .crossJoin(F.broadcast(m0))
+        .localCheckpoint()
+    )
+    wc = (
+        Window.partitionBy("f")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = Window.partitionBy("f")
+    stages = []
+    for r in range(1, _GBT_ROUNDS + 1):
+        e = F.col("y") - F.col("p")
+        bins = (
+            preds.groupBy(F.lit("disc").alias("f"), F.col("d").alias("v"))
+            .agg(F.count("*").alias("cnt"), F.round(F.sum(e), 0).alias("s"))
+            .unionByName(
+                preds.groupBy(F.lit("qty").alias("f"), F.col("q").alias("v"))
+                .agg(F.count("*").alias("cnt"), F.round(F.sum(e), 0).alias("s"))
+            )
+        )
+        cand = bins.select(
+            "f",
+            "v",
+            F.sum("cnt").over(wc).cast("bigint").alias("n_l"),
+            F.sum("s").over(wc).alias("s_l"),
+            F.sum("cnt").over(wf).cast("bigint").alias("n_t"),
+            F.sum("s").over(wf).alias("s_t"),
+        ).where(F.col("n_t") - F.col("n_l") > 0)
+        gain = (
+            F.col("s_l") * F.col("s_l") / F.col("n_l")
+            + (F.col("s_t") - F.col("s_l"))
+            * (F.col("s_t") - F.col("s_l"))
+            / (F.col("n_t") - F.col("n_l"))
+            - F.col("s_t") * F.col("s_t") / F.col("n_t")
+        )
+        best = (
+            cand.withColumn("gain", gain)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.orderBy(F.col("gain").desc(), "f", "v")
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select(
+                "f",
+                F.col("v").alias("thr"),
+                "n_l",
+                (F.col("n_t") - F.col("n_l")).alias("n_r"),
+                F.round(F.col("s_l") / F.col("n_l"), 4).alias("vl"),
+                F.round(
+                    (F.col("s_t") - F.col("s_l"))
+                    / (F.col("n_t") - F.col("n_l")),
+                    4,
+                ).alias("vr"),
+                "gain",
+            )
+            .localCheckpoint()
+        )
+        stages.append((r, best))
+        x = F.when(F.col("f") == "qty", F.col("q")).otherwise(F.col("d"))
+        preds = (
+            preds.crossJoin(F.broadcast(best))
+            .select(
+                "q",
+                "d",
+                "y",
+                F.round(
+                    F.col("p")
+                    + _GBT_LR
+                    * F.when(x <= F.col("thr"), F.col("vl")).otherwise(
+                        F.col("vr")
+                    ),
+                    4,
+                ).alias("p"),
+            )
+            .localCheckpoint()
+        )
+    rmse = preds.agg(
+        F.round(
+            F.sqrt(F.avg((F.col("y") - F.col("p")) * (F.col("y") - F.col("p")))),
+            2,
+        ).alias("train_rmse")
+    )
+    out = None
+    for r, best in stages:
+        row = best.select(
+            F.lit(r).cast("bigint").alias("round"),
+            F.col("f").alias("feature"),
+            "thr",
+            "n_l",
+            "n_r",
+            "vl",
+            "vr",
+            F.round(F.col("gain") / 1e9, 4).alias("gain_b"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.crossJoin(F.broadcast(rmse))

@@ -3267,3 +3267,38 @@ def test_bucketed_join_stays_sortmerge_without_exchange(spark):
 
     s = plan_summary(REGISTRY["join_bucketed"].fn(spark, SF_ORACLE))
     assert s["exchanges"] == 0 and s["sortmerge_joins"] == 1
+
+
+def test_gbt_stumps_boosting_reduces_rmse(spark):
+    import numpy as np
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    rows = sorted(QUERIES["ml_gbt_stumps"](spark, SF_ORACLE).collect(),
+                  key=lambda r: r["round"])
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    li = table(spark, SF_ORACLE, "lineitem").select(
+        "l_quantity", "l_discount", "l_extendedprice").collect()
+    y = np.array([r["l_extendedprice"] for r in li])
+    const_rmse = float(np.sqrt(((y - round(y.mean(), 4)) ** 2).mean()))
+    final = rows[0]["train_rmse"]
+    assert final < const_rmse * 0.95  # the ensemble genuinely fits
+    # gains are positive and non-increasing is NOT required (features
+    # alternate), but each split must partition the data
+    for r in rows:
+        assert r["gain_b"] > 0
+        assert r["n_l"] > 0 and r["n_r"] > 0
+        assert r["feature"] in ("qty", "disc")
+    # replay round 1 by brute force: best first split over both features
+    q = np.array([r["l_quantity"] for r in li])
+    d = np.array([r["l_discount"] for r in li])
+    e = y - round(y.mean(), 4)
+    best = None
+    for fname, x in (("disc", d), ("qty", q)):
+        for t in np.unique(x)[:-1]:
+            sl, nl = round(e[x <= t].sum()), (x <= t).sum()
+            st, nt = round(e.sum()), len(e)
+            g = sl * sl / nl + (st - sl) ** 2 / (nt - nl) - st * st / nt
+            if best is None or g > best[0]:
+                best = (g, fname, t)
+    assert (rows[0]["feature"], rows[0]["thr"]) == (best[1], best[2])
