@@ -1569,8 +1569,12 @@ def ml_gbt_stumps(spark, sf_dir):
     partial states), a ≤61-row window, and a broadcast 1-row split
     applied map-side — histogram boosting's actual distributed cost,
     rounds × scan, with the prediction column localCheckpoint'ed per
-    round to cut lineage. RMSE drops 11% under the 3-stump ensemble
-    (asserted in tests vs the constant predictor)."""
+    round to cut lineage. On THIS fixture the gains are structurally
+    tiny (the synthetic l_extendedprice is independent of both
+    features — corr ≈ 0.003 — so no stump can explain much variance);
+    what the operator verifies is the RECURRENCE: the test replays
+    round 1's split search brute-force in numpy, and train RMSE is
+    asserted never to exceed the constant predictor's."""
     li = table(spark, sf_dir, "lineitem")
     m0 = li.agg(F.round(F.avg("l_extendedprice"), 4).alias("p"))
     preds = (
