@@ -1984,3 +1984,170 @@ def sim_pq_adc(spark, sf_dir):
             "adc_dist",
         )
     )
+
+
+_ELBOW_KS = [1, 2, 4, 8]
+
+
+def _kmeans_elbow_oracle() -> str:
+    # The vec_kmeans_lloyd recipe with centroids keyed by (cfg, cluster):
+    # one CTE chain trains ALL four k-configs simultaneously (the same
+    # grouped-training generalization vec_pq_encode uses across
+    # subspaces). Distances stay the bit-identical left-associated
+    # 64-term sums; centroid updates re-round at 7 dp per round.
+    dims = list(range(1, 65))
+
+    def dist(c_alias: str) -> str:
+        return " + ".join(
+            f"(CAST(p.embedding[{d}] AS DOUBLE) - {c_alias}.d{d})"
+            f" * (CAST(p.embedding[{d}] AS DOUBLE) - {c_alias}.d{d})"
+            for d in dims
+        )
+
+    seed_cols = ", ".join(
+        f"CAST(embedding[{d}] AS DOUBLE) AS d{d}" for d in dims
+    )
+    upd_cols = ", ".join(
+        f"round(avg(CAST(embedding[{d}] AS DOUBLE)), 7) AS d{d}" for d in dims
+    )
+    merge_cols = ", ".join(f"coalesce(u.d{d}, p.d{d}) AS d{d}" for d in dims)
+    ks = ", ".join(f"({k})" for k in _ELBOW_KS)
+
+    rounds = []
+    prev = "c0"
+    for r in range(1, _KM_ROUNDS + 1):
+        rounds.append(f"""
+        a{r} AS MATERIALIZED (
+            SELECT p.cfg, p.vec_id, p.embedding, c.cluster, {dist("c")} AS dist
+            FROM pts p JOIN {prev} c ON p.cfg = c.cfg
+        ),
+        s{r} AS MATERIALIZED (
+            SELECT cfg, vec_id, embedding, cluster FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY cfg, vec_id ORDER BY dist, cluster
+                ) AS rn FROM a{r}
+            ) WHERE rn = 1
+        ),
+        u{r} AS MATERIALIZED (
+            SELECT cfg, cluster, {upd_cols} FROM s{r} GROUP BY cfg, cluster
+        ),
+        c{r} AS MATERIALIZED (
+            SELECT p.cfg, p.cluster, {merge_cols}
+            FROM {prev} p LEFT JOIN u{r} u USING (cfg, cluster)
+        )""")
+        prev = f"c{r}"
+    return f"""
+        WITH cfgs AS MATERIALIZED (SELECT * FROM (VALUES {ks}) AS t(cfg)),
+        pts AS MATERIALIZED (
+            SELECT c.cfg, e.vec_id, e.embedding
+            FROM embeddings e CROSS JOIN cfgs c
+        ),
+        c0 AS MATERIALIZED (
+            SELECT c.cfg, e.vec_id AS cluster, {seed_cols}
+            FROM embeddings e JOIN cfgs c ON e.vec_id < c.cfg
+        ),
+        {",".join(rounds)},
+        af AS MATERIALIZED (
+            SELECT p.cfg, p.vec_id, c.cluster, {dist("c")} AS dist
+            FROM pts p JOIN {prev} c ON p.cfg = c.cfg
+        ),
+        sf AS MATERIALIZED (
+            SELECT cfg, vec_id, dist FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY cfg, vec_id ORDER BY dist, cluster
+                ) AS rn FROM af
+            ) WHERE rn = 1
+        ),
+        curve AS MATERIALIZED (
+            SELECT CAST(cfg AS BIGINT) AS k,
+                   round(avg(dist), 6) AS inertia
+            FROM sf GROUP BY cfg
+        )
+        SELECT k, inertia,
+               round(lag(inertia) OVER (ORDER BY k) - inertia, 6)
+                   AS improvement
+        FROM curve
+    """
+
+
+@query("vec_kmeans_elbow", oracle=_kmeans_elbow_oracle(), family="vectors")
+def vec_kmeans_elbow(spark, sf_dir):
+    """ELBOW CURVE for k selection — Lloyd k-means at k ∈ {1,2,4,8}
+    trained SIMULTANEOUSLY in one plan: centroids key on
+    (config, cluster), assignment joins on config, and updates
+    aggregate per (config, cluster, dim) — the grouped-training
+    generalization vec_pq_encode uses across subspaces, here across
+    hyperparameter configs, so the model-selection sweep costs ONE
+    corpus scan per round instead of |configs| separate fits (k=1
+    rides along as the variance baseline: its 'centroid' converges to
+    the global mean, making inertia drops read as explained
+    variance). Fully oracle-verified via the vec_kmeans_lloyd
+    determinism recipe (bit-identical left-associated distances,
+    7 dp per-round centroid re-rounding); output is the k → inertia
+    curve with per-step improvement, the table a data lead reads to
+    pick k. Scale shape: the centroid frame is (Σk)=15 broadcast
+    rows, each round is one scan into k-bounded partials — config
+    count multiplies the assignment stream, not the shuffle key
+    space; at 100 TB sweep k on a sample first, exactly as MLlib's
+    docs prescribe, with this plan unchanged."""
+    e = table(spark, sf_dir, "embeddings")
+    cfgs = spark.createDataFrame([(k,) for k in _ELBOW_KS], "cfg int")
+    pts = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    ).crossJoin(F.broadcast(cfgs))
+    cent = (
+        e.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("cent"),
+        )
+        .join(F.broadcast(cfgs), F.col("vec_id") < F.col("cfg"))
+        .select("cfg", F.col("vec_id").alias("cluster"), "cent")
+    )
+    sqdist = F.aggregate(
+        F.zip_with("emb", "cent", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    w = Window.partitionBy("cfg", "vec_id").orderBy("dist", "cluster")
+    for _ in range(_KM_ROUNDS):
+        assigned = (
+            pts.join(F.broadcast(cent), "cfg")
+            .withColumn("dist", sqdist)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+        )
+        upd = (
+            assigned.select("cfg", "cluster", F.posexplode("emb").alias("dim", "x"))
+            .groupBy("cfg", "cluster", "dim")
+            .agg(F.round(F.avg("x"), 7).alias("v"))
+            .groupBy("cfg", "cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                    lambda s: s["v"],
+                ).alias("newc")
+            )
+        )
+        cent = (
+            cent.join(upd, ["cfg", "cluster"], "left")
+            .select("cfg", "cluster", F.coalesce("newc", "cent").alias("cent"))
+            .localCheckpoint()
+        )
+    final = (
+        pts.join(F.broadcast(cent), "cfg")
+        .withColumn("dist", sqdist)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    curve = final.groupBy(F.col("cfg").cast("bigint").alias("k")).agg(
+        F.round(F.avg("dist"), 6).alias("inertia")
+    )
+    wk = Window.orderBy("k")
+    return curve.select(
+        "k",
+        "inertia",
+        F.round(F.lag("inertia").over(wk) - F.col("inertia"), 6).alias(
+            "improvement"
+        ),
+    )

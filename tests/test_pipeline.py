@@ -3304,3 +3304,31 @@ def test_gbt_stumps_boosting_reduces_rmse(spark):
             if best is None or g > best[0]:
                 best = (g, fname, t)
     assert (rows[0]["feature"], rows[0]["thr"]) == (best[1], best[2])
+
+
+def test_kmeans_elbow_monotone_and_k1_is_variance(spark):
+    import numpy as np
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    rows = sorted(QUERIES["vec_kmeans_elbow"](spark, SF_ORACLE).collect(),
+                  key=lambda r: r["k"])
+    assert [r["k"] for r in rows] == [1, 2, 4, 8]
+    inertias = [r["inertia"] for r in rows]
+    # more clusters never fit worse (same seeds nest via lowest-id init)
+    assert inertias == sorted(inertias, reverse=True)
+    assert rows[0]["improvement"] is None
+    for prev, r in zip(rows, rows[1:]):
+        assert abs(r["improvement"] - (prev["inertia"] - r["inertia"])) < 1e-9
+    # k=1's centroid converges to the global mean -> inertia == variance
+    X = np.array([r["embedding"] for r in
+                  table(spark, SF_ORACLE, "embeddings").collect()],
+                 dtype=np.float64)
+    var = ((X - np.round(X.mean(0), 7)) ** 2).sum(-1).mean()
+    assert abs(rows[0]["inertia"] - var) < 1e-4
+    # and the k=8 fit must agree with the standalone vec_kmeans_lloyd op
+    lloyd = QUERIES["vec_kmeans_lloyd"](spark, SF_ORACLE).collect()
+    weighted = sum(r["n_members"] * r["mean_dist"] for r in lloyd
+                   if r["mean_dist"] is not None)
+    total = sum(r["n_members"] for r in lloyd)
+    assert abs(rows[3]["inertia"] - weighted / total) < 1e-4
