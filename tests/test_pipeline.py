@@ -1427,6 +1427,9 @@ _BNLJ_ALLOWED = {
     "events_peak_concurrency", "orders_return_rate",
     "orders_revenue_bridge", "orders_whale_concentration", "vec_pca_power",
     "vec_kmeans_lloyd", "vec_pq_encode",
+    # 4-row config frame + seed join on vec_id < cfg — constant-size
+    # broadcasts at any scale
+    "vec_kmeans_elbow",
     "rollup_ytd",
     "events_survival_curve",
     "stats_anova", "stats_bootstrap_ci", "stats_chi2", "stats_ks_test",
