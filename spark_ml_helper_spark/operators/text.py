@@ -572,3 +572,178 @@ def text_keywords_tfidf(spark, sf_dir):
         .where(F.col("rnk") <= 3)
         .select("doc_id", "rnk", "term", "score")
     )
+
+
+_BAND_GEOMS = [(4, 10), (8, 5), (10, 4)]  # (bands, rows) over the 40 sigs
+
+
+def _band_curve_oracle() -> str:
+    # Full DuckDB replay of the MinHash-LSH core — possible because every
+    # stage is engine-neutral: md5-derived 60-bit token ids mod p, FIXED
+    # seeded affine permutations, and band keys that are md5 digests of
+    # comma-joined signature slices. This oracle is the proof that the
+    # "approximate" LSH path is deterministic end to end; dedup_minhash
+    # stays rows-only only because its doc-pair output is huge, not
+    # because banding is unreplayable.
+    p = _MINHASH_P
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(th, t -> ({a} * t + {b}) % {p}))"
+        for a, b in _minhash_params()
+    )
+    geom_rows = []
+    for b, r in _BAND_GEOMS:
+        geom_rows.append(f"""
+        SELECT {b} AS bands, {r} AS rows_per_band, s.set_id,
+               u.k AS band_no,
+               md5(array_to_string(s.sig[u.k * {r} + 1 : u.k * {r} + {r}], ','))
+                   AS band_key
+        FROM sigs s, unnest(range(0, {b})) AS u(k)""")
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id,
+                   list_sort(list_transform(
+                       list_distinct(string_split(lower(text), ' ')),
+                       t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                            % {p})) AS th
+            FROM documents
+        ),
+        reps AS MATERIALIZED (
+            SELECT min(doc_id) AS set_id, any_value(th) AS th
+            FROM toks GROUP BY md5(array_to_string(th, ','))
+        ),
+        sigs AS MATERIALIZED (
+            SELECT set_id, th, [{sig_exprs}] AS sig FROM reps
+        ),
+        bandrows AS MATERIALIZED ({" UNION ALL ".join(geom_rows)}),
+        cand AS MATERIALIZED (
+            SELECT DISTINCT a.bands, a.rows_per_band,
+                   a.set_id AS sa, b.set_id AS sb
+            FROM bandrows a
+            JOIN bandrows b
+              ON a.bands = b.bands AND a.band_no = b.band_no
+             AND a.band_key = b.band_key AND a.set_id < b.set_id
+        ),
+        scored AS MATERIALIZED (
+            SELECT c.bands, c.rows_per_band,
+                   CASE WHEN len(list_distinct(list_intersect(x.th, y.th)))
+                             * 1.0
+                             / len(list_distinct(list_concat(x.th, y.th)))
+                             >= 0.8 THEN 1 ELSE 0 END AS ok
+            FROM cand c
+            JOIN sigs x ON x.set_id = c.sa
+            JOIN sigs y ON y.set_id = c.sb
+        )
+        SELECT CAST(bands AS BIGINT) AS bands,
+               CAST(rows_per_band AS BIGINT) AS rows_per_band,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(ok) AS BIGINT) AS n_verified,
+               round(sum(ok) * 1.0 / count(*), 6) AS precision_at_08,
+               round(1.0 - pow(1.0 - pow(0.8, rows_per_band), bands), 6)
+                   AS theoretical_recall_at_08
+        FROM scored GROUP BY bands, rows_per_band
+    """
+
+
+@query("dedup_minhash_band_curve", oracle=_band_curve_oracle(), family="text")
+def dedup_minhash_band_curve(spark, sf_dir):
+    """LSH BANDING-GEOMETRY TRADE-OFF TABLE, with a FULL SQL ORACLE —
+    the proof that this repo's MinHash path is deterministic end to
+    end (md5 token ids, fixed seeded permutations, digest band keys),
+    so 'approximate' means approximate W.R.T. EXACT JACCARD, not
+    unreproducible: DuckDB replays token hashing, all 40 signatures,
+    banding, candidate generation, and the exact-Jaccard verify, and
+    the result hash-matches. For each geometry over the 40-hash
+    signature — (4 bands × 10 rows), (8 × 5, the production choice),
+    (10 × 4) — the output reports rep-level candidate count, verified
+    count (exact Jaccard ≥ 0.8), measured precision, and the
+    theoretical recall 1-(1-j^r)^b at j=0.8: the table an engineer
+    reads to pick banding for a corpus (more rows per band → fewer,
+    more precise candidates; more bands → higher recall, more
+    rescans). Scale shape identical to dedup_minhash: exact-dup sets
+    collapse first, banding joins on (geometry, band, digest) — never
+    the pair space — and the exact verify touches candidates only;
+    the geometry column multiplies band rows by |geoms|, not the
+    candidate blow-up of any single loose geometry."""
+    p = _MINHASH_P
+    docs = (
+        table(spark, sf_dir, "documents")
+        .repartition("doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                f"sort_array(transform(array_distinct(split(lower(text), ' ')), "
+                f"t -> cast(conv(substr(md5(cast(t as binary)), 1, 15), 16, 10) as bigint) % {p}L))"
+            ).alias("th"),
+        )
+    )
+    reps = (
+        docs.groupBy(
+            F.md5(
+                F.concat_ws(",", F.transform("th", lambda x: x.cast("string")))
+            ).alias("skey")
+        )
+        .agg(F.min("doc_id").alias("set_id"), F.first("th").alias("th"))
+        .drop("skey")
+    )
+    sigs = reps.withColumn(
+        "sig",
+        F.expr(
+            "transform(array("
+            + ", ".join(
+                f"named_struct('a', {a}L, 'b', {b}L)" for a, b in _minhash_params()
+            )
+            + f"), s -> array_min(transform(th, t -> (s.a * t + s.b) % {p}L)))"
+        ),
+    ).localCheckpoint()  # feeds every geometry's band branch + the verify
+    out = None
+    for b, r in _BAND_GEOMS:
+        bands = sigs.select(
+            "set_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {b - 1}), k -> named_struct("
+                    f"'band_no', k, 'band_key', md5(concat_ws(',', "
+                    f"transform(slice(sig, k * {r} + 1, {r}), x -> cast(x as string))))))"
+                )
+            ).alias("e"),
+        ).select("set_id", "e.band_no", "e.band_key")
+        cand = (
+            bands.alias("a")
+            .join(
+                bands.alias("bb"),
+                (F.col("a.band_no") == F.col("bb.band_no"))
+                & (F.col("a.band_key") == F.col("bb.band_key"))
+                & (F.col("a.set_id") < F.col("bb.set_id")),
+            )
+            .select(
+                F.col("a.set_id").alias("sa"), F.col("bb.set_id").alias("sb")
+            )
+            .distinct()
+        )
+        scored = (
+            cand.join(sigs.select(F.col("set_id").alias("sa"), F.col("th").alias("tha")), "sa")
+            .join(sigs.select(F.col("set_id").alias("sb"), F.col("th").alias("thb")), "sb")
+            .select(
+                F.when(
+                    F.size(F.array_intersect("tha", "thb"))
+                    / F.size(F.array_union("tha", "thb"))
+                    >= 0.8,
+                    1,
+                )
+                .otherwise(0)
+                .alias("ok")
+            )
+        )
+        row = scored.agg(
+            F.lit(b).cast("bigint").alias("bands"),
+            F.lit(r).cast("bigint").alias("rows_per_band"),
+            F.count("*").cast("bigint").alias("n_candidates"),
+            F.sum("ok").cast("bigint").alias("n_verified"),
+            F.round(F.sum("ok") / F.count("*"), 6).alias("precision_at_08"),
+            F.round(
+                F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(F.lit(0.8), F.lit(r)), F.lit(b)),
+                6,
+            ).alias("theoretical_recall_at_08"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

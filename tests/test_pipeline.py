@@ -3335,3 +3335,23 @@ def test_kmeans_elbow_monotone_and_k1_is_variance(spark):
                    if r["mean_dist"] is not None)
     total = sum(r["n_members"] for r in lloyd)
     assert abs(rows[3]["inertia"] - weighted / total) < 1e-4
+
+
+def test_band_curve_tradeoff_monotone(spark):
+    rows = sorted(QUERIES["dedup_minhash_band_curve"](spark, SF_ORACLE).collect(),
+                  key=lambda r: r["bands"])
+    assert [(r["bands"], r["rows_per_band"]) for r in rows] == [
+        (4, 10), (8, 5), (10, 4)]
+    for r in rows:
+        assert 0 < r["n_verified"] <= r["n_candidates"]
+        assert 0 < r["precision_at_08"] <= 1
+        expect = 1.0 - (1.0 - 0.8 ** r["rows_per_band"]) ** r["bands"]
+        assert abs(r["theoretical_recall_at_08"] - expect) < 1e-6
+    # looser geometry -> more candidates, at least as many verified pairs,
+    # lower precision: the trade-off the table exists to show
+    cands = [r["n_candidates"] for r in rows]
+    ver = [r["n_verified"] for r in rows]
+    prec = [r["precision_at_08"] for r in rows]
+    assert cands == sorted(cands)
+    assert ver == sorted(ver)
+    assert prec == sorted(prec, reverse=True)
