@@ -45,6 +45,11 @@ _REVERIFY_FIRST = [
     # r5 perf rewrite (covariance pair stream now map-side posexplode²,
     # no vec_id self-join) — identical at 8 dp but re-record the hash:
     "vec_pca_power",
+    # r5 rows-only → SQL-oracled flip: the banded MinHash pipeline is
+    # deterministic end to end (see dedup_minhash_band_curve), so the
+    # production 8×5 path now carries a full DuckDB replay oracle —
+    # pin so the driver upgrades its r3 rows-only record to a hash row:
+    "dedup_minhash",
 ]
 
 

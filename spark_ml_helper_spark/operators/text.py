@@ -408,7 +408,86 @@ def _minhash_set_pairs(spark, sf_dir):
     return set_pairs, membership
 
 
-@query("dedup_minhash", oracle=None, family="text")
+def _minhash_oracle() -> str:
+    # Full DuckDB replay of the production 8x5 banded MinHash pipeline —
+    # enabled by the determinism the band-curve oracle established: md5
+    # token ids mod p, fixed affine permutations, the polynomial band
+    # fold (list_reduce seeded with a prepended 0 reproduces Spark's
+    # aggregate(slice, 0, ...) order exactly), candidate join, exact
+    # Jaccard on DISTINCT sets (the bitmask fast path's semantics), and
+    # the membership re-expansion with exact-dup self-pairs.
+    p = _MINHASH_P
+    m = 1000003
+    r = _MINHASH_BAND_ROWS
+    nb = _MINHASH_K // r
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(th, t -> ({a} * t + {b}) % {p}))"
+        for a, b in _minhash_params()
+    )
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id,
+                   list_sort(list_transform(
+                       list_distinct(string_split(lower(text), ' ')),
+                       t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                            % {p})) AS th,
+                   md5(array_to_string(list_sort(list_transform(
+                       list_distinct(string_split(lower(text), ' ')),
+                       t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                            % {p})), ',')) AS skey
+            FROM documents
+        ),
+        reps AS MATERIALIZED (
+            SELECT skey, min(doc_id) AS set_id, any_value(th) AS th,
+                   count(*) AS n_docs
+            FROM toks GROUP BY skey
+        ),
+        sigs AS MATERIALIZED (
+            SELECT set_id, th, [{sig_exprs}] AS sig FROM reps
+        ),
+        bands AS MATERIALIZED (
+            SELECT s.set_id, u.j AS band_no,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                                    s.sig[u.j * {r} + 1 : u.j * {r} + {r}]),
+                       (acc, x) -> (acc * {m} + x) % {p}) AS band_val
+            FROM sigs s, unnest(range(0, {nb})) AS u(j)
+        ),
+        cand AS MATERIALIZED (
+            SELECT DISTINCT a.set_id AS sa, b.set_id AS sb
+            FROM bands a JOIN bands b
+              ON a.band_no = b.band_no AND a.band_val = b.band_val
+             AND a.set_id < b.set_id
+        ),
+        verified AS MATERIALIZED (
+            SELECT c.sa, c.sb,
+                   round(len(list_distinct(list_intersect(x.th, y.th)))
+                         * 1.0
+                         / len(list_distinct(list_concat(x.th, y.th))), 6)
+                       AS jac_approx
+            FROM cand c
+            JOIN sigs x ON x.set_id = c.sa
+            JOIN sigs y ON y.set_id = c.sb
+            WHERE len(list_distinct(list_intersect(x.th, y.th))) * 1.0
+                  / len(list_distinct(list_concat(x.th, y.th))) >= 0.8
+        ),
+        counts AS MATERIALIZED (
+            SELECT set_id, CAST(n_docs AS BIGINT) AS n_docs FROM reps
+        )
+        SELECT v.sa, v.sb, v.jac_approx,
+               ca.n_docs AS n_docs_a, cb.n_docs AS n_docs_b,
+               CAST(ca.n_docs * cb.n_docs AS BIGINT) AS n_doc_pairs
+        FROM verified v
+        JOIN counts ca ON ca.set_id = v.sa
+        JOIN counts cb ON cb.set_id = v.sb
+        UNION ALL
+        SELECT set_id, set_id, 1.0, n_docs, n_docs,
+               CAST(n_docs * (n_docs - 1) // 2 AS BIGINT)
+        FROM counts WHERE n_docs >= 2
+    """
+
+
+@query("dedup_minhash", oracle=_minhash_oracle(), family="text")
 def dedup_minhash(spark, sf_dir):
     """Near-dup summary at REPRESENTATIVE level: one row per verified
     distinct-token-set pair (plus one self-row per exact-duplicate group),
