@@ -50,6 +50,7 @@ _REVERIFY_FIRST = [
     # production 8×5 path now carries a full DuckDB replay oracle —
     # pin so the driver upgrades its r3 rows-only record to a hash row:
     "dedup_minhash",
+    "dedup_minhash_pairs",
 ]
 
 

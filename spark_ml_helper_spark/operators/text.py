@@ -487,6 +487,32 @@ def _minhash_oracle() -> str:
     """
 
 
+
+
+def _minhash_pairs_oracle() -> str:
+    # Same deterministic replay as _minhash_oracle, expanded to doc level:
+    # membership joins re-expand verified set pairs, and same-set doc
+    # pairs surface as exact dups at jaccard 1.0.
+    base = _minhash_oracle()
+    tail = base.rindex("SELECT v.sa, v.sb, v.jac_approx,")
+    prefix = base[:tail]
+    return f"""{prefix}
+        SELECT least(ma.doc_id, mb.doc_id) AS a_id,
+               greatest(ma.doc_id, mb.doc_id) AS b_id,
+               v.jac_approx
+        FROM verified v
+        JOIN (SELECT r.set_id, t.doc_id FROM reps r
+              JOIN toks t ON t.skey = r.skey) ma ON ma.set_id = v.sa
+        JOIN (SELECT r.set_id, t.doc_id FROM reps r
+              JOIN toks t ON t.skey = r.skey) mb ON mb.set_id = v.sb
+        UNION ALL
+        SELECT ma.doc_id, mb.doc_id, 1.0
+        FROM reps r
+        JOIN toks ma ON ma.skey = r.skey
+        JOIN toks mb ON mb.skey = r.skey AND ma.doc_id < mb.doc_id
+    """
+
+
 @query("dedup_minhash", oracle=_minhash_oracle(), family="text")
 def dedup_minhash(spark, sf_dir):
     """Near-dup summary at REPRESENTATIVE level: one row per verified
@@ -529,7 +555,7 @@ def dedup_minhash(spark, sf_dir):
     return cross.unionByName(within)
 
 
-@query("dedup_minhash_pairs", oracle=None, family="text")
+@query("dedup_minhash_pairs", oracle=_minhash_pairs_oracle(), family="text")
 def dedup_minhash_pairs(spark, sf_dir):
     """Doc-level near-dup pair expansion of dedup_minhash — the
     demonstration/debug form. Cross-set pairs carry the set-level jaccard;
