@@ -242,7 +242,9 @@ def _minhash_set_pairs(spark, sf_dir):
     tokenize → 40 minhash signatures (seeded universal hashing over
     md5-derived token ids, all JVM-side HOFs) → 8 bands of 5 rows →
     equi-join on (band_no, band_value) → exact Jaccard on the candidates
-    only. Rows-only: recall vs the exact dedup_jaccard twin is asserted in
+    only. Since round 5 the pipeline is FULLY SQL-ORACLED (_minhash_oracle
+    replays every stage in DuckDB — the path is deterministic end to end);
+    recall vs the exact dedup_jaccard twin is additionally asserted in
     tests (banding keeps ~96% of j≥0.8 pairs).
 
     Plan-shape note — the rescore placement depends on its unit cost, and
