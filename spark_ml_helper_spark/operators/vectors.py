@@ -2151,3 +2151,125 @@ def vec_kmeans_elbow(spark, sf_dir):
             "improvement"
         ),
     )
+
+
+def _pq_retrieval_oracle() -> str:
+    ds = list(range(1, _PQ_SUBDIM + 1))
+    qdist = " + ".join(f"(q.x{d} - c.d{d}) * (q.x{d} - c.d{d})" for d in ds)
+    exact = " + ".join(
+        f"(CAST(qe.embedding[{d}] AS DOUBLE) - CAST(ne.embedding[{d}] AS DOUBLE))"
+        f" * (CAST(qe.embedding[{d}] AS DOUBLE) - CAST(ne.embedding[{d}] AS DOUBLE))"
+        for d in range(1, 65)
+    )
+    return f"""
+        {_pq_chain()},
+        qs AS MATERIALIZED (
+            SELECT vec_id AS query_id, sub, {", ".join(f"x{d}" for d in ds)}
+            FROM pts WHERE vec_id % 100 = 0
+        ),
+        lut AS MATERIALIZED (
+            SELECT q.query_id, q.sub, c.cluster, {qdist} AS qd
+            FROM qs q JOIN c{_PQ_ROUNDS} c ON q.sub = c.sub
+        ),
+        adc AS MATERIALIZED (
+            SELECT l.query_id, s.vec_id, round(sum(l.qd), 6) AS adc_dist
+            FROM sf s JOIN lut l ON s.sub = l.sub AND s.cluster = l.cluster
+            WHERE s.vec_id != l.query_id
+            GROUP BY l.query_id, s.vec_id
+        ),
+        cand AS MATERIALIZED (
+            SELECT query_id, vec_id, adc_dist FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY adc_dist, vec_id
+                ) AS rn FROM adc
+            ) WHERE rn <= 20
+        ),
+        rescored AS MATERIALIZED (
+            SELECT c.query_id, c.vec_id, c.adc_dist, {exact} AS exact_d
+            FROM cand c
+            JOIN embeddings qe ON qe.vec_id = c.query_id
+            JOIN embeddings ne ON ne.vec_id = c.vec_id
+        )
+        SELECT query_id, vec_id AS neighbor_id,
+               CAST(rn AS BIGINT) AS rnk,
+               round(exact_d, 6) AS exact_dist, adc_dist
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY exact_d, vec_id
+            ) AS rn FROM rescored
+        ) WHERE rn <= 5
+    """
+
+
+@query("pipeline_pq_retrieval", oracle=_pq_retrieval_oracle(), family="vectors")
+def pipeline_pq_retrieval(spark, sf_dir):
+    """TWO-STAGE PQ RETRIEVAL — the production ANN pipeline the
+    sim_pq_adc docstring promises, end to end and fully
+    ORACLE-VERIFIED: stage 1 scans the 2-byte PQ codes with the
+    broadcast lookup tables (ADC — memory-bandwidth bound, touches no
+    floats) and keeps each query's top-20 candidates; stage 2
+    re-ranks ONLY those 20 with the exact 64-dim squared distance
+    (bit-identical left-associated folds on both engines) and emits
+    the final top-5 with both distances, so the output shows exactly
+    what the coarse stage got wrong and the rescore fixed. This
+    candidates-then-rescore shape is how billion-vector search
+    actually runs (FAISS IVFADC + refine, and this repo's
+    sim_knn/sim_cosine_pairs preselect+rescore pattern): the exact
+    stage costs |queries| × 20 distance evaluations regardless of
+    corpus size, and the ADC stage's cost is the code scan the
+    vec_pq_encode docstring prices at ~1% of the float corpus.
+    Determinism: ADC sums round at 6 dp before the (dist, vec_id)
+    tiebroken top-20 window; exact distances are bit-identical and
+    only rounded for display after the final ranking."""
+    pts, cent, final = _pq_train(spark, sf_dir)
+    qs = pts.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qv")
+    )
+    qd = F.aggregate(
+        F.zip_with("qv", "cent", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    lut = qs.join(F.broadcast(cent), "sub").select(
+        "query_id", "sub", "cluster", qd.alias("qd")
+    )
+    adc = (
+        final.join(F.broadcast(lut), ["sub", "cluster"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("qd"), 6).alias("adc_dist"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    exact = F.aggregate(
+        F.zip_with("q_emb", "n_emb", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    rescored = (
+        cand.join(
+            e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")),
+            "query_id",
+        )
+        .join(e.select("vec_id", F.col("emb").alias("n_emb")), "vec_id")
+        .withColumn("exact_d", exact)
+    )
+    w_ex = Window.partitionBy("query_id").orderBy("exact_d", "vec_id")
+    return (
+        rescored.withColumn("rn", F.row_number().over(w_ex))
+        .where(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rn").cast("bigint").alias("rnk"),
+            F.round("exact_d", 6).alias("exact_dist"),
+            "adc_dist",
+        )
+    )

@@ -3355,3 +3355,41 @@ def test_band_curve_tradeoff_monotone(spark):
     assert cands == sorted(cands)
     assert ver == sorted(ver)
     assert prec == sorted(prec, reverse=True)
+
+
+def test_pq_retrieval_rescore_improves_on_adc(spark):
+    import numpy as np
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    rows = QUERIES["pipeline_pq_retrieval"](spark, SF_ORACLE).collect()
+    adc_only = QUERIES["sim_pq_adc"](spark, SF_ORACLE).collect()
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in table(spark, SF_ORACLE, "embeddings").collect()}
+
+    def exact_rank_positions(results):
+        pos = []
+        by_q = {}
+        for r in results:
+            by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        for q, nbrs in by_q.items():
+            order = sorted((float(((emb[q] - v) ** 2).sum()), vid)
+                           for vid, v in emb.items() if vid != q)
+            rank = {vid: i for i, (_, vid) in enumerate(order)}
+            pos.extend(rank[n] for n in nbrs)
+        return float(np.mean(pos))
+
+    # the rescored pipeline's picks sit closer to the true-nearest head
+    # than raw ADC's picks
+    assert exact_rank_positions(rows) < exact_rank_positions(adc_only)
+    for r in rows:
+        assert 1 <= r["rnk"] <= 5
+        assert r["exact_dist"] >= 0
+    # within each query, exact_dist is sorted by rank
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, nbrs in by_q.items():
+        nbrs.sort(key=lambda r: r["rnk"])
+        ds = [r["exact_dist"] for r in nbrs]
+        assert ds == sorted(ds)
