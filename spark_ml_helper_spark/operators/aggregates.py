@@ -1273,3 +1273,59 @@ def rollup_ytd(spark, sf_dir):
         F.round(F.sum("rev_c").over(w) / 100.0, 2).alias("revenue_ytd"),
         F.sum("n_orders").over(w).alias("orders_ytd"),
     )
+
+
+@query(
+    "agg_hll_rollup",
+    oracle="""
+        SELECT date_trunc('month', ts) AS month,
+               CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT)
+                   AS n_days,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               TRUE AS within_5pct
+        FROM events GROUP BY 1
+    """,
+    family="aggregates",
+)
+def agg_hll_rollup(spark, sf_dir):
+    """HIERARCHICAL sketch rollup across the TIME dimension — the
+    warehouse pattern agg_hll_sketch's docstring prices but doesn't
+    show: build one HLL sketch PER DAY (the granularity a partitioned
+    table materializes alongside each partition), then answer the
+    monthly distinct-user question by MERGING the daily sketches with
+    hll_union_agg — no second scan of raw events, which at 100 TB is
+    the difference between an interactive rollup over ~30 fixed-size
+    binaries per month and a full re-aggregation of the fact table
+    (exact count_distinct cannot follow: its partial state is the
+    value set itself, and day-level distincts don't add). SQL-oracled
+    via the exact-twin + bounded-error-boolean pattern: hash-matched
+    columns are the month, the day count entering each merge, and the
+    exact monthly distinct, plus a boolean asserting the
+    merged-sketch estimate lands within 5% of exact (lgK=14, rms
+    ~0.8%); the oracle emits literal TRUE, so a merge defect flips
+    the hash. Tests additionally pin the sketch-vs-exact identity at
+    the daily level."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("month", "ts").alias("month"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    monthly = daily.groupBy("month").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    )
+    exact = e.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    return monthly.join(exact, "month").select(
+        "month",
+        "n_days",
+        "n_users",
+        (
+            F.abs(
+                F.col("approx_users").cast("double")
+                - F.col("n_users").cast("double")
+            )
+            <= 0.05 * F.col("n_users").cast("double")
+        ).alias("within_5pct"),
+    )

@@ -3393,3 +3393,28 @@ def test_pq_retrieval_rescore_improves_on_adc(spark):
         nbrs.sort(key=lambda r: r["rnk"])
         ds = [r["exact_dist"] for r in nbrs]
         assert ds == sorted(ds)
+
+
+def test_hll_rollup_merge_equals_direct_sketch(spark):
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    rows = QUERIES["agg_hll_rollup"](spark, SF_ORACLE).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r["within_5pct"] is True
+        assert r["n_days"] >= 1 and r["n_users"] > 0
+    # merging daily sketches must equal sketching the month directly —
+    # the mergeability identity the rollup pattern rests on
+    e = table(spark, SF_ORACLE, "events")
+    daily = e.groupBy(
+        F.date_trunc("month", "ts").alias("m"), F.date_trunc("day", "ts").alias("d")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    merged = {r["m"]: r["est"] for r in daily.groupBy("m").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")).collect()}
+    direct = {r["m"]: r["est"] for r in e.groupBy(
+        F.date_trunc("month", "ts").alias("m")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("est")
+    ).collect()}
+    assert merged == direct
