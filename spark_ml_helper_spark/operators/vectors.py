@@ -2273,3 +2273,223 @@ def pipeline_pq_retrieval(spark, sf_dir):
             "adc_dist",
         )
     )
+
+
+def _pca_deflate_oracle() -> str:
+    # Two power-iteration passes: PC1 on the moment covariance, then PC2
+    # on the DEFLATED matrix cov2 = cov − λ1·v1·v1ᵀ re-rounded at 8 dp
+    # (λ1 and v1 are themselves rounded, so cov2 is bit-identical across
+    # engines and the second pass restarts from clean state — the same
+    # per-round drift-reset discipline as vec_pca_power). All CTEs
+    # MATERIALIZED (DuckDB CTE inlining re-evaluates chains
+    # exponentially otherwise).
+    def rounds(pass_no: int, mat: str) -> str:
+        out = []
+        prev = f"p{pass_no}v0"
+        for r in range(1, _PCA_ROUNDS + 1):
+            out.append(f"""
+        p{pass_no}w{r} AS MATERIALIZED (
+            SELECT c.i, sum(c.c * v.vj) AS wi
+            FROM {mat} c JOIN {prev} v ON c.j = v.j
+            GROUP BY c.i
+        ),
+        p{pass_no}n{r} AS MATERIALIZED (
+            SELECT round(sqrt(sum(wi * wi)), 9) AS nrm FROM p{pass_no}w{r}
+        ),
+        p{pass_no}v{r} AS MATERIALIZED (
+            SELECT w.i AS j, round(w.wi / n.nrm, 9) AS vj
+            FROM p{pass_no}w{r} w CROSS JOIN p{pass_no}n{r} n
+        )""")
+            prev = f"p{pass_no}v{r}"
+        return ",".join(out)
+
+    R = _PCA_ROUNDS
+    return f"""
+        WITH flat AS MATERIALIZED (
+            SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+        ),
+        means AS MATERIALIZED (
+            SELECT i, round(avg(x), 8) AS m FROM flat GROUP BY i
+        ),
+        prods AS MATERIALIZED (
+            SELECT a.i AS i, b.i AS j, round(avg(a.x * b.x), 8) AS mxy
+            FROM flat a JOIN flat b ON a.vec_id = b.vec_id
+            GROUP BY a.i, b.i
+        ),
+        cov AS MATERIALIZED (
+            SELECT p.i, p.j, p.mxy - ma.m * mb.m AS c
+            FROM prods p
+            JOIN means ma ON ma.i = p.i
+            JOIN means mb ON mb.i = p.j
+        ),
+        p1v0 AS MATERIALIZED (
+            SELECT i AS j, 0.125 AS vj FROM (SELECT unnest(range(0, 64)) AS i)
+        ),
+        {rounds(1, "cov")},
+        p1wf AS MATERIALIZED (
+            SELECT c.i, sum(c.c * v.vj) AS wi
+            FROM cov c JOIN p1v{R} v ON c.j = v.j GROUP BY c.i
+        ),
+        lam1 AS MATERIALIZED (
+            SELECT round(sqrt(sum(wi * wi)), 6) AS ev FROM p1wf
+        ),
+        sgn1 AS MATERIALIZED (
+            SELECT CASE WHEN sum(vj) < 0 THEN -1.0 ELSE 1.0 END AS s
+            FROM p1v{R}
+        ),
+        cov2 AS MATERIALIZED (
+            SELECT c.i, c.j,
+                   round(c.c - l.ev * a.vj * b.vj, 8) AS c
+            FROM cov c
+            JOIN p1v{R} a ON a.j = c.i
+            JOIN p1v{R} b ON b.j = c.j
+            CROSS JOIN lam1 l
+        ),
+        p2v0 AS MATERIALIZED (
+            SELECT i AS j, CASE WHEN i % 2 = 0 THEN 0.125 ELSE -0.125 END AS vj
+            FROM (SELECT unnest(range(0, 64)) AS i)
+        ),
+        {rounds(2, "cov2")},
+        p2wf AS MATERIALIZED (
+            SELECT c.i, sum(c.c * v.vj) AS wi
+            FROM cov2 c JOIN p2v{R} v ON c.j = v.j GROUP BY c.i
+        ),
+        lam2 AS MATERIALIZED (
+            SELECT round(sqrt(sum(wi * wi)), 6) AS ev FROM p2wf
+        ),
+        sgn2 AS MATERIALIZED (
+            SELECT CASE WHEN sum(vj) < 0 THEN -1.0 ELSE 1.0 END AS s
+            FROM p2v{R}
+        ),
+        tr AS MATERIALIZED (
+            SELECT round(sum(c), 6) AS trace FROM cov WHERE i = j
+        )
+        SELECT CAST(1 AS BIGINT) AS component, CAST(v.j AS BIGINT) AS dim,
+               round(v.vj * s.s, 6) AS loading, l.ev AS eigenvalue,
+               round(l.ev / tr.trace, 6) AS explained_share
+        FROM p1v{R} v CROSS JOIN lam1 l CROSS JOIN sgn1 s CROSS JOIN tr
+        UNION ALL
+        SELECT 2, CAST(v.j AS BIGINT), round(v.vj * s.s, 6), l.ev,
+               round(l.ev / tr.trace, 6)
+        FROM p2v{R} v CROSS JOIN lam2 l CROSS JOIN sgn2 s CROSS JOIN tr
+    """
+
+
+@query("vec_pca_deflate", oracle=_pca_deflate_oracle(), family="vectors")
+def vec_pca_deflate(spark, sf_dir):
+    """TOP-2 principal components by POWER ITERATION WITH DEFLATION —
+    executing the 'more dimensions = repeat with deflation' path the
+    vec_pca_power docstring promises: after PC1 converges, the
+    covariance is deflated (cov2 = cov − λ1·v1·v1ᵀ, RE-ROUNDED at
+    8 dp so both engines restart pass 2 from bit-identical state —
+    the same drift-reset discipline as every round's 9 dp vector
+    re-round), and the second pass runs the identical 10
+    multiply-normalize rounds on the deflated matrix (its v0
+    alternates ±0.125 so the start vector is not orthogonal-by-
+    accident to the residual spectrum). Output: both components'
+    loadings, eigenvalues, and explained shares against the ORIGINAL
+    trace. On this near-isotropic fixture the two vectors span the
+    top eigenspace and their near-orthogonality (|v1·v2| small) is
+    asserted in tests along with λ2 ≤ λ1. Scale shape: ONE corpus
+    scan (the map-side moment pass vec_pca_power uses) feeds both
+    passes; deflation and iteration run entirely on the 64×64
+    matrix frame — adding components costs p² work per extra
+    component, never another corpus scan."""
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x_raw")
+    ).select("vec_id", "i", F.col("x_raw").cast("double").alias("x"))
+    means = flat.groupBy("i").agg(F.round(F.avg("x"), 8).alias("m"))
+    pairs = e.select(
+        F.posexplode("embedding").alias("i", "ax_raw"), "embedding"
+    ).select(
+        "i",
+        F.col("ax_raw").cast("double").alias("ax"),
+        F.posexplode("embedding").alias("j", "bx_raw"),
+    )
+    prods = pairs.groupBy("i", "j").agg(
+        F.round(F.avg(F.col("ax") * F.col("bx_raw").cast("double")), 8).alias("mxy")
+    )
+    cov = (
+        prods.join(F.broadcast(means.withColumnRenamed("i", "mi")), F.col("i") == F.col("mi"))
+        .withColumnRenamed("m", "ma")
+        .drop("mi")
+        .join(F.broadcast(means.withColumnRenamed("i", "mj")), F.col("j") == F.col("mj"))
+        .withColumnRenamed("m", "mb")
+        .drop("mj")
+        .select("i", "j", (F.col("mxy") - F.col("ma") * F.col("mb")).alias("c"))
+        .localCheckpoint()
+    )
+
+    def power_pass(mat, v0):
+        v = v0
+        for _ in range(_PCA_ROUNDS):
+            w = (
+                mat.join(F.broadcast(v), "j")
+                .groupBy("i")
+                .agg(F.sum(F.col("c") * F.col("vj")).alias("wi"))
+            )
+            nrm = w.agg(
+                F.round(F.sqrt(F.sum(F.col("wi") * F.col("wi"))), 9).alias("nrm")
+            )
+            v = (
+                w.join(F.broadcast(nrm))
+                .select(
+                    F.col("i").alias("j"),
+                    F.round(F.col("wi") / F.col("nrm"), 9).alias("vj"),
+                )
+                .localCheckpoint()
+            )
+        wf = (
+            mat.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("vj")).alias("wi"))
+        )
+        lam = wf.agg(
+            F.round(F.sqrt(F.sum(F.col("wi") * F.col("wi"))), 6).alias("ev")
+        )
+        sgn = v.agg(
+            F.when(F.sum("vj") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("s")
+        )
+        return v, lam, sgn
+
+    v0_1 = spark.range(64).select(F.col("id").alias("j"), F.lit(0.125).alias("vj"))
+    v1, lam1, sgn1 = power_pass(cov, v0_1)
+    cov2 = (
+        cov.join(F.broadcast(v1.select(F.col("j").alias("i"), F.col("vj").alias("va"))), "i")
+        .join(F.broadcast(v1.select(F.col("j"), F.col("vj").alias("vb"))), "j")
+        .join(F.broadcast(lam1))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("c") - F.col("ev") * F.col("va") * F.col("vb"), 8
+            ).alias("c"),
+        )
+        .localCheckpoint()
+    )
+    v0_2 = spark.range(64).select(
+        F.col("id").alias("j"),
+        F.when(F.col("id") % 2 == 0, F.lit(0.125)).otherwise(F.lit(-0.125)).alias("vj"),
+    )
+    v2, lam2, sgn2 = power_pass(cov2, v0_2)
+    tr = cov.where(F.col("i") == F.col("j")).agg(
+        F.round(F.sum("c"), 6).alias("trace")
+    )
+
+    def emit(comp, v, lam, sgn):
+        return (
+            v.join(F.broadcast(lam))
+            .join(F.broadcast(sgn))
+            .join(F.broadcast(tr))
+            .select(
+                F.lit(comp).cast("bigint").alias("component"),
+                F.col("j").cast("bigint").alias("dim"),
+                F.round(F.col("vj") * F.col("s"), 6).alias("loading"),
+                F.col("ev").alias("eigenvalue"),
+                F.round(F.col("ev") / F.col("trace"), 6).alias("explained_share"),
+            )
+        )
+
+    return emit(1, v1, lam1, sgn1).unionByName(emit(2, v2, lam2, sgn2))

@@ -1426,6 +1426,7 @@ _BNLJ_ALLOWED = {
     "events_hazard_rate", "events_heatmap_hour_dow",
     "events_peak_concurrency", "orders_return_rate",
     "orders_revenue_bridge", "orders_whale_concentration", "vec_pca_power",
+    "vec_pca_deflate",  # same 1-row eigenvalue/trace broadcasts as pca_power
     "vec_kmeans_lloyd", "vec_pq_encode",
     # 4-row config frame + seed join on vec_id < cfg — constant-size
     # broadcasts at any scale
@@ -3418,3 +3419,36 @@ def test_hll_rollup_merge_equals_direct_sketch(spark):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("est")
     ).collect()}
     assert merged == direct
+
+
+def test_pca_deflate_orthogonal_top_eigenspace(spark):
+    import numpy as np
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    rows = QUERIES["vec_pca_deflate"](spark, SF_ORACLE).collect()
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r["component"], []).append(r)
+    assert set(by_c) == {1, 2} and all(len(v) == 64 for v in by_c.values())
+    v1 = np.array([r["loading"] for r in sorted(by_c[1], key=lambda r: r["dim"])])
+    v2 = np.array([r["loading"] for r in sorted(by_c[2], key=lambda r: r["dim"])])
+    assert abs(np.linalg.norm(v1) - 1.0) < 1e-3
+    assert abs(np.linalg.norm(v2) - 1.0) < 1e-3
+    assert abs(float(v1 @ v2)) < 0.05  # deflation forces near-orthogonality
+    l1 = by_c[1][0]["eigenvalue"]
+    l2 = by_c[2][0]["eigenvalue"]
+    assert 0 < l2 <= l1 * 1.001
+    # component 1 must agree with the standalone vec_pca_power fit
+    pc1 = {r["dim"]: r["loading"]
+           for r in QUERIES["vec_pca_power"](spark, SF_ORACLE).collect()}
+    same = np.array([pc1[r["dim"]] for r in sorted(by_c[1], key=lambda r: r["dim"])])
+    assert np.abs(same - v1).max() < 1e-9
+    # both vectors live in the true top eigenspace
+    X = np.array([r["embedding"] for r in
+                  table(spark, SF_ORACLE, "embeddings").collect()],
+                 dtype=np.float64)
+    C = np.cov(X, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    for v in (v1, v2):
+        assert np.linalg.norm(evecs[:, -6:].T @ v) > 0.9
