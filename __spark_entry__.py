@@ -28,29 +28,21 @@ load_all_operators()
 # verification window (~50 queries, taken from the head of ``queries()``)
 # re-records them.
 _REVERIFY_FIRST = [
-    # r4 money-grid repin that never got a driver row (its sums were
-    # re-rounded 6dp → 2dp alongside agg_group et al.) — pin until recorded:
-    "join_runtime_bloom",
-    # r5 ADVICE fixes — implementation and/or oracle changed, re-record:
-    "corpus_trigram_lm",      # size(w) >= 3 guard before the trigram transform
-    "events_session_stats",   # event_id tiebreak on the session_seq window
-    "events_peak_concurrency",  # same tiebreak
-    "win_session_native",     # oracle's islands windows gained the tiebreak
-    "stream_session",         # same latent tie hazard fixed in the oracle
-    # r5 rows-only → SQL-oracled flips (exact-twin + bounded-error booleans):
-    "ml_pca",
-    "agg_approx_percentile",
-    "agg_approx_distinct",
-    "agg_hll_sketch",
-    # r5 perf rewrite (covariance pair stream now map-side posexplode²,
-    # no vec_id self-join) — identical at 8 dp but re-record the hash:
-    "vec_pca_power",
-    # r5 rows-only → SQL-oracled flip: the banded MinHash pipeline is
-    # deterministic end to end (see dedup_minhash_band_curve), so the
-    # production 8×5 path now carries a full DuckDB replay oracle —
-    # pin so the driver upgrades its r3 rows-only record to a hash row:
-    "dedup_minhash",
-    "dedup_minhash_pairs",
+    # (all r5 pins were recorded green in CORRECTNESS_r05 — cleared)
+    # r6 ADVICE hardening: PQ lookup-table entries now pre-round at 9 dp
+    # before the engine-order-dependent 8-term ADC sum (both Spark and
+    # oracle changed identically; values should agree at the 6 dp output
+    # grid but the hash must be re-recorded):
+    "sim_pq_adc",
+    "pipeline_pq_retrieval",
+    # r6 new: real stdlib-zlib PNG codec round trip (locally hash-verified
+    # at sf0.001/0.01/0.1) — pin so the driver records it promptly:
+    "mm_decode_png_real",
+    # r6 rows-only → SQL-oracled flip: BRP-LSH re-built on pinned
+    # Rademacher hyperplanes (definition-time literals), bucket join +
+    # exact rescore replayed end-to-end in DuckDB (verified at sf0.01 and
+    # sf0.1) — pin so the driver upgrades its r2 rows-only record:
+    "sim_ann_lsh",
 ]
 
 

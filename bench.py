@@ -54,6 +54,8 @@ HEADLINE = [
     "ts_cusum",         # windowed CUSUM change detection (round-4)
     "vec_pca_power",    # power-iteration PCA top component (round-5)
     "graph_label_prop", # semi-supervised label propagation (round-5)
+    "pipeline_pretrain_report",  # composed curation funnel, one corpus scan (round-6)
+    "sim_pq_adc",       # PQ asymmetric-distance ANN scan (round-6)
 ]
 
 

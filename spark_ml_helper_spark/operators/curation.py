@@ -107,9 +107,8 @@ def dedup_clusters(spark, sf_dir):
     # non-convergence
     from spark_ml_helper_spark.operators.graph import min_label_fixpoint
 
-    labels = min_label_fixpoint(edges).select(
-        F.col("node").alias("rep_id"), "lab"
-    )
+    labels, _ = min_label_fixpoint(edges)
+    labels = labels.select(F.col("node").alias("rep_id"), "lab")
     # expand rep labels to members; edge-free reps label themselves
     doc_labels = (
         membership.join(labels, "rep_id", "left")

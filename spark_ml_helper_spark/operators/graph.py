@@ -286,14 +286,19 @@ def min_label_fixpoint(edges, max_rounds=50, small_graph_nodes=100_000):
     Convergence check: Σlab is monotonically non-increasing and labels
     only ever decrease, so an unchanged sum IS the fixpoint; a graph
     that hasn't converged in ``max_rounds`` raises instead of returning
-    labels that break the min-label invariant."""
+    labels that break the min-label invariant.
+
+    Returns ``(labels, rounds)`` — the converged (node, lab) frame and
+    the number of propagation rounds it took (1 for the single-task
+    union-find path), so scale probes read convergence cost from the
+    declared API rather than a smuggled attribute."""
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .select("node", F.col("node").alias("lab"))
     )
     n_nodes = labels.count()
     if n_nodes < small_graph_nodes:
-        return _union_find_single_task(edges)
+        return _union_find_single_task(edges), 1
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("lab")).first()[0]
     rounds = 0
@@ -330,8 +335,7 @@ def min_label_fixpoint(edges, max_rounds=50, small_graph_nodes=100_000):
         raise RuntimeError(
             f"min_label_fixpoint: no convergence in {max_rounds} rounds"
         )
-    labels._ml_rounds = rounds  # probe bookkeeping (tools/scale_probe_cc.py)
-    return labels
+    return labels, rounds
 
 
 def _union_find_single_task(edges):
@@ -435,7 +439,7 @@ def graph_cc(spark, sf_dir):
         .unionByName(e0.select(F.col("s").alias("src"), F.col("c").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    labels = min_label_fixpoint(edges)
+    labels, _ = min_label_fixpoint(edges)
     return labels.select("node", F.col("lab").alias("cluster_id"))
 
 
@@ -607,7 +611,8 @@ def graph_modularity(spark, sf_dir):
         fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    comm = min_label_fixpoint(edges).select(
+    comm, _ = min_label_fixpoint(edges)
+    comm = comm.select(
         "node", F.col("lab").alias("community")
     )
     m2 = edges.agg(F.count("*").alias("m2"))
@@ -846,18 +851,17 @@ def graph_cc_largestar(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=True)
     )
-    return largestar_fixpoint(canon).select(
-        "node", F.col("lab").alias("cluster_id")
-    )
+    labels, _ = largestar_fixpoint(canon)
+    return labels.select("node", F.col("lab").alias("cluster_id"))
 
 
 def largestar_fixpoint(canon, max_rounds=30):
     """Alternating large-star / small-star rounds over a canonical
-    (hi > lo) edge frame until the edge-set fixpoint; returns labels
-    (node, lab) with lab = component minimum. Shared by
+    (hi > lo) edge frame until the edge-set fixpoint; returns
+    ``(labels, rounds)`` where labels is (node, lab) with lab =
+    component minimum and rounds is the star-round count. Shared by
     graph_cc_largestar and the high-diameter scale probe
-    (tools/scale_probe_cc.py). Also reports the round count via the
-    returned frame's ``_ls_rounds`` attribute for probe bookkeeping."""
+    (tools/scale_probe_cc.py)."""
 
     def edge_sig(df):
         row = df.agg(
@@ -905,5 +909,4 @@ def largestar_fixpoint(canon, max_rounds=30):
     labels = canon.select(
         F.col("hi").alias("node"), F.col("lo").alias("lab")
     ).unionByName(roots.select("node", F.col("node").alias("lab")))
-    labels._ls_rounds = rounds
-    return labels
+    return labels, rounds

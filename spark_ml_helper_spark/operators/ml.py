@@ -1278,7 +1278,16 @@ def ml_logreg_gd(spark, sf_dir):
     z); exp() may drift an ulp per row but every gradient avg is
     RE-ROUNDED at 8 dp before the update, so each round restarts from
     bit-identical weights (the update arithmetic itself is the same
-    IEEE ops on the same bits in Python, Spark, and DuckDB). Accuracy
+    IEEE ops on the same bits in Python, Spark, and DuckDB). Declared
+    rounding-mode assumption: the driver-side Python round() is
+    half-to-even while DuckDB's round() is half-away-from-zero — the
+    modes can only diverge when step*gradient lands EXACTLY on a
+    half-1e-8 boundary, which the 8 dp re-rounding of every gradient
+    makes a measure-zero event for IEEE doubles (no fixture value has
+    ever hit one; ml_als_rank1 documents the same hazard class). If a
+    boundary hit ever flips the hash, the fix is a shared explicit
+    half-away helper on the driver update, not a change to the
+    distributed math. Accuracy
     thresholds on z >= 0 (no transcendentals); log-loss rounds at
     6 dp. At 100 TB: cache the training frame (here localCheckpoint —
     one scan, 8 reuses), rounds × scan is the cost, identical to

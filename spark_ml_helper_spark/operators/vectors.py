@@ -182,37 +182,155 @@ def _knn_block_candidates(spark, v, q_max: int, k_local: int, n_blocks: int = 8)
     )
 
 
-@query("sim_ann_lsh", oracle=None, family="vectors")
-def sim_ann_lsh(spark, sf_dir):
-    """Approximate neighbor pairs via random-projection LSH (MLlib
-    BucketedRandomProjectionLSH, seeded; euclidean). Rows-only — recall vs
-    an exact numpy radius search is asserted in tests. Candidate generation
-    is an equi-join on bucket ids: the shuffle key is the bucket, never the
-    pair — this is the 100 TB similarity-search path.
+_BRP_TABLES = 6
+_BRP_RADIUS = 1.2
+_BRP_BUCKET_LEN = 1.2
 
-    Radius 1.2 ≈ the 1st percentile of the pairwise-distance distribution
-    (pairwise L2 here concentrates at 1.1-1.4) — a radius past the
-    distribution's bulk makes every pair a candidate and the join
-    quadratic, the classic LSH mis-tuning (measured: radius 6.0 took 56 s
-    at sf0.1; this takes ~4 s). bucketLength ≈ the radius for w≈r hashing."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+def _brp_signs() -> list[list[int]]:
+    """Deterministic ±1 hyperplane directions for the bucketed-random-
+    projection LSH, one 64-dim Rademacher vector per hash table, derived
+    from md5 of the (table, dim) coordinate string in PYTHON at
+    definition time and inlined as literals into BOTH engines — the
+    vec_random_projection trick, so no engine RNG or hash function is
+    involved and the bucket assignment is bit-identical by construction.
+    Scaled by 1/√64 at use, each direction is unit-norm, matching the
+    distributional role of MLlib BRP-LSH's Gaussian unit vectors."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"brp_{t}_{i}".encode()).hexdigest()[0] < "8" else -1
+            for i in range(64)
+        ]
+        for t in range(_BRP_TABLES)
+    ]
+
+
+def _ann_lsh_oracle() -> str:
+    signs = _brp_signs()
+    bkt_cols = ",\n                   ".join(
+        "floor(list_sum(list_transform(range(1, 65), i -> "
+        "emb[i] * ([%s])[i])) / 8.0 / %s) AS bkt%d"
+        % (", ".join(str(s) for s in signs[t]), _BRP_BUCKET_LEN, t)
+        for t in range(_BRP_TABLES)
     )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", bucketLength=1.2, numHashTables=6, seed=42
+    unpiv = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, bkt{t} AS bkt FROM bkts"
+        for t in range(_BRP_TABLES)
     )
-    model = lsh.fit(e)
-    pairs = model.approxSimilarityJoin(e, e, 1.2, distCol="dist")
-    return (
-        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
-        .select(
-            F.col("datasetA.vec_id").alias("a_id"),
-            F.col("datasetB.vec_id").alias("b_id"),
-            F.round("dist", 6).alias("dist"),
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        bkts AS MATERIALIZED (
+            SELECT vec_id,
+                   {bkt_cols}
+            FROM e
+        ),
+        bl AS MATERIALIZED ({unpiv}),
+        cand AS MATERIALIZED (
+            SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM bl a JOIN bl b ON a.t = b.t AND a.bkt = b.bkt
+            WHERE a.vec_id < b.vec_id
+        ),
+        d AS MATERIALIZED (
+            SELECT c.a_id, c.b_id,
+                   sqrt(list_sum(list_transform(range(1, 65), i ->
+                       (ea.emb[i] - eb.emb[i]) * (ea.emb[i] - eb.emb[i])
+                   ))) AS dist
+            FROM cand c
+            JOIN e ea ON ea.vec_id = c.a_id
+            JOIN e eb ON eb.vec_id = c.b_id
         )
+        SELECT a_id, b_id, round(dist, 6) AS dist
+        FROM d WHERE dist <= {_BRP_RADIUS}
+    """
+
+
+@query("sim_ann_lsh", oracle=_ann_lsh_oracle(), family="vectors")
+def sim_ann_lsh(spark, sf_dir):
+    """Approximate neighbor pairs via bucketed-random-projection LSH
+    (euclidean, radius 1.2, 6 hash tables) — since round 6 built from
+    engine primitives with PINNED Rademacher hyperplanes (_brp_signs,
+    the definition-time-literal trick that flipped dedup_minhash) and
+    therefore fully ORACLE-VERIFIED: bucket id = floor(⟨v, w_t⟩ / w)
+    with bit-identical left-associated projection folds on both
+    engines, candidate generation is an equi-join on (table, bucket) —
+    the shuffle key is the bucket, never the pair, the 100 TB
+    similarity-search path — and candidates are exact-rescored with the
+    bit-identical 64-term distance fold before the radius filter, so
+    every reported pair is genuinely within the radius (no false
+    positives; the LSH tables only bound recall). This replaces the
+    MLlib BucketedRandomProjectionLSH form (same algorithm, same knobs)
+    whose JVM-seeded Gaussian directions made the output unreplayable;
+    recall ≥ 0.5 vs the exact numpy radius search stays pinned in tests.
+
+    Radius 1.2 ≈ the 1st percentile of the pairwise-distance
+    distribution (pairwise L2 here concentrates at 1.1-1.4) — a radius
+    past the distribution's bulk makes every pair a candidate and the
+    join quadratic, the classic LSH mis-tuning (measured: radius 6.0
+    took 56 s at sf0.1). bucketLength ≈ the radius for w≈r hashing;
+    more tables raise recall linearly in cost (the OR-amplification
+    dial)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    signs = _brp_signs()
+    bkt = [
+        F.floor(
+            F.expr(
+                "aggregate(zip_with(emb, array(%s), (x, s) -> x * s), "
+                "0D, (a, v) -> a + v)"
+                % ", ".join(f"{s}D" for s in signs[t])
+            )
+            / 8.0
+            / _BRP_BUCKET_LEN
+        ).alias(f"bkt{t}")
+        for t in range(_BRP_TABLES)
+    ]
+    bl = (
+        e.select("vec_id", *bkt)
+        .select(
+            "vec_id",
+            F.posexplode(F.array(*[F.col(f"bkt{t}") for t in range(_BRP_TABLES)])).alias(
+                "t", "bkt"
+            ),
+        )
+    )
+    cand = (
+        bl.alias("a")
+        .join(
+            bl.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("a_emb", "b_emb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    )
+    return (
+        cand.join(
+            e.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb")),
+            "a_id",
+        )
+        .join(
+            e.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb")),
+            "b_id",
+        )
+        .withColumn("dist", dist)
+        .where(F.col("dist") <= _BRP_RADIUS)
+        .select("a_id", "b_id", F.round("dist", 6).alias("dist"))
     )
 
 
@@ -1915,7 +2033,7 @@ def _pq_adc_oracle() -> str:
             FROM pts WHERE vec_id % 100 = 0
         ),
         lut AS MATERIALIZED (
-            SELECT q.query_id, q.sub, c.cluster, {qdist} AS qd
+            SELECT q.query_id, q.sub, c.cluster, round({qdist}, 9) AS qd
             FROM qs q JOIN c{_PQ_ROUNDS} c ON q.sub = c.sub
         ),
         adc AS MATERIALIZED (
@@ -1965,7 +2083,12 @@ def sim_pq_adc(spark, sf_dir):
         lambda acc, t: acc + t,
     )
     lut = qs.join(F.broadcast(cent), "sub").select(
-        "query_id", "sub", "cluster", qd.alias("qd")
+        # the 8-term fold inside qd is bit-identical left-associated on
+        # both engines, but the ADC sum over the 8 subspace lookups below
+        # is engine-order-dependent — pre-rounding each LUT entry at 9 dp
+        # puts the summands on a shared grid so the 6 dp post-round can
+        # never sit on a cross-engine boundary (r5 ADVICE)
+        "query_id", "sub", "cluster", F.round(qd, 9).alias("qd")
     )
     adc = (
         final.join(F.broadcast(lut), ["sub", "cluster"])
@@ -2168,7 +2291,7 @@ def _pq_retrieval_oracle() -> str:
             FROM pts WHERE vec_id % 100 = 0
         ),
         lut AS MATERIALIZED (
-            SELECT q.query_id, q.sub, c.cluster, {qdist} AS qd
+            SELECT q.query_id, q.sub, c.cluster, round({qdist}, 9) AS qd
             FROM qs q JOIN c{_PQ_ROUNDS} c ON q.sub = c.sub
         ),
         adc AS MATERIALIZED (
@@ -2231,7 +2354,12 @@ def pipeline_pq_retrieval(spark, sf_dir):
         lambda acc, t: acc + t,
     )
     lut = qs.join(F.broadcast(cent), "sub").select(
-        "query_id", "sub", "cluster", qd.alias("qd")
+        # the 8-term fold inside qd is bit-identical left-associated on
+        # both engines, but the ADC sum over the 8 subspace lookups below
+        # is engine-order-dependent — pre-rounding each LUT entry at 9 dp
+        # puts the summands on a shared grid so the 6 dp post-round can
+        # never sit on a cross-engine boundary (r5 ADVICE)
+        "query_id", "sub", "cluster", F.round(qd, 9).alias("qd")
     )
     adc = (
         final.join(F.broadcast(lut), ["sub", "cluster"])

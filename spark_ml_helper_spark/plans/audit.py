@@ -33,22 +33,26 @@ def plan_summary(df: DataFrame) -> dict:
     """
     plan = explain_formatted(df)
     # count TREE nodes "(n) Op", not the details section that repeats
-    # each operator name as a header
-    nodes = re.findall(r"\(\d+\) ([A-Za-z]+[A-Za-z ]*)", plan)
-    counts = {}
-    for n in nodes:
-        counts[n.strip()] = counts.get(n.strip(), 0) + 1
+    # each operator name as a header. Node names are matched by PREFIX:
+    # a catalog-qualified scan renders as e.g.
+    # "(1) Scan parquet spark_catalog.db.t" and must still count as a
+    # parquet scan (exact-equality matching silently read 0 for those).
+    nodes = [n.strip() for n in re.findall(r"\(\d+\) ([A-Za-z][A-Za-z_. ]*)", plan)]
+
+    def count_prefix(prefix: str) -> int:
+        return sum(1 for n in nodes if n == prefix or n.startswith(prefix + " "))
+
     pushed = re.findall(r"PushedFilters: \[(?!\])", plan)
     return {
-        "exchanges": counts.get("Exchange", 0),
-        "reused_exchanges": counts.get("ReusedExchange", 0),
-        "broadcast_joins": counts.get("BroadcastHashJoin", 0),
-        "sortmerge_joins": counts.get("SortMergeJoin", 0),
-        "nested_loop_joins": counts.get("BroadcastNestedLoopJoin", 0),
-        "cartesian_products": counts.get("CartesianProduct", 0),
-        "partial_aggs": counts.get("HashAggregate", 0),
+        "exchanges": count_prefix("Exchange"),
+        "reused_exchanges": count_prefix("ReusedExchange"),
+        "broadcast_joins": count_prefix("BroadcastHashJoin"),
+        "sortmerge_joins": count_prefix("SortMergeJoin"),
+        "nested_loop_joins": count_prefix("BroadcastNestedLoopJoin"),
+        "cartesian_products": count_prefix("CartesianProduct"),
+        "partial_aggs": count_prefix("HashAggregate"),
         "codegen_spans": len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),
-        "parquet_scans": counts.get("Scan parquet", 0),
+        "parquet_scans": count_prefix("Scan parquet"),
         "scans_with_pushdown": len(pushed),
     }
 

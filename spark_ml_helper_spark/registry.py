@@ -39,6 +39,11 @@ def query(name: str, oracle: Optional[str] = None, family: str = "") -> Callable
     expressible or approximate) operator."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        # A duplicate name would silently shadow an earlier operator (plain
+        # dict assignment) — that bit us once (ml_eval_calibration, round 5),
+        # so make it loud at import time.
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query registration: {name!r}")
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, family=family, doc=fn.__doc__ or "")
         return fn
 

@@ -17,7 +17,9 @@ from hypothesis import strategies as st
 from spark_ml_helper_spark.operators.multimodal import (
     decode_audio,
     decode_image,
+    decode_png,
     encode_bmp,
+    encode_png,
     encode_wav,
 )
 
@@ -48,6 +50,25 @@ def test_wav_roundtrip_any_length(n, rate, seed):
     got_rate, got = decode_audio(encode_wav(samples, rate=rate))
     assert got_rate == rate
     assert np.array_equal(got, samples)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 17),
+    h=st.integers(1, 13),
+    base=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_any_geometry_any_filter(w, h, base, seed):
+    # the rotating per-row filter sweeps all five spec filters
+    # (None/Sub/Up/Average/Paeth) across hypothesis examples, including
+    # rows where left/up neighbors are the spec's zero phantom pixels
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    png = encode_png(pix, filter_for_row=lambda r: (base + r) % 5)
+    dh, dw, dc, arr = decode_png(png)
+    assert (dh, dw, dc) == (h, w, 3)
+    assert np.array_equal(arr, pix)
 
 
 def _bands(sig: int) -> list[int]:

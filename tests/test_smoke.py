@@ -30,3 +30,20 @@ def test_query_runs_smoke(spark, name):
     df = fn(spark, SF_SMOKE)
     assert df.columns  # schema resolvable
     df.limit(5).collect()  # executes
+
+
+def test_duplicate_registration_raises():
+    # A duplicate @query name must fail loudly at import time — plain dict
+    # assignment silently shadowed ml_eval_calibration once (round 5).
+    from spark_ml_helper_spark.registry import REGISTRY, query
+
+    existing = next(iter(REGISTRY))
+    original_fn = REGISTRY[existing].fn
+    with pytest.raises(ValueError, match="duplicate query registration"):
+
+        @query(existing)
+        def _dup(spark, sf_dir):  # pragma: no cover
+            raise AssertionError
+
+    # the original registration is untouched
+    assert REGISTRY[existing].fn is original_fn

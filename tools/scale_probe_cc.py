@@ -52,24 +52,24 @@ def main() -> None:
         )
 
         t0 = time.time()
-        labels = largestar_fixpoint(canon)
+        labels, ls_rounds = largestar_fixpoint(canon)
         ls_comp = labels.select("lab").distinct().count()
         ls = {
             "algo": "largestar",
             "nodes": nodes,
-            "rounds": labels._ls_rounds,
+            "rounds": ls_rounds,
             "wall_s": round(time.time() - t0, 2),
             "components": ls_comp,
         }
         print(json.dumps(ls), flush=True)
 
         t0 = time.time()
-        labels2 = min_label_fixpoint(bidir, max_rounds=200, small_graph_nodes=0)
+        labels2, ml_rounds = min_label_fixpoint(bidir, max_rounds=200, small_graph_nodes=0)
         ml_comp = labels2.select("lab").distinct().count()
         ml = {
             "algo": "minlabel_pathhalving",
             "nodes": nodes,
-            "rounds": getattr(labels2, "_ml_rounds", None),
+            "rounds": ml_rounds,
             "wall_s": round(time.time() - t0, 2),
             "components": ml_comp,
         }
