@@ -2146,3 +2146,250 @@ def vec_word_embed_svd(spark, sf_dir):
             F.col("ev").alias("eigenvalue"),
         )
     )
+
+
+_BPE_MERGES = 10
+
+
+def _bpe_chain() -> str:
+    # Unrolled CTE chain, one (pairs -> best -> merge) triple per round —
+    # the same literal-unroll discipline as the PageRank / k-means
+    # oracles. Symbol sequences are serialized as '(s1)(s2)...(sN)': the
+    # parens make pair replacement substring-safe (no symbol contains a
+    # paren, so '(a)(b)' can only match at a symbol boundary) and both
+    # engines' replace() scans left-to-right non-overlapping, which IS
+    # BPE's greedy merge order. Pair counts are exact integers; the
+    # best-pair argmax tie-breaks on (count DESC, left, right).
+    # Shared by the merge-table and segmentation-stats oracles; ends
+    # with best1..bestN and the final vocabulary frame w{N}.
+    rounds = []
+    for r in range(1, _BPE_MERGES + 1):
+        prev = f"w{r - 1}"
+        rounds.append(f"""
+        a{r} AS MATERIALIZED (
+            SELECT cnt, string_split(trim(seq, '()'), ')(') AS a FROM {prev}
+        ),
+        pr{r} AS MATERIALIZED (
+            SELECT (p).l AS l, (p).r AS r, sum(cnt) AS c FROM (
+                SELECT cnt, unnest(list_transform(range(1, len(a)),
+                       i -> struct_pack(l := a[i], r := a[i + 1]))) AS p
+                FROM a{r} WHERE len(a) >= 2
+            ) GROUP BY 1, 2
+        ),
+        best{r} AS MATERIALIZED (
+            SELECT l, r, c FROM pr{r} ORDER BY c DESC, l, r LIMIT 1
+        ),
+        w{r} AS MATERIALIZED (
+            SELECT w.cnt,
+                   replace(w.seq, '(' || b.l || ')(' || b.r || ')',
+                           '(' || b.l || b.r || ')') AS seq
+            FROM {prev} w CROSS JOIN best{r} b
+        )""")
+    chain = f"""
+        WITH wc AS MATERIALIZED (
+            SELECT w, count(*) AS cnt FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            ) GROUP BY w
+        ),
+        w0 AS MATERIALIZED (
+            SELECT cnt,
+                   '(' || array_to_string(
+                       list_concat(
+                           list_transform(range(1, len(w) + 1),
+                                          i -> w[i:i]),
+                           ['_']
+                       ), ')(') || ')' AS seq
+            FROM wc
+        ),
+        {",".join(rounds)}
+    """
+    return chain
+
+
+def _bpe_oracle() -> str:
+    outs = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_no, l AS left_sym, "
+        f"r AS right_sym, CAST(c AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(1, _BPE_MERGES + 1)
+    )
+    return f"""
+        {_bpe_chain()}
+        SELECT merge_no, left_sym, right_sym, pair_count FROM ({outs})
+    """
+
+
+def _bpe_train(spark, sf_dir):
+    """Run the 10-round BPE training loop; returns (bests, words) —
+    the per-round 1-row best-pair frames and the final merged
+    vocabulary frame (cnt, seq). Shared by bpe_train_merges and
+    bpe_segment_stats."""
+    d = table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(_tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    words = wc.select(
+        "cnt",
+        F.concat(
+            F.lit("("),
+            F.array_join(
+                F.concat(
+                    F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+                    F.array(F.lit("_")),
+                ),
+                ")(",
+            ),
+            F.lit(")"),
+        ).alias("seq"),
+    ).localCheckpoint(eager=True)
+
+    bests = []
+    for r in range(1, _BPE_MERGES + 1):
+        arr = F.split(F.expr("trim(BOTH '()' FROM seq)"), r"\)\(")
+        pairs = (
+            words.select("cnt", arr.alias("a"))
+            .where(F.size("a") >= 2)  # fully-merged words have no pairs
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(a) - 2), "
+                        "i -> struct(a[i] AS l, a[i + 1] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = pairs.orderBy(F.col("c").desc(), "l", "r").limit(1).localCheckpoint(eager=True)
+        bests.append(
+            best.select(
+                F.lit(r).cast("bigint").alias("merge_no"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("c").cast("bigint").alias("pair_count"),
+            )
+        )
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .select(
+                "cnt",
+                F.expr(
+                    "replace(seq, '(' || l || ')(' || r || ')', "
+                    "'(' || l || r || ')')"
+                ).alias("seq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return bests, words
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle(), family="corpus")
+def bpe_train_merges(spark, sf_dir):
+    """BYTE-PAIR-ENCODING merge training (Sennrich et al., ACL 2016) —
+    the tokenizer-training inner loop an LLM data pipeline runs before
+    anything else, built from engine primitives and fully
+    ORACLE-VERIFIED: words become character sequences with an '_'
+    end-of-word marker, and each of the 10 rounds (a) counts adjacent
+    symbol pairs weighted by word frequency, (b) picks the most
+    frequent pair ((count DESC, left, right) tie-broken — exact
+    integer counts, no float hazard), and (c) merges every greedy
+    left-to-right occurrence in one map-only replace. Output: the
+    merge table (merge_no, left_sym, right_sym, pair_count) — the
+    artifact a tokenizer ships. The scale shape IS the plan: pair
+    counting aggregates the DISTINCT-WORD table (vocabulary-sized,
+    ~31 types here, ~10⁷ on a web corpus — never the token stream;
+    word counts come from one corpus scan done once), the argmax is a
+    1-row frame broadcast into the merge, and the merge itself is a
+    map-only string rewrite over the vocab frame, localCheckpoint'ed
+    per round to cut lineage. Cross-engine determinism: sequences are
+    '(s)(t)...' strings whose parens make pair replacement
+    substring-safe at symbol boundaries, and both engines' replace()
+    is left-to-right non-overlapping — exactly BPE's greedy merge
+    semantics. At 100 TB the word-count scan dominates (one shuffle on
+    the word key with map-side combine); the 10-round loop costs
+    vocab-sized work per round regardless of corpus size, the same
+    argument as vec_kmeans_lloyd's centroid updates."""
+    bests, _ = _bpe_train(spark, sf_dir)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _bpe_segment_oracle() -> str:
+    n = _BPE_MERGES
+    return f"""
+        {_bpe_chain()},
+        fin AS MATERIALIZED (
+            SELECT cnt, seq, string_split(trim(seq, '()'), ')(') AS a
+            FROM w{n}
+        ),
+        agg AS MATERIALIZED (
+            SELECT CAST(count(*) AS BIGINT) AS n_word_types,
+                   round(sum(cnt * len(a)) * 1.0 / sum(cnt), 6) AS tokens_per_word,
+                   -- sum of symbol lengths is merge-invariant = chars + 1
+                   round(sum(cnt * (length(seq) - 2 * len(a))) * 1.0 / sum(cnt), 6)
+                       AS chars_per_word
+            FROM fin
+        ),
+        voc AS MATERIALIZED (
+            SELECT CAST(count(DISTINCT s) AS BIGINT) AS vocab_symbols
+            FROM (SELECT unnest(a) AS s FROM fin)
+        )
+        SELECT a.n_word_types, v.vocab_symbols, a.tokens_per_word,
+               a.chars_per_word,
+               round(a.tokens_per_word / a.chars_per_word, 6) AS compression_ratio
+        FROM agg a CROSS JOIN voc v
+    """
+
+
+@query("bpe_segment_stats", oracle=_bpe_segment_oracle(), family="corpus")
+def bpe_segment_stats(spark, sf_dir):
+    """Segmentation quality report for the trained BPE merges — what a
+    tokenizer-selection pipeline actually reads off a candidate merge
+    table: frequency-weighted tokens-per-word after the 10 merges,
+    the post-merge symbol vocabulary size, and the compression ratio
+    vs character-level (tokens/chars — the fertility number that
+    decides whether the tokenizer earns its vocab slots). Rides the
+    SAME training chain as bpe_train_merges (_bpe_train); the stats
+    pass is one aggregate over the vocabulary frame plus a
+    distinct-symbol count, both vocabulary-sized. A cute invariant
+    carries the chars-per-word baseline without re-scanning the
+    corpus: the sum of symbol lengths in a merged sequence is
+    merge-invariant (merging concatenates), so chars+marker =
+    length(seq) − 2·|symbols| (each symbol wears exactly 2 parens) —
+    identical arithmetic in the oracle. All counts are exact
+    integers; ratios round at 6 dp."""
+    _, words = _bpe_train(spark, sf_dir)
+    arr = F.split(F.expr("trim(BOTH '()' FROM seq)"), r"\)\(")
+    fin = words.select("cnt", "seq", arr.alias("a")).localCheckpoint(eager=True)
+    agg = fin.agg(
+        F.count("*").cast("bigint").alias("n_word_types"),
+        F.round(
+            F.sum(F.col("cnt") * F.size("a")) * 1.0 / F.sum("cnt"), 6
+        ).alias("tokens_per_word"),
+        F.round(
+            F.sum(F.col("cnt") * (F.length("seq") - 2 * F.size("a")))
+            * 1.0
+            / F.sum("cnt"),
+            6,
+        ).alias("chars_per_word"),
+    )
+    voc = fin.select(F.explode("a").alias("s")).agg(
+        F.countDistinct("s").cast("bigint").alias("vocab_symbols")
+    )
+    return (
+        agg.crossJoin(F.broadcast(voc))
+        .select(
+            "n_word_types",
+            "vocab_symbols",
+            "tokens_per_word",
+            "chars_per_word",
+            F.round(
+                F.col("tokens_per_word") / F.col("chars_per_word"), 6
+            ).alias("compression_ratio"),
+        )
+    )

@@ -3452,3 +3452,26 @@ def test_pca_deflate_orthogonal_top_eigenspace(spark):
     evals, evecs = np.linalg.eigh(C)
     for v in (v1, v2):
         assert np.linalg.norm(evecs[:, -6:].T @ v) > 0.9
+
+
+def test_bpe_merge_table_invariants(spark):
+    rows = QUERIES["bpe_train_merges"](spark, SF_ORACLE).collect()
+    assert [r["merge_no"] for r in rows] == list(range(1, 11))
+    assert all(r["pair_count"] > 0 for r in rows)
+    # round 1 merges two primitive symbols (single chars or the marker)
+    assert len(rows[0]["left_sym"]) == 1 and len(rows[0]["right_sym"]) in (1,)
+    # merged symbols must be concatenations of earlier-known symbols
+    known = set("abcdefghijklmnopqrstuvwxyz_")
+    for r in rows:
+        assert set(r["left_sym"]) <= known and set(r["right_sym"]) <= known
+        known.add(r["left_sym"] + r["right_sym"])
+
+
+def test_bpe_segment_stats_invariants(spark):
+    row = QUERIES["bpe_segment_stats"](spark, SF_ORACLE).collect()[0]
+    # 10 merges can only shorten sequences; chars+marker is the ceiling
+    assert row["tokens_per_word"] <= row["chars_per_word"]
+    assert 0 < row["compression_ratio"] < 1
+    # symbol vocab = primitive chars + up to 10 merged symbols
+    assert row["vocab_symbols"] <= 27 + 10
+    assert row["n_word_types"] >= 25
