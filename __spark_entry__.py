@@ -28,20 +28,17 @@ load_all_operators()
 # verification window (~50 queries, taken from the head of ``queries()``)
 # re-records them.
 _REVERIFY_FIRST = [
-    # (all r5 pins were recorded green in CORRECTNESS_r05 — cleared)
-    # r6 ADVICE hardening: PQ lookup-table entries now pre-round at 9 dp
-    # before the engine-order-dependent 8-term ADC sum (both Spark and
-    # oracle changed identically; values should agree at the 6 dp output
-    # grid but the hash must be re-recorded):
-    "sim_pq_adc",
-    "pipeline_pq_retrieval",
-    # r6 new: real stdlib-zlib PNG codec round trip (locally hash-verified
-    # at sf0.001/0.01/0.1) — pin so the driver records it promptly:
-    "mm_decode_png_real",
-    # r6 rows-only → SQL-oracled flip: BRP-LSH re-built on pinned
-    # Rademacher hyperplanes (definition-time literals), bucket join +
-    # exact rescore replayed end-to-end in DuckDB (verified at sf0.01 and
-    # sf0.1) — pin so the driver upgrades its r2 rows-only record:
+    # (all r6 pins were recorded green in CORRECTNESS_r06 — cleared)
+    # r7 fix: the round-6 character-level BPE helpers shadowed the r03
+    # ``_bpe_train``/``_bpe_oracle`` (module globals resolve at call time),
+    # silently breaking these two r03-green queries — helpers renamed to
+    # ``_bpe_char_train``/``_bpe_char_oracle`` (corpus.py:2210,2222); pin
+    # both so the driver re-records them on the repaired tree:
+    "tokenizer_bpe_train",
+    "corpus_apply_bpe",
+    # r7 ADVICE hardening: sim_ann_lsh now rounds the candidate distance to
+    # 6 dp on BOTH engines before the radius compare, so the boundary test
+    # sits on a shared grid instead of relying on bit-identical fold order:
     "sim_ann_lsh",
 ]
 

@@ -2190,7 +2190,7 @@ def _bpe_chain() -> str:
             SELECT w, count(*) AS cnt FROM (
                 SELECT unnest(string_split(lower(text), ' ')) AS w
                 FROM documents
-            ) GROUP BY w
+            ) WHERE len(w) > 0 GROUP BY w
         ),
         w0 AS MATERIALIZED (
             SELECT cnt,
@@ -2207,7 +2207,7 @@ def _bpe_chain() -> str:
     return chain
 
 
-def _bpe_oracle() -> str:
+def _bpe_char_oracle() -> str:
     outs = " UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_no, l AS left_sym, "
         f"r AS right_sym, CAST(c AS BIGINT) AS pair_count FROM best{r}"
@@ -2219,14 +2219,20 @@ def _bpe_oracle() -> str:
     """
 
 
-def _bpe_train(spark, sf_dir):
+def _bpe_char_train(spark, sf_dir):
     """Run the 10-round BPE training loop; returns (bests, words) —
     the per-round 1-row best-pair frames and the final merged
     vocabulary frame (cnt, seq). Shared by bpe_train_merges and
     bpe_segment_stats."""
     d = table(spark, sf_dir, "documents")
+    # length(w) > 0 guard: string_split keeps empty tokens on both engines
+    # (doubled/leading/trailing spaces), but Spark's sequence(1, 0) yields
+    # the DESCENDING [1, 0] (default step -1 when start > stop) — seq
+    # '()()(_)' — while DuckDB's range(1, 1) is empty — seq '(_)'. Drop
+    # zero-length words on both sides so the frames cannot desync.
     wc = (
         d.select(F.explode(_tokens()).alias("w"))
+        .where(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )
@@ -2286,7 +2292,7 @@ def _bpe_train(spark, sf_dir):
     return bests, words
 
 
-@query("bpe_train_merges", oracle=_bpe_oracle(), family="corpus")
+@query("bpe_train_merges", oracle=_bpe_char_oracle(), family="corpus")
 def bpe_train_merges(spark, sf_dir):
     """BYTE-PAIR-ENCODING merge training (Sennrich et al., ACL 2016) —
     the tokenizer-training inner loop an LLM data pipeline runs before
@@ -2312,7 +2318,7 @@ def bpe_train_merges(spark, sf_dir):
     the word key with map-side combine); the 10-round loop costs
     vocab-sized work per round regardless of corpus size, the same
     argument as vec_kmeans_lloyd's centroid updates."""
-    bests, _ = _bpe_train(spark, sf_dir)
+    bests, _ = _bpe_char_train(spark, sf_dir)
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)
@@ -2354,7 +2360,7 @@ def bpe_segment_stats(spark, sf_dir):
     the post-merge symbol vocabulary size, and the compression ratio
     vs character-level (tokens/chars — the fertility number that
     decides whether the tokenizer earns its vocab slots). Rides the
-    SAME training chain as bpe_train_merges (_bpe_train); the stats
+    SAME training chain as bpe_train_merges (_bpe_char_train); the stats
     pass is one aggregate over the vocabulary frame plus a
     distinct-symbol count, both vocabulary-sized. A cute invariant
     carries the chars-per-word baseline without re-scanning the
@@ -2363,7 +2369,7 @@ def bpe_segment_stats(spark, sf_dir):
     length(seq) − 2·|symbols| (each symbol wears exactly 2 parens) —
     identical arithmetic in the oracle. All counts are exact
     integers; ratios round at 6 dp."""
-    _, words = _bpe_train(spark, sf_dir)
+    _, words = _bpe_char_train(spark, sf_dir)
     arr = F.split(F.expr("trim(BOTH '()' FROM seq)"), r"\)\(")
     fin = words.select("cnt", "seq", arr.alias("a")).localCheckpoint(eager=True)
     agg = fin.agg(

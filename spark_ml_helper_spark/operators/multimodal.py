@@ -656,6 +656,16 @@ def mm_decode_png_real(spark, sf_dir):
                 pdf["doc_id"], pdf["payload"], pdf["w"], pdf["h"]
             ):
                 raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                # The oracle cycles by CHARACTER (ascii(substr(text, i %
+                # n_chars + 1))); this side cycles by UTF-8 BYTE. The two
+                # agree only for non-empty pure-ASCII text — fail loudly
+                # (like decode_png does) instead of silently desyncing on a
+                # multi-byte char, and avoid the % 0 crash on empty text.
+                if len(raw) == 0 or raw.max() > 127:
+                    raise ValueError(
+                        f"mm_decode_png_real: doc {doc_id} text must be "
+                        "non-empty ASCII (byte-cycle == char-cycle invariant)"
+                    )
                 w, h = int(w), int(h)
                 need = w * h * 3
                 pix = raw[np.arange(need) % len(raw)].reshape(h, w, 3)

@@ -246,7 +246,7 @@ def _ann_lsh_oracle() -> str:
             JOIN e eb ON eb.vec_id = c.b_id
         )
         SELECT a_id, b_id, round(dist, 6) AS dist
-        FROM d WHERE dist <= {_BRP_RADIUS}
+        FROM d WHERE round(dist, 6) <= {_BRP_RADIUS}
     """
 
 
@@ -263,7 +263,11 @@ def sim_ann_lsh(spark, sf_dir):
     similarity-search path — and candidates are exact-rescored with the
     bit-identical 64-term distance fold before the radius filter, so
     every reported pair is genuinely within the radius (no false
-    positives; the LSH tables only bound recall). This replaces the
+    positives; the LSH tables only bound recall). Since round 7 the
+    distance is rounded to 6 dp BEFORE the radius compare on both
+    engines (the shared-grid discipline the PQ ADC path uses), so a
+    pair within one ulp of the radius cannot flip if either engine
+    changes its summation order. This replaces the
     MLlib BucketedRandomProjectionLSH form (same algorithm, same knobs)
     whose JVM-seeded Gaussian directions made the output unreplayable;
     recall ≥ 0.5 vs the exact numpy radius search stays pinned in tests.
@@ -328,9 +332,9 @@ def sim_ann_lsh(spark, sf_dir):
             e.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb")),
             "b_id",
         )
-        .withColumn("dist", dist)
+        .withColumn("dist", F.round(dist, 6))
         .where(F.col("dist") <= _BRP_RADIUS)
-        .select("a_id", "b_id", F.round("dist", 6).alias("dist"))
+        .select("a_id", "b_id", "dist")
     )
 
 
@@ -2393,6 +2397,225 @@ def pipeline_pq_retrieval(spark, sf_dir):
     return (
         rescored.withColumn("rn", F.row_number().over(w_ex))
         .where(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rn").cast("bigint").alias("rnk"),
+            F.round("exact_d", 6).alias("exact_dist"),
+            "adc_dist",
+        )
+    )
+
+
+_IVFPQ_NPROBE = 2
+_IVFPQ_CAND = 50  # ADC shortlist size; 2-bit codes are coarse, so rescore wide
+_IVFPQ_TOPK = 5
+
+
+def _ivfpq_oracle() -> str:
+    ds = list(range(1, _PQ_SUBDIM + 1))
+    qdist = " + ".join(f"(q.x{d} - c.d{d}) * (q.x{d} - c.d{d})" for d in ds)
+    exact = " + ".join(
+        f"(CAST(qe.embedding[{d}] AS DOUBLE) - CAST(ne.embedding[{d}] AS DOUBLE))"
+        f" * (CAST(qe.embedding[{d}] AS DOUBLE) - CAST(ne.embedding[{d}] AS DOUBLE))"
+        for d in range(1, 65)
+    )
+    return f"""
+        {_pq_chain()},
+        cex AS MATERIALIZED (
+            SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, range(1, 65) r(i)
+        ),
+        ivfc AS MATERIALIZED (
+            SELECT label AS c_label, list(round(avg_v, 6) ORDER BY pos) AS centroid
+            FROM (SELECT label, pos, avg(v) AS avg_v FROM cex GROUP BY label, pos)
+            GROUP BY label
+        ),
+        vranked AS MATERIALIZED (
+            SELECT v.vec_id, c.c_label,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_sum(list_transform(range(1, 65),
+                           i -> (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i])
+                                * (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i]))), 6),
+                           c.c_label
+                   ) AS crn
+            FROM embeddings v CROSS JOIN ivfc c
+        ),
+        assigned AS MATERIALIZED (
+            SELECT vec_id, c_label AS cell FROM vranked WHERE crn = 1
+        ),
+        probes AS MATERIALIZED (
+            SELECT vec_id AS query_id, c_label AS cell
+            FROM vranked WHERE crn <= {_IVFPQ_NPROBE} AND vec_id % 100 = 0
+        ),
+        qs AS MATERIALIZED (
+            SELECT vec_id AS query_id, sub, {", ".join(f"x{d}" for d in ds)}
+            FROM pts WHERE vec_id % 100 = 0
+        ),
+        lut AS MATERIALIZED (
+            SELECT q.query_id, q.sub, c.cluster, round({qdist}, 9) AS qd
+            FROM qs q JOIN c{_PQ_ROUNDS} c ON q.sub = c.sub
+        ),
+        candcells AS MATERIALIZED (
+            SELECT p.query_id, a.vec_id
+            FROM probes p JOIN assigned a ON a.cell = p.cell
+            WHERE a.vec_id != p.query_id
+        ),
+        adc AS MATERIALIZED (
+            SELECT cc.query_id, cc.vec_id, round(sum(l.qd), 6) AS adc_dist
+            FROM candcells cc
+            JOIN sf s ON s.vec_id = cc.vec_id
+            JOIN lut l ON l.query_id = cc.query_id
+                      AND l.sub = s.sub AND l.cluster = s.cluster
+            GROUP BY cc.query_id, cc.vec_id
+        ),
+        cand AS MATERIALIZED (
+            SELECT query_id, vec_id, adc_dist FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY adc_dist, vec_id
+                ) AS rn FROM adc
+            ) WHERE rn <= {_IVFPQ_CAND}
+        ),
+        rescored AS MATERIALIZED (
+            SELECT c.query_id, c.vec_id, c.adc_dist, {exact} AS exact_d
+            FROM cand c
+            JOIN embeddings qe ON qe.vec_id = c.query_id
+            JOIN embeddings ne ON ne.vec_id = c.vec_id
+        )
+        SELECT query_id, vec_id AS neighbor_id,
+               CAST(rn AS BIGINT) AS rnk,
+               round(exact_d, 6) AS exact_dist, adc_dist
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY exact_d, vec_id
+            ) AS rn FROM rescored
+        ) WHERE rn <= {_IVFPQ_TOPK}
+    """
+
+
+@query("sim_ann_ivfpq", oracle=_ivfpq_oracle(), family="vectors")
+def sim_ann_ivfpq(spark, sf_dir):
+    """IVF×PQ — the billion-vector ANN default (FAISS IVFADC: Jégou et
+    al., PAMI 2011 §V), composed from three already-oracle-verified
+    ingredients and therefore fully ORACLE-VERIFIED end to end:
+    (1) sim_ann_ivf's coarse quantizer assigns every vector to its
+    nearest cell (per-label mean centroids, d² rounded 6 dp,
+    (d², cell) tie-break) and each query probes its nprobe=2 nearest
+    cells; (2) within the probed cells ONLY, candidates are scored by
+    sim_pq_adc's asymmetric distance — 8 broadcast-LUT lookups per
+    candidate against vec_pq_encode's 2-bit codes, no float math on
+    the corpus; (3) the ADC top-10 are exact-rescored with the
+    bit-identical 64-term fold and the top-5 emitted with both
+    distances (pipeline_pq_retrieval's refine pattern).
+
+    This is SCALE.md's named next decade for the PQ path ("IVF the
+    codes so each query touches a cell, not the corpus"): the ADC scan
+    cost drops from |corpus| to |corpus|·nprobe/cells per query, and
+    the join chain is all equi-joins — probes→assigned on CELL id
+    (the shuffle key is the cell, never the pair), candidates→codes
+    on vec_id, codes→LUT on broadcast (query, sub, cluster). At 100 TB
+    the cells come from a trained k-means codebook (√n cells, same
+    plumbing — sim_ann_ivf's docstring), k rises to 256/16 subs, and
+    the rescore stays |queries|×10 regardless of corpus size.
+    Determinism: every ranking sits on a shared 6 dp grid with
+    explicit id tie-breaks; LUT entries pre-round at 9 dp (the r5
+    ADVICE discipline); recall vs the exact L2 top-5 is pinned in
+    tests."""
+    e = table(spark, sf_dir, "embeddings")
+    # (1) IVF coarse codebook: per-label mean, rounded — deterministic
+    ex = e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+    ivfc = (
+        ex.groupBy(F.col("label").alias("c_label"), (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mv"))
+        .groupBy("c_label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s.getField("mv"),
+            ).alias("centroid")
+        )
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("centroid"),
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("c_label"))
+    vranked = (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(ivfc))
+        .withColumn("d2", d2)
+        .withColumn("crn", F.row_number().over(w_assign))
+    )
+    assigned = vranked.where(F.col("crn") == 1).select(
+        "vec_id", F.col("c_label").alias("cell")
+    )
+    probes = vranked.where(
+        (F.col("crn") <= _IVFPQ_NPROBE) & (F.col("vec_id") % 100 == 0)
+    ).select(F.col("vec_id").alias("query_id"), F.col("c_label").alias("cell"))
+
+    # (2) PQ codes + per-query broadcast LUT (shared trained chain)
+    pts, cent, final = _pq_train(spark, sf_dir)
+    qs = pts.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qv")
+    )
+    qd = F.aggregate(
+        F.zip_with("qv", "cent", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    lut = qs.join(F.broadcast(cent), "sub").select(
+        "query_id", "sub", "cluster", F.round(qd, 9).alias("qd")
+    )
+    # candidates: only vectors in the query's probed cells (each vector
+    # lives in exactly one cell and a query's probe cells are distinct,
+    # so pairs are already unique — no dedup shuffle needed)
+    candcells = (
+        probes.join(assigned, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    adc = (
+        candcells.join(final, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "cluster"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("qd"), 6).alias("adc_dist"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .where(F.col("rn") <= _IVFPQ_CAND)
+        .drop("rn")
+    )
+    # (3) exact rescore of the ADC top-10
+    ed = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    exact = F.aggregate(
+        F.zip_with("q_emb", "n_emb", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    rescored = (
+        cand.join(
+            ed.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")),
+            "query_id",
+        )
+        .join(ed.select("vec_id", F.col("emb").alias("n_emb")), "vec_id")
+        .withColumn("exact_d", exact)
+    )
+    w_ex = Window.partitionBy("query_id").orderBy("exact_d", "vec_id")
+    return (
+        rescored.withColumn("rn", F.row_number().over(w_ex))
+        .where(F.col("rn") <= _IVFPQ_TOPK)
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),

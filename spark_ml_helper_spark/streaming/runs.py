@@ -127,7 +127,17 @@ def stream_run_dedup(spark, sf_dir):
     """Streaming stateful dedup within a watermark: first (user_id,
     event_type, ts-bucket) occurrence survives; dedup state is dropped once
     the watermark passes (bounded state — THE requirement for infinite
-    streams)."""
+    streams).
+
+    MEASURED state decade (tools/scale_probe_stream.py, SCALE.md round-6
+    table; fixed 1.2M-event stream, key cardinality 5k→50k→500k): peak
+    state rows equal live-key cardinality EXACTLY at every decade, batch
+    wall stays flat (3.3→3.1 s HDFS at 100× keys — input-bound once
+    state fits), and RocksDB holds the same rows in 0.6/4.1/31.5 MB vs
+    HDFSBacked's 1.6/23.8/235.3 MB (3–7× smaller, compressed off-heap
+    SSTs). The 100 TB knobs: `spark.sql.streaming.stateStore
+    .providerClass` → RocksDB once keys × row-width outgrows executor
+    heap, and the watermark horizon — state ∝ keys live inside it."""
     # withWatermark requires tz-aware TimestampType; session tz is pinned
     # to UTC so the cast is identity on the stored instant.
     e = _events_stream(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
@@ -144,7 +154,18 @@ def stream_run_watermark(spark, sf_dir):
     """Watermarked windowed aggregation in APPEND mode over a multi-batch
     file stream: windows emit only once the 30-min watermark passes their
     end — the late-data/finality contract. Bounded state; rows-only by
-    nature (what emits depends on batch boundaries)."""
+    nature (what emits depends on batch boundaries).
+
+    MEASURED state decade (tools/scale_probe_stream.py, SCALE.md round-6
+    table): state rows are keys × windows-inside-the-watermark —
+    35k/350k/667k at 5k/50k/500k keys over a fixed 1.2M-event stream
+    (the 100× decade saturates because the INPUT can't populate every
+    (window, key) pair — the store isn't the bound), with rows_removed
+    showing the watermark expiring state mid-run at every scale. Batch
+    wall is input-bound (6.5→4.2 s HDFS at 100× keys); RocksDB carries
+    the same state in ~3× fewer resident bytes (112.5 vs 316.1 MB at
+    100×) — the `stateStore.providerClass` dial for the decade where
+    heap-resident state dies."""
     # 2 files/trigger over the 8 staged files = 4 micro-batches: enough to
     # advance the watermark mid-run (the point of this query) at half the
     # per-batch state-store overhead of single-file triggers.
@@ -184,7 +205,17 @@ def stream_run_stateful(spark, sf_dir):
     """Custom stateful operator via applyInPandasWithState: per-user
     running total + event count carried in explicit state across
     micro-batches (the arbitrary-state API — what you reach for when
-    windows/dedup can't express the state machine)."""
+    windows/dedup can't express the state machine).
+
+    State is one (double, bigint) row per live user — ∝ keys, not
+    stream length, the same shape the round-6 state-store decade
+    measured for the built-in stateful ops (SCALE.md: state rows track
+    key cardinality exactly 5k→500k while batch wall stays input-bound);
+    at the decade where keys × row-width outgrows executor heap the
+    RocksDB provider (`spark.sql.streaming.stateStore.providerClass`)
+    carries the same rows in 3–7× fewer resident bytes, and
+    GroupStateTimeout (here NoTimeout for the bounded fixture) is the
+    knob that expires dead keys on a real unbounded stream."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

@@ -47,3 +47,29 @@ def test_duplicate_registration_raises():
 
     # the original registration is untouched
     assert REGISTRY[existing].fn is original_fn
+
+
+def test_no_toplevel_redefinitions():
+    # pyflakes-F811 semantics for module-level def/class names: a second
+    # top-level ``def _helper`` silently shadows the first for every later
+    # call site (round 6: a new ``_bpe_train`` at corpus.py:2222 broke the
+    # r03-green tokenizer_bpe_train / corpus_apply_bpe). No linter ships in
+    # the container, so enforce it here.
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(entry_mod.__file__).parent / "spark_ml_helper_spark"
+    offenders = []
+    for path in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(path.read_text(), filename=str(path))
+        seen: dict[str, int] = {}
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                if node.name in seen:
+                    offenders.append(
+                        f"{path.relative_to(pkg.parent)}:{node.lineno} "
+                        f"redefines {node.name!r} (first at line {seen[node.name]})"
+                    )
+                else:
+                    seen[node.name] = node.lineno
+    assert not offenders, "top-level redefinitions:\n" + "\n".join(offenders)
