@@ -56,6 +56,7 @@ HEADLINE = [
     "graph_label_prop", # semi-supervised label propagation (round-5)
     "pipeline_pretrain_report",  # composed curation funnel, one corpus scan (round-6)
     "sim_pq_adc",       # PQ asymmetric-distance ANN scan (round-6)
+    "sim_ann_ivfpq",    # IVF cell probe x PQ ADC + exact rescore (round-7)
 ]
 
 

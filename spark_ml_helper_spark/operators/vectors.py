@@ -2536,31 +2536,37 @@ def sim_ann_ivfpq(spark, sf_dir):
             ).alias("centroid")
         )
     )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.col("centroid"),
-                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+    # Cell assignment is MAP-SIDE: the whole codebook rides in one
+    # broadcast row as an array of (cell, centroid) structs and each
+    # vector computes its per-cell d² and sorts the (d2, cell) structs
+    # lexicographically in-place — no ×cells row explosion, no window
+    # shuffle over the corpus (the naive crossJoin+row_number form
+    # shuffles corpus×cells rows; at 100× that window was the plan's
+    # single biggest stage). Same math, same 6 dp grid, same
+    # (d2, cell) tie-break as the oracle's row_number window.
+    # 1-row frame; eager checkpoint so the corpus-scan centroid
+    # aggregation behind it runs once, not once per consuming branch
+    cells = ivfc.agg(
+        F.array_sort(F.collect_list(F.struct("c_label", "centroid"))).alias("cells")
+    ).localCheckpoint(eager=True)
+    ds = F.expr(
+        "array_sort(transform(cells, c -> struct("
+        "round(aggregate(zip_with(embedding, c.centroid, "
+        "(x, cc) -> (cast(x as double) - cc) * (cast(x as double) - cc)), "
+        "0D, (a, v) -> a + v), 6) AS d2, c.c_label AS cell)))"
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("c_label"))
-    vranked = (
+    scored = (
         e.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(ivfc))
-        .withColumn("d2", d2)
-        .withColumn("crn", F.row_number().over(w_assign))
+        .crossJoin(F.broadcast(cells))
+        .select("vec_id", ds.alias("ds"))
     )
-    assigned = vranked.where(F.col("crn") == 1).select(
-        "vec_id", F.col("c_label").alias("cell")
+    assigned = scored.select("vec_id", F.expr("ds[0].cell").alias("cell"))
+    probes = scored.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.expr(f"transform(slice(ds, 1, {_IVFPQ_NPROBE}), s -> s.cell)")).alias(
+            "cell"
+        ),
     )
-    probes = vranked.where(
-        (F.col("crn") <= _IVFPQ_NPROBE) & (F.col("vec_id") % 100 == 0)
-    ).select(F.col("vec_id").alias("query_id"), F.col("c_label").alias("cell"))
 
     # (2) PQ codes + per-query broadcast LUT (shared trained chain)
     pts, cent, final = _pq_train(spark, sf_dir)
