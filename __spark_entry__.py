@@ -40,6 +40,18 @@ _REVERIFY_FIRST = [
     # 6 dp on BOTH engines before the radius compare, so the boundary test
     # sits on a shared grid instead of relying on bit-identical fold order:
     "sim_ann_lsh",
+    # r7 rows-only → SQL-oracled flips: six streaming runs whose bounded
+    # AvailableNow result is micro-batch-boundary-INDEPENDENT (complete-mode
+    # aggs re-emit the full result; the stream-stream inner join buffers
+    # both fully-present sides before any eviction) now carry the batch
+    # twins' oracles — verified at sf0.001/0.01/0.1; pin so the driver
+    # upgrades their old rows-only records:
+    "stream_run_tumbling",
+    "stream_run_session",
+    "stream_run_sliding",
+    "stream_run_static_join",
+    "stream_run_foreach_batch",
+    "stream_run_stream_join",
 ]
 
 

@@ -2399,3 +2399,86 @@ def bpe_segment_stats(spark, sf_dir):
             ).alias("compression_ratio"),
         )
     )
+
+
+_N_SHARDS = 16
+
+
+@query(
+    "corpus_shard_stats",
+    oracle=f"""
+        WITH per AS (
+            SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % {_N_SHARDS} AS shard_id,
+                   count(*) AS n_docs,
+                   CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars
+            FROM documents GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+                   max(n_tokens) AS max_t, min(n_tokens) AS min_t
+            FROM per
+        )
+        SELECT shard_id, n_docs, n_tokens, n_chars,
+               round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS token_share,
+               round(CAST(max_t AS DOUBLE) / min_t, 6) AS balance_ratio
+        FROM per CROSS JOIN tot
+    """,
+    family="corpus",
+)
+def corpus_shard_stats(spark, sf_dir):
+    """OUTPUT SHARDING audit — the webdataset/shard-manifest step every
+    large-scale training pipeline runs before dataloading: assign each
+    document to one of 16 shards by a deterministic
+    engine-neutral hash (md5-hex prefix, the train_test_split
+    discipline — engine-native hash() differs across engines) and emit
+    the per-shard manifest (docs, tokens, chars, token share) plus the
+    corpus-wide balance ratio (max/min shard tokens — the number a
+    dataloader reads to know its stragglers). Hash sharding is the
+    100 TB shape: assignment is MAP-ONLY (one scan, no shuffle beyond
+    the 16-group partial agg), shard count scales freely, and
+    the manifest agg state is O(shards). Token-BALANCED sharding (greedy
+    bin-packing) needs a global sort; this hash form is what production
+    uses because balance concentrates anyway: sum of ~n/16
+    iid doc lengths per shard ⇒ ratio → 1 as the corpus grows, and the
+    balance_ratio column is precisely the check that it did."""
+    d = table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % _N_SHARDS
+    )
+    per = (
+        d.select(
+            shard.alias("shard_id"),
+            F.size(_tokens()).alias("toks"),
+            F.length("text").alias("chars"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+            F.sum("chars").alias("n_chars"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.max("n_tokens").alias("max_t"),
+        F.min("n_tokens").alias("min_t"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.round(F.col("n_tokens").cast("double") / F.col("tot_tokens"), 6).alias(
+            "token_share"
+        ),
+        F.round(F.col("max_t").cast("double") / F.col("min_t"), 6).alias(
+            "balance_ratio"
+        ),
+    )

@@ -510,27 +510,30 @@ def sim_ann_ivf(spark, sf_dir):
         )
     )
     vn = e.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.col("centroid"),
-                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+    # Cell assignment is MAP-SIDE (round-7, the sim_ann_ivfpq recipe):
+    # the whole codebook rides in one broadcast row of (c_label,
+    # centroid) structs and each vector array_sorts its (d², c_label)
+    # structs in place — no corpus×cells row explosion, no row_number
+    # window shuffle over the corpus. Same 6 dp grid and (d², label)
+    # tie-break as the oracle's window form; values are bit-identical.
+    cells = cent.agg(
+        F.array_sort(F.collect_list(F.struct("c_label", "centroid"))).alias("cells")
+    ).localCheckpoint(eager=True)
+    ds = F.expr(
+        "array_sort(transform(cells, c -> struct("
+        "round(aggregate(zip_with(embedding, c.centroid, "
+        "(x, cc) -> (cast(x as double) - cc) * (cast(x as double) - cc)), "
+        "0D, (a, v) -> a + v), 6) AS d2, c.c_label AS c_label)))"
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("c_label"))
-    ranked = (
-        vn.crossJoin(F.broadcast(cent))
-        .withColumn("d2", d2)
-        .withColumn("crn", F.row_number().over(w_assign))
+    scored = vn.crossJoin(F.broadcast(cells)).select("vec_id", "embedding", "nrm", ds.alias("ds"))
+    assigned = scored.select(
+        "vec_id", "embedding", "nrm", F.expr("ds[0].c_label").alias("c_label")
     )
-    assigned = ranked.filter(F.col("crn") == 1).select("vec_id", "embedding", "nrm", "c_label")
-    probes = ranked.filter((F.col("crn") <= 2) & (F.col("vec_id") < 50)).select(
-        "vec_id", "embedding", "nrm", "c_label"
+    probes = scored.where(F.col("vec_id") < 50).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.explode(F.expr("transform(slice(ds, 1, 2), s -> s.c_label)")).alias("c_label"),
     )
     q = probes.select(
         F.col("vec_id").alias("q_id"),

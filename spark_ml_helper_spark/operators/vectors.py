@@ -1761,8 +1761,10 @@ def vec_kmeans_lloyd(spark, sf_dir):
     argmin (tie → lowest cluster id) cannot diverge. Empty clusters
     keep their previous centroid (left-join coalesce). Output: per-
     cluster membership count, mean assigned distance, centroid norm.
-    Scale shape: centroids are a k-row broadcast, assignment is a
-    map-side cross with the argmin taken in a per-point window, and
+    Scale shape: centroids are a 1-row broadcast array of (cluster,
+    cent) structs, assignment is a fully map-side array_min — no
+    points×k row explosion, no window shuffle (round-7; previously a
+    per-point row_number window) — and
     the update is one (cluster, dim)-keyed partial agg — per round
     that is one corpus scan, zero corpus shuffles beyond the k×64
     partial states, which is exactly MLlib's treeAggregate pattern
@@ -1777,19 +1779,36 @@ def vec_kmeans_lloyd(spark, sf_dir):
     cent = pts.where(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cluster"), F.col("emb").alias("cent")
     )
-    sqdist = F.aggregate(
-        F.zip_with("emb", "cent", lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
+
+    # Assignment is MAP-SIDE (round-7): the k-centroid codebook rides in
+    # one broadcast row of (cluster, cent) structs and each point takes
+    # array_min over its (dist, cluster) structs — no points×k row
+    # explosion, no per-round row_number window shuffle. array_min's
+    # lexicographic (dist, cluster) min is bit-identical to the window's
+    # ORDER BY dist, cluster rn=1 (same left-associated fold).
+    amin = F.expr(
+        "array_min(transform(cands, c -> struct("
+        "aggregate(zip_with(emb, c.cent, (x, cc) -> (x - cc) * (x - cc)), "
+        "0D, (a, v) -> a + v) AS dist, c.cluster AS cluster)))"
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
-    for _ in range(_KM_ROUNDS):
-        assigned = (
-            pts.crossJoin(F.broadcast(cent))
-            .withColumn("dist", sqdist)
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
+
+    def assign(cent_df):
+        cands = cent_df.agg(
+            F.array_sort(F.collect_list(F.struct("cluster", "cent"))).alias("cands")
         )
+        return (
+            pts.crossJoin(F.broadcast(cands))
+            .withColumn("m", amin)
+            .select(
+                "vec_id",
+                "emb",
+                F.col("m.cluster").alias("cluster"),
+                F.col("m.dist").alias("dist"),
+            )
+        )
+
+    for _ in range(_KM_ROUNDS):
+        assigned = assign(cent)
         upd = (
             assigned.select("cluster", F.posexplode("emb").alias("dim", "x"))
             .groupBy("cluster", "dim")
@@ -1807,12 +1826,7 @@ def vec_kmeans_lloyd(spark, sf_dir):
             .select("cluster", F.coalesce("newc", "cent").alias("cent"))
             .localCheckpoint()
         )
-    final = (
-        pts.crossJoin(F.broadcast(cent))
-        .withColumn("dist", sqdist)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-    )
+    final = assign(cent)
     stats = final.groupBy("cluster").agg(
         F.count("*").alias("n"), F.round(F.avg("dist"), 6).alias("md")
     )
@@ -1950,19 +1964,39 @@ def _pq_train(spark, sf_dir):
     cent = pts.where(F.col("vec_id") < _PQ_K).select(
         "sub", F.col("vec_id").alias("cluster"), F.col("sv").alias("cent")
     )
-    sqdist = F.aggregate(
-        F.zip_with("sv", "cent", lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
+
+    # Assignment is MAP-SIDE (round-7): the per-subspace codebook rides
+    # as an array of (cluster, cent) structs behind an 8-row broadcast
+    # equi-join on sub, and each point takes array_min over its
+    # (dist, cluster) structs — replacing a points×k row explosion +
+    # row_number window whose per-round shuffle was the plan's dominant
+    # stage at the 100× probe decade. array_min's lexicographic
+    # (dist, cluster) min is bit-identical to the window's
+    # ORDER BY dist, cluster rn=1 (same left-associated distance fold).
+    amin = F.expr(
+        "array_min(transform(cands, c -> struct("
+        "aggregate(zip_with(sv, c.cent, (x, cc) -> (x - cc) * (x - cc)), "
+        "0D, (a, v) -> a + v) AS dist, c.cluster AS cluster)))"
     )
-    w = Window.partitionBy("vec_id", "sub").orderBy("dist", "cluster")
-    for _ in range(_PQ_ROUNDS):
-        assigned = (
-            pts.join(F.broadcast(cent), "sub")
-            .withColumn("dist", sqdist)
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
+
+    def assign(cent_df):
+        cands = cent_df.groupBy("sub").agg(
+            F.array_sort(F.collect_list(F.struct("cluster", "cent"))).alias("cands")
         )
+        return (
+            pts.join(F.broadcast(cands), "sub")
+            .withColumn("m", amin)
+            .select(
+                "vec_id",
+                "sub",
+                "sv",
+                F.col("m.cluster").alias("cluster"),
+                F.col("m.dist").alias("dist"),
+            )
+        )
+
+    for _ in range(_PQ_ROUNDS):
+        assigned = assign(cent)
         upd = (
             assigned.select("sub", "cluster", F.posexplode("sv").alias("dim", "x"))
             .groupBy("sub", "cluster", "dim")
@@ -1982,13 +2016,7 @@ def _pq_train(spark, sf_dir):
             )
             .localCheckpoint()
         )
-    final = (
-        pts.join(F.broadcast(cent), "sub")
-        .withColumn("dist", sqdist)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "sub", "cluster", "dist")
-    )
+    final = assign(cent).select("vec_id", "sub", "cluster", "dist")
     return pts, cent, final
 
 
@@ -2231,19 +2259,35 @@ def vec_kmeans_elbow(spark, sf_dir):
         .join(F.broadcast(cfgs), F.col("vec_id") < F.col("cfg"))
         .select("cfg", F.col("vec_id").alias("cluster"), "cent")
     )
-    sqdist = F.aggregate(
-        F.zip_with("emb", "cent", lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
+    # Assignment is MAP-SIDE (round-7, the vec_kmeans_lloyd recipe keyed
+    # by cfg): each config's codebook rides as an array of (cluster,
+    # cent) structs behind a 4-row broadcast equi-join on cfg, and each
+    # (point, cfg) row takes array_min over its (dist, cluster) structs
+    # — bit-identical to the former ORDER BY dist, cluster window.
+    amin = F.expr(
+        "array_min(transform(cands, c -> struct("
+        "aggregate(zip_with(emb, c.cent, (x, cc) -> (x - cc) * (x - cc)), "
+        "0D, (a, v) -> a + v) AS dist, c.cluster AS cluster)))"
     )
-    w = Window.partitionBy("cfg", "vec_id").orderBy("dist", "cluster")
-    for _ in range(_KM_ROUNDS):
-        assigned = (
-            pts.join(F.broadcast(cent), "cfg")
-            .withColumn("dist", sqdist)
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
+
+    def assign(cent_df):
+        cands = cent_df.groupBy("cfg").agg(
+            F.array_sort(F.collect_list(F.struct("cluster", "cent"))).alias("cands")
         )
+        return (
+            pts.join(F.broadcast(cands), "cfg")
+            .withColumn("m", amin)
+            .select(
+                "cfg",
+                "vec_id",
+                "emb",
+                F.col("m.cluster").alias("cluster"),
+                F.col("m.dist").alias("dist"),
+            )
+        )
+
+    for _ in range(_KM_ROUNDS):
+        assigned = assign(cent)
         upd = (
             assigned.select("cfg", "cluster", F.posexplode("emb").alias("dim", "x"))
             .groupBy("cfg", "cluster", "dim")
@@ -2261,12 +2305,7 @@ def vec_kmeans_elbow(spark, sf_dir):
             .select("cfg", "cluster", F.coalesce("newc", "cent").alias("cent"))
             .localCheckpoint()
         )
-    final = (
-        pts.join(F.broadcast(cent), "cfg")
-        .withColumn("dist", sqdist)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-    )
+    final = assign(cent)
     curve = final.groupBy(F.col("cfg").cast("bigint").alias("k")).agg(
         F.round(F.avg("dist"), 6).alias("inertia")
     )

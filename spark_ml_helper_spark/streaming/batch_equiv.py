@@ -23,14 +23,58 @@ from spark_ml_helper_spark.registry import query
 from spark_ml_helper_spark.sources.parquet import table
 
 
+TUMBLING_ORACLE = """
+    SELECT date_trunc('hour', ts) AS w_start, event_type,
+           count(*) AS n, round(sum(value), 6) AS sum_v
+    FROM events
+    GROUP BY 1, 2
+"""
+
+SLIDING_ORACLE = """
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - o.mins * INTERVAL '1 minute' AS w_start,
+           event_type, count(*) AS n
+    FROM events
+    CROSS JOIN (VALUES (0), (15), (30), (45)) AS o(mins)
+    GROUP BY 1, 2
+"""
+
+SESSION_ORACLE = """
+    WITH e AS (
+        SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts, ts_us,
+               CASE WHEN lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w >= 600000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS s_start,
+           max(ts) + INTERVAL '10 minutes' AS s_end,
+           count(*) AS n
+    FROM sessions
+    GROUP BY user_id, session_seq
+"""
+
+STATIC_JOIN_ORACLE = """
+    SELECT c.c_mktsegment, count(*) AS n, round(sum(e.value), 6) AS sum_v
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
 @query(
     "stream_tumbling",
-    oracle="""
-        SELECT date_trunc('hour', ts) AS w_start, event_type,
-               count(*) AS n, round(sum(value), 6) AS sum_v
-        FROM events
-        GROUP BY 1, 2
-    """,
+    oracle=TUMBLING_ORACLE,
     family="streaming",
 )
 def stream_tumbling(spark, sf_dir):
@@ -47,13 +91,7 @@ def stream_tumbling(spark, sf_dir):
 
 @query(
     "stream_sliding",
-    oracle="""
-        SELECT time_bucket(INTERVAL '15 minutes', ts) - o.mins * INTERVAL '1 minute' AS w_start,
-               event_type, count(*) AS n
-        FROM events
-        CROSS JOIN (VALUES (0), (15), (30), (45)) AS o(mins)
-        GROUP BY 1, 2
-    """,
+    oracle=SLIDING_ORACLE,
     family="streaming",
 )
 def stream_sliding(spark, sf_dir):
@@ -69,32 +107,7 @@ def stream_sliding(spark, sf_dir):
 
 @query(
     "stream_session",
-    oracle="""
-        WITH e AS (
-            SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us FROM events
-        ),
-        flagged AS (
-            SELECT user_id, event_id, ts, ts_us,
-                   CASE WHEN lag(ts_us) OVER w IS NULL
-                             OR ts_us - lag(ts_us) OVER w >= 600000000
-                        THEN 1 ELSE 0 END AS is_new
-            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-        ),
-        sessions AS (
-            SELECT user_id, ts,
-                   sum(is_new) OVER (
-                       PARTITION BY user_id ORDER BY ts_us, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS session_seq
-            FROM flagged
-        )
-        SELECT user_id,
-               min(ts) AS s_start,
-               max(ts) + INTERVAL '10 minutes' AS s_end,
-               count(*) AS n
-        FROM sessions
-        GROUP BY user_id, session_seq
-    """,
+    oracle=SESSION_ORACLE,
     family="streaming",
 )
 def stream_session(spark, sf_dir):
@@ -123,11 +136,7 @@ def stream_dedup(spark, sf_dir):
 
 @query(
     "stream_static_join",
-    oracle="""
-        SELECT c.c_mktsegment, count(*) AS n, round(sum(e.value), 6) AS sum_v
-        FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        GROUP BY c.c_mktsegment
-    """,
+    oracle=STATIC_JOIN_ORACLE,
     family="streaming",
 )
 def stream_static_join(spark, sf_dir):

@@ -1,11 +1,20 @@
-"""True Structured Streaming runs — SURVEY.md §2.H (rows-only).
+"""True Structured Streaming runs — SURVEY.md §2.H.
 
 Each operator here actually executes a streaming query: file-source stream
 over the events parquet → transformation under test → memory sink, with
-Trigger.AvailableNow so the run is bounded. Semantics are oracle-checked via
-the batch twins in streaming/batch_equiv.py; these entries prove the same
-programs run under the streaming engine (state store, watermarks,
-micro-batches).
+Trigger.AvailableNow so the run is bounded.
+
+Oracle status (round-7 flips): runs whose bounded-input result is
+DETERMINISTIC regardless of micro-batch boundaries carry full SQL oracles —
+complete-mode aggregations re-emit the whole result each batch, so the
+final memory table equals the batch twin (tumbling/session/sliding/
+static_join, plus foreach_batch's last complete snapshot), and the
+stream-stream inner join buffers both fully-present sides before any
+watermark eviction can drop a row. Runs whose OUTPUT depends on where the
+watermark lands between batches (append-mode watermarked aggs, dedup-
+within-watermark, update-mode stateful folds, outer-join NULL emission)
+stay rows-only by design; their semantics are oracle-checked via the batch
+twins in streaming/batch_equiv.py.
 
 Scale design: identical code runs against kafka/file sources on a cluster —
 watermark + windowed state keeps state bounded regardless of stream length;
@@ -23,6 +32,12 @@ from pyspark.sql import functions as F
 from spark_ml_helper_spark.registry import query
 from spark_ml_helper_spark.session import staging_dir
 from spark_ml_helper_spark.sources.parquet import table
+from spark_ml_helper_spark.streaming.batch_equiv import (
+    SESSION_ORACLE,
+    SLIDING_ORACLE,
+    STATIC_JOIN_ORACLE,
+    TUMBLING_ORACLE,
+)
 
 _MULTIFILE_CACHE: dict[str, str] = {}
 
@@ -96,10 +111,13 @@ def _multifile_events(spark, sf_dir, n_files=8):
     return out
 
 
-@query("stream_run_tumbling", oracle=None, family="streaming")
+@query("stream_run_tumbling", oracle=TUMBLING_ORACLE, family="streaming")
 def stream_run_tumbling(spark, sf_dir):
     """Streaming 1h tumbling count/sum per event_type (complete mode).
-    Same program as stream_tumbling's batch twin."""
+    Same program as stream_tumbling's batch twin — and since round 7 the
+    SAME SQL ORACLE: complete mode re-emits the full aggregate each
+    micro-batch, so the final memory table is batch-boundary-independent
+    and hash-comparable."""
     e = _events_stream(spark, sf_dir)
     agg = (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -109,7 +127,7 @@ def stream_run_tumbling(spark, sf_dir):
     return _run(agg, "complete")
 
 
-@query("stream_run_session", oracle=None, family="streaming")
+@query("stream_run_session", oracle=SESSION_ORACLE, family="streaming")
 def stream_run_session(spark, sf_dir):
     """Streaming 10-min-gap session windows per user (complete mode) —
     exercises the merging-session state store."""
@@ -333,7 +351,7 @@ def _stateful_fallback(spark, sf_dir):
     return _run(out, "update")
 
 
-@query("stream_run_static_join", oracle=None, family="streaming")
+@query("stream_run_static_join", oracle=STATIC_JOIN_ORACLE, family="streaming")
 def stream_run_static_join(spark, sf_dir):
     """Stream⋈static-dim join + aggregation under the streaming engine
     (static side broadcast per micro-batch)."""
@@ -379,7 +397,18 @@ def stream_run_file_sink(spark, sf_dir):
     return spark.read.parquet(out)
 
 
-@query("stream_run_stream_join", oracle=None, family="streaming")
+@query(
+    "stream_run_stream_join",
+    oracle="""
+        SELECT v.user_id AS v_user, v.event_id AS v_id, v.ts AS v_ts,
+               b.ts AS b_ts, round(b.value, 6) AS b_value
+        FROM events v JOIN events b
+          ON v.user_id = b.user_id
+         AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL '1 hour'
+        WHERE v.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+    family="streaming",
+)
 def stream_run_stream_join(spark, sf_dir):
     """Stream-stream inner join with watermarks on BOTH sides: each user's
     'view' events join their 'purchase' events within the following hour
@@ -425,7 +454,14 @@ def stream_run_stream_join(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-@query("stream_run_foreach_batch", oracle=None, family="streaming")
+@query(
+    "stream_run_foreach_batch",
+    oracle="""
+        SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_v
+        FROM events GROUP BY 1
+    """,
+    family="streaming",
+)
 def stream_run_foreach_batch(spark, sf_dir):
     """foreachBatch sink: each micro-batch is handed to arbitrary batch
     code — here an idempotent partitioned-parquet upsert keyed by batch id,
@@ -458,7 +494,7 @@ def stream_run_foreach_batch(spark, sf_dir):
     return latest.filter(F.col("batch_id") == last_id).drop("batch_id")
 
 
-@query("stream_run_sliding", oracle=None, family="streaming")
+@query("stream_run_sliding", oracle=SLIDING_ORACLE, family="streaming")
 def stream_run_sliding(spark, sf_dir):
     """Streaming 1h windows sliding every 15 min per event_type (complete
     mode): each event updates 4 overlapping windows, so the state store
