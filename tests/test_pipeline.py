@@ -1499,6 +1499,20 @@ _AUDIT_FAMILIES = {
 }
 
 
+def test_argmin_assignment_is_map_side(spark):
+    # round-7 refactor lock-in: Lloyd/PQ/IVF nearest-centroid assignment
+    # must stay a map-side array_min over a broadcast codebook array —
+    # regression would reappear as a WindowExec (row_number argmin) whose
+    # per-round corpus×k shuffle dominated the 100× probe decade.
+    from spark_ml_helper_spark.plans.audit import explain_formatted
+
+    # (sim_ann_ivf/ivfpq keep legitimate per-query top-k windows, so only
+    # the two queries whose plans are fully window-free are asserted here)
+    for name in ["vec_kmeans_lloyd", "vec_pq_encode"]:
+        plan = explain_formatted(QUERIES[name](spark, SF_ORACLE))
+        assert "Window" not in plan, f"{name}: argmin regressed to a window plan"
+
+
 def test_plan_audit_no_new_nested_loops(spark):
     from spark_ml_helper_spark.registry import REGISTRY
 
