@@ -234,6 +234,17 @@ def _minhash_sigs_expr() -> str:
     """
 
 
+def _minhash_band_expr() -> str:
+    """Banding of a ``sigs`` column: n_bands (band_no, band_val) structs,
+    band_val = the polynomial fold of that band's signature slice (the
+    same fold the DuckDB oracles replay with a 0-seeded list_reduce)."""
+    n_bands = _MINHASH_K // _MINHASH_BAND_ROWS
+    return f"""transform(sequence(0, {n_bands - 1}), j -> named_struct(
+                   'band_no', j,
+                   'band_val', aggregate(slice(sigs, j * {_MINHASH_BAND_ROWS} + 1, {_MINHASH_BAND_ROWS}),
+                                         cast(0 as bigint), (acc, s) -> (acc * 1000003 + s) % {_MINHASH_P}L)))"""
+
+
 def _minhash_set_pairs(spark, sf_dir):
     """Shared MinHash-LSH core: returns (set_pairs, membership) where
     set_pairs holds verified distinct-token-set pairs (sa < sb, jac_approx)
@@ -274,7 +285,6 @@ def _minhash_set_pairs(spark, sf_dir):
     via band geometry; the exact-Jaccard rescore touches candidates only.
     No broadcast hints: every joined side is corpus-sized at 100 TB; the
     auto-threshold broadcasts them at test scale."""
-    n_bands = _MINHASH_K // _MINHASH_BAND_ROWS
     # repartition: single-row-group fixture → 1 scan task; the 40-hash
     # signature build is the CPU-dense stage and must spread
     docs = (
@@ -317,17 +327,7 @@ def _minhash_set_pairs(spark, sf_dir):
 
     bands = (
         rep_sets.withColumn("sigs", F.expr(_minhash_sigs_expr()))
-        .select(
-            "set_id",
-            F.explode(
-                F.expr(
-                    f"""transform(sequence(0, {n_bands - 1}), j -> named_struct(
-                            'band_no', j,
-                            'band_val', aggregate(slice(sigs, j * {_MINHASH_BAND_ROWS} + 1, {_MINHASH_BAND_ROWS}),
-                                                  cast(0 as bigint), (acc, s) -> (acc * 1000003 + s) % {_MINHASH_P}L)))"""
-                )
-            ).alias("band"),
-        )
+        .select("set_id", F.explode(F.expr(_minhash_band_expr())).alias("band"))
         .select("set_id", "band.band_no", "band.band_val")
     )
     # Adaptive exact-Jaccard verification (see docstring): probe the
@@ -582,6 +582,230 @@ def dedup_minhash_pairs(spark, sf_dir):
         .select("a_id", "b_id", F.lit(1.0).alias("jac_approx"))
     )
     return cross.unionByName(within)
+
+
+def _incremental_oracle() -> str:
+    # Full DuckDB replay of the incremental (batch-vs-index) MinHash
+    # pipeline: the same md5-mod-p token ids, affine permutations and
+    # polynomial band fold as _minhash_oracle, split into an index side
+    # (doc_id % 10 != 0, collapsed to distinct token sets) and a batch
+    # side; exact matches by set digest, near matches through the band
+    # join + rounded-Jaccard rescore, best match per batch set via a
+    # (jac DESC, set_id) window on the shared 6 dp grid.
+    p = _MINHASH_P
+    m = 1000003
+    r = _MINHASH_BAND_ROWS
+    nb = _MINHASH_K // r
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(th, t -> ({a} * t + {b}) % {p}))"
+        for a, b in _minhash_params()
+    )
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, (doc_id % 10 = 0) AS is_batch,
+                   list_sort(list_transform(
+                       list_distinct(string_split(lower(text), ' ')),
+                       t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                            % {p})) AS th,
+                   md5(array_to_string(list_sort(list_transform(
+                       list_distinct(string_split(lower(text), ' ')),
+                       t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                            % {p})), ',')) AS skey
+            FROM documents
+        ),
+        index_reps AS MATERIALIZED (
+            SELECT skey, min(doc_id) AS set_id, any_value(th) AS th
+            FROM toks WHERE NOT is_batch GROUP BY skey
+        ),
+        batch_reps AS MATERIALIZED (
+            SELECT skey, min(doc_id) AS brep, any_value(th) AS th
+            FROM toks WHERE is_batch GROUP BY skey
+        ),
+        isigs AS MATERIALIZED (
+            SELECT set_id, th, [{sig_exprs}] AS sig FROM index_reps
+        ),
+        bsigs AS MATERIALIZED (
+            SELECT skey, th, [{sig_exprs}] AS sig FROM batch_reps
+        ),
+        ibands AS MATERIALIZED (
+            SELECT s.set_id, u.j AS band_no,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                                    s.sig[u.j * {r} + 1 : u.j * {r} + {r}]),
+                       (acc, x) -> (acc * {m} + x) % {p}) AS band_val
+            FROM isigs s, unnest(range(0, {nb})) AS u(j)
+        ),
+        bbands AS MATERIALIZED (
+            SELECT s.skey, u.j AS band_no,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                                    s.sig[u.j * {r} + 1 : u.j * {r} + {r}]),
+                       (acc, x) -> (acc * {m} + x) % {p}) AS band_val
+            FROM bsigs s, unnest(range(0, {nb})) AS u(j)
+        ),
+        cand AS MATERIALIZED (
+            SELECT DISTINCT b.skey, i.set_id
+            FROM bbands b JOIN ibands i
+              ON b.band_no = i.band_no AND b.band_val = i.band_val
+        ),
+        near AS (
+            SELECT c.skey, c.set_id,
+                   round(len(list_distinct(list_intersect(x.th, y.th)))
+                         * 1.0
+                         / len(list_distinct(list_concat(x.th, y.th))), 6)
+                       AS jac
+            FROM cand c
+            JOIN bsigs x ON x.skey = c.skey
+            JOIN isigs y ON y.set_id = c.set_id
+        ),
+        best_near AS (
+            SELECT skey, set_id, jac FROM (
+                SELECT skey, set_id, jac,
+                       row_number() OVER (PARTITION BY skey
+                                          ORDER BY jac DESC, set_id) AS rn
+                FROM near WHERE jac >= 0.8) WHERE rn = 1
+        )
+        SELECT t.doc_id,
+               CASE WHEN e.set_id IS NOT NULL THEN 'dup_exact_index'
+                    WHEN n.set_id IS NOT NULL THEN 'dup_near_index'
+                    WHEN t.doc_id <> br.brep   THEN 'dup_exact_batch'
+                    ELSE 'new' END AS decision,
+               CASE WHEN e.set_id IS NOT NULL THEN e.set_id
+                    WHEN n.set_id IS NOT NULL THEN n.set_id
+                    WHEN t.doc_id <> br.brep   THEN br.brep END AS match_id,
+               CASE WHEN e.set_id IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+                    WHEN n.set_id IS NOT NULL THEN n.jac
+                    WHEN t.doc_id <> br.brep   THEN CAST(1.0 AS DOUBLE)
+                    END AS jac
+        FROM toks t
+        JOIN batch_reps br ON br.skey = t.skey
+        LEFT JOIN index_reps e ON e.skey = t.skey
+        LEFT JOIN best_near n ON n.skey = t.skey
+        WHERE t.is_batch
+    """
+
+
+@query("dedup_incremental", oracle=_incremental_oracle(), family="text")
+def dedup_incremental(spark, sf_dir):
+    """Incremental dedup — the production crawl shape none of the other
+    dedup ops cover: a NEW BATCH of documents (here doc_id % 10 == 0,
+    standing in for today's crawl snapshot) is admitted against an
+    EXISTING corpus index (the other 90%), never corpus-vs-corpus.
+    Per batch doc one decision row: 'dup_exact_index' (identical
+    distinct-token set already indexed — matched by set digest, no LSH
+    needed), 'dup_near_index' (Jaccard ≥ 0.8 against some indexed set via
+    the banded MinHash join; match_id/jac name the BEST index match on
+    the rounded 6 dp grid, ties to the smallest set id),
+    'dup_exact_batch' (identical token set as an earlier batch doc — the
+    min doc_id of the group is the survivor), or 'new'. Near-dups WITHIN
+    the batch are deliberately out of scope for the incremental pass
+    (they are caught when the admitted survivors join the index and the
+    next snapshot runs — the standard crawl-dedup contract, cf. CCNet /
+    RefinedWeb dedup stages, which dedup each snapshot against
+    accumulated history).
+
+    Scale design: the index side (token-set digests + band table) is a
+    PERSISTED artifact at 100 TB — built once, appended with each
+    snapshot's survivors, bucketed by (band_no, band_val) so the
+    incremental band join needs no index-side shuffle; per-snapshot cost
+    is then batch-bounded: |batch|×8 band rows join the bucketed index,
+    candidates (not the batch×index pair space) get the exact rescore,
+    and the decision join is |batch| rows. The batch side is typically
+    ≪ index and broadcast-able (auto-threshold does it at test scale; at
+    100 TB the band join's shuffle key is still the band hash, never a
+    pair). All stages are deterministic (md5 token ids, seeded affine
+    permutations, rounded-grid compares), so the whole decision table is
+    SQL-oracled."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .repartition("doc_id")
+        .select("doc_id", F.array_distinct(_tokens()).alias("tokset"))
+        .withColumn(
+            "tok_hashes",
+            F.expr(
+                f"sort_array(transform(tokset, t -> cast(conv(substr(md5(cast(t as binary)), 1, 15), 16, 10) as bigint) % {_MINHASH_P}L))"
+            ),
+        )
+        .withColumn(
+            "skey",
+            F.md5(F.concat_ws("\x1f", F.transform("tok_hashes", lambda x: x.cast("string")))),
+        )
+        .withColumn("is_batch", F.col("doc_id") % 10 == 0)
+        # one materialization of the CPU-dense tokenize+hash stage: it
+        # feeds index reps, batch reps and the decision join (branches
+        # Catalyst won't share exchanges across)
+        .localCheckpoint(eager=True)
+    )
+    index_reps = (
+        docs.filter(~F.col("is_batch"))
+        .groupBy("skey")
+        .agg(F.min("doc_id").alias("set_id"), F.first("tok_hashes").alias("tok_hashes"))
+    )
+    batch_reps = (
+        docs.filter(F.col("is_batch"))
+        .groupBy("skey")
+        .agg(F.min("doc_id").alias("brep"), F.first("tok_hashes").alias("tok_hashes"))
+    )
+
+    def _bands(reps, idcol):
+        return (
+            reps.withColumn("sigs", F.expr(_minhash_sigs_expr()))
+            .select(idcol, F.explode(F.expr(_minhash_band_expr())).alias("band"))
+            .select(idcol, "band.band_no", "band.band_val")
+        )
+
+    cand = (
+        _bands(batch_reps, "skey")
+        .join(_bands(index_reps, "set_id"), ["band_no", "band_val"])
+        .select("skey", "set_id")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("b_th", "i_th")).cast("double")
+    union = (
+        F.size("b_th") + F.size("i_th") - F.size(F.array_intersect("b_th", "i_th"))
+    )
+    near = (
+        cand.join(
+            batch_reps.select("skey", F.col("tok_hashes").alias("b_th")), "skey"
+        )
+        .join(index_reps.select("set_id", F.col("tok_hashes").alias("i_th")), "set_id")
+        .withColumn("jac", F.round(inter / union, 6))
+        .filter(F.col("jac") >= 0.8)
+    )
+    w_best = Window.partitionBy("skey").orderBy(F.desc("jac"), "set_id")
+    best_near = (
+        near.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("skey", F.col("set_id").alias("nr_id"), F.col("jac").alias("nr_jac"))
+    )
+    exacts = batch_reps.join(index_reps.select("skey", "set_id"), "skey").select(
+        "skey", F.col("set_id").alias("ex_id")
+    )
+    ex, nr, brep = F.col("ex_id"), F.col("nr_id"), F.col("brep")
+    not_rep = F.col("doc_id") != brep
+    return (
+        docs.filter(F.col("is_batch"))
+        .select("doc_id", "skey")
+        .join(batch_reps.select("skey", "brep"), "skey")
+        .join(exacts, "skey", "left")
+        .join(best_near, "skey", "left")
+        .select(
+            "doc_id",
+            F.when(ex.isNotNull(), F.lit("dup_exact_index"))
+            .when(nr.isNotNull(), F.lit("dup_near_index"))
+            .when(not_rep, F.lit("dup_exact_batch"))
+            .otherwise(F.lit("new"))
+            .alias("decision"),
+            F.when(ex.isNotNull(), ex)
+            .when(nr.isNotNull(), nr)
+            .when(not_rep, brep)
+            .alias("match_id"),
+            F.when(ex.isNotNull(), F.lit(1.0))
+            .when(nr.isNotNull(), F.col("nr_jac"))
+            .when(not_rep, F.lit(1.0))
+            .alias("jac"),
+        )
+    )
 
 
 _STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")

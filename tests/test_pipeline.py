@@ -56,6 +56,62 @@ def test_minhash_recall_vs_exact(spark):
     assert sum(r.n_doc_pairs for r in summary) == len(mh)
 
 
+def test_incremental_dedup_decisions_consistent(spark):
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["dedup_incremental"](spark, SF_ORACLE).collect()
+    # one decision per batch doc, batch = doc_id % 10 == 0
+    assert len(rows) == len({r.doc_id for r in rows}) > 0
+    assert all(r.doc_id % 10 == 0 for r in rows)
+    for r in rows:
+        if r.decision == "new":
+            assert r.match_id is None and r.jac is None
+        elif r.decision == "dup_near_index":
+            # best index match: an index doc id, on the 6 dp grid in-band
+            assert r.match_id % 10 != 0 and 0.8 <= r.jac <= 1.0
+        elif r.decision == "dup_exact_index":
+            assert r.match_id % 10 != 0 and r.jac == 1.0
+        else:  # dup_exact_batch: earlier batch doc is the survivor
+            assert r.decision == "dup_exact_batch"
+            assert r.match_id % 10 == 0 and r.match_id < r.doc_id and r.jac == 1.0
+    # ground-truth spot check against the exact doc-level pair table:
+    # a batch doc with an exact-index verdict must appear in a jaccard-1.0
+    # exact pair with its match, and a 'new' doc must have NO exact twin
+    # anywhere in the index (dedup_jaccard covers j >= 0.8 pairs exactly)
+    ex_pairs = {
+        (r.a_id, r.b_id) for r in QUERIES["dedup_jaccard"](spark, SF_ORACLE).collect()
+    }
+
+    def paired(a, b):
+        return (min(a, b), max(a, b)) in ex_pairs
+
+    exact_idx = [r for r in rows if r.decision == "dup_exact_index"]
+    assert all(paired(r.doc_id, r.match_id) for r in exact_idx)
+    # recompute exact token-set identity ground truth: a doc decided
+    # 'new' or 'dup_exact_batch' must share its distinct-token set with
+    # NO index doc (exact-index detection is digest-based, recall 1.0 —
+    # unlike the near path, banding can't lose these)
+    sets = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    "\x1f", F.array_sort(F.array_distinct(F.split(F.lower("text"), " ")))
+                )
+            ).alias("skey"),
+        )
+        .collect()
+    )
+    index_keys = {r.skey for r in sets if r.doc_id % 10 != 0}
+    skey_of = {r.doc_id: r.skey for r in sets}
+    for r in rows:
+        in_index = skey_of[r.doc_id] in index_keys
+        assert in_index == (r.decision == "dup_exact_index"), (
+            f"doc {r.doc_id}: decision {r.decision} vs exact-index membership {in_index}"
+        )
+
+
 def test_ivf_recall_vs_exact_knn(spark):
     ivf = {(r.q_id, r.n_id) for r in QUERIES["sim_ann_ivf"](spark, SF_ORACLE).collect()}
     knn = {(r.q_id, r.n_id) for r in QUERIES["sim_knn"](spark, SF_ORACLE).collect()}
