@@ -1235,3 +1235,118 @@ def ts_seasonal_index(spark, sf_dir):
         F.count("*").alias("n_years"),
         F.round(F.avg("r"), 6).alias("seasonal_index"),
     )
+
+
+_HOLT_A = 0.3  # level smoothing
+_HOLT_B = 0.1  # trend smoothing
+
+
+def _holt_oracle() -> str:
+    # Identical recursion in DuckDB via WITH RECURSIVE, one row per
+    # (series, step). NOT list_reduce: DuckDB 1.0 mutates a struct
+    # accumulator IN PLACE field-by-field inside the lambda, so a later
+    # field's expression sees the current step's already-assigned fields
+    # (minimal repro: (acc,e) -> struct_pack(l := X, b := X) with
+    # identical X yields l != b). The recursive CTE carries the series
+    # arrays along its 5 rows x ~30 steps - trivially bounded, the
+    # corpus-scale work happened in the daily aggregate. Every step
+    # re-rounds l and b at 9 dp, putting both engines on a shared grid
+    # (the sim_pq_adc LUT discipline); outputs re-round the 9 dp values
+    # at 6 dp exactly as the Spark side does.
+    a, b = _HOLT_A, _HOLT_B
+    lnew = f"round({a} * sx[i + 1] + {1 - a} * (l + b), 9)"
+    bnew = f"round({b} * ({lnew} - l) + {1 - b} * b, 9)"
+    return f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   round(avg(value), 6) AS x
+            FROM events GROUP BY event_type, date_trunc('day', ts)
+        ),
+        ser AS (
+            SELECT event_type,
+                   list(d ORDER BY d) AS sd, list(x ORDER BY d) AS sx
+            FROM daily GROUP BY event_type HAVING count(*) >= 3
+        ),
+        hw AS (
+            SELECT event_type, sd, sx, 2 AS i,
+                   CAST(sx[2] AS DOUBLE) AS l,
+                   round(sx[2] - sx[1], 9) AS b,
+                   CAST(NULL AS DOUBLE) AS fitted
+            FROM ser
+            UNION ALL
+            SELECT event_type, sd, sx, i + 1,
+                   {lnew},
+                   {bnew},
+                   round(l + b, 9)
+            FROM hw WHERE i < len(sx)
+        )
+        SELECT event_type, sd[i] AS d, round(sx[i], 6) AS x,
+               round(fitted, 6) AS fitted,
+               round(l, 6) AS level, round(b, 6) AS trend
+        FROM hw WHERE i >= 3
+    """
+
+
+@query("ts_holt_linear", oracle=_holt_oracle(), family="timeseries")
+def ts_holt_linear(spark, sf_dir):
+    """Holt's linear-trend (double exponential) smoothing of the daily
+    per-event-type series — the classic local-level+trend forecaster
+    (Holt 1957; Hyndman & Athanasopoulos FPP §8.2) and the genuinely
+    RECURSIVE sibling of win_ewma: level and trend are coupled
+    (l_t = a·x_t + (1-a)(l_{t-1}+b_{t-1}); b_t = β(l_t-l_{t-1}) +
+    (1-β)b_{t-1}), so unlike single EWMA there is no truncated-window
+    closed form — the recursion itself must run. It runs as a strict
+    in-order JVM fold: one corpus-scale hash agg builds the bounded
+    daily grid (map-side partial agg; the grid is days×types regardless
+    of corpus size), then array_sort(collect_list) + aggregate() folds
+    each series with a struct accumulator carrying (l, b, emitted seq) —
+    no UDF, no per-row window shuffle, no driver loop. Init l_2 = x_2,
+    b_2 = x_2 - x_1; rows emitted from t=3 with the one-step-ahead
+    forecast (fitted = l_{t-1}+b_{t-1}) next to the realized value.
+    Each step re-rounds l/b at 9 dp so both engines fold on a shared
+    grid; outputs round at 6 dp. At 100 TB the only corpus-scale stage
+    is the first aggregate — the fold touches series whose length is
+    the CALENDAR, not the corpus; thousands of independent series
+    parallelize per group key."""
+    a, b = _HOLT_A, _HOLT_B
+    seqt = "array<struct<d:timestamp,x:double,fitted:double,lvl:double,trd:double>>"
+    lnew = f"round({a} * e.x + {1 - a} * (acc.l + acc.b), 9)"
+    bnew = f"round({b} * ({lnew} - acc.l) + {1 - b} * acc.b, 9)"
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.round(F.avg("value"), 6).alias("x"))
+    ser = (
+        daily.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "x"))).alias("sx"))
+        .filter(F.size("sx") >= 3)
+    )
+    fold = F.expr(
+        f"""
+        aggregate(
+            slice(sx, 3, size(sx) - 2),
+            named_struct(
+                'd', sx[1].d, 'x', cast(sx[1].x as double),
+                'l', cast(sx[1].x as double),
+                'b', cast(round(sx[1].x - sx[0].x, 9) as double),
+                'seq', cast(array() as {seqt})),
+            (acc, e) -> named_struct(
+                'd', e.d, 'x', e.x,
+                'l', {lnew},
+                'b', {bnew},
+                'seq', concat(acc.seq, array(named_struct(
+                    'd', e.d, 'x', e.x,
+                    'fitted', round(acc.l + acc.b, 9),
+                    'lvl', {lnew},
+                    'trd', {bnew}))))
+        ).seq
+        """
+    )
+    return ser.select("event_type", F.explode(fold).alias("r")).select(
+        "event_type",
+        F.col("r.d").alias("d"),
+        F.round("r.x", 6).alias("x"),
+        F.round("r.fitted", 6).alias("fitted"),
+        F.round("r.lvl", 6).alias("level"),
+        F.round("r.trd", 6).alias("trend"),
+    )

@@ -1127,6 +1127,51 @@ def test_cusum_matches_sequential_recursion(spark):
             assert abs(s - got[(et, day.isoformat())]) < 1e-4, (et, day)
 
 
+def test_holt_linear_matches_sequential_recursion(spark):
+    # the JVM array fold must reproduce the textbook Holt recursion run
+    # sequentially in Python over the same daily series (independent of
+    # the DuckDB oracle, which shares none of this code)
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.operators.timeseries import _HOLT_A, _HOLT_B
+    from spark_ml_helper_spark.sources.parquet import table
+
+    got = {
+        (r["event_type"], r["d"]): (r["fitted"], r["level"], r["trend"])
+        for r in QUERIES["ts_holt_linear"](spark, SF_ORACLE).collect()
+    }
+    assert got, "no smoothed rows — fixture changed?"
+    daily = (
+        table(spark, SF_ORACLE, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.round(F.avg("value"), 6).alias("x"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["d"], r["x"]))
+    n_checked = 0
+    for et, pts in series.items():
+        pts.sort()
+        if len(pts) < 3:
+            continue
+        lvl = pts[1][1]
+        trd = round(pts[1][1] - pts[0][1], 9)
+        for d, x in pts[2:]:
+            fitted = round(lvl + trd, 9)
+            lnew = round(_HOLT_A * x + (1 - _HOLT_A) * (lvl + trd), 9)
+            trd = round(_HOLT_B * (lnew - lvl) + (1 - _HOLT_B) * trd, 9)
+            lvl = lnew
+            gf, gl, gt = got[(et, d)]
+            assert abs(gf - round(fitted, 6)) < 1e-9, (et, d)
+            assert abs(gl - round(lvl, 6)) < 1e-9, (et, d)
+            assert abs(gt - round(trd, 6)) < 1e-9, (et, d)
+            n_checked += 1
+    assert n_checked == len(got)
+
+
 def test_autocorr_bounded_and_pair_counts(spark):
     rows = QUERIES["ts_autocorr"](spark, SF_ORACLE).collect()
     assert len(rows) == 5 * 7  # 5 event types x lags 1..7
