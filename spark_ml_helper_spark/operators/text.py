@@ -716,9 +716,23 @@ def dedup_incremental(spark, sf_dir):
     pair). All stages are deterministic (md5 token ids, seeded affine
     permutations, rounded-grid compares), so the whole decision table is
     SQL-oracled."""
-    docs = (
-        table(spark, sf_dir, "documents")
-        .repartition("doc_id")
+    docs = hash_documents(table(spark, sf_dir, "documents")).withColumn(
+        "is_batch", F.col("doc_id") % 10 == 0
+    # one materialization of the CPU-dense tokenize+hash stage: it
+    # feeds index reps, batch reps and the decision join (branches
+    # Catalyst won't share exchanges across)
+    ).localCheckpoint(eager=True)
+    index_reps, index_bands = build_dedup_index(docs.filter(~F.col("is_batch")))
+    return incremental_decisions(docs.filter(F.col("is_batch")), index_reps, index_bands)
+
+
+def hash_documents(documents):
+    """(doc_id, text) → (doc_id, tok_hashes, skey): the deterministic
+    tokenize + md5-mod-p hash + set-digest stage every MinHash op shares.
+    Per-row, shuffle-free (the repartition only spreads the single-row-
+    group fixture across cores)."""
+    return (
+        documents.repartition("doc_id")
         .select("doc_id", F.array_distinct(_tokens()).alias("tokset"))
         .withColumn(
             "tok_hashes",
@@ -730,33 +744,41 @@ def dedup_incremental(spark, sf_dir):
             "skey",
             F.md5(F.concat_ws("\x1f", F.transform("tok_hashes", lambda x: x.cast("string")))),
         )
-        .withColumn("is_batch", F.col("doc_id") % 10 == 0)
-        # one materialization of the CPU-dense tokenize+hash stage: it
-        # feeds index reps, batch reps and the decision join (branches
-        # Catalyst won't share exchanges across)
-        .localCheckpoint(eager=True)
-    )
-    index_reps = (
-        docs.filter(~F.col("is_batch"))
-        .groupBy("skey")
-        .agg(F.min("doc_id").alias("set_id"), F.first("tok_hashes").alias("tok_hashes"))
-    )
-    batch_reps = (
-        docs.filter(F.col("is_batch"))
-        .groupBy("skey")
-        .agg(F.min("doc_id").alias("brep"), F.first("tok_hashes").alias("tok_hashes"))
+        .drop("tokset")
     )
 
-    def _bands(reps, idcol):
-        return (
-            reps.withColumn("sigs", F.expr(_minhash_sigs_expr()))
-            .select(idcol, F.explode(F.expr(_minhash_band_expr())).alias("band"))
-            .select(idcol, "band.band_no", "band.band_val")
-        )
 
+def _rep_bands(reps, idcol):
+    return (
+        reps.withColumn("sigs", F.expr(_minhash_sigs_expr()))
+        .select(idcol, F.explode(F.expr(_minhash_band_expr())).alias("band"))
+        .select(idcol, "band.band_no", "band.band_val")
+    )
+
+
+def build_dedup_index(hashed_docs):
+    """Build the PERSISTED side of incremental dedup from hash_documents
+    output: (reps, bands). reps = one row per distinct token set
+    (skey, set_id = min doc_id, tok_hashes); bands = 8 (band_no,
+    band_val) rows per rep. In production both frames are written once
+    per snapshot (bands bucketed by band_val) and only APPENDED to —
+    scale_probe_incremental measures exactly that amortization."""
+    reps = hashed_docs.groupBy("skey").agg(
+        F.min("doc_id").alias("set_id"), F.first("tok_hashes").alias("tok_hashes")
+    )
+    return reps, _rep_bands(reps, "set_id")
+
+
+def incremental_decisions(batch_docs, index_reps, index_bands):
+    """The per-snapshot decision pass of dedup_incremental: admit each
+    batch doc against a prebuilt (reps, bands) index. Cost is
+    batch-bounded — see the dedup_incremental docstring."""
+    batch_reps = batch_docs.groupBy("skey").agg(
+        F.min("doc_id").alias("brep"), F.first("tok_hashes").alias("tok_hashes")
+    )
     cand = (
-        _bands(batch_reps, "skey")
-        .join(_bands(index_reps, "set_id"), ["band_no", "band_val"])
+        _rep_bands(batch_reps, "skey")
+        .join(index_bands, ["band_no", "band_val"])
         .select("skey", "set_id")
         .distinct()
     )
@@ -784,8 +806,7 @@ def dedup_incremental(spark, sf_dir):
     ex, nr, brep = F.col("ex_id"), F.col("nr_id"), F.col("brep")
     not_rep = F.col("doc_id") != brep
     return (
-        docs.filter(F.col("is_batch"))
-        .select("doc_id", "skey")
+        batch_docs.select("doc_id", "skey")
         .join(batch_reps.select("skey", "brep"), "skey")
         .join(exacts, "skey", "left")
         .join(best_near, "skey", "left")

@@ -1127,6 +1127,49 @@ def test_cusum_matches_sequential_recursion(spark):
             assert abs(s - got[(et, day.isoformat())]) < 1e-4, (et, day)
 
 
+def test_louvain_improves_modularity(spark):
+    # synchronous integer-score Louvain must (a) partition every node,
+    # (b) genuinely merge communities, (c) produce a partition whose
+    # Newman modularity beats the singleton partition and is positive —
+    # computed here independently in Python over the same edge list
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.operators.graph import _CC_MIN_COOCCUR, _CC_SUPP_OFFSET
+    from spark_ml_helper_spark.sources.parquet import table
+
+    labels = {
+        r.node: r.community
+        for r in QUERIES["graph_louvain"](spark, SF_ORACLE).collect()
+    }
+    e0 = (
+        table(spark, SF_ORACLE, "orders")
+        .join(table(spark, SF_ORACLE, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _CC_MIN_COOCCUR)
+        .collect()
+    )
+    edges = [(r.c, r.s + _CC_SUPP_OFFSET) for r in e0]
+    nodes = {n for e in edges for n in e}
+    assert set(labels) == nodes  # every node labeled, none invented
+    assert len(set(labels.values())) < len(nodes)  # real merging happened
+
+    def q_of(lab):
+        m2 = 2 * len(edges)
+        internal = sum(2 for a, b in edges if lab[a] == lab[b])
+        dsum = defaultdict(int)
+        for a, b in edges:
+            dsum[lab[a]] += 1
+            dsum[lab[b]] += 1
+        return internal / m2 - sum((d / m2) ** 2 for d in dsum.values())
+
+    q_louvain = q_of(labels)
+    q_single = q_of({n: n for n in nodes})
+    assert q_louvain > 0 > q_single, (q_louvain, q_single)
+
+
 def test_holt_linear_matches_sequential_recursion(spark):
     # the JVM array fold must reproduce the textbook Holt recursion run
     # sequentially in Python over the same daily series (independent of
