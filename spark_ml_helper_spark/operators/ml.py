@@ -1690,3 +1690,229 @@ def ml_gbt_stumps(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out.crossJoin(F.broadcast(rmse))
+
+
+_GMM_K = 3
+_GMM_D = 4
+_GMM_ROUNDS = 3
+_GMM_VFLOOR = 0.0001
+
+
+def _gmm_s_skeleton(xref, w, mu, va):
+    """Shared per-component log-score skeleton: ln(w) - 0.5*(sq + lnv),
+    sq/lnv summed left-associated in dim order. BOTH the Spark rounds
+    (params as float literals) and the DuckDB oracle (params as CTE
+    column refs) render their expressions through this one function, so
+    the IEEE op sequence is identical by construction — the ml_logreg_gd
+    bit-identical-fold discipline, generalized to a parameterized
+    template. xref/w/mu/va are formatters: d -> SQL fragment."""
+    terms = [f"(({xref(d)} - {mu(d)}) * ({xref(d)} - {mu(d)}) / {va(d)})" for d in range(1, _GMM_D + 1)]
+    terms += [f"ln({va(d)})" for d in range(1, _GMM_D + 1)]
+    return f"ln({w()}) - 0.5 * ({' + '.join(terms)})"
+
+
+def _gmm_resp_exprs():
+    """r_k softmax over the shifted scores — identical text both engines."""
+    den = " + ".join(f"exp(s{k} - sm)" for k in range(_GMM_K))
+    return [f"exp(s{k} - sm) / ({den})" for k in range(_GMM_K)]
+
+
+def _gmm_oracle() -> str:
+    # Generated CTE chain replaying the EM rounds (the _logreg_gd_oracle
+    # pattern): E-step scores through _gmm_s_skeleton with w{r-1} column
+    # refs, softmax responsibilities, 27 re-rounded (8 dp) M-step
+    # averages, driver-equivalent parameter update arithmetic inside the
+    # w{r} CTE (same IEEE ops on the same rounded bits as the Spark
+    # driver's Python floats). All CTEs MATERIALIZED.
+    K, D = _GMM_K, _GMM_D
+    xs = ", ".join(f"CAST(embedding[{d}] AS DOUBLE) AS x{d}" for d in range(1, D + 1))
+    init_mu_cols = ", ".join(
+        f"round(avg(x{d}), 8) AS m{d}" for d in range(1, D + 1)
+    )
+    init_var_cols = ", ".join(
+        f"round(var_pop(x{d}), 8) AS v{d}" for d in range(1, D + 1)
+    )
+    w0_cols = [f"CAST(0.33333333 AS DOUBLE) AS wk{k}" for k in range(K)]
+    for k in range(K):
+        w0_cols += [f"m{k}.m{d} AS mu{k}_{d}" for d in range(1, D + 1)]
+        w0_cols += [f"s.v{d} AS va{k}_{d}" for d in range(1, D + 1)]
+    mus_joins = " ".join(
+        f"CROSS JOIN (SELECT {init_mu_cols} FROM pts WHERE vec_id % {K} = {k}) m{k}"
+        for k in range(K)
+    )
+
+    def s_expr(k):
+        return _gmm_s_skeleton(
+            lambda d: f"x{d}",
+            lambda: f"w.wk{k}",
+            lambda d, k=k: f"w.mu{k}_{d}",
+            lambda d, k=k: f"w.va{k}_{d}",
+        )
+
+    rexprs = _gmm_resp_exprs()
+    rounds = []
+    prev = "w0"
+    for r in range(1, _GMM_ROUNDS + 1):
+        score_cols = ", ".join(f"{s_expr(k)} AS s{k}" for k in range(K))
+        sm = ", ".join(f"s{k}" for k in range(K))
+        rcols = ", ".join(f"{rexprs[k]} AS r{k}" for k in range(K))
+        aggs = []
+        for k in range(K):
+            aggs.append(f"round(avg(r{k}), 8) AS a_r{k}")
+            for d in range(1, D + 1):
+                aggs.append(f"round(avg(r{k} * x{d}), 8) AS a_rx{k}_{d}")
+                aggs.append(f"round(avg(r{k} * x{d} * x{d}), 8) AS a_rxx{k}_{d}")
+        upd = [f"g.a_r{k} AS wk{k}" for k in range(K)]
+        for k in range(K):
+            for d in range(1, D + 1):
+                upd.append(f"round(g.a_rx{k}_{d} / g.a_r{k}, 8) AS mu{k}_{d}")
+                upd.append(
+                    f"greatest(round(g.a_rxx{k}_{d} / g.a_r{k} "
+                    f"- (g.a_rx{k}_{d} / g.a_r{k}) * (g.a_rx{k}_{d} / g.a_r{k}), 8), "
+                    f"{_GMM_VFLOOR}) AS va{k}_{d}"
+                )
+        xs_fwd = ", ".join(f"x{d}" for d in range(1, D + 1))
+        rounds.append(f"""
+        e{r} AS MATERIALIZED (
+            SELECT {xs_fwd}, {sm}, greatest({sm}) AS sm
+            FROM (SELECT p.*, {score_cols} FROM pts p CROSS JOIN {prev} w)
+        ),
+        r{r} AS MATERIALIZED (
+            SELECT {xs_fwd}, {rcols} FROM e{r}
+        ),
+        g{r} AS MATERIALIZED (
+            SELECT {", ".join(aggs)} FROM r{r}
+        ),
+        w{r} AS MATERIALIZED (
+            SELECT {", ".join(upd)} FROM g{r} g
+        )""")
+        prev = f"w{r}"
+    final_scores = ", ".join(f"{s_expr(k)} AS s{k}" for k in range(K))
+    sm = ", ".join(f"s{k}" for k in range(K))
+    lldenom = " + ".join(f"exp(s{k} - sm)" for k in range(K))
+    out_rows = []
+    for k in range(K):
+        for d in range(1, D + 1):
+            out_rows.append(
+                f"SELECT CAST({k} AS BIGINT) AS component, CAST({d} AS BIGINT) AS dim, "
+                f"wk{k} AS weight, mu{k}_{d} AS mu, va{k}_{d} AS sigma2 FROM {prev}"
+            )
+    return f"""
+        WITH pts AS MATERIALIZED (
+            SELECT vec_id, {xs} FROM embeddings
+        ),
+        stats AS MATERIALIZED (SELECT {init_var_cols} FROM pts),
+        w0 AS MATERIALIZED (
+            SELECT {", ".join(w0_cols)} FROM stats s {mus_joins}
+        ),{",".join(rounds)},
+        scored AS MATERIALIZED (
+            SELECT ln({lldenom}) + sm AS ll FROM (
+                SELECT {sm}, greatest({sm}) AS sm
+                FROM (SELECT p.*, {final_scores} FROM pts p CROSS JOIN {prev} w))
+        ),
+        met AS MATERIALIZED (SELECT round(avg(ll), 6) AS loglik FROM scored)
+        SELECT t.component, t.dim, t.weight, t.mu, t.sigma2, m.loglik
+        FROM ({" UNION ALL ".join(out_rows)}) t CROSS JOIN met m
+    """
+
+
+@query("ml_gmm_em", oracle=_gmm_oracle(), family="ml")
+def ml_gmm_em(spark, sf_dir):
+    """Diagonal-covariance Gaussian-mixture EM (k=3 components over the
+    first 4 embedding dims, 3 pinned rounds) built from engine
+    primitives and fully ORACLE-VERIFIED — the density-estimation
+    member of the deterministic-ML-twin family (joins ml_logreg_gd,
+    vec_kmeans_lloyd, vec_pca_power, ml_als_rank1; MLlib's
+    GaussianMixture is RNG-seeded and could only ever be rows-only).
+    Deterministic init: mu_k = per-(vec_id % 3) group means, shared
+    global var_pop variances, uniform weights. Each round: E-step
+    log-scores rendered from ONE shared skeleton (_gmm_s_skeleton) on
+    both engines so the per-row fold is bit-identical; max-shifted
+    softmax responsibilities; M-step as 27 mergeable re-rounded (8 dp)
+    averages — MLlib's treeAggregate shape, one corpus scan per round —
+    with the k*(1+2d)-scalar parameter update applied driver-side
+    (the sanctioned driver-scalar pattern, like ml_logreg_gd's 65
+    weights). exp()/ln() may drift an ulp per row across engines, but
+    every aggregate is re-rounded before the update, so each round
+    restarts from bit-identical parameters; the Python-round
+    half-even vs DuckDB half-away boundary hazard is measure-zero and
+    declared (ml_logreg_gd documents the class). Variance floor 1e-4
+    (greatest/max on both sides). At 100 TB: rounds x one cached-scan
+    with a 27-value treeAggregate — identical cost shape to MLlib's
+    own EM; the driver state is O(k*d) scalars per round."""
+    e = table(spark, sf_dir, "embeddings")
+    K, D = _GMM_K, _GMM_D
+    pts = e.select(
+        "vec_id",
+        *[F.element_at("embedding", d).cast("double").alias(f"x{d}") for d in range(1, D + 1)],
+    ).localCheckpoint()
+    var_row = pts.agg(
+        *[F.round(F.var_pop(f"x{d}"), 8).alias(f"v{d}") for d in range(1, D + 1)]
+    ).collect()[0]
+    mu_rows = (
+        pts.groupBy((F.col("vec_id") % K).alias("g"))
+        .agg(*[F.round(F.avg(f"x{d}"), 8).alias(f"m{d}") for d in range(1, D + 1)])
+        .collect()
+    )
+    mu_by_g = {int(r["g"]): [r[f"m{d}"] for d in range(1, D + 1)] for r in mu_rows}
+    wk = [0.33333333] * K
+    mu = [mu_by_g[k][:] for k in range(K)]
+    va = [[var_row[f"v{d}"] for d in range(1, D + 1)] for k in range(K)]
+
+    def s_expr(k):
+        return _gmm_s_skeleton(
+            lambda d: f"x{d}",
+            lambda k=k: repr(wk[k]),
+            lambda d, k=k: repr(mu[k][d - 1]),
+            lambda d, k=k: repr(va[k][d - 1]),
+        )
+
+    rexprs = _gmm_resp_exprs()
+    for _ in range(_GMM_ROUNDS):
+        scored = pts
+        for k in range(K):
+            scored = scored.withColumn(f"s{k}", F.expr(s_expr(k)))
+        scored = scored.withColumn(
+            "sm", F.greatest(*[F.col(f"s{k}") for k in range(K)])
+        )
+        for k in range(K):
+            scored = scored.withColumn(f"r{k}", F.expr(rexprs[k]))
+        aggs = []
+        for k in range(K):
+            aggs.append(F.round(F.avg(f"r{k}"), 8).alias(f"a_r{k}"))
+            for d in range(1, D + 1):
+                aggs.append(
+                    F.round(F.avg(F.col(f"r{k}") * F.col(f"x{d}")), 8).alias(f"a_rx{k}_{d}")
+                )
+                aggs.append(
+                    F.round(
+                        F.avg(F.col(f"r{k}") * F.col(f"x{d}") * F.col(f"x{d}")), 8
+                    ).alias(f"a_rxx{k}_{d}")
+                )
+        g = scored.agg(*aggs).collect()[0]
+        for k in range(K):
+            wk[k] = g[f"a_r{k}"]
+            for d in range(1, D + 1):
+                a_r, a_rx, a_rxx = g[f"a_r{k}"], g[f"a_rx{k}_{d}"], g[f"a_rxx{k}_{d}"]
+                mu[k][d - 1] = round(a_rx / a_r, 8)
+                va[k][d - 1] = max(
+                    round(a_rxx / a_r - (a_rx / a_r) * (a_rx / a_r), 8), _GMM_VFLOOR
+                )
+
+    final = pts
+    for k in range(K):
+        final = final.withColumn(f"s{k}", F.expr(s_expr(k)))
+    final = final.withColumn("sm", F.greatest(*[F.col(f"s{k}") for k in range(K)]))
+    lldenom = " + ".join(f"exp(s{k} - sm)" for k in range(K))
+    met = final.select(F.expr(f"ln({lldenom}) + sm").alias("ll")).agg(
+        F.round(F.avg("ll"), 6).alias("loglik")
+    )
+    params = [
+        (k, d, wk[k], mu[k][d - 1], va[k][d - 1])
+        for k in range(K)
+        for d in range(1, D + 1)
+    ]
+    out = spark.createDataFrame(
+        params, "component bigint, dim bigint, weight double, mu double, sigma2 double"
+    )
+    return out.crossJoin(F.broadcast(met))

@@ -1127,6 +1127,74 @@ def test_cusum_matches_sequential_recursion(spark):
             assert abs(s - got[(et, day.isoformat())]) < 1e-4, (et, day)
 
 
+def test_gmm_em_matches_numpy_replay_and_improves(spark):
+    # replay the exact EM schedule in numpy (8dp re-rounded aggregates,
+    # same init) — independent of both engines — and require the Spark
+    # params to match to 1e-6; EM's monotone-improvement guarantee must
+    # hold from init to the final loglik
+    import numpy as np
+    import pandas as pd
+
+    from spark_ml_helper_spark.operators.ml import (
+        _GMM_D,
+        _GMM_K,
+        _GMM_ROUNDS,
+        _GMM_VFLOOR,
+    )
+
+    rows = QUERIES["ml_gmm_em"](spark, SF_ORACLE).collect()
+    assert len(rows) == _GMM_K * _GMM_D
+    got_w = {r.component: r.weight for r in rows}
+    assert abs(sum(got_w.values()) - 1.0) < 1e-6
+    assert all(r.sigma2 >= _GMM_VFLOOR for r in rows)
+
+    df = pd.read_parquet(f"{SF_ORACLE}/embeddings.parquet")
+    X = np.stack(df["embedding"].to_numpy())[:, :_GMM_D].astype(np.float64)
+    vid = df["vec_id"].to_numpy()
+    wk = np.full(_GMM_K, 0.33333333)
+    mu = np.stack(
+        [np.round(X[vid % _GMM_K == k].mean(axis=0), 8) for k in range(_GMM_K)]
+    )
+    va = np.tile(np.round(X.var(axis=0), 8), (_GMM_K, 1))
+
+    def loglik():
+        s = np.stack(
+            [
+                np.log(wk[k]) - 0.5 * (((X - mu[k]) ** 2 / va[k]).sum(1) + np.log(va[k]).sum())
+                for k in range(_GMM_K)
+            ]
+        )
+        sm = s.max(axis=0)
+        return float(np.mean(np.log(np.exp(s - sm).sum(axis=0)) + sm))
+
+    ll_init = loglik()
+    for _ in range(_GMM_ROUNDS):
+        s = np.stack(
+            [
+                np.log(wk[k]) - 0.5 * (((X - mu[k]) ** 2 / va[k]).sum(1) + np.log(va[k]).sum())
+                for k in range(_GMM_K)
+            ]
+        )
+        sm = s.max(axis=0)
+        r = np.exp(s - sm) / np.exp(s - sm).sum(axis=0)
+        a_r = np.round(r.mean(axis=1), 8)
+        a_rx = np.round((r[:, :, None] * X[None]).mean(axis=1), 8)
+        a_rxx = np.round((r[:, :, None] * X[None] ** 2).mean(axis=1), 8)
+        wk = a_r
+        mu = np.round(a_rx / a_r[:, None], 8)
+        va = np.maximum(
+            np.round(a_rxx / a_r[:, None] - (a_rx / a_r[:, None]) ** 2, 8), _GMM_VFLOOR
+        )
+    ll_final = loglik()
+    assert ll_final > ll_init, (ll_final, ll_init)
+    for r in rows:
+        k, d = r.component, r.dim - 1
+        assert abs(r.weight - wk[k]) < 1e-6, ("w", k)
+        assert abs(r.mu - mu[k][d]) < 1e-6, ("mu", k, d)
+        assert abs(r.sigma2 - va[k][d]) < 1e-6, ("va", k, d)
+    assert abs(rows[0].loglik - round(ll_final, 6)) < 1e-5
+
+
 def test_louvain_improves_modularity(spark):
     # synchronous integer-score Louvain must (a) partition every node,
     # (b) genuinely merge communities, (c) produce a partition whose
