@@ -1273,3 +1273,105 @@ def dq_expectations(spark, sf_dir):
             )
         ).alias("e")
     ).select("e.expectation", "e.n_checked", "e.n_failed", "e.pass")
+
+
+_DSIR_TARGET_SRC = "src0"  # the "high-quality target domain" exemplar pool
+_DSIR_KEEP_Q = 0.75  # admit the top quartile by importance score
+
+
+@query(
+    "corpus_importance_resample",
+    oracle=f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, source = '{_DSIR_TARGET_SRC}' AS is_t,
+                   unnest(string_split(lower(text), ' ')) AS t
+            FROM documents
+        ),
+        vocab AS MATERIALIZED (
+            SELECT t,
+                   count(*) FILTER (is_t) AS ct,
+                   count(*) FILTER (NOT is_t) AS cr
+            FROM toks GROUP BY t
+        ),
+        tot AS (
+            SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM vocab
+        ),
+        probs AS MATERIALIZED (
+            SELECT t,
+                   ln((ct + 1.0) / (tot.nt + tot.v))
+                   - ln((cr + 1.0) / (tot.nr + tot.v)) AS lr
+            FROM vocab CROSS JOIN tot
+        ),
+        scores AS MATERIALIZED (
+            SELECT k.doc_id, round(avg(p.lr), 6) AS score,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM toks k JOIN probs p ON p.t = k.t
+            WHERE NOT k.is_t GROUP BY k.doc_id
+        ),
+        th AS (SELECT quantile_cont(score, {_DSIR_KEEP_Q}) AS th FROM scores)
+        SELECT s.doc_id, s.score, s.n_tokens, s.score >= t.th AS admitted
+        FROM scores s CROSS JOIN th t
+    """,
+    family="curation",
+)
+def corpus_importance_resample(spark, sf_dir):
+    """DSIR-style importance resampling (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every pool document by how much its unigram distribution looks like
+    a TARGET domain (here the '{src0}' source as the exemplar pool) and
+    admit the top quartile. Per-token importance log-ratio
+    lr(t) = ln p_target(t) - ln p_pool(t) with add-1 smoothing over the
+    SHARED vocabulary (exact integer counts, so the ratios are
+    bit-identical rationals on both engines before the ulp-level ln);
+    per-doc score = mean lr over its token OCCURRENCES (6 dp rounded);
+    threshold = exact interpolated 75th percentile of the rounded
+    scores (Spark percentile == DuckDB quantile_cont — the
+    agg_percentile pairing), compared on the rounded grid.
+
+    Scale design: ONE corpus scan builds the token counts (map-side
+    partial agg keyed by token — the vocabulary, not the corpus, is the
+    group space); the lr table is vocabulary-bounded and BROADCAST into
+    the scoring join, so scoring is a map-side pass over the token
+    stream with one per-doc avg shuffle; the threshold is one scalar
+    agg. At 100 TB swap the exact percentile for approx_percentile and
+    the admit rule for a per-doc deterministic hash lottery with
+    p ∝ exp(score) (true DSIR sampling) — the scan/broadcast shape is
+    unchanged. Admission is NOT dedup: this selects for domain match;
+    run it after the dedup stages (pipeline_curate ordering)."""
+    d = table(spark, sf_dir, "documents").repartition("doc_id")
+    toks = d.select(
+        "doc_id",
+        (F.col("source") == _DSIR_TARGET_SRC).alias("is_t"),
+        F.explode(F.split(F.lower("text"), " ")).alias("t"),
+    )
+    vocab = toks.groupBy("t").agg(
+        F.count(F.when(F.col("is_t"), 1)).alias("ct"),
+        F.count(F.when(~F.col("is_t"), 1)).alias("cr"),
+    )
+    tot = vocab.agg(
+        F.sum("ct").cast("bigint").alias("nt"),
+        F.sum("cr").cast("bigint").alias("nr"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    probs = vocab.crossJoin(F.broadcast(tot)).select(
+        "t",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + F.col("v")))
+            - F.log((F.col("cr") + 1.0) / (F.col("nr") + F.col("v")))
+        ).alias("lr"),
+    )
+    scores = (
+        toks.filter(~F.col("is_t"))
+        .join(F.broadcast(probs), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("lr"), 6).alias("score"),
+            F.count("*").cast("bigint").alias("n_tokens"),
+        )
+    )
+    th = scores.agg(F.percentile("score", _DSIR_KEEP_Q).alias("th"))
+    return scores.crossJoin(F.broadcast(th)).select(
+        "doc_id", "score", "n_tokens", (F.col("score") >= F.col("th")).alias("admitted")
+    )

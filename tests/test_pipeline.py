@@ -1127,6 +1127,30 @@ def test_cusum_matches_sequential_recursion(spark):
             assert abs(s - got[(et, day.isoformat())]) < 1e-4, (et, day)
 
 
+def test_importance_resample_admits_top_quartile(spark):
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.operators.curation import _DSIR_TARGET_SRC
+    from spark_ml_helper_spark.sources.parquet import table
+
+    rows = QUERIES["corpus_importance_resample"](spark, SF_ORACLE).collect()
+    target_ids = {
+        r.doc_id
+        for r in table(spark, SF_ORACLE, "documents")
+        .filter(F.col("source") == _DSIR_TARGET_SRC)
+        .select("doc_id")
+        .collect()
+    }
+    # one score per POOL doc; target exemplars never scored
+    assert rows and not ({r.doc_id for r in rows} & target_ids)
+    admitted = [r for r in rows if r.admitted]
+    frac = len(admitted) / len(rows)
+    assert 0.2 <= frac <= 0.35, frac  # top quartile, ties may widen it
+    # admission must be exactly the score threshold rule
+    th = min(r.score for r in admitted)
+    assert all((r.score >= th) == r.admitted for r in rows)
+
+
 def test_gmm_em_matches_numpy_replay_and_improves(spark):
     # replay the exact EM schedule in numpy (8dp re-rounded aggregates,
     # same init) — independent of both engines — and require the Spark
