@@ -1350,3 +1350,145 @@ def ts_holt_linear(spark, sf_dir):
         F.round("r.lvl", 6).alias("level"),
         F.round("r.trd", 6).alias("trend"),
     )
+
+
+_HW_M = 7  # seasonal period (observations — weekly on the daily grid)
+_HW_A = 0.3  # level
+_HW_B = 0.1  # trend
+_HW_G = 0.2  # seasonal
+
+
+def _hw_init_exprs(x):
+    """Shared init skeleton (x: 1-based index -> engine fragment):
+    l0 = mean of cycle 1, b0 = (mean cycle 2 - mean cycle 1)/m,
+    s_i = x_i - l0 — the textbook moving-average initialization."""
+    m = _HW_M
+    a1 = f"round(({' + '.join(x(i) for i in range(1, m + 1))}) / {m}.0, 9)"
+    a2 = f"round(({' + '.join(x(i) for i in range(m + 1, 2 * m + 1))}) / {m}.0, 9)"
+    b0 = f"round(({a2} - {a1}) / {m}.0, 9)"
+    s_init = [f"round({x(i)} - {a1}, 9)" for i in range(1, m + 1)]
+    return a1, b0, s_init
+
+
+def _hw_step_exprs(xt, l, b, su):
+    """Shared per-step skeleton: additive Holt-Winters update, every
+    state re-rounded at 9 dp (the shared-grid discipline)."""
+    a, bb, g = _HW_A, _HW_B, _HW_G
+    fitted = f"round({l} + {b} + {su}, 9)"
+    lnew = f"round({a} * ({xt} - {su}) + {1 - a} * ({l} + {b}), 9)"
+    bnew = f"round({bb} * ({lnew} - {l}) + {1 - bb} * {b}, 9)"
+    snew = f"round({g} * ({xt} - {lnew}) + {1 - g} * {su}, 9)"
+    return fitted, lnew, bnew, snew
+
+
+def _hw_oracle() -> str:
+    # WITH RECURSIVE carrying the m-slot seasonal QUEUE as a list
+    # column (head = s_{t-m}, consumed then re-appended) — verified
+    # DuckDB recursion keeps list types stable; the _holt_oracle
+    # list_reduce trap does not apply to recursive-CTE projections.
+    m = _HW_M
+    a1, b0, s_init = _hw_init_exprs(lambda i: f"sx[{i}]")
+    fitted, lnew, bnew, snew = _hw_step_exprs("sx[i + 1]", "l", "b", "sl[1]")
+    return f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   round(avg(value), 6) AS x
+            FROM events GROUP BY event_type, date_trunc('day', ts)
+        ),
+        ser AS (
+            SELECT event_type,
+                   list(d ORDER BY d) AS sd, list(x ORDER BY d) AS sx
+            FROM daily GROUP BY event_type HAVING count(*) >= {2 * m + 1}
+        ),
+        hw AS (
+            SELECT event_type, sd, sx, {m} AS i,
+                   {a1} AS l, {b0} AS b,
+                   [{", ".join(s_init)}] AS sl,
+                   CAST(NULL AS DOUBLE) AS fitted,
+                   CAST(NULL AS DOUBLE) AS sea
+            FROM ser
+            UNION ALL
+            SELECT event_type, sd, sx, i + 1,
+                   {lnew}, {bnew},
+                   list_append(sl[2:], {snew}),
+                   {fitted},
+                   {snew}
+            FROM hw WHERE i < len(sx)
+        )
+        SELECT event_type, sd[i] AS d, round(sx[i], 6) AS x,
+               round(fitted, 6) AS fitted,
+               round(l, 6) AS level, round(b, 6) AS trend,
+               round(sea, 6) AS seasonal
+        FROM hw WHERE i > {m}
+    """
+
+
+@query("ts_holt_winters", oracle=_hw_oracle(), family="timeseries")
+def ts_holt_winters(spark, sf_dir):
+    """Additive Holt-Winters (triple exponential smoothing: level +
+    trend + m=7-observation seasonality; Winters 1960, FPP §8.3) on the
+    daily per-event-type series — completes the smoothing family
+    (win_ewma: truncated single; ts_holt_linear: coupled double; this:
+    triple with a SEASONAL STATE QUEUE). The recursion is the same
+    strict in-order JVM fold as ts_holt_linear, but the accumulator now
+    carries the last m seasonal values as an array queue (head =
+    s_{t-m}, consumed each step, the fresh s_t appended) — the state a
+    streaming forecaster would keep per key. Both engines render init
+    and step from ONE shared skeleton (_hw_init_exprs/_hw_step_exprs, the
+    ml_gmm_em discipline), every state re-rounded at 9 dp. Textbook
+    moving-average init: l_m = cycle-1 mean, b_m = (cycle-2 mean -
+    cycle-1 mean)/m, s_i = x_i - l_m; rows emitted from t = m+1 with the
+    one-step-ahead fitted = l + b + s_{t-m} next to the realized value.
+    Seasonality is OBSERVATION-periodic (every m points of the sorted
+    series), calendar-anchored only when the grid is gap-free — the
+    fixture's daily grid is; ts_gap_fill is the repair step otherwise.
+    At 100 TB the corpus-scale stage is still only the daily hash agg;
+    the per-series fold state is O(m) scalars over calendar-length
+    arrays."""
+    m = _HW_M
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.round(F.avg("value"), 6).alias("x"))
+    ser = (
+        daily.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "x"))).alias("sx"))
+        .filter(F.size("sx") >= 2 * m + 1)
+    )
+    # 0-based bracket indexing in Spark SQL: sx[i-1].x is the i-th value
+    a1, b0, s_init = _hw_init_exprs(lambda i: f"cast(sx[{i - 1}].x as double)")
+    fitted, lnew, bnew, snew = _hw_step_exprs(
+        "e.x", "acc.l", "acc.b", "element_at(acc.sl, 1)"
+    )
+    seqt = (
+        "array<struct<d:timestamp,x:double,fitted:double,"
+        "lvl:double,trd:double,sea:double>>"
+    )
+    fold = F.expr(
+        f"""
+        aggregate(
+            slice(sx, {m + 1}, size(sx) - {m}),
+            named_struct(
+                'l', {a1}, 'b', {b0},
+                'sl', array({", ".join(s_init)}),
+                'seq', cast(array() as {seqt})),
+            (acc, e) -> named_struct(
+                'l', {lnew},
+                'b', {bnew},
+                'sl', concat(slice(acc.sl, 2, {m - 1}), array({snew})),
+                'seq', concat(acc.seq, array(named_struct(
+                    'd', e.d, 'x', e.x,
+                    'fitted', {fitted},
+                    'lvl', {lnew}, 'trd', {bnew}, 'sea', {snew}))))
+        ).seq
+        """
+    )
+    return ser.select("event_type", F.explode(fold).alias("r")).select(
+        "event_type",
+        F.col("r.d").alias("d"),
+        F.round("r.x", 6).alias("x"),
+        F.round("r.fitted", 6).alias("fitted"),
+        F.round("r.lvl", 6).alias("level"),
+        F.round("r.trd", 6).alias("trend"),
+        F.round("r.sea", 6).alias("seasonal"),
+    )

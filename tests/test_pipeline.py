@@ -1307,6 +1307,63 @@ def test_holt_linear_matches_sequential_recursion(spark):
     assert n_checked == len(got)
 
 
+def test_holt_winters_matches_sequential_recursion(spark):
+    # same independent-Python-replay check as ts_holt_linear, now with
+    # the m-slot seasonal queue
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.operators.timeseries import (
+        _HW_A,
+        _HW_B,
+        _HW_G,
+        _HW_M,
+    )
+    from spark_ml_helper_spark.sources.parquet import table
+
+    got = {
+        (r["event_type"], r["d"]): (r["fitted"], r["level"], r["trend"], r["seasonal"])
+        for r in QUERIES["ts_holt_winters"](spark, SF_ORACLE).collect()
+    }
+    assert got
+    daily = (
+        table(spark, SF_ORACLE, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.round(F.avg("value"), 6).alias("x"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["d"], r["x"]))
+    m = _HW_M
+    n_checked = 0
+    for et, pts in series.items():
+        pts.sort()
+        if len(pts) < 2 * m + 1:
+            continue
+        xs = [x for _, x in pts]
+        l = round(sum(xs[:m]) / m, 9)
+        a2 = round(sum(xs[m : 2 * m]) / m, 9)
+        b = round((a2 - l) / m, 9)
+        sl = [round(x - l, 9) for x in xs[:m]]
+        for t in range(m, len(pts)):
+            d, x = pts[t]
+            su = sl[0]
+            fitted = round(l + b + su, 9)
+            ln = round(_HW_A * (x - su) + (1 - _HW_A) * (l + b), 9)
+            bn = round(_HW_B * (ln - l) + (1 - _HW_B) * b, 9)
+            sn = round(_HW_G * (x - ln) + (1 - _HW_G) * su, 9)
+            l, b, sl = ln, bn, sl[1:] + [sn]
+            gf, gl, gt, gs = got[(et, d)]
+            assert abs(gf - round(fitted, 6)) < 1e-9, (et, d)
+            assert abs(gl - round(l, 6)) < 1e-9, (et, d)
+            assert abs(gt - round(b, 6)) < 1e-9, (et, d)
+            assert abs(gs - round(sn, 6)) < 1e-9, (et, d)
+            n_checked += 1
+    assert n_checked == len(got)
+
+
 def test_autocorr_bounded_and_pair_counts(spark):
     rows = QUERIES["ts_autocorr"](spark, SF_ORACLE).collect()
     assert len(rows) == 5 * 7  # 5 event types x lags 1..7
