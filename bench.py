@@ -57,6 +57,9 @@ HEADLINE = [
     "pipeline_pretrain_report",  # composed curation funnel, one corpus scan (round-6)
     "sim_pq_adc",       # PQ asymmetric-distance ANN scan (round-6)
     "sim_ann_ivfpq",    # IVF cell probe x PQ ADC + exact rescore (round-7)
+    "dedup_incremental",# batch-vs-index incremental MinHash dedup (round-7)
+    "graph_louvain",    # alternating-side integer-score Louvain (round-7)
+    "ml_gmm_em",        # deterministic diagonal-GMM EM twin (round-7)
 ]
 
 

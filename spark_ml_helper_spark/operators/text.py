@@ -763,8 +763,13 @@ def build_dedup_index(hashed_docs):
     band_val) rows per rep. In production both frames are written once
     per snapshot (bands bucketed by band_val) and only APPENDED to —
     scale_probe_incremental measures exactly that amortization."""
-    reps = hashed_docs.groupBy("skey").agg(
-        F.min("doc_id").alias("set_id"), F.first("tok_hashes").alias("tok_hashes")
+    reps = (
+        hashed_docs.groupBy("skey")
+        .agg(F.min("doc_id").alias("set_id"), F.first("tok_hashes").alias("tok_hashes"))
+        # reps IS the persisted artifact — materialize once so bands,
+        # rescore and exact-match consumers don't each re-run the
+        # collapse groupBy (in production they read the same parquet)
+        .localCheckpoint(eager=True)
     )
     return reps, _rep_bands(reps, "set_id")
 
@@ -773,8 +778,12 @@ def incremental_decisions(batch_docs, index_reps, index_bands):
     """The per-snapshot decision pass of dedup_incremental: admit each
     batch doc against a prebuilt (reps, bands) index. Cost is
     batch-bounded — see the dedup_incremental docstring."""
-    batch_reps = batch_docs.groupBy("skey").agg(
-        F.min("doc_id").alias("brep"), F.first("tok_hashes").alias("tok_hashes")
+    batch_reps = (
+        batch_docs.groupBy("skey")
+        .agg(F.min("doc_id").alias("brep"), F.first("tok_hashes").alias("tok_hashes"))
+        # four consumers (bands, rescore, exacts, decision join) —
+        # materialize once instead of re-running the groupBy per branch
+        .localCheckpoint(eager=True)
     )
     cand = (
         _rep_bands(batch_reps, "skey")
