@@ -256,3 +256,131 @@ def sql_lateral_topk(spark, sf_dir):
 
     load_tables(spark, sf_dir)
     return spark.sql(_LATERAL_TOPK)
+
+
+_Q4_SHAPE = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query("sql_exists_semijoin", oracle=_Q4_SHAPE, family="sqlapi")
+def sql_exists_semijoin(spark, sf_dir):
+    """TPC-H Q4-shape order-priority checking: a correlated EXISTS over
+    the fact table (orders with at least one line shipped after the
+    order date), counted per priority — the canonical
+    subquery-to-SEMI-JOIN decorrelation. One SQL text, both engines
+    (the sql_star_join discipline). Catalyst rewrites the EXISTS into a
+    left-semi hash join on l_orderkey with the correlated predicate as
+    the join condition; at 100 TB that semi join shuffles on the
+    already-partitioned order key and the date filter pushes to the
+    orders scan — EXISTS never materializes the subquery result."""
+    for t in ("orders", "lineitem"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q4_SHAPE)
+
+
+_Q18_SHAPE = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+"""
+
+
+@query("sql_in_agg_subquery", oracle=_Q18_SHAPE, family="sqlapi")
+def sql_in_agg_subquery(spark, sf_dir):
+    """TPC-H Q18-shape large-volume customers: IN over an AGGREGATED
+    subquery (orders whose total quantity beats a threshold), re-joined
+    to the customer/orders detail. The IN-subquery becomes a semi join
+    against the aggregated frame — the aggregate runs ONCE, partial
+    map-side, keyed on the same l_orderkey the outer join uses, so at
+    100 TB the subquery agg and the semi join share a partitioning and
+    AQE plans them back to back without an extra exchange. Total order
+    (o_totalprice DESC, o_orderkey) makes the top-20 deterministic."""
+    for t in ("customer", "orders", "lineitem"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q18_SHAPE)
+
+
+_Q21_SHAPE = """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
+
+
+@query("sql_exists_notexists", oracle=_Q21_SHAPE, family="sqlapi")
+def sql_exists_notexists(spark, sf_dir):
+    """TPC-H Q21-shape suppliers-who-kept-orders-waiting, adapted to the
+    fixture schema (sole RETURNED line on a finalized multi-supplier
+    order stands in for the receipt-late predicate — the fixture carries
+    no l_receiptdate): the hardest decorrelation shape in the TPC-H
+    suite, a correlated EXISTS and a correlated NOT EXISTS against the
+    SAME fact table with inequality correlation (l_suppkey <>). Catalyst
+    plans them as a left-semi plus a left-anti join, both keyed on
+    l_orderkey — three passes over lineitem that all shuffle on the one
+    fact key (co-partitioned under AQE), never a per-row subquery
+    execution. Ties broken by (numwait DESC, s_name)."""
+    for t in ("supplier", "orders", "lineitem"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q21_SHAPE)
+
+
+_Q22_SHAPE = """
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+@query("sql_scalar_notexists", oracle=_Q22_SHAPE, family="sqlapi")
+def sql_scalar_notexists(spark, sf_dir):
+    """TPC-H Q22-shape global-sales-opportunity: an UNCORRELATED scalar
+    subquery (global positive-balance average — one row, broadcast into
+    the filter) combined with a correlated NOT EXISTS (customers with no
+    high-value order → left-anti join on o_custkey), aggregated per
+    segment. The scalar subquery runs once regardless of corpus size;
+    the anti join is the only corpus-scale operation and shuffles on
+    the customer key. Money stays on the 2-decimal grid (exact
+    2-dp inputs summed, rounded at 2 — the BASELINE.md money
+    discipline)."""
+    for t in ("customer", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q22_SHAPE)
