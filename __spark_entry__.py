@@ -52,6 +52,19 @@ _REVERIFY_FIRST = [
     "stream_run_static_join",
     "stream_run_foreach_batch",
     "stream_run_stream_join",
+    # r7 second wave: the ten operators added this round, pinned so the
+    # round's own additions are driver-recorded (they are all unseen, so
+    # this only reorders them to the head of the unseen block):
+    "dedup_incremental",
+    "ts_holt_linear",
+    "ts_holt_winters",
+    "graph_louvain",
+    "ml_gmm_em",
+    "corpus_importance_resample",
+    "sql_exists_semijoin",
+    "sql_in_agg_subquery",
+    "sql_exists_notexists",
+    "sql_scalar_notexists",
 ]
 
 

@@ -1237,25 +1237,51 @@ def ts_seasonal_index(spark, sf_dir):
     )
 
 
-_HOLT_A = 0.3  # level smoothing
-_HOLT_B = 0.1  # trend smoothing
+_HOLT_AN, _HOLT_AD = 3, 10  # level smoothing alpha = 3/10
+_HOLT_BN, _HOLT_BD = 1, 10  # trend smoothing beta = 1/10
+
+# Why INTEGER state (nano-units) and not a rounded double recursion: the
+# hypothesis sweeps in tests/test_properties.py showed that a
+# round(state, 9) chain over values derived from a decimal grid lands
+# EXACTLY on rounding half-boundaries with ~1e-1..1e-3 probability per
+# step, and there the three rounding implementations genuinely disagree
+# (Spark: HALF_UP on the double's shortest decimal repr; DuckDB: scaled
+# double multiply; Python: half-even on the exact binary expansion) —
+# the sf fixtures passed only by luck. With BIGINT nano-unit state every
+# update is exact integer arithmetic plus floor(n / 10.0), which is
+# engine-identical for |n| < 2^52: the quotient is exactly an integer
+# iff 10 | n (IEEE division of an integer by 10 is exact there) and
+# otherwise sits >= 0.1 away from one — no boundary to disagree on.
+# The same trick as the money-in-cents discipline (ts_seasonal_index).
+
+
+def _nano(x):
+    """6 dp-grid double -> exact nano-unit BIGINT (both engines: x*1e6
+    is within an ulp of an integer, round() recovers it exactly)."""
+    return f"CAST(round({x} * 1000000) AS BIGINT) * 1000"
+
+
+def _holt_step_exprs(xt, l, b):
+    """Shared integer-state Holt step: l' = floor((3x + 7(l+b))/10),
+    b' = floor((1(l'-l) + 9b)/10); fitted = l + b (exact)."""
+    an, ad = _HOLT_AN, _HOLT_AD
+    bn, bd = _HOLT_BN, _HOLT_BD
+    fitted = f"({l} + {b})"
+    lnew = f"CAST(floor(({an} * {xt} + {ad - an} * ({l} + {b})) / {ad}.0) AS BIGINT)"
+    bnew = f"CAST(floor(({bn} * ({lnew} - {l}) + {bd - bn} * {b}) / {bd}.0) AS BIGINT)"
+    return fitted, lnew, bnew
 
 
 def _holt_oracle() -> str:
-    # Identical recursion in DuckDB via WITH RECURSIVE, one row per
-    # (series, step). NOT list_reduce: DuckDB 1.0 mutates a struct
-    # accumulator IN PLACE field-by-field inside the lambda, so a later
-    # field's expression sees the current step's already-assigned fields
-    # (minimal repro: (acc,e) -> struct_pack(l := X, b := X) with
-    # identical X yields l != b). The recursive CTE carries the series
-    # arrays along its 5 rows x ~30 steps - trivially bounded, the
-    # corpus-scale work happened in the daily aggregate. Every step
-    # re-rounds l and b at 9 dp, putting both engines on a shared grid
-    # (the sim_pq_adc LUT discipline); outputs re-round the 9 dp values
-    # at 6 dp exactly as the Spark side does.
-    a, b = _HOLT_A, _HOLT_B
-    lnew = f"round({a} * sx[i + 1] + {1 - a} * (l + b), 9)"
-    bnew = f"round({b} * ({lnew} - l) + {1 - b} * b, 9)"
+    # WITH RECURSIVE over the integer state, one row per (series, step).
+    # NOT list_reduce: DuckDB 1.0 mutates a struct accumulator IN PLACE
+    # field-by-field inside the lambda, so a later field's expression
+    # sees the current step's already-assigned fields (minimal repro:
+    # (acc,e) -> struct_pack(l := X, b := X) with identical X yields
+    # l != b). The recursive CTE carries the series arrays along its
+    # 5 rows x ~30 steps — trivially bounded; the corpus-scale work
+    # happened in the daily aggregate.
+    fitted, lnew, bnew = _holt_step_exprs("sxn[i + 1]", "l", "b")
     return f"""
         WITH RECURSIVE daily AS (
             SELECT event_type, date_trunc('day', ts) AS d,
@@ -1264,25 +1290,27 @@ def _holt_oracle() -> str:
         ),
         ser AS (
             SELECT event_type,
-                   list(d ORDER BY d) AS sd, list(x ORDER BY d) AS sx
+                   list(d ORDER BY d) AS sd, list(x ORDER BY d) AS sx,
+                   list({_nano('x')} ORDER BY d) AS sxn
             FROM daily GROUP BY event_type HAVING count(*) >= 3
         ),
         hw AS (
-            SELECT event_type, sd, sx, 2 AS i,
-                   CAST(sx[2] AS DOUBLE) AS l,
-                   round(sx[2] - sx[1], 9) AS b,
-                   CAST(NULL AS DOUBLE) AS fitted
+            SELECT event_type, sd, sx, sxn, 2 AS i,
+                   sxn[2] AS l,
+                   sxn[2] - sxn[1] AS b,
+                   CAST(NULL AS BIGINT) AS fitted
             FROM ser
             UNION ALL
-            SELECT event_type, sd, sx, i + 1,
+            SELECT event_type, sd, sx, sxn, i + 1,
                    {lnew},
                    {bnew},
-                   round(l + b, 9)
+                   {fitted}
             FROM hw WHERE i < len(sx)
         )
         SELECT event_type, sd[i] AS d, round(sx[i], 6) AS x,
-               round(fitted, 6) AS fitted,
-               round(l, 6) AS level, round(b, 6) AS trend
+               CAST(fitted AS DOUBLE) / 1e9 AS fitted,
+               CAST(l AS DOUBLE) / 1e9 AS level,
+               CAST(b AS DOUBLE) / 1e9 AS trend
         FROM hw WHERE i >= 3
     """
 
@@ -1294,24 +1322,23 @@ def ts_holt_linear(spark, sf_dir):
     (Holt 1957; Hyndman & Athanasopoulos FPP §8.2) and the genuinely
     RECURSIVE sibling of win_ewma: level and trend are coupled
     (l_t = a·x_t + (1-a)(l_{t-1}+b_{t-1}); b_t = β(l_t-l_{t-1}) +
-    (1-β)b_{t-1}), so unlike single EWMA there is no truncated-window
-    closed form — the recursion itself must run. It runs as a strict
-    in-order JVM fold: one corpus-scale hash agg builds the bounded
-    daily grid (map-side partial agg; the grid is days×types regardless
-    of corpus size), then array_sort(collect_list) + aggregate() folds
-    each series with a struct accumulator carrying (l, b, emitted seq) —
-    no UDF, no per-row window shuffle, no driver loop. Init l_2 = x_2,
-    b_2 = x_2 - x_1; rows emitted from t=3 with the one-step-ahead
-    forecast (fitted = l_{t-1}+b_{t-1}) next to the realized value.
-    Each step re-rounds l/b at 9 dp so both engines fold on a shared
-    grid; outputs round at 6 dp. At 100 TB the only corpus-scale stage
-    is the first aggregate — the fold touches series whose length is
-    the CALENDAR, not the corpus; thousands of independent series
-    parallelize per group key."""
-    a, b = _HOLT_A, _HOLT_B
-    seqt = "array<struct<d:timestamp,x:double,fitted:double,lvl:double,trd:double>>"
-    lnew = f"round({a} * e.x + {1 - a} * (acc.l + acc.b), 9)"
-    bnew = f"round({b} * ({lnew} - acc.l) + {1 - b} * acc.b, 9)"
+    (1-β)b_{t-1}, a=0.3 β=0.1), so unlike single EWMA there is no
+    truncated-window closed form — the recursion itself must run. It
+    runs as a strict in-order JVM fold: one corpus-scale hash agg
+    builds the bounded daily grid (map-side partial agg; the grid is
+    days×types regardless of corpus size), then
+    array_sort(collect_list) + aggregate() folds each series with a
+    struct accumulator — no UDF, no per-row window shuffle, no driver
+    loop. The state lives in EXACT NANO-UNIT INTEGERS (floor-div
+    updates, zero floating point in the recursion): hypothesis sweeps
+    proved a rounded-double state chain hits rounding half-boundaries
+    where Spark/DuckDB/Python round()s disagree (see the module
+    comment above _nano). Init l_2 = x_2, b_2 = x_2 - x_1 (exact);
+    rows emitted from t=3 with the one-step-ahead forecast
+    (fitted = l_{t-1}+b_{t-1}) next to the realized value. At 100 TB
+    the only corpus-scale stage is the first aggregate — the fold
+    touches series whose length is the CALENDAR, not the corpus;
+    thousands of independent series parallelize per group key."""
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("d")
@@ -1321,22 +1348,23 @@ def ts_holt_linear(spark, sf_dir):
         .agg(F.array_sort(F.collect_list(F.struct("d", "x"))).alias("sx"))
         .filter(F.size("sx") >= 3)
     )
+    fitted, lnew, bnew = _holt_step_exprs(_nano("e.x"), "acc.l", "acc.b")
+    x2n = _nano("sx[1].x")
+    x1n = _nano("sx[0].x")
+    seqt = "array<struct<d:timestamp,x:double,fitted:bigint,lvl:bigint,trd:bigint>>"
     fold = F.expr(
         f"""
         aggregate(
             slice(sx, 3, size(sx) - 2),
             named_struct(
-                'd', sx[1].d, 'x', cast(sx[1].x as double),
-                'l', cast(sx[1].x as double),
-                'b', cast(round(sx[1].x - sx[0].x, 9) as double),
+                'l', {x2n}, 'b', {x2n} - {x1n},
                 'seq', cast(array() as {seqt})),
             (acc, e) -> named_struct(
-                'd', e.d, 'x', e.x,
                 'l', {lnew},
                 'b', {bnew},
                 'seq', concat(acc.seq, array(named_struct(
                     'd', e.d, 'x', e.x,
-                    'fitted', round(acc.l + acc.b, 9),
+                    'fitted', {fitted},
                     'lvl', {lnew},
                     'trd', {bnew}))))
         ).seq
@@ -1346,49 +1374,54 @@ def ts_holt_linear(spark, sf_dir):
         "event_type",
         F.col("r.d").alias("d"),
         F.round("r.x", 6).alias("x"),
-        F.round("r.fitted", 6).alias("fitted"),
-        F.round("r.lvl", 6).alias("level"),
-        F.round("r.trd", 6).alias("trend"),
+        (F.col("r.fitted").cast("double") / F.lit(1e9)).alias("fitted"),
+        (F.col("r.lvl").cast("double") / F.lit(1e9)).alias("level"),
+        (F.col("r.trd").cast("double") / F.lit(1e9)).alias("trend"),
     )
 
 
 _HW_M = 7  # seasonal period (observations — weekly on the daily grid)
-_HW_A = 0.3  # level
-_HW_B = 0.1  # trend
-_HW_G = 0.2  # seasonal
+_HW_GN, _HW_GD = 2, 10  # seasonal smoothing gamma = 2/10
 
 
-def _hw_init_exprs(x):
-    """Shared init skeleton (x: 1-based index -> engine fragment):
-    l0 = mean of cycle 1, b0 = (mean cycle 2 - mean cycle 1)/m,
-    s_i = x_i - l0 — the textbook moving-average initialization."""
+def _hw_init_exprs(xn):
+    """Shared integer-state init (xn: 1-based index -> nano fragment):
+    l0 = floor(mean of cycle 1), b0 = floor((mean2 - mean1)/m),
+    s_i = x_i - l0 — the textbook moving-average initialization in
+    exact nano-units (floor(n/m.0) is engine-identical: exact when
+    m | n, >= 1/m away from an integer otherwise)."""
     m = _HW_M
-    a1 = f"round(({' + '.join(x(i) for i in range(1, m + 1))}) / {m}.0, 9)"
-    a2 = f"round(({' + '.join(x(i) for i in range(m + 1, 2 * m + 1))}) / {m}.0, 9)"
-    b0 = f"round(({a2} - {a1}) / {m}.0, 9)"
-    s_init = [f"round({x(i)} - {a1}, 9)" for i in range(1, m + 1)]
+    a1 = f"CAST(floor(({' + '.join(xn(i) for i in range(1, m + 1))}) / {m}.0) AS BIGINT)"
+    a2 = f"CAST(floor(({' + '.join(xn(i) for i in range(m + 1, 2 * m + 1))}) / {m}.0) AS BIGINT)"
+    b0 = f"CAST(floor(({a2} - {a1}) / {m}.0) AS BIGINT)"
+    s_init = [f"{xn(i)} - {a1}" for i in range(1, m + 1)]
     return a1, b0, s_init
 
 
 def _hw_step_exprs(xt, l, b, su):
-    """Shared per-step skeleton: additive Holt-Winters update, every
-    state re-rounded at 9 dp (the shared-grid discipline)."""
-    a, bb, g = _HW_A, _HW_B, _HW_G
-    fitted = f"round({l} + {b} + {su}, 9)"
-    lnew = f"round({a} * ({xt} - {su}) + {1 - a} * ({l} + {b}), 9)"
-    bnew = f"round({bb} * ({lnew} - {l}) + {1 - bb} * {b}, 9)"
-    snew = f"round({g} * ({xt} - {lnew}) + {1 - g} * {su}, 9)"
+    """Shared integer-state Holt-Winters step (additive): the Holt
+    level/trend floor-div updates with the seasonal term, plus
+    s' = floor((2(x - l') + 8 s)/10)."""
+    an, ad = _HOLT_AN, _HOLT_AD
+    bn, bd = _HOLT_BN, _HOLT_BD
+    gn, gd = _HW_GN, _HW_GD
+    fitted = f"({l} + {b} + {su})"
+    lnew = (
+        f"CAST(floor(({an} * ({xt} - {su}) + {ad - an} * ({l} + {b})) / {ad}.0) AS BIGINT)"
+    )
+    bnew = f"CAST(floor(({bn} * ({lnew} - {l}) + {bd - bn} * {b}) / {bd}.0) AS BIGINT)"
+    snew = f"CAST(floor(({gn} * ({xt} - {lnew}) + {gd - gn} * {su}) / {gd}.0) AS BIGINT)"
     return fitted, lnew, bnew, snew
 
 
 def _hw_oracle() -> str:
-    # WITH RECURSIVE carrying the m-slot seasonal QUEUE as a list
+    # WITH RECURSIVE carrying the m-slot seasonal QUEUE as a BIGINT list
     # column (head = s_{t-m}, consumed then re-appended) — verified
     # DuckDB recursion keeps list types stable; the _holt_oracle
     # list_reduce trap does not apply to recursive-CTE projections.
     m = _HW_M
-    a1, b0, s_init = _hw_init_exprs(lambda i: f"sx[{i}]")
-    fitted, lnew, bnew, snew = _hw_step_exprs("sx[i + 1]", "l", "b", "sl[1]")
+    a1, b0, s_init = _hw_init_exprs(lambda i: f"sxn[{i}]")
+    fitted, lnew, bnew, snew = _hw_step_exprs("sxn[i + 1]", "l", "b", "sl[1]")
     return f"""
         WITH RECURSIVE daily AS (
             SELECT event_type, date_trunc('day', ts) AS d,
@@ -1397,18 +1430,19 @@ def _hw_oracle() -> str:
         ),
         ser AS (
             SELECT event_type,
-                   list(d ORDER BY d) AS sd, list(x ORDER BY d) AS sx
+                   list(d ORDER BY d) AS sd, list(x ORDER BY d) AS sx,
+                   list({_nano('x')} ORDER BY d) AS sxn
             FROM daily GROUP BY event_type HAVING count(*) >= {2 * m + 1}
         ),
         hw AS (
-            SELECT event_type, sd, sx, {m} AS i,
+            SELECT event_type, sd, sx, sxn, {m} AS i,
                    {a1} AS l, {b0} AS b,
                    [{", ".join(s_init)}] AS sl,
-                   CAST(NULL AS DOUBLE) AS fitted,
-                   CAST(NULL AS DOUBLE) AS sea
+                   CAST(NULL AS BIGINT) AS fitted,
+                   CAST(NULL AS BIGINT) AS sea
             FROM ser
             UNION ALL
-            SELECT event_type, sd, sx, i + 1,
+            SELECT event_type, sd, sx, sxn, i + 1,
                    {lnew}, {bnew},
                    list_append(sl[2:], {snew}),
                    {fitted},
@@ -1416,9 +1450,10 @@ def _hw_oracle() -> str:
             FROM hw WHERE i < len(sx)
         )
         SELECT event_type, sd[i] AS d, round(sx[i], 6) AS x,
-               round(fitted, 6) AS fitted,
-               round(l, 6) AS level, round(b, 6) AS trend,
-               round(sea, 6) AS seasonal
+               CAST(fitted AS DOUBLE) / 1e9 AS fitted,
+               CAST(l AS DOUBLE) / 1e9 AS level,
+               CAST(b AS DOUBLE) / 1e9 AS trend,
+               CAST(sea AS DOUBLE) / 1e9 AS seasonal
         FROM hw WHERE i > {m}
     """
 
@@ -1426,24 +1461,27 @@ def _hw_oracle() -> str:
 @query("ts_holt_winters", oracle=_hw_oracle(), family="timeseries")
 def ts_holt_winters(spark, sf_dir):
     """Additive Holt-Winters (triple exponential smoothing: level +
-    trend + m=7-observation seasonality; Winters 1960, FPP §8.3) on the
-    daily per-event-type series — completes the smoothing family
-    (win_ewma: truncated single; ts_holt_linear: coupled double; this:
-    triple with a SEASONAL STATE QUEUE). The recursion is the same
-    strict in-order JVM fold as ts_holt_linear, but the accumulator now
-    carries the last m seasonal values as an array queue (head =
+    trend + m=7-observation seasonality, a=0.3 β=0.1 γ=0.2; Winters
+    1960, FPP §8.3) on the daily per-event-type series — completes the
+    smoothing family (win_ewma: truncated single; ts_holt_linear:
+    coupled double; this: triple with a SEASONAL STATE QUEUE). The
+    recursion is the same strict in-order JVM fold as ts_holt_linear —
+    EXACT NANO-UNIT INTEGER state, floor-div updates, zero floating
+    point (see the module comment above _nano for why rounded-double
+    state chains are cross-engine fragile) — but the accumulator now
+    carries the last m seasonal values as a BIGINT array queue (head =
     s_{t-m}, consumed each step, the fresh s_t appended) — the state a
     streaming forecaster would keep per key. Both engines render init
-    and step from ONE shared skeleton (_hw_init_exprs/_hw_step_exprs, the
-    ml_gmm_em discipline), every state re-rounded at 9 dp. Textbook
-    moving-average init: l_m = cycle-1 mean, b_m = (cycle-2 mean -
-    cycle-1 mean)/m, s_i = x_i - l_m; rows emitted from t = m+1 with the
-    one-step-ahead fitted = l + b + s_{t-m} next to the realized value.
-    Seasonality is OBSERVATION-periodic (every m points of the sorted
-    series), calendar-anchored only when the grid is gap-free — the
-    fixture's daily grid is; ts_gap_fill is the repair step otherwise.
-    At 100 TB the corpus-scale stage is still only the daily hash agg;
-    the per-series fold state is O(m) scalars over calendar-length
+    and step from ONE shared skeleton (_hw_init_exprs/_hw_step_exprs,
+    the ml_gmm_em discipline). Textbook moving-average init: l_m =
+    cycle-1 mean, b_m = (cycle-2 mean - cycle-1 mean)/m, s_i = x_i -
+    l_m; rows emitted from t = m+1 with the one-step-ahead fitted =
+    l + b + s_{t-m} next to the realized value. Seasonality is
+    OBSERVATION-periodic (every m points of the sorted series),
+    calendar-anchored only when the grid is gap-free — the fixture's
+    daily grid is; ts_gap_fill is the repair step otherwise. At 100 TB
+    the corpus-scale stage is still only the daily hash agg; the
+    per-series fold state is O(m) integers over calendar-length
     arrays."""
     m = _HW_M
     e = table(spark, sf_dir, "events")
@@ -1456,13 +1494,13 @@ def ts_holt_winters(spark, sf_dir):
         .filter(F.size("sx") >= 2 * m + 1)
     )
     # 0-based bracket indexing in Spark SQL: sx[i-1].x is the i-th value
-    a1, b0, s_init = _hw_init_exprs(lambda i: f"cast(sx[{i - 1}].x as double)")
+    a1, b0, s_init = _hw_init_exprs(lambda i: _nano(f"sx[{i - 1}].x"))
     fitted, lnew, bnew, snew = _hw_step_exprs(
-        "e.x", "acc.l", "acc.b", "element_at(acc.sl, 1)"
+        _nano("e.x"), "acc.l", "acc.b", "element_at(acc.sl, 1)"
     )
     seqt = (
-        "array<struct<d:timestamp,x:double,fitted:double,"
-        "lvl:double,trd:double,sea:double>>"
+        "array<struct<d:timestamp,x:double,fitted:bigint,"
+        "lvl:bigint,trd:bigint,sea:bigint>>"
     )
     fold = F.expr(
         f"""
@@ -1487,8 +1525,8 @@ def ts_holt_winters(spark, sf_dir):
         "event_type",
         F.col("r.d").alias("d"),
         F.round("r.x", 6).alias("x"),
-        F.round("r.fitted", 6).alias("fitted"),
-        F.round("r.lvl", 6).alias("level"),
-        F.round("r.trd", 6).alias("trend"),
-        F.round("r.sea", 6).alias("seasonal"),
+        (F.col("r.fitted").cast("double") / F.lit(1e9)).alias("fitted"),
+        (F.col("r.lvl").cast("double") / F.lit(1e9)).alias("level"),
+        (F.col("r.trd").cast("double") / F.lit(1e9)).alias("trend"),
+        (F.col("r.sea").cast("double") / F.lit(1e9)).alias("seasonal"),
     )

@@ -1270,8 +1270,8 @@ def test_holt_linear_matches_sequential_recursion(spark):
 
     from pyspark.sql import functions as F
 
-    from spark_ml_helper_spark.operators.timeseries import _HOLT_A, _HOLT_B
     from spark_ml_helper_spark.sources.parquet import table
+    from tests.test_properties import _holt_python
 
     got = {
         (r["event_type"], r["d"]): (r["fitted"], r["level"], r["trend"])
@@ -1292,17 +1292,9 @@ def test_holt_linear_matches_sequential_recursion(spark):
         pts.sort()
         if len(pts) < 3:
             continue
-        lvl = pts[1][1]
-        trd = round(pts[1][1] - pts[0][1], 9)
-        for d, x in pts[2:]:
-            fitted = round(lvl + trd, 9)
-            lnew = round(_HOLT_A * x + (1 - _HOLT_A) * (lvl + trd), 9)
-            trd = round(_HOLT_B * (lnew - lvl) + (1 - _HOLT_B) * trd, 9)
-            lvl = lnew
-            gf, gl, gt = got[(et, d)]
-            assert abs(gf - round(fitted, 6)) < 1e-9, (et, d)
-            assert abs(gl - round(lvl, 6)) < 1e-9, (et, d)
-            assert abs(gt - round(trd, 6)) < 1e-9, (et, d)
+        want = _holt_python([x for _, x in pts])
+        for (d, _), exp in zip(pts[2:], want):
+            assert got[(et, d)] == exp, (et, d)
             n_checked += 1
     assert n_checked == len(got)
 
@@ -1314,13 +1306,9 @@ def test_holt_winters_matches_sequential_recursion(spark):
 
     from pyspark.sql import functions as F
 
-    from spark_ml_helper_spark.operators.timeseries import (
-        _HW_A,
-        _HW_B,
-        _HW_G,
-        _HW_M,
-    )
+    from spark_ml_helper_spark.operators.timeseries import _HW_M
     from spark_ml_helper_spark.sources.parquet import table
+    from tests.test_properties import _hw_python
 
     got = {
         (r["event_type"], r["d"]): (r["fitted"], r["level"], r["trend"], r["seasonal"])
@@ -1342,24 +1330,9 @@ def test_holt_winters_matches_sequential_recursion(spark):
         pts.sort()
         if len(pts) < 2 * m + 1:
             continue
-        xs = [x for _, x in pts]
-        l = round(sum(xs[:m]) / m, 9)
-        a2 = round(sum(xs[m : 2 * m]) / m, 9)
-        b = round((a2 - l) / m, 9)
-        sl = [round(x - l, 9) for x in xs[:m]]
-        for t in range(m, len(pts)):
-            d, x = pts[t]
-            su = sl[0]
-            fitted = round(l + b + su, 9)
-            ln = round(_HW_A * (x - su) + (1 - _HW_A) * (l + b), 9)
-            bn = round(_HW_B * (ln - l) + (1 - _HW_B) * b, 9)
-            sn = round(_HW_G * (x - ln) + (1 - _HW_G) * su, 9)
-            l, b, sl = ln, bn, sl[1:] + [sn]
-            gf, gl, gt, gs = got[(et, d)]
-            assert abs(gf - round(fitted, 6)) < 1e-9, (et, d)
-            assert abs(gl - round(l, 6)) < 1e-9, (et, d)
-            assert abs(gt - round(b, 6)) < 1e-9, (et, d)
-            assert abs(gs - round(sn, 6)) < 1e-9, (et, d)
+        want = _hw_python([x for _, x in pts], m)
+        for (d, _), exp in zip(pts[m:], want):
+            assert got[(et, d)] == exp, (et, d)
             n_checked += 1
     assert n_checked == len(got)
 

@@ -105,3 +105,117 @@ def test_simhash_banding_never_false_negative_claim_is_tight(sig, flips):
     touched = {b // 15 for b in flips}
     if len(touched) < 4:
         assert any(a == b for a, b in zip(_bands(sig), _bands(other)))
+
+
+# ---- Holt / Holt-Winters oracle recursion vs pure-Python replay --------
+#
+# The fixture-based tests replay the SPARK fold against Python at one
+# corpus; these sweep the DuckDB oracle recursion (shared skeleton,
+# WITH RECURSIVE, exact nano-unit integer state) across random series
+# shapes. HISTORY: the first drafts of these ops kept a
+# round(state, 9) double chain — THESE SWEEPS falsified it (grid-
+# derived values land exactly on rounding half-boundaries, where
+# Spark/DuckDB/Python round() implementations disagree), which is why
+# the ops now use integer state with floor-div updates. The replay
+# below is bit-exact, no tolerances.
+
+
+def _nano_py(x):
+    return round(x * 1000000) * 1000
+
+
+def _holt_python(xs):
+    import math
+
+    ns = [_nano_py(x) for x in xs]
+    l, b = ns[1], ns[1] - ns[0]
+    out = []
+    for xt in ns[2:]:
+        fitted = l + b
+        ln = math.floor((3 * xt + 7 * (l + b)) / 10.0)
+        bn = math.floor((1 * (ln - l) + 9 * b) / 10.0)
+        l, b = ln, bn
+        out.append((fitted / 1e9, l / 1e9, b / 1e9))
+    return out
+
+
+def _hw_python(xs, m):
+    import math
+
+    ns = [_nano_py(x) for x in xs]
+    l = math.floor(sum(ns[:m]) / float(m))
+    a2 = math.floor(sum(ns[m : 2 * m]) / float(m))
+    b = math.floor((a2 - l) / float(m))
+    sl = [n - l for n in ns[:m]]
+    out = []
+    for xt in ns[m:]:
+        su = sl[0]
+        fitted = l + b + su
+        ln = math.floor((3 * (xt - su) + 7 * (l + b)) / 10.0)
+        bn = math.floor((1 * (ln - l) + 9 * b) / 10.0)
+        sn = math.floor((2 * (xt - ln) + 8 * su) / 10.0)
+        l, b, sl = ln, bn, sl[1:] + [sn]
+        out.append((fitted / 1e9, ln / 1e9, bn / 1e9, sn / 1e9))
+    return out
+
+
+def _events_con(xs):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = ", ".join(
+        f"('t', TIMESTAMP '2024-01-01' + INTERVAL {i} DAY, {x!r})"
+        for i, x in enumerate(xs)
+    )
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM (VALUES {rows}) "
+        "AS t(event_type, ts, value)"
+    )
+    return con
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(3, 45),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_holt_oracle_matches_python_replay(n, seed):
+    import datetime
+
+    from spark_ml_helper_spark.operators.timeseries import _holt_oracle
+
+    rng = np.random.default_rng(seed)
+    # one obs/day -> daily avg == the value itself (already 6 dp grid)
+    xs = [round(float(v), 6) for v in rng.uniform(-100, 100, size=n)]
+    got = {
+        str(r[1])[:10]: (r[3], r[4], r[5])
+        for r in _events_con(xs).execute(_holt_oracle()).fetchall()
+    }
+    want = _holt_python(xs)
+    assert len(got) == len(want) == max(n - 2, 0)
+    for i, exp in enumerate(want):
+        d = str(datetime.date(2024, 1, 1) + datetime.timedelta(days=i + 2))
+        assert got[d] == exp, (i, got[d], exp)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(15, 45),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_holt_winters_oracle_matches_python_replay(n, seed):
+    import datetime
+
+    from spark_ml_helper_spark.operators.timeseries import _HW_M, _hw_oracle
+
+    rng = np.random.default_rng(seed)
+    xs = [round(float(v), 6) for v in rng.uniform(-100, 100, size=n)]
+    got = {
+        str(r[1])[:10]: (r[3], r[4], r[5], r[6])
+        for r in _events_con(xs).execute(_hw_oracle()).fetchall()
+    }
+    want = _hw_python(xs, _HW_M)
+    assert len(got) == len(want) == n - _HW_M
+    for i, exp in enumerate(want):
+        d = str(datetime.date(2024, 1, 1) + datetime.timedelta(days=i + _HW_M))
+        assert got[d] == exp, (i, got[d], exp)
