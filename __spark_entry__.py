@@ -65,6 +65,13 @@ _REVERIFY_FIRST = [
     "sql_in_agg_subquery",
     "sql_exists_notexists",
     "sql_scalar_notexists",
+    # r7 hardening: the ADC sum now rounds at 9 dp (the LUT grid) instead
+    # of 6 — the Holt hypothesis sweeps proved 6 dp coarsening of 9 dp-grid
+    # values is a real cross-engine rounding hazard; values changed, so the
+    # two previously-recorded consumers re-verify (sim_ann_ivfpq is pinned
+    # above already):
+    "sim_pq_adc",
+    "pipeline_pq_retrieval",
 ]
 
 

@@ -2069,7 +2069,7 @@ def _pq_adc_oracle() -> str:
             FROM qs q JOIN c{_PQ_ROUNDS} c ON q.sub = c.sub
         ),
         adc AS MATERIALIZED (
-            SELECT l.query_id, s.vec_id, round(sum(l.qd), 6) AS adc_dist
+            SELECT l.query_id, s.vec_id, round(sum(l.qd), 9) AS adc_dist
             FROM sf s JOIN lut l ON s.sub = l.sub AND s.cluster = l.cluster
             WHERE s.vec_id != l.query_id
             GROUP BY l.query_id, s.vec_id
@@ -2101,10 +2101,16 @@ def sim_pq_adc(spark, sf_dir):
     billion-vector search tractable, and the candidate set it emits
     is what the exact rescore (sim_knn's JVM path) re-ranks.
     Determinism: LUT entries are bit-identical left-associated sums
-    on both engines, and the 8-lookup ADC sum is rounded at 6 dp
-    before the (adc_dist, vec_id)-tiebroken top-5 window. Recall vs
-    exact L2 is asserted in tests (2-bit codebooks are deliberately
-    coarse — the recall/memory dial is k)."""
+    on both engines, and the 8-lookup ADC sum is rounded at 9 dp —
+    the SAME grid the LUT entries sit on, so the round is a no-op
+    snap back to the grid (≥ 5e-10 from any boundary) — before the
+    (adc_dist, vec_id)-tiebroken top-5 window. It was 6 dp until
+    round 7: the Holt hypothesis sweeps proved coarsening grid
+    values hits rounding half-boundaries (~1e-3/value) where engine
+    round() implementations disagree; this op carried the same
+    latent hazard (passing only by draw). Recall vs exact L2 is
+    asserted in tests (2-bit codebooks are deliberately coarse —
+    the recall/memory dial is k)."""
     pts, cent, final = _pq_train(spark, sf_dir)
     qs = pts.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qv")
@@ -2126,7 +2132,7 @@ def sim_pq_adc(spark, sf_dir):
         final.join(F.broadcast(lut), ["sub", "cluster"])
         .where(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("qd"), 6).alias("adc_dist"))
+        .agg(F.round(F.sum("qd"), 9).alias("adc_dist"))
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
     return (
@@ -2338,7 +2344,7 @@ def _pq_retrieval_oracle() -> str:
             FROM qs q JOIN c{_PQ_ROUNDS} c ON q.sub = c.sub
         ),
         adc AS MATERIALIZED (
-            SELECT l.query_id, s.vec_id, round(sum(l.qd), 6) AS adc_dist
+            SELECT l.query_id, s.vec_id, round(sum(l.qd), 9) AS adc_dist
             FROM sf s JOIN lut l ON s.sub = l.sub AND s.cluster = l.cluster
             WHERE s.vec_id != l.query_id
             GROUP BY l.query_id, s.vec_id
@@ -2408,7 +2414,7 @@ def pipeline_pq_retrieval(spark, sf_dir):
         final.join(F.broadcast(lut), ["sub", "cluster"])
         .where(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("qd"), 6).alias("adc_dist"))
+        .agg(F.round(F.sum("qd"), 9).alias("adc_dist"))
     )
     w_adc = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
     cand = (
@@ -2502,7 +2508,7 @@ def _ivfpq_oracle() -> str:
             WHERE a.vec_id != p.query_id
         ),
         adc AS MATERIALIZED (
-            SELECT cc.query_id, cc.vec_id, round(sum(l.qd), 6) AS adc_dist
+            SELECT cc.query_id, cc.vec_id, round(sum(l.qd), 9) AS adc_dist
             FROM candcells cc
             JOIN sf s ON s.vec_id = cc.vec_id
             JOIN lut l ON l.query_id = cc.query_id
@@ -2632,7 +2638,7 @@ def sim_ann_ivfpq(spark, sf_dir):
         candcells.join(final, "vec_id")
         .join(F.broadcast(lut), ["query_id", "sub", "cluster"])
         .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("qd"), 6).alias("adc_dist"))
+        .agg(F.round(F.sum("qd"), 9).alias("adc_dist"))
     )
     w_adc = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
     cand = (
