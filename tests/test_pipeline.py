@@ -1261,6 +1261,23 @@ def test_louvain_improves_modularity(spark):
     q_single = q_of({n: n for n in nodes})
     assert q_louvain > 0 > q_single, (q_louvain, q_single)
 
+    # phase 2 (multilevel contraction) must strictly improve modularity
+    # over phase 1 on the same graph, merge communities, and keep the
+    # partition a refinement-coarsening of phase 1 (every phase-1
+    # community maps wholly into one phase-2 community)
+    labels2 = {
+        r.node: r.community
+        for r in QUERIES["graph_louvain_multilevel"](spark, SF_ORACLE).collect()
+    }
+    assert set(labels2) == nodes
+    assert len(set(labels2.values())) < len(set(labels.values()))
+    parent = {}
+    for n in nodes:
+        c1, c2 = labels[n], labels2[n]
+        assert parent.setdefault(c1, c2) == c2, (n, c1)  # coarsening only
+    q_ml = q_of(labels2)
+    assert q_ml > q_louvain, (q_ml, q_louvain)
+
 
 def test_holt_linear_matches_sequential_recursion(spark):
     # the JVM array fold must reproduce the textbook Holt recursion run
