@@ -1277,6 +1277,107 @@ def stats_ttest_welch(spark, sf_dir):
 
 
 @query(
+    "stats_mann_whitney",
+    oracle="""
+        WITH g AS (
+            SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1,
+                   o_totalprice AS x
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        byv AS (
+            SELECT x, CAST(count(*) AS BIGINT) AS c,
+                   CAST(sum(g1) AS BIGINT) AS c1
+            FROM g GROUP BY x
+        ),
+        ranked AS (
+            SELECT c, c1,
+                   sum(c) OVER (ORDER BY x
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - c + (c + 1) / 2.0
+                       AS avg_rank,
+                   c * c * c - c AS tie3
+            FROM byv
+        ),
+        s AS (
+            SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c - c1) AS BIGINT) AS n2,
+                   sum(c1 * avg_rank) AS r1,
+                   CAST(sum(tie3) AS BIGINT) AS ties3
+            FROM ranked
+        ),
+        u AS (
+            SELECT n1, n2,
+                   r1 - n1 * (n1 + 1) / 2.0 AS u1,
+                   n1 * n2 / 12.0
+                   * ((n1 + n2 + 1)
+                      - ties3 * 1.0 / ((n1 + n2) * (n1 + n2 - 1.0))) AS var_u
+            FROM s
+        )
+        SELECT n1, n2, u1,
+               round(1.0 - 2.0 * u1 / (n1 * n2), 6) AS rank_biserial,
+               round((u1 - n1 * n2 / 2.0) / sqrt(var_u), 6) AS z_stat,
+               CAST(abs(round((u1 - n1 * n2 / 2.0) / sqrt(var_u), 6)) > 1.96
+                    AS BOOLEAN) AS significant_95
+        FROM u
+    """,
+    family="analytics",
+)
+def stats_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) on URGENT vs LOW order
+    values — the NONPARAMETRIC companion to stats_ttest_welch (same
+    split, no normality assumption) and the location-shift counterpart
+    to stats_ks_test's shape test. Tied ranks get the midrank: per
+    DISTINCT value, avg_rank = cum - c + (c+1)/2 lands on the exact
+    0.5 grid, so R1 = Σ c1·avg_rank is fp-exact below 2^52 in both
+    engines — no cross-engine rank drift is possible. U1 = R1 -
+    n1(n1+1)/2; z uses the tie-corrected variance n1n2/12·((n+1) -
+    Σ(t³-t)/(n(n-1))) and rounds at 6 dp before the significance
+    compare (both engines test the identical rounded z); the
+    rank-biserial effect size 1 - 2U1/(n1n2) is an exact rational of
+    integers. The cumulative window is a global sort of the per-value
+    frame — |distinct prices| ≤ |orders|, the same documented trade as
+    stats_ks_test/agg_gini; at 100 TB swap in the range-partitioned
+    two-phase cumsum. Everything else is one filtered scan + one hash
+    agg + a 1-row fold."""
+    o = table(spark, sf_dir, "orders")
+    g = o.where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).select(
+        (F.col("o_orderpriority") == "1-URGENT").cast("bigint").alias("g1"),
+        F.col("o_totalprice").alias("x"),
+    )
+    byv = g.groupBy("x").agg(
+        F.count("*").alias("c"), F.sum("g1").alias("c1")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = byv.select(
+        "c",
+        "c1",
+        (F.sum("c").over(w) - F.col("c") + (F.col("c") + 1) / 2.0).alias(
+            "avg_rank"
+        ),
+        (F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tie3"),
+    )
+    s = ranked.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n2"),
+        F.sum(F.col("c1") * F.col("avg_rank")).alias("r1"),
+        F.sum("tie3").alias("ties3"),
+    )
+    n, n1, n2 = F.col("n1") + F.col("n2"), F.col("n1"), F.col("n2")
+    u1 = F.col("r1") - n1 * (n1 + 1) / 2.0
+    var_u = n1 * n2 / 12.0 * ((n + 1) - F.col("ties3") * 1.0 / (n * (n - 1.0)))
+    z = F.round((u1 - n1 * n2 / 2.0) / F.sqrt(var_u), 6)
+    return s.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        F.round(1.0 - 2.0 * u1 / (n1 * n2), 6).alias("rank_biserial"),
+        z.alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+@query(
     "events_session_stats",
     oracle="""
         WITH e AS (

@@ -825,6 +825,73 @@ def dq_k_anonymity(spark, sf_dir):
 
 
 @query(
+    "anon_l_diversity",
+    oracle="""
+        WITH cells AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS sens,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM customer GROUP BY 1, 2, 3
+        ),
+        cls AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS l_distinct,
+                   CAST(sum(cnt) AS BIGINT) AS sz,
+                   CAST(max(cnt) AS BIGINT) AS top_cnt
+            FROM cells GROUP BY 1, 2
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(min(l_distinct) AS BIGINT) AS l_diversity,
+               CAST(count(*) FILTER (WHERE l_distinct < 3) AS BIGINT)
+                   AS n_classes_below_3,
+               CAST(coalesce(sum(sz) FILTER (WHERE l_distinct < 3), 0)
+                    AS BIGINT) AS n_rows_below_3,
+               round(max(top_cnt * 1.0 / sz), 6) AS worst_class_share
+        FROM cls
+    """,
+    family="curation",
+)
+def anon_l_diversity(spark, sf_dir):
+    """l-diversity audit — the companion gate to dq_k_anonymity's k:
+    a class can be large (k-anonymous) yet still leak if every member
+    shares one SENSITIVE value, so per (nation, market-segment)
+    equivalence class we count DISTINCT sensitive values (account-
+    balance band, $2000 buckets) — the table's l is the minimum — plus
+    the classes/rows failing the l=3 release bar and the worst
+    homogeneity share max(top sensitive count / class size), which is
+    the min-entropy form of the same audit (−log of that share).
+    Machado/Kifer-style disclosure checks reduce to these two numbers.
+    Shape: one map-side-combining hash agg to the (QI, sensitive-band)
+    cell frame, a second agg to the class frame (≤ nations×segments
+    rows), then a 1-row fold — exact integers plus one 6-dp ratio of
+    integers; at 100 TB the only cost is the single corpus scan, same
+    as dq_k_anonymity."""
+    c = table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0).alias("sens"),
+    ).agg(F.count("*").alias("cnt"))
+    cls = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("l_distinct"),
+        F.sum("cnt").alias("sz"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    below = F.col("l_distinct") < 3
+    return cls.agg(
+        F.count("*").alias("n_classes"),
+        F.min("l_distinct").alias("l_diversity"),
+        F.count(F.when(below, 1)).alias("n_classes_below_3"),
+        F.coalesce(F.sum(F.when(below, F.col("sz"))), F.lit(0)).alias(
+            "n_rows_below_3"
+        ),
+        F.round(F.max(F.col("top_cnt") * 1.0 / F.col("sz")), 6).alias(
+            "worst_class_share"
+        ),
+    )
+
+
+@query(
     "dq_reconcile",
     oracle="""
         WITH snap AS (

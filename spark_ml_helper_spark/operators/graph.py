@@ -1261,3 +1261,98 @@ def graph_louvain_multilevel(spark, sf_dir):
     return comm.join(
         d.select(F.col("node").alias("c"), F.col("c").alias("community")), "c"
     ).select("node", "community")
+
+
+_BFS_SEED_DEG = 3
+_BFS_ROUNDS = 3
+
+
+def _bfs_oracle(rounds: int = _BFS_ROUNDS) -> str:
+    ctes = []
+    for r in range(1, rounds + 1):
+        p = f"d{r - 1}"
+        ctes.append(f""",
+        d{r} AS MATERIALIZED (
+            SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                SELECT node, dist FROM {p}
+                UNION ALL
+                SELECT e.dst AS node, d.dist + 1 AS dist
+                FROM edges e JOIN {p} d ON d.node = e.src
+            ) GROUP BY node
+        )""")
+    return f"""
+        WITH e0 AS (
+            SELECT o.o_custkey AS c, l.l_suppkey AS s
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2 HAVING count(*) >= {_CC_MIN_COOCCUR}
+        ),
+        edges AS MATERIALIZED (
+            SELECT c AS src, s + {_CC_SUPP_OFFSET} AS dst FROM e0
+            UNION ALL SELECT s + {_CC_SUPP_OFFSET}, c FROM e0
+        ),
+        deg AS MATERIALIZED (
+            SELECT src AS node, CAST(count(*) AS BIGINT) AS k
+            FROM edges GROUP BY src
+        ),
+        d0 AS (
+            SELECT node, CAST(0 AS BIGINT) AS dist
+            FROM deg WHERE k >= {_BFS_SEED_DEG}
+        ){"".join(ctes)}
+        SELECT node, dist FROM d{rounds}
+    """
+
+
+@query("graph_bfs_layers", oracle=_bfs_oracle(), family="graph")
+def graph_bfs_layers(spark, sf_dir):
+    """Multi-source BFS over the customer-supplier co-occurrence graph
+    (the graph_cc/graph_louvain edge list): seeds are the hub nodes
+    with degree >= 3, and every node gets its hop distance to the
+    NEAREST hub within 3 rounds — the distance-to-hub feature used for
+    graph-aware sampling and the reachable-core audit. Pregel shape
+    (Malewicz et al. 2010): each round is one edges-join-frontier
+    shuffle + a min-combine, exactly the message-passing round GraphX
+    runs, with localCheckpoint per round to cut lineage (on a cluster:
+    reliable checkpoint, SCALE.md lesson 2). This unrolled version
+    relaxes the FULL label frame each round, matching the oracle CTE
+    chain term for term; the production refinement at 100 TB is
+    delta-frontier propagation — join only the nodes whose dist
+    changed last round (frontier <= |V| and usually far smaller after
+    round 1), the standard Bellman-Ford/BFS pruning; distances are
+    exact BIGINTs so no fp is anywhere. Unreached nodes (farther than
+    3 hops from every hub) are absent from the result by construction,
+    which is itself the audit signal — compare counts with graph_cc's
+    component sizes."""
+    e0 = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _CC_MIN_COOCCUR)
+    )
+    fwd = e0.select(
+        F.col("c").alias("src"), (F.col("s") + _CC_SUPP_OFFSET).alias("dst")
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    d = deg.filter(F.col("k") >= _BFS_SEED_DEG).select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    )
+    for _ in range(_BFS_ROUNDS):
+        prop = (
+            edges.join(d.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        d = (
+            d.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return d
