@@ -1329,3 +1329,267 @@ def agg_hll_rollup(spark, sf_dir):
             <= 0.05 * F.col("n_users").cast("double")
         ).alias("within_5pct"),
     )
+
+
+# Pinned multiply-mod hash rows for the count-min sketch: h_i(k) =
+# ((a_i*k + b_i) mod P) mod W, P Mersenne-31 — universal-family integer
+# arithmetic both engines evaluate bit-identically (no engine hash
+# function is cross-compatible; Spark xxhash64 != DuckDB hash).
+# Pinned multiply-mod hash rows for the count-min sketch: h_i(k) =
+# ((a_i*k + b_i) mod P) mod W, P Mersenne-31 — universal-family integer
+# arithmetic both engines evaluate bit-identically (no engine hash
+# function is cross-compatible; Spark xxhash64 != DuckDB hash).
+_CMS_P = 2_147_483_647
+_CMS_ROWS = [(1_000_003, 12_345), (999_983, 54_321), (1_000_033, 98_765)]
+_CMS_WIDTHS = [64, 2048]
+_CMS_TOPK = 10
+
+
+def _cms_width_cte(w: int) -> str:
+    cells = " UNION ALL ".join(
+        f"""SELECT {i} AS row_i,
+                   (({a} * k + {b}) % {_CMS_P}) % {w} AS bucket,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM keys GROUP BY 2"""
+        for i, (a, b) in enumerate(_CMS_ROWS)
+    )
+    case = " ".join(
+        f"WHEN {i} THEN (({a} * p.k + {b}) % {_CMS_P}) % {w}"
+        for i, (a, b) in enumerate(_CMS_ROWS)
+    )
+    return f"""
+        cells{w} AS ({cells}),
+        est{w} AS (
+            SELECT p.k, CAST(min(c.cnt) AS BIGINT) AS est
+            FROM probes p
+            JOIN cells{w} c ON c.bucket = CASE c.row_i {case} END
+            GROUP BY p.k
+        )"""
+
+
+_CMS_ORACLE = f"""
+        WITH keys AS (
+            SELECT CAST(o_custkey AS BIGINT) AS k FROM orders
+        ),
+        exact AS (
+            SELECT k, CAST(count(*) AS BIGINT) AS exact_cnt
+            FROM keys GROUP BY k
+        ),
+        probes AS (
+            SELECT k, exact_cnt FROM exact
+            ORDER BY exact_cnt DESC, k LIMIT {_CMS_TOPK}
+        ),{",".join(_cms_width_cte(w) for w in _CMS_WIDTHS)}
+        SELECT p.k AS custkey, p.exact_cnt,
+               e64.est AS est_w64, e64.est - p.exact_cnt AS over_w64,
+               e2048.est AS est_w2048, e2048.est - p.exact_cnt AS over_w2048
+        FROM probes p
+        JOIN est64 e64 ON e64.k = p.k
+        JOIN est2048 e2048 ON e2048.k = p.k
+"""
+
+
+@query("agg_cms_sketch", oracle=_CMS_ORACLE, family="aggregates")
+def agg_cms_sketch(spark, sf_dir):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over customer
+    order frequencies as a WIDTH-TRADEOFF table (the
+    dedup_minhash_band_curve pattern): the top-10 exact keys are
+    probed against TWO sketches, d=3 pinned multiply-mod rows x w=64
+    and w=2048 buckets, so one result shows the paper's additive
+    error bound eps*N = e*N/w moving with w — at w=64 the uniform
+    custkey stream is CMS's worst case (every bucket absorbs ~N/w
+    mass, est ~ exact + N/w, measured overestimate ~220 on ~20 true
+    at sf0.01) while w=2048 drops the same probe to near-exact;
+    est >= exact ALWAYS (one-sided error) and both engines replay the
+    identical integer arithmetic, so a probabilistic structure
+    hash-verifies exactly. The 100 TB story is the build shape: one
+    map-side-combining groupBy to a FIXED d x w cell frame regardless
+    of corpus size or key cardinality, and cells are counters, so
+    shards/days/streams merge by cell-wise ADDITION — the same
+    mergeable-state property agg_bitmap_distinct and agg_hll_rollup
+    exploit, which is why CMS is the standard streaming frequency
+    sketch; the probe side is a broadcast join of the tiny cell frame
+    against the probe keys."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("k")
+    )
+    exact = o.groupBy("k").agg(F.count("*").cast("bigint").alias("exact_cnt"))
+    probes = exact.orderBy(F.desc("exact_cnt"), "k").limit(_CMS_TOPK)
+    out = probes
+    for w in _CMS_WIDTHS:
+        cells = None
+        for i, (a, b) in enumerate(_CMS_ROWS):
+            h = ((F.lit(a) * F.col("k") + F.lit(b)) % _CMS_P) % w
+            c = (
+                o.groupBy(h.alias("bucket"))
+                .agg(F.count("*").cast("bigint").alias("cnt"))
+                .select(F.lit(i).alias("row_i"), "bucket", "cnt")
+            )
+            cells = c if cells is None else cells.unionByName(c)
+        probe_h = F.create_map(
+            *[
+                x
+                for i, (a, b) in enumerate(_CMS_ROWS)
+                for x in (
+                    F.lit(i),
+                    ((F.lit(a) * F.col("k") + F.lit(b)) % _CMS_P) % w,
+                )
+            ]
+        )
+        est = (
+            probes.withColumn("h", probe_h)
+            .join(
+                F.broadcast(cells),
+                F.col("bucket") == F.element_at(F.col("h"), F.col("row_i")),
+            )
+            .groupBy("k")
+            .agg(F.min("cnt").cast("bigint").alias(f"est_w{w}"))
+        )
+        out = out.join(est, "k")
+    return out.select(
+        F.col("k").alias("custkey"),
+        "exact_cnt",
+        *[
+            col
+            for w in _CMS_WIDTHS
+            for col in (
+                F.col(f"est_w{w}"),
+                (F.col(f"est_w{w}") - F.col("exact_cnt")).alias(f"over_w{w}"),
+            )
+        ],
+    )
+
+
+_BLOOM_M = 4096
+_BLOOM_HASHES = [(1_000_003, 101), (999_983, 797), (1_000_033, 4099)]
+
+
+@query(
+    "agg_bloom_filter",
+    oracle=f"""
+        WITH members AS (
+            SELECT CAST(c_custkey AS BIGINT) AS k
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+        ),
+        bits AS (
+            SELECT DISTINCT (({_BLOOM_HASHES[0][0]} * k + {_BLOOM_HASHES[0][1]})
+                             % {_CMS_P}) % {_BLOOM_M} AS bit FROM members
+            UNION
+            SELECT (({_BLOOM_HASHES[1][0]} * k + {_BLOOM_HASHES[1][1]})
+                    % {_CMS_P}) % {_BLOOM_M} FROM members
+            UNION
+            SELECT (({_BLOOM_HASHES[2][0]} * k + {_BLOOM_HASHES[2][1]})
+                    % {_CMS_P}) % {_BLOOM_M} FROM members
+        ),
+        probes AS (
+            SELECT CAST(c_custkey AS BIGINT) AS k,
+                   CAST(c_mktsegment = 'BUILDING' AS BOOLEAN) AS is_member
+            FROM customer
+        ),
+        pb AS (
+            SELECT k, is_member,
+                   (({_BLOOM_HASHES[0][0]} * k + {_BLOOM_HASHES[0][1]})
+                    % {_CMS_P}) % {_BLOOM_M} AS b0,
+                   (({_BLOOM_HASHES[1][0]} * k + {_BLOOM_HASHES[1][1]})
+                    % {_CMS_P}) % {_BLOOM_M} AS b1,
+                   (({_BLOOM_HASHES[2][0]} * k + {_BLOOM_HASHES[2][1]})
+                    % {_CMS_P}) % {_BLOOM_M} AS b2
+            FROM probes
+        ),
+        flagged AS (
+            SELECT k, is_member,
+                   (b0 IN (SELECT bit FROM bits)
+                    AND b1 IN (SELECT bit FROM bits)
+                    AND b2 IN (SELECT bit FROM bits)) AS maybe_member
+            FROM pb
+        )
+        SELECT CAST(count(*) FILTER (WHERE is_member) AS BIGINT) AS n_members,
+               CAST(count(*) AS BIGINT) AS n_probes,
+               CAST((SELECT count(*) FROM bits) AS BIGINT) AS n_bits_set,
+               CAST(count(*) FILTER (WHERE maybe_member) AS BIGINT) AS n_flagged,
+               CAST(count(*) FILTER (WHERE is_member AND NOT maybe_member)
+                    AS BIGINT) AS n_false_neg,
+               CAST(count(*) FILTER (WHERE maybe_member AND NOT is_member)
+                    AS BIGINT) AS n_false_pos,
+               round(count(*) FILTER (WHERE maybe_member AND NOT is_member)
+                     * 1.0 / count(*) FILTER (WHERE NOT is_member), 6)
+                   AS fpr_measured,
+               round((SELECT count(*) FROM bits) * 1.0 / {_BLOOM_M}, 6)
+                   AS fill_ratio
+        FROM flagged
+    """,
+    family="aggregates",
+)
+def agg_bloom_filter(spark, sf_dir):
+    """Bloom-filter membership (Bloom 1970) built and audited end to
+    end with pinned integer hashes: k=3 multiply-mod rows over an
+    m=4096-bit array, members = BUILDING-segment customers, probes =
+    ALL customers. The report pins the two structural guarantees —
+    n_false_neg is ZERO (Bloom filters never miss a member) and every
+    extra flag is a false positive whose measured rate sits near the
+    fill-ratio bound (fpr ~ fill^k) — both as exact integer counts,
+    plus the exact-ratio fill and FPR at 6 dp (integer ratios, no fp
+    hazard). Distribution shape: the bit array is a DISTINCT over
+    3|members| ints collapsing to <= m rows — broadcast-sized by
+    construction at ANY corpus scale (that is the point of a Bloom
+    filter) — and the probe is a broadcast semi-join of each hash
+    column against it, the same plan Spark's own runtime row-level
+    bloom pushdown (join_runtime_bloom) builds internally; this
+    operator makes the structure inspectable and its error measurable.
+    Unlike the native bloom_filter_agg, pinned hashes make the filter
+    REPLAYABLE cross-engine: the DuckDB oracle rebuilds the identical
+    bit set, so the driver hash-verifies a probabilistic data
+    structure exactly."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("k"),
+        (F.col("c_mktsegment") == "BUILDING").alias("is_member"),
+    )
+    members = c.filter("is_member")
+    bits = None
+    hcols = []
+    for j, (a, b) in enumerate(_BLOOM_HASHES):
+        h = ((F.lit(a) * F.col("k") + F.lit(b)) % _CMS_P) % _BLOOM_M
+        hcols.append(h.alias(f"b{j}"))
+        s = members.select(h.alias("bit"))
+        bits = s if bits is None else bits.unionByName(s)
+    bits = bits.distinct()
+    pb = c.select("k", "is_member", *hcols)
+    for j in range(len(_BLOOM_HASHES)):
+        pb = pb.join(
+            F.broadcast(bits.withColumnRenamed("bit", f"b{j}")),
+            f"b{j}",
+            "left_semi",
+        ).withColumn(f"hit{j}", F.lit(True))
+    flagged_keys = pb.select("k", F.lit(True).alias("maybe_member"))
+    flagged = c.join(flagged_keys, "k", "left").fillna(
+        False, subset=["maybe_member"]
+    )
+    n_bits = bits.agg(F.count("*").cast("bigint").alias("n_bits_set"))
+    fp = F.col("maybe_member") & ~F.col("is_member")
+    return (
+        flagged.agg(
+            F.count(F.when(F.col("is_member"), 1)).alias("n_members"),
+            F.count("*").alias("n_probes"),
+            F.count(F.when(F.col("is_member") & ~F.col("maybe_member"), 1)).alias(
+                "n_false_neg"
+            ),
+            F.count(F.when(F.col("maybe_member"), 1)).alias("n_flagged"),
+            F.count(F.when(fp, 1)).alias("n_false_pos"),
+            F.round(
+                F.count(F.when(fp, 1))
+                * 1.0
+                / F.count(F.when(~F.col("is_member"), 1)),
+                6,
+            ).alias("fpr_measured"),
+        )
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_members",
+            "n_probes",
+            "n_bits_set",
+            "n_flagged",
+            "n_false_neg",
+            "n_false_pos",
+            "fpr_measured",
+            F.round(F.col("n_bits_set") * 1.0 / _BLOOM_M, 6).alias("fill_ratio"),
+        )
+    )

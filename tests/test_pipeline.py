@@ -3809,3 +3809,59 @@ def test_bpe_segment_stats_invariants(spark):
     # symbol vocab = primitive chars + up to 10 merged symbols
     assert row["vocab_symbols"] <= 27 + 10
     assert row["n_word_types"] >= 25
+
+
+def test_mann_whitney_matches_pure_python_replay(spark):
+    # the rank-sum fold replayed in pure Python over the same rows —
+    # midranks, tie correction, and the z-statistic must agree with the
+    # distributed per-distinct-value computation exactly (the Holt-test
+    # discipline: every new fold gets an independent replay)
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.sources.parquet import table
+
+    row = QUERIES["stats_mann_whitney"](spark, SF_ORACLE).collect()[0]
+    vals = (
+        table(spark, SF_ORACLE, "orders")
+        .where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    g1 = sorted(r.o_totalprice for r in vals if r.o_orderpriority == "1-URGENT")
+    g2 = sorted(r.o_totalprice for r in vals if r.o_orderpriority == "5-LOW")
+    n1, n2 = len(g1), len(g2)
+    n = n1 + n2
+    cnt = Counter(g1 + g2)
+    cnt1 = Counter(g1)
+    r1 = 0.0
+    cum = 0
+    ties3 = 0
+    for x in sorted(cnt):
+        c = cnt[x]
+        r1 += cnt1[x] * (cum + (c + 1) / 2.0)
+        cum += c
+        ties3 += c * c * c - c
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    var_u = n1 * n2 / 12.0 * ((n + 1) - ties3 / (n * (n - 1.0)))
+    z = round((u1 - n1 * n2 / 2.0) / var_u**0.5, 6)
+    assert (row.n1, row.n2) == (n1, n2)
+    assert row.u1 == u1  # exact 0.5-grid value, no tolerance needed
+    assert abs(row.z_stat - z) < 1e-9, (row.z_stat, z)
+    assert row.significant_95 == (abs(z) > 1.96)
+
+
+def test_sketch_structural_guarantees(spark):
+    # CMS: one-sided error (est >= exact, wider is tighter); Bloom:
+    # zero false negatives and flagged = members + false positives
+    cms = QUERIES["agg_cms_sketch"](spark, SF_ORACLE).collect()
+    assert len(cms) == 10
+    for r in cms:
+        assert r.over_w64 >= 0 and r.over_w2048 >= 0
+        assert r.est_w2048 <= r.est_w64  # more buckets never hurts here
+    bloom = QUERIES["agg_bloom_filter"](spark, SF_ORACLE).collect()[0]
+    assert bloom.n_false_neg == 0
+    assert bloom.n_flagged == bloom.n_members + bloom.n_false_pos
+    assert 0 < bloom.n_bits_set <= 3 * bloom.n_members
+    assert bloom.fpr_measured < 0.05
