@@ -1416,31 +1416,33 @@ def agg_cms_sketch(spark, sf_dir):
     probes = exact.orderBy(F.desc("exact_cnt"), "k").limit(_CMS_TOPK)
     out = probes
     for w in _CMS_WIDTHS:
-        cells = None
-        for i, (a, b) in enumerate(_CMS_ROWS):
-            h = ((F.lit(a) * F.col("k") + F.lit(b)) % _CMS_P) % w
-            c = (
-                o.groupBy(h.alias("bucket"))
-                .agg(F.count("*").cast("bigint").alias("cnt"))
-                .select(F.lit(i).alias("row_i"), "bucket", "cnt")
+        cells = (
+            o.select(
+                F.posexplode(
+                    F.array(
+                        *[
+                            ((F.lit(a) * F.col("k") + F.lit(b)) % _CMS_P) % w
+                            for a, b in _CMS_ROWS
+                        ]
+                    )
+                ).alias("row_i", "bucket")
             )
-            cells = c if cells is None else cells.unionByName(c)
-        probe_h = F.create_map(
-            *[
-                x
-                for i, (a, b) in enumerate(_CMS_ROWS)
-                for x in (
-                    F.lit(i),
-                    ((F.lit(a) * F.col("k") + F.lit(b)) % _CMS_P) % w,
+            .groupBy("row_i", "bucket")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+        probe_buckets = probes.select(
+            "k",
+            F.posexplode(
+                F.array(
+                    *[
+                        ((F.lit(a) * F.col("k") + F.lit(b)) % _CMS_P) % w
+                        for a, b in _CMS_ROWS
+                    ]
                 )
-            ]
+            ).alias("row_i", "bucket"),
         )
         est = (
-            probes.withColumn("h", probe_h)
-            .join(
-                F.broadcast(cells),
-                F.col("bucket") == F.element_at(F.col("h"), F.col("row_i")),
-            )
+            probe_buckets.join(F.broadcast(cells), ["row_i", "bucket"])
             .groupBy("k")
             .agg(F.min("cnt").cast("bigint").alias(f"est_w{w}"))
         )

@@ -1774,6 +1774,8 @@ _BNLJ_ALLOWED = {
     # aggregates or ≤30-row self-joins, constant-size at any scale
     "agg_histogram_equiwidth", "agg_weighted_median",
     "ts_control_chart", "ts_trend_robust",
+    # 1-row bits-set count crossJoined onto the 1-row report
+    "agg_bloom_filter",
 }
 # fast, declarative families — plan construction triggers no jobs here
 _AUDIT_FAMILIES = {
