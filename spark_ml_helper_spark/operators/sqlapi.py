@@ -384,3 +384,165 @@ def sql_scalar_notexists(spark, sf_dir):
     for t in ("customer", "orders"):
         table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q22_SHAPE)
+
+
+_Q2_SHAPE = """
+    SELECT p_partkey, p_brand, s_name, n_name, l_extendedprice AS min_price
+    FROM part, supplier, lineitem, nation, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE' AND p_size = 15
+      AND l_extendedprice = (
+          SELECT min(l2.l_extendedprice)
+          FROM lineitem l2, supplier s2, nation n2, region r2
+          WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'EUROPE')
+"""
+
+
+@query("sql_correlated_min", oracle=_Q2_SHAPE, family="sqlapi")
+def sql_correlated_min(spark, sf_dir):
+    """TPC-H Q2-shape minimum-cost supplier (adapted to the fixture
+    schema: lineitem extended price stands in for the absent
+    partsupp.ps_supplycost): an EQUALITY against a CORRELATED MIN
+    subquery that repeats the outer query's own join tree — the
+    classic decorrelation-into-aggregate-and-rejoin shape. Catalyst
+    rewrites the subquery as a per-partkey min aggregate joined back
+    on (p_partkey, price); nothing executes per outer row. At 100 TB
+    both branches shuffle on the part key and the region/nation dims
+    broadcast; the dedup trap (a part with two suppliers at the tied
+    minimum returns BOTH rows, per spec) is preserved and
+    hash-verified. Prices are exact 2-dp fixture values, so the
+    equality is grid-safe."""
+    for t in ("part", "supplier", "lineitem", "nation", "region"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q2_SHAPE)
+
+
+_Q11_SHAPE = """
+    WITH v AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS val_c
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, round(val_c / 100.0, 2) AS value
+    FROM v
+    WHERE val_c > (SELECT sum(val_c) / 800.0 FROM v)
+"""
+
+
+@query("sql_group_vs_total", oracle=_Q11_SHAPE, family="sqlapi")
+def sql_group_vs_total(spark, sf_dir):
+    """TPC-H Q11-shape important-stock identification (value = price x
+    quantity over one nation's suppliers, standing in for the absent
+    partsupp): per-group totals filtered against a SCALAR FRACTION OF
+    THE GLOBAL TOTAL over the same derived table — the
+    aggregate-compared-to-aggregate shape. The CTE is evaluated in two
+    roles (group frame + global scalar); Catalyst executes the scalar
+    branch once as a 1-row broadcast, never per group. Money discipline
+    makes the threshold compare exact: values are folded in INTEGER
+    CENTS (sums exact below 2^63), the global threshold is one
+    exact-int division both engines evaluate identically, and the
+    2-dp display rounding happens after the compare — no fp boundary
+    anywhere. At 100 TB: one shuffle on l_partkey, dims broadcast, the
+    scalar a 1-row reuse."""
+    for t in ("lineitem", "supplier", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q11_SHAPE)
+
+
+_Q13_SHAPE = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+"""
+
+
+@query("sql_outer_count_dist", oracle=_Q13_SHAPE, family="sqlapi")
+def sql_outer_count_dist(spark, sf_dir):
+    """TPC-H Q13-shape customer order-count distribution: the predicate
+    lives ON THE LEFT JOIN, not in WHERE — customers with zero
+    qualifying orders must survive with c_count = 0 (a WHERE would
+    silently drop them, the classic outer-join-filter bug this query
+    exists to catch), and count(o_orderkey) counts non-NULL keys so
+    the preserved rows land in the zero bucket. Two aggregations: the
+    per-customer count shuffles on c_custkey (same key as the join —
+    AQE co-partitions), then the distribution groupBy collapses to
+    |distinct counts| rows. The histogram-of-a-groupBy is profile-
+    grade: both engines produce exact integers."""
+    for t in ("customer", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q13_SHAPE)
+
+
+_Q17_SHAPE = """
+    SELECT round(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) / 700.0, 2)
+               AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#23' AND p_size < 10
+      AND l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@query("sql_correlated_avg", oracle=_Q17_SHAPE, family="sqlapi")
+def sql_correlated_avg(spark, sf_dir):
+    """TPC-H Q17-shape small-quantity-order revenue: each lineitem is
+    admitted only if its quantity is below 20% of ITS PART's average
+    quantity — a correlated scalar AVG that Catalyst decorrelates into
+    a per-partkey aggregate re-joined on the part key (two passes over
+    lineitem, both shuffling on l_partkey; never a per-row subquery).
+    The threshold compare is deterministic cross-engine without any
+    rounding: quantities are exact integers, avg = exact-int sum /
+    exact-int count is the same IEEE division in both engines, and
+    0.2 * that is one more identical operation. Revenue folds in
+    integer cents and divides by 7.0 only at output (the Q17 yearly
+    scaling), so the 2-dp rounding sits on an exact-integer input."""
+    for t in ("lineitem", "part"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q17_SHAPE)
+
+
+_Q20_SHAPE = """
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l1.l_suppkey
+        FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+        WHERE p_type = 'PROMO' AND p_size > 45
+          AND l1.l_quantity > (
+              SELECT 1.9 * avg(l2.l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = l1.l_partkey))
+"""
+
+
+@query("sql_in_correlated_agg", oracle=_Q20_SHAPE, family="sqlapi")
+def sql_in_correlated_agg(spark, sf_dir):
+    """TPC-H Q20-shape potential-part-promotion suppliers: an IN
+    subquery whose OWN where-clause contains a correlated scalar AVG —
+    two nesting levels that decorrelate differently (the inner AVG
+    becomes a per-partkey aggregate joined back inside the IN branch;
+    the IN itself becomes a left-semi join on s_suppkey). The
+    selectivity stack (PROMO type, size > 45, quantity above 1.9x the
+    part's own average) keeps the semi-join build side small — the
+    shape's point at 100 TB is that the expensive correlated work
+    happens once per PART, not once per supplier-lineitem pair.
+    Quantity thresholds are exact-int avg arithmetic, identical in
+    both engines (the Q17 discipline)."""
+    for t in ("supplier", "nation", "lineitem", "part"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q20_SHAPE)
