@@ -546,3 +546,79 @@ def sql_in_correlated_agg(spark, sf_dir):
     for t in ("supplier", "nation", "lineitem", "part"):
         table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q20_SHAPE)
+
+
+_Q8_SHAPE = """
+    WITH vol AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(100 - round(l_discount * 100) AS BIGINT) AS volume_c4,
+               n2.n_name AS supp_nation
+        FROM part, lineitem, orders, customer, supplier,
+             nation n1, nation n2, region
+        WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+          AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+          AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+          AND s_suppkey = l_suppkey AND s_nationkey = n2.n_nationkey
+          AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume_c4
+                          ELSE 0 END) * 1.0 / sum(volume_c4), 6) AS mkt_share,
+           round(sum(volume_c4) / 10000.0, 2) AS total_volume
+    FROM vol GROUP BY o_year
+"""
+
+
+@query("sql_market_share", oracle=_Q8_SHAPE, family="sqlapi")
+def sql_market_share(spark, sf_dir):
+    """TPC-H Q8-shape national market share: one nation's fraction of
+    yearly PROMO-part volume sold into ASIA — the CASE-inside-SUM
+    share pattern (conditional and unconditional aggregate over the
+    SAME grouped pass, one scan, no self-join), sitting on an 8-table
+    join where nation appears TWICE in different roles (customer's
+    region gate vs supplier's share key; the alias discipline is the
+    shape's point). Volume folds as exact integer cents x integer
+    discount-percent (a 4-decimal-scaled BIGINT), so both the share
+    ratio (exact-int / exact-int, one identical IEEE division) and
+    the display sums are grid-safe. At 100 TB the two fact joins
+    shuffle on l_orderkey/l_partkey, every dim broadcasts, and the
+    share needs no second pass — the reason this shape beats the
+    naive numerator-join-denominator formulation."""
+    for t in ("part", "lineitem", "orders", "customer", "supplier",
+              "nation", "region"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q8_SHAPE)
+
+
+_Q9_SHAPE = """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(100 - round(l_discount * 100) AS BIGINT)
+                     * CAST(100 - round(l_tax * 100) AS BIGINT))
+                 / 1000000.0, 2) AS net_revenue
+    FROM lineitem, orders, supplier, nation, part
+    WHERE l_orderkey = o_orderkey AND s_suppkey = l_suppkey
+      AND s_nationkey = n_nationkey AND p_partkey = l_partkey
+      AND p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+"""
+
+
+@query("sql_profit_by_nation_year", oracle=_Q9_SHAPE, family="sqlapi")
+def sql_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9-shape product-line net revenue by supplier nation and
+    order year (price x (1-discount) x (1-tax) stands in for the
+    absent supplycost term): the substring part filter (LIKE '%red%')
+    CANNOT push to the parquet reader as a range — it prunes after the
+    scan, which is exactly what Q9 stresses — and the profit term
+    multiplies THREE money/rate columns, folded here as a product of
+    exact integers (cents x discount-pct x tax-pct = a 6-decimal-
+    scaled BIGINT; max |term| ~ 1e13, sums safe below 2^63), so the
+    one output rounding sits on an exact integer. Group key is
+    (nation, year) — 25 x 7 cells; the aggregation is partial→final
+    over the fact join's l_orderkey/l_partkey shuffles with all dims
+    broadcast."""
+    for t in ("lineitem", "orders", "supplier", "nation", "part"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q9_SHAPE)
