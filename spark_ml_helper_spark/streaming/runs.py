@@ -680,3 +680,77 @@ def stream_run_rocksdb(spark, sf_dir):
         return _run(agg, "append")
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def _cms_merge_oracle() -> str:
+    from spark_ml_helper_spark.operators.aggregates import _CMS_P, _CMS_ROWS
+
+    cells = " UNION ALL ".join(
+        f"""SELECT {i} AS row_i,
+                   (({a} * CAST(user_id AS BIGINT) + {b}) % {_CMS_P}) % 64
+                       AS bucket,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 2"""
+        for i, (a, b) in enumerate(_CMS_ROWS)
+    )
+    return f"SELECT row_i, bucket, cnt FROM ({cells}) cells"
+
+
+@query("stream_run_cms_merge", oracle=_cms_merge_oracle(), family="streaming")
+def stream_run_cms_merge(spark, sf_dir):
+    """Streaming count-min sketch maintenance — agg_cms_sketch's
+    mergeable-state claim EXECUTED through Structured Streaming rather
+    than asserted: the events file stream is consumed in micro-batches
+    (maxFilesPerTrigger=4), each batch folds its keys into a PARTIAL
+    d=3 x w=64 cell frame inside foreachBatch (idempotent: partials are
+    partitioned by batch_id and overwritten on replay, the
+    stream_run_foreach_batch contract), and the final sketch is the
+    cell-wise SUM over all batch partials. Counter addition is
+    associative and commutative, so the result is INDEPENDENT of how
+    the planner cut the micro-batches — which is exactly why the entry
+    can carry a full SQL oracle (the one-shot batch build over the same
+    events) instead of a rows-only check, and why CMS is the standard
+    streaming frequency sketch: per-batch state is a fixed 192-row
+    frame whatever the stream volume, and day/shard/stream partials
+    roll up by the same addition at read time."""
+    from spark_ml_helper_spark.operators.aggregates import _CMS_P, _CMS_ROWS
+
+    base = staging_dir(prefix="smhs_cms_")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    e = _events_stream(spark, sf_dir, max_files_per_trigger=4)
+
+    def merge(batch_df, batch_id: int):
+        cells = (
+            batch_df.select(
+                F.posexplode(
+                    F.array(
+                        *[
+                            (
+                                (F.lit(a) * F.col("user_id").cast("bigint") + F.lit(b))
+                                % _CMS_P
+                            )
+                            % 64
+                            for a, b in _CMS_ROWS
+                        ]
+                    )
+                ).alias("row_i", "bucket")
+            )
+            .groupBy("row_i", "bucket")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+        cells.withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(out)
+
+    q = (
+        e.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )

@@ -3867,3 +3867,64 @@ def test_sketch_structural_guarantees(spark):
     assert bloom.n_flagged == bloom.n_members + bloom.n_false_pos
     assert 0 < bloom.n_bits_set <= 3 * bloom.n_members
     assert bloom.fpr_measured < 0.05
+
+
+def test_bfs_layers_consistent_with_components(spark):
+    # cross-operator consistency: every BFS-reached node must sit in a
+    # connected component that contains at least one hub seed, seeds are
+    # exactly the degree>=3 nodes at dist 0, and a neighbor of any
+    # reached node is reached within dist+1 (triangle property of hop
+    # distance on the shared customer-supplier graph)
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.operators.graph import (
+        _BFS_SEED_DEG,
+        _CC_MIN_COOCCUR,
+        _CC_SUPP_OFFSET,
+    )
+    from spark_ml_helper_spark.sources.parquet import table
+
+    dist = {
+        r.node: r.dist
+        for r in QUERIES["graph_bfs_layers"](spark, SF_ORACLE).collect()
+    }
+    comp = {
+        r.node: r.cluster_id
+        for r in QUERIES["graph_cc"](spark, SF_ORACLE).collect()
+    }
+    e0 = (
+        table(spark, SF_ORACLE, "orders")
+        .join(
+            table(spark, SF_ORACLE, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _CC_MIN_COOCCUR)
+        .collect()
+    )
+    edges = [(r.c, r.s + _CC_SUPP_OFFSET) for r in e0]
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    seeds = {n for n, k in deg.items() if k >= _BFS_SEED_DEG}
+    assert seeds == {n for n, d in dist.items() if d == 0}
+    hub_comps = {comp[s] for s in seeds}
+    for n in dist:
+        assert comp[n] in hub_comps, n
+    for a, b in edges:
+        if a in dist and b in dist:
+            assert abs(dist[a] - dist[b]) <= 1, (a, b)
+
+
+def test_l_diversity_consistent_with_k_anonymity(spark):
+    # both audits partition customer by the same QI pair, so the class
+    # counts must agree and l-diversity can never exceed the class size
+    kanon = QUERIES["dq_k_anonymity"](spark, SF_ORACLE).collect()[0]
+    ldiv = QUERIES["anon_l_diversity"](spark, SF_ORACLE).collect()[0]
+    assert ldiv.n_classes == kanon.n_groups
+    # the smallest class has l <= its size, so min-l <= min-size = k
+    assert 1 <= ldiv.l_diversity <= kanon.k_anonymity
+    assert 0 < ldiv.worst_class_share <= 1.0
+    assert ldiv.n_rows_below_3 >= ldiv.n_classes_below_3  # classes are non-empty
