@@ -3928,3 +3928,49 @@ def test_l_diversity_consistent_with_k_anonymity(spark):
     assert 1 <= ldiv.l_diversity <= kanon.k_anonymity
     assert 0 < ldiv.worst_class_share <= 1.0
     assert ldiv.n_rows_below_3 >= ldiv.n_classes_below_3  # classes are non-empty
+
+
+def test_kcore_matches_python_peeling(spark):
+    # pure-Python peel to fixpoint over the same edge list must yield the
+    # identical core, every survivor must have >= k neighbors INSIDE the
+    # core (the defining invariant), and core_degree must equal the
+    # within-core degree
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.operators.graph import (
+        _CC_SUPP_OFFSET,
+        _KCORE_K,
+        _KCORE_MIN_COOCCUR,
+    )
+    from spark_ml_helper_spark.sources.parquet import table
+
+    got = {
+        r.node: r.core_degree
+        for r in QUERIES["graph_kcore"](spark, SF_ORACLE).collect()
+    }
+    e0 = (
+        table(spark, SF_ORACLE, "orders")
+        .join(
+            table(spark, SF_ORACLE, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _KCORE_MIN_COOCCUR)
+        .collect()
+    )
+    adj = defaultdict(set)
+    for r in e0:
+        adj[r.c].add(r.s + _CC_SUPP_OFFSET)
+        adj[r.s + _CC_SUPP_OFFSET].add(r.c)
+    alive = set(adj)
+    while True:
+        dead = {n for n in alive if len(adj[n] & alive) < _KCORE_K}
+        if not dead:
+            break
+        alive -= dead
+    assert set(got) == alive
+    for n, k in got.items():
+        assert k == len(adj[n] & alive) and k >= _KCORE_K, n
