@@ -3974,3 +3974,30 @@ def test_kcore_matches_python_peeling(spark):
     assert set(got) == alive
     for n, k in got.items():
         assert k == len(adj[n] & alive) and k >= _KCORE_K, n
+
+
+def test_hll_manual_accuracy_and_registers(spark):
+    # the estimate must sit within 3 sigma (1.04/sqrt(m)) of the exact
+    # count carried in the same row, and the register checksum must match
+    # a pure-Python replay of the md5 bucket/rank fold
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.operators.aggregates import _HLL_M
+    from spark_ml_helper_spark.sources.parquet import table
+
+    row = QUERIES["agg_hll_manual"](spark, SF_ORACLE).collect()[0]
+    sigma = 1.04 / (_HLL_M**0.5)
+    assert abs(row.est_hll - row.n_exact) <= 3 * sigma * row.n_exact, row
+    keys = [
+        r.c_custkey
+        for r in table(spark, SF_ORACLE, "customer").select("c_custkey").collect()
+    ]
+    regs = [0] * _HLL_M
+    for hv in {int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) for k in set(keys)}:
+        w = hv // _HLL_M
+        rank = 25 - len(bin(w)[2:]) if w > 0 else 24
+        regs[hv % _HLL_M] = max(regs[hv % _HLL_M], rank)
+    assert row.reg_checksum == sum(regs)
+    assert row.zero_registers == sum(1 for r in regs if r == 0)
