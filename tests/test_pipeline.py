@@ -1776,6 +1776,8 @@ _BNLJ_ALLOWED = {
     "ts_control_chart", "ts_trend_robust",
     # 1-row bits-set count crossJoined onto the 1-row report
     "agg_bloom_filter",
+    # 1-row exact-count frame crossJoined onto the 1-row estimate
+    "agg_hll_manual",
 }
 # fast, declarative families — plan construction triggers no jobs here
 _AUDIT_FAMILIES = {
