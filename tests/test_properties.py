@@ -219,3 +219,58 @@ def test_holt_winters_oracle_matches_python_replay(n, seed):
     for i, exp in enumerate(want):
         d = str(datetime.date(2024, 1, 1) + datetime.timedelta(days=i + _HW_M))
         assert got[d] == exp, (i, got[d], exp)
+
+
+def _mw_python(g1, g2):
+    from collections import Counter
+
+    n1, n2 = len(g1), len(g2)
+    n = n1 + n2
+    cnt, cnt1 = Counter(g1 + g2), Counter(g1)
+    r1 = cum = ties3 = 0
+    for x in sorted(cnt):
+        c = cnt[x]
+        r1 += cnt1[x] * (cum + (c + 1) / 2.0)
+        cum += c
+        ties3 += c * c * c - c
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    var_u = n1 * n2 / 12.0 * ((n + 1) - ties3 / (n * (n - 1.0)))
+    z = round((u1 - n1 * n2 / 2.0) / var_u**0.5, 6)
+    return n1, n2, u1, round(1.0 - 2.0 * u1 / (n1 * n2), 6), z
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n1=st.integers(2, 25),
+    n2=st.integers(2, 25),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_mann_whitney_oracle_matches_python_replay(n1, n2, seed):
+    # heavy-tie stress of the midrank fold: values drawn from a tiny
+    # half-integer grid so most ranks are midranks — the regime the
+    # orders fixture (nearly distinct prices) never exercises. The real
+    # oracle SQL runs verbatim on a synthetic orders view. The all-tied
+    # degenerate input (var_u = 0 -> z undefined) is excluded: it cannot
+    # occur on the money fixture and the statistic is undefined there.
+    import duckdb
+
+    from spark_ml_helper_spark.registry import REGISTRY
+
+    rng = np.random.default_rng(seed)
+    g1 = [float(v) / 2 for v in rng.integers(2, 14, size=n1)]
+    g2 = [float(v) / 2 for v in rng.integers(2, 14, size=n2)]
+    if len(set(g1 + g2)) < 2:
+        g2[0] = g1[0] + 0.5
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders AS SELECT * FROM (VALUES "
+        + ", ".join(f"('1-URGENT', {v!r})" for v in g1)
+        + ", "
+        + ", ".join(f"('5-LOW', {v!r})" for v in g2)
+        + ") t(o_orderpriority, o_totalprice)"
+    )
+    row = con.execute(REGISTRY["stats_mann_whitney"].oracle).fetchall()[0]
+    want = _mw_python(g1, g2)
+    assert (row[0], row[1]) == (want[0], want[1])
+    assert row[2] == want[2]  # u1 exact on the 0.25 grid
+    assert row[3] == want[3] and row[4] == want[4], (row, want)
