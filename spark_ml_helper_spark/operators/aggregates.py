@@ -1335,10 +1335,6 @@ def agg_hll_rollup(spark, sf_dir):
 # ((a_i*k + b_i) mod P) mod W, P Mersenne-31 — universal-family integer
 # arithmetic both engines evaluate bit-identically (no engine hash
 # function is cross-compatible; Spark xxhash64 != DuckDB hash).
-# Pinned multiply-mod hash rows for the count-min sketch: h_i(k) =
-# ((a_i*k + b_i) mod P) mod W, P Mersenne-31 — universal-family integer
-# arithmetic both engines evaluate bit-identically (no engine hash
-# function is cross-compatible; Spark xxhash64 != DuckDB hash).
 _CMS_P = 2_147_483_647
 _CMS_ROWS = [(1_000_003, 12_345), (999_983, 54_321), (1_000_033, 98_765)]
 _CMS_WIDTHS = [64, 2048]
@@ -1560,7 +1556,7 @@ def agg_bloom_filter(spark, sf_dir):
             F.broadcast(bits.withColumnRenamed("bit", f"b{j}")),
             f"b{j}",
             "left_semi",
-        ).withColumn(f"hit{j}", F.lit(True))
+        )
     flagged_keys = pb.select("k", F.lit(True).alias("maybe_member"))
     flagged = c.join(flagged_keys, "k", "left").fillna(
         False, subset=["maybe_member"]
@@ -1612,8 +1608,9 @@ _HLL_ALPHA = 0.718273  # 0.7213 / (1 + 1.079/m), Flajolet et al. 2007
         ),
         reg AS (
             SELECT hv % {_HLL_M} AS bucket,
-                   CAST(max(25 - length(bin(hv // {_HLL_M}))) AS BIGINT)
-                       AS rank
+                   CAST(max(CASE WHEN hv // {_HLL_M} = 0 THEN 25
+                            ELSE 25 - length(bin(hv // {_HLL_M})) END)
+                        AS BIGINT) AS rank
             FROM h GROUP BY hv % {_HLL_M}
         ),
         allreg AS (
@@ -1667,8 +1664,11 @@ def agg_hll_manual(spark, sf_dir):
         10,
     ).cast("bigint")
     h = c.select(hv.alias("hv")).distinct()
+    w = F.expr(f"hv div {_HLL_M}")
+    # rho of an all-zero window is the window width + 1 (Flajolet rho)
+    rho = F.when(w == 0, F.lit(25)).otherwise(25 - F.length(F.bin(w)))
     reg = h.groupBy((F.col("hv") % _HLL_M).alias("bucket")).agg(
-        F.max(25 - F.length(F.bin(F.expr(f"hv div {_HLL_M}")))).cast("bigint").alias("rank")
+        F.max(rho).cast("bigint").alias("rank")
     )
     allreg = (
         spark.range(_HLL_M)

@@ -260,6 +260,34 @@ _CC_MIN_COOCCUR = 4
 _CC_SUPP_OFFSET = 1_000_000
 
 
+def _cooccur_edges(spark, sf_dir, min_cooccur=None):
+    """Bidirectional customer-supplier co-occurrence edge list shared by
+    the community/traversal operators (label_prop, modularity, louvain,
+    bfs_layers, kcore): customers keep their key, suppliers shift by
+    _CC_SUPP_OFFSET, an edge exists when the pair co-occurs in >=
+    min_cooccur orders. localCheckpoint'ed because every caller fans the
+    frame into multiple lineage branches (SCALE.md lesson 2)."""
+    if min_cooccur is None:
+        min_cooccur = _CC_MIN_COOCCUR
+    e0 = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_cooccur)
+    )
+    fwd = e0.select(
+        F.col("c").alias("src"), (F.col("s") + _CC_SUPP_OFFSET).alias("dst")
+    )
+    return fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+
+
 def min_label_fixpoint(edges, max_rounds=50, small_graph_nodes=100_000):
     """Min-label propagation to fixpoint over an undirected edge list
     (``edges``: src/dst with both directions present, already
@@ -506,21 +534,7 @@ def graph_label_prop(spark, sf_dir):
     cut the lineage like min_label_fixpoint does. Rounds is the dial:
     LPA empirically converges in <10 rounds on social-scale graphs, and
     the fixed count keeps batch replays bit-reproducible."""
-    e0 = (
-        table(spark, sf_dir, "orders")
-        .join(
-            table(spark, sf_dir, "lineitem"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= _CC_MIN_COOCCUR)
-    )
-    fwd = e0.select(F.col("c").alias("src"), (F.col("s") + _CC_SUPP_OFFSET).alias("dst"))
-    edges = (
-        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
+    edges = _cooccur_edges(spark, sf_dir)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     )
@@ -596,21 +610,7 @@ def graph_modularity(spark, sf_dir):
     community joins shuffle on node ids exactly like one LPA round, so
     modularity costs ~one extra round of whatever propagation produced
     the labels."""
-    e0 = (
-        table(spark, sf_dir, "orders")
-        .join(
-            table(spark, sf_dir, "lineitem"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= _CC_MIN_COOCCUR)
-    )
-    fwd = e0.select(F.col("c").alias("src"), (F.col("s") + _CC_SUPP_OFFSET).alias("dst"))
-    edges = (
-        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
+    edges = _cooccur_edges(spark, sf_dir)
     comm, _ = min_label_fixpoint(edges)
     comm = comm.select(
         "node", F.col("lab").alias("community")
@@ -1106,21 +1106,7 @@ def _louvain_phase1(spark, sf_dir):
     """Shared phase-1 local-move pass: returns (comm(node, c), edges,
     m2) — graph_louvain emits comm directly, graph_louvain_multilevel
     contracts it."""
-    e0 = (
-        table(spark, sf_dir, "orders")
-        .join(
-            table(spark, sf_dir, "lineitem"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= _CC_MIN_COOCCUR)
-    )
-    fwd = e0.select(F.col("c").alias("src"), (F.col("s") + _CC_SUPP_OFFSET).alias("dst"))
-    edges = (
-        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
+    edges = _cooccur_edges(spark, sf_dir)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("bigint").alias("k")
     )
@@ -1322,22 +1308,7 @@ def graph_bfs_layers(spark, sf_dir):
     3 hops from every hub) are absent from the result by construction,
     which is itself the audit signal — compare counts with graph_cc's
     component sizes."""
-    e0 = (
-        table(spark, sf_dir, "orders")
-        .join(
-            table(spark, sf_dir, "lineitem"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= _CC_MIN_COOCCUR)
-    )
-    fwd = e0.select(
-        F.col("c").alias("src"), (F.col("s") + _CC_SUPP_OFFSET).alias("dst")
-    )
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    edges = _cooccur_edges(spark, sf_dir)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("bigint").alias("k")
     )
@@ -1408,22 +1379,7 @@ def graph_kcore(spark, sf_dir):
     (re-examine only neighbors of just-removed nodes), the textbook
     O(|E|) bucket algorithm's distributed analogue. Exact integers
     throughout."""
-    e0 = (
-        table(spark, sf_dir, "orders")
-        .join(
-            table(spark, sf_dir, "lineitem"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= _KCORE_MIN_COOCCUR)
-    )
-    fwd = e0.select(
-        F.col("c").alias("src"), (F.col("s") + _CC_SUPP_OFFSET).alias("dst")
-    )
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    edges = _cooccur_edges(spark, sf_dir, _KCORE_MIN_COOCCUR)
     alive = edges.select(F.col("src").alias("node")).distinct()
     for _ in range(_KCORE_ROUNDS):
         alive = (

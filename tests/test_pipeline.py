@@ -3999,7 +3999,7 @@ def test_hll_manual_accuracy_and_registers(spark):
     regs = [0] * _HLL_M
     for hv in {int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) for k in set(keys)}:
         w = hv // _HLL_M
-        rank = 25 - len(bin(w)[2:]) if w > 0 else 24
+        rank = 25 - len(bin(w)[2:]) if w > 0 else 25
         regs[hv % _HLL_M] = max(regs[hv % _HLL_M], rank)
     assert row.reg_checksum == sum(regs)
     assert row.zero_registers == sum(1 for r in regs if r == 0)

@@ -137,6 +137,11 @@ def main() -> None:
         return
 
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    # custkey stride invariant: max base custkey (1500 at the sf0.01 base)
+    # + (factor-1)*CUST_STRIDE must stay below the 1e6 supplier offset or
+    # customer/supplier node ids silently collide
+    if factor * CUST_STRIDE >= 1_000_000:
+        raise SystemExit(f"factor {factor} breaks the < 1e6 custkey invariant")
     base_dir = os.environ.get("SPARK_GRAFT_PROBE_BASE", "/root/testdata/sf0.01")
 
     scales = [(base_dir, 1)]
