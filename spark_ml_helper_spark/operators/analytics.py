@@ -3306,3 +3306,113 @@ def orders_whale_concentration(spark, sf_dir):
             "top10_share",
         )
     )
+
+
+@query(
+    "stats_spearman",
+    oracle="""
+        WITH src AS (
+            SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+        ),
+        rx AS (
+            SELECT x, sum(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW)
+                      - c + (c + 1) / 2.0 AS r
+            FROM (SELECT x, CAST(count(*) AS BIGINT) AS c
+                  FROM src GROUP BY x)
+        ),
+        ry AS (
+            SELECT y, sum(c) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW)
+                      - c + (c + 1) / 2.0 AS r
+            FROM (SELECT y, CAST(count(*) AS BIGINT) AS c
+                  FROM src GROUP BY y)
+        ),
+        rr AS (
+            SELECT CAST(2 * rx.r AS BIGINT) AS a,
+                   CAST(2 * ry.r AS BIGINT) AS b
+            FROM src JOIN rx USING (x) JOIN ry USING (y)
+        ),
+        s AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(CAST(sum(a) AS BIGINT) AS DOUBLE) AS sa,
+                   CAST(CAST(sum(b) AS BIGINT) AS DOUBLE) AS sb,
+                   CAST(CAST(sum(a * b) AS BIGINT) AS DOUBLE) AS sab,
+                   CAST(CAST(sum(a * a) AS BIGINT) AS DOUBLE) AS saa,
+                   CAST(CAST(sum(b * b) AS BIGINT) AS DOUBLE) AS sbb
+            FROM rr
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               round((n * sab - sa * sb)
+                     / (sqrt(n * saa - sa * sa)
+                        * sqrt(n * sbb - sb * sb)), 6) AS spearman_rho,
+               round(round((n * sab - sa * sb)
+                     / (sqrt(n * saa - sa * sa)
+                        * sqrt(n * sbb - sb * sb)), 6)
+                     * sqrt(n - 1), 6) AS z_stat,
+               CAST(abs(round((n * sab - sa * sb)
+                     / (sqrt(n * saa - sa * sa)
+                        * sqrt(n * sbb - sb * sb)), 6)
+                     * sqrt(n - 1)) < 1.96 AS BOOLEAN) AS independent_95
+        FROM s
+    """,
+    family="analytics",
+)
+def stats_spearman(spark, sf_dir):
+    """Spearman rank correlation as an INDEPENDENCE SCREEN between
+    quantity and line revenue — the rank-based companion to
+    corr_matrix's Pearson (monotone association, outlier-immune) and
+    the third member of the midrank family (stats_mann_whitney's rank
+    fold, reused for TWO variables and fed into Pearson-on-ranks, the
+    tie-correct Spearman definition). The fixture's generator draws
+    the columns independently and the statistic confirms it: rho ~ 0,
+    |z| = |rho|*sqrt(n-1) < 1.96 — the screen a feature pipeline runs
+    before dropping a 'redundant' column. Determinism: midranks per
+    DISTINCT value land on the exact 0.5 grid (doubled to BIGINTs),
+    all five moment sums are EXACT integers (< 2^63 through sf0.1;
+    beyond that widen to int128/decimal — noted, not needed here),
+    and the final Pearson combination runs on doubles built from
+    those exact integers — every engine computes the identical IEEE
+    expression, so the 6-dp rounding sits on identical values. Shape:
+    two per-value cumulative windows over |distinct| frames (the
+    stats_ks_test global-sort trade), two rank-map joins back to the
+    corpus, one moment fold."""
+    li = table(spark, sf_dir, "lineitem")
+    src = li.select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+
+    def rank_map(col):
+        byv = src.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("c"))
+        return byv.select(
+            F.col("v").alias(col),
+            (
+                2 * (F.sum("c").over(w) - F.col("c") + (F.col("c") + 1) / 2.0)
+            ).cast("bigint").alias(f"r_{col}"),
+        )
+
+    rr = src.join(rank_map("x"), "x").join(rank_map("y"), "y").select(
+        F.col("r_x").alias("a"), F.col("r_y").alias("b")
+    )
+    s = rr.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("a").cast("double").alias("sa"),
+        F.sum("b").cast("double").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).cast("double").alias("sab"),
+        F.sum(F.col("a") * F.col("a")).cast("double").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("double").alias("sbb"),
+    )
+    rho = F.round(
+        (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+        / (
+            F.sqrt(F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+            * F.sqrt(F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+        ),
+        6,
+    )
+    z = F.round(rho * F.sqrt(F.col("n") - 1), 6)
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        rho.alias("spearman_rho"),
+        z.alias("z_stat"),
+        (F.abs(rho * F.sqrt(F.col("n") - 1)) < 1.96).alias("independent_95"),
+    )

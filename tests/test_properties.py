@@ -274,3 +274,60 @@ def test_mann_whitney_oracle_matches_python_replay(n1, n2, seed):
     assert (row[0], row[1]) == (want[0], want[1])
     assert row[2] == want[2]  # u1 exact on the 0.25 grid
     assert row[3] == want[3] and row[4] == want[4], (row, want)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n=st.integers(4, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_spearman_oracle_matches_python_replay(n, seed):
+    # tie-heavy stress of midranks-for-two-variables + Pearson-on-ranks:
+    # values from a small half-integer grid; the real oracle runs
+    # verbatim on a synthetic lineitem view. Degenerate inputs where one
+    # variable is constant (zero rank variance -> rho undefined) are
+    # nudged, matching the statistic's domain.
+    import duckdb
+
+    from spark_ml_helper_spark.registry import REGISTRY
+
+    rng = np.random.default_rng(seed)
+    xs = [float(v) / 2 for v in rng.integers(2, 10, size=n)]
+    ys = [float(v) / 2 for v in rng.integers(2, 10, size=n)]
+    if len(set(xs)) < 2:
+        xs[0] += 0.5
+    if len(set(ys)) < 2:
+        ys[0] += 0.5
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lineitem AS SELECT * FROM (VALUES "
+        + ", ".join(f"({x!r}, {y!r})" for x, y in zip(xs, ys))
+        + ") t(l_quantity, l_extendedprice)"
+    )
+    row = con.execute(REGISTRY["stats_spearman"].oracle).fetchall()[0]
+
+    def midranks(vals):
+        from collections import Counter
+
+        cnt = Counter(vals)
+        out, cum = {}, 0
+        for v in sorted(cnt):
+            c = cnt[v]
+            out[v] = cum + (c + 1) / 2.0
+            cum += c
+        return [out[v] for v in vals]
+
+    a = [int(2 * r) for r in midranks(xs)]
+    b = [int(2 * r) for r in midranks(ys)]
+    fn = float(n)
+    sa, sb = float(sum(a)), float(sum(b))
+    sab = float(sum(x * y for x, y in zip(a, b)))
+    saa, sbb = float(sum(x * x for x in a)), float(sum(y * y for y in b))
+    rho = round(
+        (fn * sab - sa * sb)
+        / ((fn * saa - sa * sa) ** 0.5 * (fn * sbb - sb * sb) ** 0.5),
+        6,
+    )
+    assert row[0] == n
+    assert row[1] == rho, (row, rho)
+    assert row[2] == round(rho * (fn - 1) ** 0.5, 6)
