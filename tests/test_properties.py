@@ -331,3 +331,70 @@ def test_spearman_oracle_matches_python_replay(n, seed):
     assert row[0] == n
     assert row[1] == rho, (row, rho)
     assert row[2] == round(rho * (fn - 1) ** 0.5, 6)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n_cust=st.integers(3, 12),
+    n_supp=st.integers(3, 10),
+    n_orders=st.integers(10, 60),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_kcore_oracle_matches_python_peeling(n_cust, n_supp, n_orders, seed):
+    # the unrolled 4-round peel oracle must equal a peel-to-fixpoint on
+    # random bipartite co-occurrence graphs — random graphs this small
+    # converge in <= 4 rounds (each peel round removes at least one node
+    # of <= 14 custs+supps when it does anything, and the 4-round unroll
+    # is asserted to have converged by comparing to the true fixpoint)
+    from collections import defaultdict
+
+    import duckdb
+
+    from spark_ml_helper_spark.operators.graph import (
+        _CC_SUPP_OFFSET,
+        _KCORE_K,
+        _KCORE_MIN_COOCCUR,
+        _kcore_oracle,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for ok in range(n_orders):
+        cust = int(rng.integers(1, n_cust + 1))
+        for line in range(int(rng.integers(1, 5))):
+            rows.append((ok, cust, int(rng.integers(1, n_supp + 1))))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders AS SELECT * FROM (VALUES "
+        + ", ".join(f"({ok}, {c})" for ok, c in
+                    sorted({(ok, c) for ok, c, _ in rows}))
+        + ") t(o_orderkey, o_custkey)"
+    )
+    con.execute(
+        "CREATE TABLE lineitem AS SELECT * FROM (VALUES "
+        + ", ".join(f"({ok}, {s})" for ok, _, s in rows)
+        + ") t(l_orderkey, l_suppkey)"
+    )
+    got = {r[0]: r[1] for r in con.execute(_kcore_oracle()).fetchall()}
+
+    # co-occurrence counts JOIN ROWS (one per lineitem), matching the
+    # family's count(*) semantics — two lines of one supplier in one
+    # order count twice (the property test originally assumed distinct
+    # orders and was falsified by the oracle, correctly)
+    pair_count = defaultdict(int)
+    for ok, c, s in rows:
+        pair_count[(c, s)] += 1
+    adj = defaultdict(set)
+    for (c, s), cnt in pair_count.items():
+        if cnt >= _KCORE_MIN_COOCCUR:
+            adj[c].add(s + _CC_SUPP_OFFSET)
+            adj[s + _CC_SUPP_OFFSET].add(c)
+    alive = set(adj)
+    while True:
+        dead = {n for n in alive if len(adj[n] & alive) < _KCORE_K}
+        if not dead:
+            break
+        alive -= dead
+    assert set(got) == alive, (sorted(got), sorted(alive))
+    for node, k in got.items():
+        assert k == len(adj[node] & alive)
