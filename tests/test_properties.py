@@ -398,3 +398,71 @@ def test_kcore_oracle_matches_python_peeling(n_cust, n_supp, n_orders, seed):
     assert set(got) == alive, (sorted(got), sorted(alive))
     for node, k in got.items():
         assert k == len(adj[node] & alive)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n_cust=st.integers(3, 12),
+    n_supp=st.integers(3, 10),
+    n_orders=st.integers(10, 60),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bfs_oracle_matches_python_bfs(n_cust, n_supp, n_orders, seed):
+    # the 3-round unrolled frontier relaxation must equal a true
+    # multi-source BFS truncated at 3 hops on random bipartite
+    # co-occurrence graphs (join-row count semantics, like k-core)
+    from collections import defaultdict, deque
+
+    import duckdb
+
+    from spark_ml_helper_spark.operators.graph import (
+        _BFS_ROUNDS,
+        _BFS_SEED_DEG,
+        _CC_MIN_COOCCUR,
+        _CC_SUPP_OFFSET,
+        _bfs_oracle,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for ok in range(n_orders):
+        cust = int(rng.integers(1, n_cust + 1))
+        for _line in range(int(rng.integers(1, 6))):
+            rows.append((ok, cust, int(rng.integers(1, n_supp + 1))))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders AS SELECT * FROM (VALUES "
+        + ", ".join(f"({ok}, {c})" for ok, c in
+                    sorted({(ok, c) for ok, c, _ in rows}))
+        + ") t(o_orderkey, o_custkey)"
+    )
+    con.execute(
+        "CREATE TABLE lineitem AS SELECT * FROM (VALUES "
+        + ", ".join(f"({ok}, {s})" for ok, _, s in rows)
+        + ") t(l_orderkey, l_suppkey)"
+    )
+    got = {r[0]: r[1] for r in con.execute(_bfs_oracle()).fetchall()}
+
+    pair_count = defaultdict(int)
+    for ok, c, s in rows:
+        pair_count[(c, s)] += 1
+    adj = defaultdict(set)
+    deg = defaultdict(int)
+    for (c, s), cnt in pair_count.items():
+        if cnt >= _CC_MIN_COOCCUR:
+            adj[c].add(s + _CC_SUPP_OFFSET)
+            adj[s + _CC_SUPP_OFFSET].add(c)
+    for a, nbrs in adj.items():
+        deg[a] = len(nbrs)
+    seeds = {n for n, k in deg.items() if k >= _BFS_SEED_DEG}
+    dist = {n: 0 for n in seeds}
+    frontier = deque(seeds)
+    while frontier:
+        u = frontier.popleft()
+        if dist[u] >= _BFS_ROUNDS:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                frontier.append(v)
+    assert got == dist, (sorted(got.items()), sorted(dist.items()))
