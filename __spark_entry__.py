@@ -28,50 +28,20 @@ load_all_operators()
 # verification window (~50 queries, taken from the head of ``queries()``)
 # re-records them.
 _REVERIFY_FIRST = [
-    # (all r6 pins were recorded green in CORRECTNESS_r06 — cleared)
-    # r7 fix: the round-6 character-level BPE helpers shadowed the r03
-    # ``_bpe_train``/``_bpe_oracle`` (module globals resolve at call time),
-    # silently breaking these two r03-green queries — helpers renamed to
-    # ``_bpe_char_train``/``_bpe_char_oracle`` (corpus.py:2210,2222); pin
-    # both so the driver re-records them on the repaired tree:
-    "tokenizer_bpe_train",
-    "corpus_apply_bpe",
-    # r7 ADVICE hardening: sim_ann_lsh now rounds the candidate distance to
-    # 6 dp on BOTH engines before the radius compare, so the boundary test
-    # sits on a shared grid instead of relying on bit-identical fold order:
-    "sim_ann_lsh",
-    # r7 rows-only → SQL-oracled flips: six streaming runs whose bounded
-    # AvailableNow result is micro-batch-boundary-INDEPENDENT (complete-mode
-    # aggs re-emit the full result; the stream-stream inner join buffers
-    # both fully-present sides before any eviction) now carry the batch
-    # twins' oracles — verified at sf0.001/0.01/0.1; pin so the driver
-    # upgrades their old rows-only records:
-    "stream_run_tumbling",
-    "stream_run_session",
-    "stream_run_sliding",
-    "stream_run_static_join",
-    "stream_run_foreach_batch",
-    "stream_run_stream_join",
-    # r7 second wave: the ten operators added this round, pinned so the
-    # round's own additions are driver-recorded (they are all unseen, so
-    # this only reorders them to the head of the unseen block):
-    "dedup_incremental",
-    "ts_holt_linear",
-    "ts_holt_winters",
-    "graph_louvain",
-    "ml_gmm_em",
+    # (all 21 r7 pins were recorded green in CORRECTNESS_r07 — cleared)
+    # r8 ADVICE hardening: corpus_importance_resample now pre-rounds each
+    # token's lr at 9 dp on BOTH engines before the per-doc avg, so the
+    # 6 dp score round coarsens shared-grid summands instead of
+    # engine-order-dependent raw ln() sums (the sim_pq_adc/Holt lesson);
+    # values changed, so the r7-green record re-verifies:
     "corpus_importance_resample",
-    "sql_exists_semijoin",
-    "sql_in_agg_subquery",
-    "sql_exists_notexists",
-    "sql_scalar_notexists",
-    # r7 hardening: the ADC sum now rounds at 9 dp (the LUT grid) instead
-    # of 6 — the Holt hypothesis sweeps proved 6 dp coarsening of 9 dp-grid
-    # values is a real cross-engine rounding hazard; values changed, so the
-    # two previously-recorded consumers re-verify (sim_ann_ivfpq is pinned
-    # above already):
-    "sim_pq_adc",
-    "pipeline_pq_retrieval",
+    # r8 refactor: sim_ann_ivfpq is now composed from the factored
+    # train_ivfpq/ivfpq_probe helpers (same math, hash verified unchanged
+    # at sf0.001/0.01/0.1) — pin so the driver re-records the factored tree:
+    "sim_ann_ivfpq",
+    # r8 additions (unseen — pinned so this round's own operators are
+    # driver-recorded ahead of the rotation backlog):
+    "dedup_substring",
 ]
 
 

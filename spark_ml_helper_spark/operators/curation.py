@@ -1367,8 +1367,8 @@ _DSIR_KEEP_Q = 0.75  # admit the top quartile by importance score
         ),
         probs AS MATERIALIZED (
             SELECT t,
-                   ln((ct + 1.0) / (tot.nt + tot.v))
-                   - ln((cr + 1.0) / (tot.nr + tot.v)) AS lr
+                   round(ln((ct + 1.0) / (tot.nt + tot.v))
+                         - ln((cr + 1.0) / (tot.nr + tot.v)), 9) AS lr
             FROM vocab CROSS JOIN tot
         ),
         scores AS MATERIALIZED (
@@ -1391,7 +1391,12 @@ def corpus_importance_resample(spark, sf_dir):
     admit the top quartile. Per-token importance log-ratio
     lr(t) = ln p_target(t) - ln p_pool(t) with add-1 smoothing over the
     SHARED vocabulary (exact integer counts, so the ratios are
-    bit-identical rationals on both engines before the ulp-level ln);
+    bit-identical rationals on both engines before the ulp-level ln),
+    PRE-ROUNDED at 9 dp so every summand of the per-doc mean sits on a
+    shared cross-engine grid — without this the 6 dp score round
+    coarsens an engine-order-dependent double sum, the exact hazard
+    class the Holt hypothesis sweeps measured at ~1e-3/value
+    (sim_pq_adc's r7 fix; r8 ADVICE);
     per-doc score = mean lr over its token OCCURRENCES (6 dp rounded);
     threshold = exact interpolated 75th percentile of the rounded
     scores (Spark percentile == DuckDB quantile_cont — the
@@ -1424,9 +1429,10 @@ def corpus_importance_resample(spark, sf_dir):
     )
     probs = vocab.crossJoin(F.broadcast(tot)).select(
         "t",
-        (
+        F.round(
             F.log((F.col("ct") + 1.0) / (F.col("nt") + F.col("v")))
-            - F.log((F.col("cr") + 1.0) / (F.col("nr") + F.col("v")))
+            - F.log((F.col("cr") + 1.0) / (F.col("nr") + F.col("v"))),
+            9,
         ).alias("lr"),
     )
     scores = (

@@ -2539,36 +2539,33 @@ def _ivfpq_oracle() -> str:
     """
 
 
-@query("sim_ann_ivfpq", oracle=_ivfpq_oracle(), family="vectors")
-def sim_ann_ivfpq(spark, sf_dir):
-    """IVF×PQ — the billion-vector ANN default (FAISS IVFADC: Jégou et
-    al., PAMI 2011 §V), composed from three already-oracle-verified
-    ingredients and therefore fully ORACLE-VERIFIED end to end:
-    (1) sim_ann_ivf's coarse quantizer assigns every vector to its
-    nearest cell (per-label mean centroids, d² rounded 6 dp,
-    (d², cell) tie-break) and each query probes its nprobe=2 nearest
-    cells; (2) within the probed cells ONLY, candidates are scored by
-    sim_pq_adc's asymmetric distance — 8 broadcast-LUT lookups per
-    candidate against vec_pq_encode's 2-bit codes, no float math on
-    the corpus; (3) the ADC top-10 are exact-rescored with the
-    bit-identical 64-term fold and the top-5 emitted with both
-    distances (pipeline_pq_retrieval's refine pattern).
+def train_ivfpq(spark, sf_dir):
+    """OFFLINE half of IVF×PQ (r8: the train/apply factoring the
+    dedup_incremental family got in r7 — text.py's hash_documents /
+    build_dedup_index / incremental_decisions). Builds everything that
+    depends only on the CORPUS, i.e. the parts a production deployment
+    trains once and amortizes over every query batch:
 
-    This is SCALE.md's named next decade for the PQ path ("IVF the
-    codes so each query touches a cell, not the corpus"): the ADC scan
-    cost drops from |corpus| to |corpus|·nprobe/cells per query, and
-    the join chain is all equi-joins — probes→assigned on CELL id
-    (the shuffle key is the cell, never the pair), candidates→codes
-    on vec_id, codes→LUT on broadcast (query, sub, cluster). At 100 TB
-    the cells come from a trained k-means codebook (√n cells, same
-    plumbing — sim_ann_ivf's docstring), k rises to 256/16 subs, and
-    the rescore stays |queries|×10 regardless of corpus size.
-    Determinism: every ranking sits on a shared 6 dp grid with
-    explicit id tie-breaks; LUT entries pre-round at 9 dp (the r5
-    ADVICE discipline); recall vs the exact L2 top-5 is pinned in
-    tests."""
+      cells    — 1-row broadcastable IVF coarse codebook (array of
+                 (c_label, centroid) structs, per-label means on the
+                 6 dp grid)
+      assigned — (vec_id, cell): each corpus vector's nearest cell,
+                 computed MAP-SIDE against the broadcast codebook
+      cent     — trained PQ codebooks (sub, cluster, cent) from
+                 _pq_train's seeded grouped Lloyd rounds
+      codes    — (vec_id, sub, cluster, dist): the PQ assignment
+                 (2 bits/subspace — the compressed corpus)
+      emb      — (vec_id, emb: array<double>): exact-rescore side
+
+    Cell assignment rides the whole codebook in one broadcast row and
+    takes array_sort over per-cell (d², cell) structs in-place — no
+    ×cells row explosion, no window shuffle over the corpus (the naive
+    crossJoin+row_number form shuffles corpus×cells rows; at the 100×
+    probe decade that window was the plan's single biggest stage).
+    Same math, same 6 dp grid, same (d², cell) tie-break as the
+    oracle's row_number window."""
     e = table(spark, sf_dir, "embeddings")
-    # (1) IVF coarse codebook: per-label mean, rounded — deterministic
+    # IVF coarse codebook: per-label mean, rounded — deterministic
     ex = e.select("label", F.posexplode("embedding").alias("pos0", "v"))
     ivfc = (
         ex.groupBy(F.col("label").alias("c_label"), (F.col("pos0") + 1).alias("pos"))
@@ -2581,61 +2578,101 @@ def sim_ann_ivfpq(spark, sf_dir):
             ).alias("centroid")
         )
     )
-    # Cell assignment is MAP-SIDE: the whole codebook rides in one
-    # broadcast row as an array of (cell, centroid) structs and each
-    # vector computes its per-cell d² and sorts the (d2, cell) structs
-    # lexicographically in-place — no ×cells row explosion, no window
-    # shuffle over the corpus (the naive crossJoin+row_number form
-    # shuffles corpus×cells rows; at 100× that window was the plan's
-    # single biggest stage). Same math, same 6 dp grid, same
-    # (d2, cell) tie-break as the oracle's row_number window.
     # 1-row frame; eager checkpoint so the corpus-scan centroid
     # aggregation behind it runs once, not once per consuming branch
     cells = ivfc.agg(
         F.array_sort(F.collect_list(F.struct("c_label", "centroid"))).alias("cells")
     ).localCheckpoint(eager=True)
-    ds = F.expr(
-        "array_sort(transform(cells, c -> struct("
-        "round(aggregate(zip_with(embedding, c.centroid, "
-        "(x, cc) -> (cast(x as double) - cc) * (cast(x as double) - cc)), "
-        "0D, (a, v) -> a + v), 6) AS d2, c.c_label AS cell)))"
-    )
     scored = (
         e.select("vec_id", "embedding")
         .crossJoin(F.broadcast(cells))
-        .select("vec_id", ds.alias("ds"))
+        .select("vec_id", _ivfpq_cell_rank("embedding").alias("ds"))
     )
     assigned = scored.select("vec_id", F.expr("ds[0].cell").alias("cell"))
-    probes = scored.where(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(F.expr(f"transform(slice(ds, 1, {_IVFPQ_NPROBE}), s -> s.cell)")).alias(
-            "cell"
-        ),
+    _, cent, codes = _pq_train(spark, sf_dir)
+    emb = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    return {
+        "cells": cells,
+        "assigned": assigned,
+        "cent": cent,
+        "codes": codes,
+        "emb": emb,
+    }
+
+
+def _ivfpq_cell_rank(emb_col: str):
+    """(d², cell)-sorted per-cell distance structs for one vector against
+    the broadcast ``cells`` codebook column — the shared map-side ranking
+    both the corpus assignment and the query probe use."""
+    return F.expr(
+        f"array_sort(transform(cells, c -> struct("
+        f"round(aggregate(zip_with({emb_col}, c.centroid, "
+        f"(x, cc) -> (cast(x as double) - cc) * (cast(x as double) - cc)), "
+        f"0D, (a, v) -> a + v), 6) AS d2, c.c_label AS cell)))"
     )
 
-    # (2) PQ codes + per-query broadcast LUT (shared trained chain)
-    pts, cent, final = _pq_train(spark, sf_dir)
-    qs = pts.where(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qv")
+
+def ivfpq_probe(index, queries):
+    """ONLINE half of IVF×PQ: search a trained ``train_ivfpq`` index for
+    a batch of ``queries`` (query_id, embedding). Per query: rank cells
+    against the broadcast coarse codebook (map-side), probe the
+    nprobe=2 nearest, ADC-score ONLY the vectors assigned to those
+    cells via the broadcast 32-entry LUT (8 table lookups per
+    candidate, no float math on the corpus), exact-rescore the ADC
+    shortlist (_IVFPQ_CAND = 50) with the bit-identical 64-term fold,
+    and emit the top-5 with both distances. Every shuffle key is a
+    cell / vec_id / query_id — never a pair; the probe touches
+    |corpus|·nprobe/cells candidates per query, so query cost is
+    independent of adding more (unprobed) cells at 100 TB."""
+    probes = (
+        queries.crossJoin(F.broadcast(index["cells"]))
+        .select(
+            F.col("query_id"), _ivfpq_cell_rank("embedding").alias("ds")
+        )
+        .select(
+            "query_id",
+            F.explode(
+                F.expr(f"transform(slice(ds, 1, {_IVFPQ_NPROBE}), s -> s.cell)")
+            ).alias("cell"),
+        )
+    )
+    # query subvectors + per-query broadcast LUT against the PQ codebooks
+    qs = (
+        queries.select(
+            "query_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+        .select(
+            "query_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_SUBS - 1))).alias("sub"),
+            "emb",
+        )
+        .select(
+            "query_id",
+            "sub",
+            F.expr(f"slice(emb, sub * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("qv"),
+        )
     )
     qd = F.aggregate(
         F.zip_with("qv", "cent", lambda x, c: (x - c) * (x - c)),
         F.lit(0.0),
         lambda acc, t: acc + t,
     )
-    lut = qs.join(F.broadcast(cent), "sub").select(
+    lut = qs.join(F.broadcast(index["cent"]), "sub").select(
         "query_id", "sub", "cluster", F.round(qd, 9).alias("qd")
     )
     # candidates: only vectors in the query's probed cells (each vector
     # lives in exactly one cell and a query's probe cells are distinct,
     # so pairs are already unique — no dedup shuffle needed)
     candcells = (
-        probes.join(assigned, "cell")
+        probes.join(index["assigned"], "cell")
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
     adc = (
-        candcells.join(final, "vec_id")
+        candcells.join(index["codes"], "vec_id")
         .join(F.broadcast(lut), ["query_id", "sub", "cluster"])
         .groupBy("query_id", "vec_id")
         .agg(F.round(F.sum("qd"), 9).alias("adc_dist"))
@@ -2646,15 +2683,13 @@ def sim_ann_ivfpq(spark, sf_dir):
         .where(F.col("rn") <= _IVFPQ_CAND)
         .drop("rn")
     )
-    # (3) exact rescore of the ADC top-10
-    ed = e.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
-    )
+    # exact rescore of the ADC shortlist (_IVFPQ_CAND = 50)
     exact = F.aggregate(
         F.zip_with("q_emb", "n_emb", lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, t: acc + t,
     )
+    ed = index["emb"]
     rescored = (
         cand.join(
             ed.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")),
@@ -2675,6 +2710,54 @@ def sim_ann_ivfpq(spark, sf_dir):
             "adc_dist",
         )
     )
+
+
+@query("sim_ann_ivfpq", oracle=_ivfpq_oracle(), family="vectors")
+def sim_ann_ivfpq(spark, sf_dir):
+    """IVF×PQ — the billion-vector ANN default (FAISS IVFADC: Jégou et
+    al., PAMI 2011 §V), composed from three already-oracle-verified
+    ingredients and therefore fully ORACLE-VERIFIED end to end:
+    (1) sim_ann_ivf's coarse quantizer assigns every vector to its
+    nearest cell (per-label mean centroids, d² rounded 6 dp,
+    (d², cell) tie-break) and each query probes its nprobe=2 nearest
+    cells; (2) within the probed cells ONLY, candidates are scored by
+    sim_pq_adc's asymmetric distance — 8 broadcast-LUT lookups per
+    candidate against vec_pq_encode's 2-bit codes, no float math on
+    the corpus; (3) the ADC shortlist (top-``_IVFPQ_CAND`` = 50 — the
+    2-bit codes are coarse, so the rescore budget is deliberately wide)
+    is exact-rescored with the bit-identical 64-term fold and the top-5
+    emitted with both distances (pipeline_pq_retrieval's refine
+    pattern).
+
+    r8: factored into ``train_ivfpq`` (offline: coarse codebook, cell
+    assignment, PQ codebooks, codes — everything corpus-only) and
+    ``ivfpq_probe`` (online: cell probe, LUT, ADC, rescore for a query
+    batch), so the code now SAYS what the docstring always claimed —
+    training is amortized at scale, and bench.py reports the
+    probe-only time separately against a pre-materialized index.
+    Composition is deterministic, so the oracle (and the recorded
+    hash) is unchanged.
+
+    This is SCALE.md's named next decade for the PQ path ("IVF the
+    codes so each query touches a cell, not the corpus"): the ADC scan
+    cost drops from |corpus| to |corpus|·nprobe/cells per query, and
+    the join chain is all equi-joins — probes→assigned on CELL id
+    (the shuffle key is the cell, never the pair), candidates→codes
+    on vec_id, codes→LUT on broadcast (query, sub, cluster). At 100 TB
+    the cells come from a trained k-means codebook (√n cells, same
+    plumbing — sim_ann_ivf's docstring), k rises to 256/16 subs, and
+    the rescore stays |queries|×10 regardless of corpus size.
+    Determinism: every ranking sits on a shared 6 dp grid with
+    explicit id tie-breaks; LUT entries pre-round at 9 dp (the r5
+    ADVICE discipline); recall vs the exact L2 top-5 is pinned in
+    tests."""
+    index = train_ivfpq(spark, sf_dir)
+    queries = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return ivfpq_probe(index, queries)
 
 
 def _pca_deflate_oracle() -> str:

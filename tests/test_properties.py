@@ -466,3 +466,158 @@ def test_bfs_oracle_matches_python_bfs(n_cust, n_supp, n_orders, seed):
                 dist[v] = dist[u] + 1
                 frontier.append(v)
     assert got == dist, (sorted(got.items()), sorted(dist.items()))
+
+
+# ---- DSIR importance-resample: 9 dp lr grid vs pure-Python replay ------
+#
+# r8 ADVICE hardening: corpus_importance_resample pre-rounds each token's
+# importance log-ratio at 9 dp on BOTH engines so the per-doc avg sums
+# IDENTICAL grid values everywhere (before that, the 6 dp score round
+# coarsened engine-order-dependent raw ln() sums — the hazard class the
+# Holt sweeps measured at ~1e-3/value for grid-derived inputs). This
+# sweep replays the full DuckDB oracle score pipeline against an
+# independent pure-Python implementation (own ln/avg/rounding) across
+# random corpora; ln-derived values are transcendental, so any systematic
+# boundary-landing defect in the grid design would surface as a 1e-6
+# score flip here.
+
+
+def _round_away(x: float, d: int) -> float:
+    import math
+
+    s = 10.0**d
+    return (math.floor(x * s + 0.5) if x >= 0 else math.ceil(x * s - 0.5)) / s
+
+
+def _dsir_python(docs):
+    import math
+    from collections import Counter
+
+    ct: Counter = Counter()
+    cr: Counter = Counter()
+    for _, src, text in docs:
+        (ct if src == "src0" else cr).update(text.lower().split(" "))
+    vocab = sorted(set(ct) | set(cr))
+    nt, nr, v = sum(ct.values()), sum(cr.values()), len(vocab)
+    lr = {
+        t: _round_away(
+            math.log((ct[t] + 1.0) / (nt + v)) - math.log((cr[t] + 1.0) / (nr + v)), 9
+        )
+        for t in vocab
+    }
+    out = {}
+    for doc_id, src, text in docs:
+        if src == "src0":
+            continue
+        toks = text.lower().split(" ")
+        out[doc_id] = (_round_away(sum(lr[t] for t in toks) / len(toks), 6), len(toks))
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n_docs=st.integers(4, 40),
+    vocab_n=st.integers(3, 9),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_dsir_oracle_score_matches_python_replay(n_docs, vocab_n, seed):
+    import duckdb
+
+    from spark_ml_helper_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+    rng = np.random.default_rng(seed)
+    docs = []
+    for i in range(n_docs):
+        # guarantee both a target doc and a pool doc exist
+        src = "src0" if i == 0 else ("src1" if i == 1 else f"src{int(rng.integers(0, 3))}")
+        toks = [f"w{int(rng.integers(0, vocab_n))}" for _ in range(int(rng.integers(1, 11)))]
+        docs.append((i, src, " ".join(toks)))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{s}', '{t}')" for i, s, t in docs)
+        + ") t(doc_id, source, text)"
+    )
+    oracle = REGISTRY["corpus_importance_resample"].oracle
+    got = {r[0]: (r[1], r[2]) for r in con.execute(oracle).fetchall()}
+    want = _dsir_python(docs)
+    assert set(got) == set(want)
+    for doc_id, (score, n_tok) in want.items():
+        assert got[doc_id][1] == n_tok
+        assert got[doc_id][0] == score, (doc_id, got[doc_id][0], score)
+
+
+# ---- dedup_substring: oracle island chain vs Python position marking ---
+#
+# The operator defines a doc's duplicated regions as maximal runs of
+# token positions covered by >= 1 cross-document duplicated K-gram, and
+# computes them via sorted k-gram chains + gaps-and-islands with merge
+# rule gap <= K. This sweep replays the DuckDB oracle against an
+# INDEPENDENT Python implementation that marks covered positions
+# directly (no islands, no window functions) — if the island merge rule
+# ever diverged from the true covered-run structure (off-by-one in the
+# gap test, touching-interval handling), these disagree.
+
+
+def _substr_python(docs, K):
+    grams = {}
+    toklists = {}
+    for doc_id, text in docs:
+        toks = text.lower().split(" ")
+        toklists[doc_id] = toks
+        for i in range(len(toks) - K + 1):
+            grams.setdefault(tuple(toks[i : i + K]), set()).add(doc_id)
+    out = {}
+    for doc_id, toks in toklists.items():
+        n = len(toks)
+        covered = [False] * n
+        for i in range(n - K + 1):
+            if len(grams[tuple(toks[i : i + K])]) >= 2:
+                for j in range(i, i + K):
+                    covered[j] = True
+        spans = []
+        run = 0
+        for c in covered:
+            if c:
+                run += 1
+            elif run:
+                spans.append(run)
+                run = 0
+        if run:
+            spans.append(run)
+        out[doc_id] = (n, len(spans), max(spans, default=0), sum(spans))
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n_docs=st.integers(2, 12),
+    vocab_n=st.integers(2, 5),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_dedup_substring_oracle_matches_python_scan(n_docs, vocab_n, seed):
+    import duckdb
+
+    from spark_ml_helper_spark.operators.text import _SUBSTR_K
+    from spark_ml_helper_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+    rng = np.random.default_rng(seed)
+    letters = "abcde"
+    docs = []
+    for i in range(n_docs):
+        toks = [letters[int(rng.integers(0, vocab_n))] for _ in range(int(rng.integers(1, 26)))]
+        docs.append((i, " ".join(toks)))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in docs)
+        + ") t(doc_id, text)"
+    )
+    got = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(REGISTRY["dedup_substring"].oracle).fetchall()
+    }
+    want = _substr_python(docs, _SUBSTR_K)
+    assert got == want, (got, want)
