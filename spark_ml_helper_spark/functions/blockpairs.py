@@ -27,29 +27,40 @@ def block_pair_candidates(
     v: DataFrame,
     kernel: Callable,
     n_blocks: int = 8,
+    key_col: str | None = None,
 ) -> DataFrame:
     """``v``: (vec_id, embedding, nrm). ``kernel(sims, a_ids, b_ids)`` gets
     the raw float64 cosine matrix for one block pair — with invalid
     orientations already masked to -inf — and returns (row_idx, col_idx)
     index arrays of the entries to keep. Returns distinct candidate
-    (a_id, b_id) pairs, canonically oriented a_id < b_id."""
+    (a_id, b_id) pairs, canonically oriented a_id < b_id.
+
+    ``key_col`` (r8, the SemDeDup shape): when given, ``v`` must carry
+    that extra column and pairs are formed WITHIN each key group only —
+    the cogroup key becomes (key, gi, gj), so the pair space shrinks
+    from n² to Σ|cell|² while the per-task memory story (two blocks)
+    and the BLAS inner loop are unchanged. With key_col=None the
+    behavior (and the physical plan) is exactly the pre-r8 global
+    form."""
     G = n_blocks
     blocks = v.withColumn("g", (F.col("vec_id") % G).cast("int"))
+    keys = ([key_col] if key_col else [])
 
     def gpairs():
-        return (
+        base = (
             spark.range(G)
             .select(F.col("id").cast("int").alias("gi"))
             .crossJoin(spark.range(G).select(F.col("id").cast("int").alias("gj")))
             .filter(F.col("gi") <= F.col("gj"))
         )
+        return base
 
     ga, gb = gpairs(), gpairs()
     a_side = ga.join(blocks, blocks.g == ga.gi).select(
-        "gi", "gj", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm")
+        *keys, "gi", "gj", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm")
     )
     b_side = gb.join(blocks, blocks.g == gb.gj).select(
-        "gi", "gj", F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm")
+        *keys, "gi", "gj", F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm")
     )
 
     def apply_kernel(key, pa: pd.DataFrame, pb: pd.DataFrame) -> pd.DataFrame:
@@ -62,7 +73,7 @@ def block_pair_candidates(
         sims = (A @ B.T) / np.outer(pa["a_nrm"].to_numpy(), pb["b_nrm"].to_numpy())
         a_ids = pa["a_id"].to_numpy()
         b_ids = pb["b_id"].to_numpy()
-        if key[0] == key[1]:
+        if key[-2] == key[-1]:
             # diagonal block holds both orientations — keep a_id < b_id
             sims[a_ids[:, None] >= b_ids[None, :]] = -np.inf
         ai, bj = kernel(sims, a_ids, b_ids)
@@ -71,8 +82,8 @@ def block_pair_candidates(
         return pd.DataFrame({"a_id": lo, "b_id": hi})
 
     return (
-        a_side.groupby("gi", "gj")
-        .cogroup(b_side.groupby("gi", "gj"))
+        a_side.groupby(*keys, "gi", "gj")
+        .cogroup(b_side.groupby(*keys, "gi", "gj"))
         .applyInPandas(apply_kernel, schema="a_id bigint, b_id bigint")
         .distinct()
     )

@@ -1667,14 +1667,18 @@ _KM_K = 8
 _KM_ROUNDS = 5
 
 
-def _kmeans_oracle() -> str:
-    # Generated SQL mirrors the Spark rounds term for term. The 64-term
-    # squared-distance sum is emitted LEFT-ASSOCIATED, which is the same
-    # IEEE evaluation order as Spark's F.aggregate fold ((0+t1)+t2)+...,
-    # so the per-(point, centroid) distance is bit-identical across
-    # engines and the argmin assignment cannot diverge. Every CTE is
-    # MATERIALIZED (DuckDB otherwise inlines the chained rounds — the
-    # same exponential re-evaluation _pca_oracle hit).
+def _km_chain() -> str:
+    """Shared oracle prefix for the seeded-Lloyd family (vec_kmeans_lloyd,
+    dedup_semantic): CTEs ``pts`` (vec_id, embedding), ``c0``..``c{R}``
+    (the trained centroids, final under alias ``ckm``) and ``kmf``
+    (vec_id, cluster, dist — the final assignment). Generated SQL
+    mirrors the Spark rounds term for term. The 64-term squared-distance
+    sum is emitted LEFT-ASSOCIATED, which is the same IEEE evaluation
+    order as Spark's F.aggregate fold ((0+t1)+t2)+..., so the
+    per-(point, centroid) distance is bit-identical across engines and
+    the argmin assignment cannot diverge. Every CTE is MATERIALIZED
+    (DuckDB otherwise inlines the chained rounds — the same exponential
+    re-evaluation _pca_oracle hit)."""
     dims = list(range(1, 65))
 
     def dist(c_alias: str) -> str:
@@ -1691,7 +1695,6 @@ def _kmeans_oracle() -> str:
         f"round(avg(CAST(embedding[{d}] AS DOUBLE)), 7) AS d{d}" for d in dims
     )
     merge_cols = ", ".join(f"coalesce(u.d{d}, p.d{d}) AS d{d}" for d in dims)
-    norm = " + ".join(f"c.d{d} * c.d{d}" for d in dims)
 
     rounds = []
     prev = "c0"
@@ -1723,54 +1726,44 @@ def _kmeans_oracle() -> str:
             FROM embeddings WHERE vec_id < {_KM_K}
         ),
         {",".join(rounds)},
+        ckm AS MATERIALIZED (SELECT * FROM {prev}),
         af AS MATERIALIZED (
             SELECT p.vec_id, c.cluster, {dist("c")} AS dist
-            FROM pts p CROSS JOIN {prev} c
+            FROM pts p CROSS JOIN ckm c
         ),
-        sf AS MATERIALIZED (
+        kmf AS MATERIALIZED (
             SELECT vec_id, cluster, dist FROM (
                 SELECT *, row_number() OVER (
                     PARTITION BY vec_id ORDER BY dist, cluster
                 ) AS rn FROM af
             ) WHERE rn = 1
-        ),
+        )"""
+
+
+def _kmeans_oracle() -> str:
+    norm = " + ".join(f"c.d{d} * c.d{d}" for d in range(1, 65))
+    return f"""
+        {_km_chain()},
         st AS MATERIALIZED (
             SELECT cluster, count(*) AS n, round(avg(dist), 6) AS md
-            FROM sf GROUP BY cluster
+            FROM kmf GROUP BY cluster
         )
         SELECT c.cluster AS cluster,
                coalesce(st.n, CAST(0 AS BIGINT)) AS n_members,
                st.md AS mean_dist,
                round(sqrt({norm}), 6) AS centroid_norm
-        FROM {prev} c LEFT JOIN st USING (cluster)
+        FROM ckm c LEFT JOIN st USING (cluster)
     """
 
 
-@query("vec_kmeans_lloyd", oracle=_kmeans_oracle(), family="vectors")
-def vec_kmeans_lloyd(spark, sf_dir):
-    """Seeded Lloyd k-means (k=8, 5 rounds) built from engine
-    primitives and fully ORACLE-VERIFIED — the deterministic twin of
-    the rows-only MLlib ml_kmeans, the same role vec_pca_power plays
-    for ml_pca. Init is the k lowest vec_ids (deterministic, no RNG);
-    each round assigns every point to its nearest centroid by squared
-    L2 and recomputes centroids as per-dimension means RE-ROUNDED at
-    7 dp — the re-rounding resets cross-engine float drift each round
-    exactly as vec_pca_power does, and the distance itself needs no
-    rounding because both engines evaluate the identical
-    left-associated 64-term sum (bit-equal IEEE doubles), so the
-    argmin (tie → lowest cluster id) cannot diverge. Empty clusters
-    keep their previous centroid (left-join coalesce). Output: per-
-    cluster membership count, mean assigned distance, centroid norm.
-    Scale shape: centroids are a 1-row broadcast array of (cluster,
-    cent) structs, assignment is a fully map-side array_min — no
-    points×k row explosion, no window shuffle (round-7; previously a
-    per-point row_number window) — and
-    the update is one (cluster, dim)-keyed partial agg — per round
-    that is one corpus scan, zero corpus shuffles beyond the k×64
-    partial states, which is exactly MLlib's treeAggregate pattern
-    spelled out; rounds × scan is the 100 TB cost, and the centroid
-    frame stays driver-free throughout (localCheckpoint per round
-    truncates the 5-round lineage)."""
+def _km_train(spark, sf_dir):
+    """Spark half of the shared seeded-Lloyd chain (the ``_km_chain``
+    oracle prefix): returns (pts, cent, final) where pts = (vec_id,
+    emb array<double>), cent = the trained (cluster, cent) centroids
+    after _KM_ROUNDS rounds, and final = (vec_id, emb, cluster, dist),
+    the assignment against the trained centroids. Shared by
+    vec_kmeans_lloyd (stats output) and dedup_semantic (SemDeDup cell
+    restriction)."""
     e = table(spark, sf_dir, "embeddings")
     pts = e.select(
         "vec_id",
@@ -1826,7 +1819,37 @@ def vec_kmeans_lloyd(spark, sf_dir):
             .select("cluster", F.coalesce("newc", "cent").alias("cent"))
             .localCheckpoint()
         )
-    final = assign(cent)
+    return pts, cent, assign(cent)
+
+
+@query("vec_kmeans_lloyd", oracle=_kmeans_oracle(), family="vectors")
+def vec_kmeans_lloyd(spark, sf_dir):
+    """Seeded Lloyd k-means (k=8, 5 rounds) built from engine
+    primitives and fully ORACLE-VERIFIED — the deterministic twin of
+    the rows-only MLlib ml_kmeans, the same role vec_pca_power plays
+    for ml_pca. Init is the k lowest vec_ids (deterministic, no RNG);
+    each round assigns every point to its nearest centroid by squared
+    L2 and recomputes centroids as per-dimension means RE-ROUNDED at
+    7 dp — the re-rounding resets cross-engine float drift each round
+    exactly as vec_pca_power does, and the distance itself needs no
+    rounding because both engines evaluate the identical
+    left-associated 64-term sum (bit-equal IEEE doubles), so the
+    argmin (tie → lowest cluster id) cannot diverge. Empty clusters
+    keep their previous centroid (left-join coalesce). Output: per-
+    cluster membership count, mean assigned distance, centroid norm.
+    Scale shape: centroids are a 1-row broadcast array of (cluster,
+    cent) structs, assignment is a fully map-side array_min — no
+    points×k row explosion, no window shuffle (round-7; previously a
+    per-point row_number window) — and
+    the update is one (cluster, dim)-keyed partial agg — per round
+    that is one corpus scan, zero corpus shuffles beyond the k×64
+    partial states, which is exactly MLlib's treeAggregate pattern
+    spelled out; rounds × scan is the 100 TB cost, and the centroid
+    frame stays driver-free throughout (localCheckpoint per round
+    truncates the 5-round lineage). r8: the training loop factored
+    into ``_km_train`` (unchanged math) so dedup_semantic can reuse
+    the trained cells."""
+    _, cent, final = _km_train(spark, sf_dir)
     stats = final.groupBy("cluster").agg(
         F.count("*").alias("n"), F.round(F.avg("dist"), 6).alias("md")
     )
