@@ -28,19 +28,27 @@ load_all_operators()
 # verification window (~50 queries, taken from the head of ``queries()``)
 # re-records them.
 _REVERIFY_FIRST = [
-    # (all 21 r7 pins were recorded green in CORRECTNESS_r07 — cleared)
-    # r8 ADVICE hardening: corpus_importance_resample now pre-rounds each
-    # token's lr at 9 dp on BOTH engines before the per-doc avg, so the
-    # 6 dp score round coarsens shared-grid summands instead of
-    # engine-order-dependent raw ln() sums (the sim_pq_adc/Holt lesson);
-    # values changed, so the r7-green record re-verifies:
-    "corpus_importance_resample",
-    # r8 refactor: sim_ann_ivfpq is now composed from the factored
-    # train_ivfpq/ivfpq_probe helpers (same math, hash verified unchanged
-    # at sf0.001/0.01/0.1) — pin so the driver re-records the factored tree:
-    "sim_ann_ivfpq",
-    # r8 additions (unseen — pinned so this round's own operators are
+    # r10 decimal fix: the four TPC-H-shape sqlapi queries whose output
+    # expressions were DECIMAL-typed by Spark's decimal-literal division
+    # (driver hash-red in r08/r09 for the first three; sql_correlated_avg
+    # was the same defect passing by data accident) — each shared SQL
+    # string now CASTs the output AS DOUBLE (DuckDB no-op), verified at
+    # sf0.001/0.01/0.1:
+    "sql_group_vs_total",
+    "sql_market_share",
+    "sql_profit_by_nation_year",
+    "sql_correlated_avg",
+    # r10 fixpoint fix: graph_kcore now peels to convergence instead of a
+    # fixed 4-round loop (both engines); values can change on any fixture
+    # where 4 rounds was not the fixpoint:
+    "graph_kcore",
+    # r10 additions (unseen — pinned so this round's own operators are
     # driver-recorded ahead of the rotation backlog):
+    "dedup_semantic",
+    "graph_sssp_weighted",
+    # r10 scale hardening: dedup_substring's per-gram posting list is now
+    # fingerprinted + capped per its docstring; fixture hash unchanged but
+    # pin so the driver re-records the hardened tree:
     "dedup_substring",
 ]
 

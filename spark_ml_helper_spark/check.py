@@ -56,7 +56,12 @@ def _canon_cell(v) -> str:
     if tn == "Timestamp":
         return v.isoformat()
     if tn == "Decimal":
-        return repr(float(v))
+        # Scale-preserving on purpose: the driver hashes Decimal('0.017070')
+        # differently from the float 0.01707, so collapsing to float here
+        # would hide exactly the mismatch class the driver flags. A Spark
+        # DECIMAL column vs a DuckDB DOUBLE oracle must fail locally too —
+        # fix the query by CASTing its output AS DOUBLE in the shared SQL.
+        return str(v)
     try:
         if v != v:  # NaN-ish
             return "NaN"

@@ -432,7 +432,8 @@ _Q11_SHAPE = """
         WHERE n_name = 'NATION_7'
         GROUP BY l_partkey
     )
-    SELECT l_partkey AS partkey, round(val_c / 100.0, 2) AS value
+    SELECT l_partkey AS partkey,
+           CAST(round(val_c / 100.0, 2) AS DOUBLE) AS value
     FROM v
     WHERE val_c > (SELECT sum(val_c) / 800.0 FROM v)
 """
@@ -488,8 +489,8 @@ def sql_outer_count_dist(spark, sf_dir):
 
 
 _Q17_SHAPE = """
-    SELECT round(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) / 700.0, 2)
-               AS avg_yearly,
+    SELECT CAST(round(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) / 700.0, 2)
+                AS DOUBLE) AS avg_yearly,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND p_brand = 'Brand#23' AND p_size < 10
@@ -563,9 +564,9 @@ _Q8_SHAPE = """
           AND p_type = 'PROMO'
     )
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume_c4
-                          ELSE 0 END) * 1.0 / sum(volume_c4), 6) AS mkt_share,
-           round(sum(volume_c4) / 10000.0, 2) AS total_volume
+           CAST(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume_c4
+                          ELSE 0 END) * 1.0 / sum(volume_c4), 6) AS DOUBLE) AS mkt_share,
+           CAST(round(sum(volume_c4) / 10000.0, 2) AS DOUBLE) AS total_volume
     FROM vol GROUP BY o_year
 """
 
@@ -593,10 +594,10 @@ def sql_market_share(spark, sf_dir):
 
 _Q9_SHAPE = """
     SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           CAST(round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                      * CAST(100 - round(l_discount * 100) AS BIGINT)
                      * CAST(100 - round(l_tax * 100) AS BIGINT))
-                 / 1000000.0, 2) AS net_revenue
+                 / 1000000.0, 2) AS DOUBLE) AS net_revenue
     FROM lineitem, orders, supplier, nation, part
     WHERE l_orderkey = o_orderkey AND s_suppkey = l_suppkey
       AND s_nationkey = n_nationkey AND p_partkey = l_partkey
