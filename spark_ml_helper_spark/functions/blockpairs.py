@@ -44,7 +44,12 @@ def block_pair_candidates(
     form."""
     G = n_blocks
     blocks = v.withColumn("g", (F.col("vec_id") % G).cast("int"))
-    keys = ([key_col] if key_col else [])
+    # Re-alias the key on each side: a_side and b_side both derive from
+    # `blocks`, so a bare key reference would carry the SAME attribute id
+    # into the cogroup and trip Spark's ambiguous-self-join check; each
+    # .alias() mints a fresh attribute.
+    keys = [F.col(key_col).alias(key_col)] if key_col else []
+    key_names = [key_col] if key_col else []
 
     def gpairs():
         base = (
@@ -82,8 +87,8 @@ def block_pair_candidates(
         return pd.DataFrame({"a_id": lo, "b_id": hi})
 
     return (
-        a_side.groupby(*keys, "gi", "gj")
-        .cogroup(b_side.groupby(*keys, "gi", "gj"))
+        a_side.groupby(*key_names, "gi", "gj")
+        .cogroup(b_side.groupby(*key_names, "gi", "gj"))
         .applyInPandas(apply_kernel, schema="a_id bigint, b_id bigint")
         .distinct()
     )

@@ -1874,6 +1874,92 @@ def vec_kmeans_lloyd(spark, sf_dir):
     )
 
 
+_SEMDEDUP_TAU = 0.4
+
+
+def _semdedup_oracle() -> str:
+    dot_ab = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))"
+    )
+    nrm = "sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))"
+    return f"""
+        {_km_chain()},
+        vv AS MATERIALIZED (
+            SELECT k.vec_id, k.cluster, e.embedding, {nrm} AS nrm
+            FROM kmf k JOIN embeddings e USING (vec_id)
+        ),
+        dup AS MATERIALIZED (
+            SELECT DISTINCT b.vec_id
+            FROM vv a JOIN vv b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE {dot_ab} / (a.nrm * b.nrm) >= {_SEMDEDUP_TAU}
+        )
+        SELECT v.vec_id, v.cluster, (d.vec_id IS NULL) AS keep
+        FROM vv v LEFT JOIN dup d USING (vec_id)
+    """
+
+
+@query("dedup_semantic", oracle=_semdedup_oracle(), family="vectors")
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication that restricts the quadratic cosine search to k-means
+    CELLS — cluster the corpus embeddings, compare pairs only within
+    each cell, and drop every vector that has a higher-similarity
+    (>= tau) cell-mate with a SMALLER id (keep-min-id collapse; the
+    paper keeps the member farthest from the centroid, min-id is the
+    deterministic engine-friendly twin). Composition of two landed
+    primitives: the seeded-Lloyd trainer ``_km_train`` (shared with
+    vec_kmeans_lloyd — identical centroids, oracle prefix ``_km_chain``)
+    and ``block_pair_candidates(key_col='cluster')``, whose cogroup key
+    (cluster, gi, gj) shrinks the pair space from n² to Σ|cell|² while
+    keeping the two-blocks-per-task memory bound and the BLAS inner
+    loop. Candidates above (tau − 1e-6) are rescored with the
+    sequential JVM fold so the keep/drop decision is bit-identical to
+    the naive all-pairs form (the dedup_embedding margin discipline).
+    At 100 TB: training amortizes over one sample pass, assignment is
+    map-side against a broadcast codebook, and the pair stage shuffles
+    on (cluster, block) keys only — never the pair space; cell count
+    scales ∝ √n to hold Σ|cell|² near-linear (SCALE.md vectors row).
+    Output: (vec_id, cluster, keep) for every embedding."""
+    from spark_ml_helper_spark.functions.blockpairs import (
+        block_pair_candidates,
+        threshold_kernel,
+    )
+
+    _, _, final = _km_train(spark, sf_dir)
+    v = final.select(
+        "vec_id",
+        F.col("emb").alias("embedding"),
+        l2_norm(F.col("emb")).alias("nrm"),
+        "cluster",
+    ).localCheckpoint(eager=True)
+    cand = block_pair_candidates(
+        spark, v, threshold_kernel(_SEMDEDUP_TAU), key_col="cluster"
+    )
+    av = v.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    bv = v.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    sim = dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm"))
+    dup = (
+        cand.join(av, "a_id")
+        .join(bv, "b_id")
+        .filter(sim >= _SEMDEDUP_TAU)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return v.join(dup.withColumn("is_dup", F.lit(True)), "vec_id", "left").select(
+        "vec_id", "cluster", F.col("is_dup").isNull().alias("keep")
+    )
+
+
 _PQ_SUBS = 8  # subspaces
 _PQ_SUBDIM = 8  # dims per subspace
 _PQ_K = 4  # centroids per codebook
