@@ -1181,59 +1181,70 @@ def dedup_substring(spark, sf_dir):
 
     Pipeline: tokenize → per-doc k-gram windows built MAP-SIDE from the
     token array (transform over sequence — no explode-then-window
-    shuffle); → ONE posting-list shuffle keyed by gram: each gram's
-    (doc, pos) occurrences collect into a list, grams seen in ≥2
-    DISTINCT docs survive (array_distinct over the bounded list), and
-    the surviving occurrences explode straight back out — no dup-set
-    join, no second pass over the gram stream; → per-doc
+    shuffle), each gram immediately FINGERPRINTED to 64 bits
+    (xxhash64) so occurrences travel as (doc_id, pos, 8-byte g), never
+    strings; → the ≥2-DISTINCT-DOCS test as a min(doc_id) ≠
+    max(doc_id) aggregate keyed by fingerprint — O(1) state per gram
+    and MAP-SIDE COMBINABLE, so a Zipf-hot stop-phrase gram
+    contributes one partial row per map partition to the shuffle
+    instead of concentrating every (doc, pos) occurrence into a single
+    reduce task (the round-8/9 perf-weak this replaces: an uncapped
+    per-gram collect_list posting list; a cap would also have
+    approximated single-doc hot grams as dup-by-fiat, while min≠max
+    stays exact with LESS state); → a semi-join of the checkpointed
+    occurrence stream against the surviving fingerprints re-emits the
+    covered starts (dup-gram set ≪ gram stream; broadcasts when small,
+    AQE skew-join splits the stream side otherwise); → per-doc
     gaps-and-islands (the win_sessionize pattern)
     with merge rule gap <= K so overlapping/adjacent windows fuse into
     ONE maximal covered region — islands are exactly the maximal runs
     of covered token positions (verified against an independent
     position-marking Python replay in tests/test_properties.py).
 
-    Scale: the group space is the distinct-k-gram set (≪ token count),
-    candidate volume is bounded by posting-list agreement exactly like
-    dedup_minhash's band buckets, and the island window partitions by
-    doc_id (per-doc data is bounded by doc length). At 100 TB: hash
-    each k-gram to a 64/128-bit fingerprint before the shuffle (the
-    grams travel as 8-16 bytes, collisions verified by a second exact
-    pass over the tiny flagged set), and CAP the per-gram posting list
-    (a stop-phrase gram appearing in millions of docs is "duplicated"
-    after the first handful of postings — Lee et al. cap match
-    expansion the same way; beyond the cap, emit the gram as
-    dup-by-fiat without carrying the full list). Removal policy (Lee et al.
-    §4: drop one copy of each duplicated span) composes downstream via
-    covered-region slicing; this op emits the signal every policy
-    needs."""
+    Scale: the group space is the distinct-k-gram set (≪ token count)
+    with constant-size aggregate state, candidate volume is bounded by
+    posting-list agreement exactly like dedup_minhash's band buckets,
+    and the island window partitions by doc_id (per-doc data is
+    bounded by doc length). Fingerprint collisions (two grams sharing
+    an xxhash64) can only over-mark a start — expected collisions at a
+    billion distinct grams are ~1e-2 across the corpus (Lee et al.
+    tolerate the same hashed-match expansion); a second exact pass
+    over the flagged spans removes even that at audit time. Removal
+    policy (Lee et al. §4: drop one copy of each duplicated span)
+    composes downstream via covered-region slicing; this op emits the
+    signal every policy needs."""
     d = table(spark, sf_dir, "documents")
     docs = d.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
-    grams = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"CASE WHEN size(toks) >= {_SUBSTR_K} THEN "
-                f"transform(sequence(1, size(toks) - {_SUBSTR_K} + 1), "
-                f"i -> array_join(slice(toks, i, {_SUBSTR_K}), ' ')) "
-                f"ELSE array() END"
-            )
-        ).alias("pos0", "gram"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
-    # ONE posting-list shuffle: group each gram's occurrences, keep grams
-    # seen in >= 2 distinct docs (array_distinct over the bounded list —
-    # no count-distinct expand, no second scan of grams, no back-join;
-    # the naive dup-set + join form recomputed the gram stream twice and
-    # measured ~2.5x slower end to end)
-    occ = grams.groupBy("gram").agg(
-        F.collect_list(F.struct("doc_id", "pos")).alias("occs")
-    )
-    starts = (
-        occ.where(
-            F.size(F.expr("array_distinct(transform(occs, o -> o.doc_id))")) >= 2
+    grams = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"CASE WHEN size(toks) >= {_SUBSTR_K} THEN "
+                    f"transform(sequence(1, size(toks) - {_SUBSTR_K} + 1), "
+                    f"i -> array_join(slice(toks, i, {_SUBSTR_K}), ' ')) "
+                    f"ELSE array() END"
+                )
+            ).alias("pos0", "gram"),
         )
-        .select(F.explode("occs").alias("o"))
-        .select("o.doc_id", "o.pos")
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.xxhash64("gram").alias("g"),
+        )
+        # checkpoint the compact (8+8+8 bytes/row) fingerprint stream: it
+        # feeds both the dup-gram aggregate and the start re-emission, and
+        # recomputing the tokenize+window chain twice measured ~2.5x the
+        # end-to-end wall when this op used the naive dup-set + join form
+        .localCheckpoint(eager=True)
     )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .select("g")
+    )
+    starts = grams.join(dup, "g", "left_semi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = starts.select(
         "doc_id",
