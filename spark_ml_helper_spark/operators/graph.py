@@ -1329,6 +1329,135 @@ def graph_bfs_layers(spark, sf_dir):
     return d
 
 
+_SSSP_ROUNDS = 8  # fixture relaxation fixpoint; oracle guard makes a
+                  # too-small unroll fail LOUDLY (0 rows) instead of
+                  # silently agreeing on truncated distances
+
+
+def _sssp_oracle(rounds: int = _SSSP_ROUNDS) -> str:
+    """Unrolled Bellman–Ford chain with the kcore-style CONVERGENCE
+    GUARD: builds ``rounds + 1`` relaxation CTEs and returns d_{rounds+1}
+    only when both its row count and its dist sum equal d_{rounds}'s
+    (reached-node sets only grow and distances only shrink, so the pair
+    of equalities IS the fixpoint). The property test calls this with
+    rounds = |V| — shortest paths use at most |V|−1 edges."""
+    ctes = []
+    for r in range(1, rounds + 2):
+        p = f"d{r - 1}"
+        ctes.append(f""",
+        d{r} AS MATERIALIZED (
+            SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                SELECT node, dist FROM {p}
+                UNION ALL
+                SELECT e.dst AS node, d.dist + e.w AS dist
+                FROM edges e JOIN {p} d ON d.node = e.src
+            ) GROUP BY node
+        )""")
+    return f"""
+        WITH e0 AS (
+            SELECT o.o_custkey AS c, l.l_suppkey AS s,
+                   CAST(greatest(1, 10 - count(*)) AS BIGINT) AS w
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2 HAVING count(*) >= {_CC_MIN_COOCCUR}
+        ),
+        edges AS MATERIALIZED (
+            SELECT c AS src, s + {_CC_SUPP_OFFSET} AS dst, w FROM e0
+            UNION ALL SELECT s + {_CC_SUPP_OFFSET}, c, w FROM e0
+        ),
+        deg AS MATERIALIZED (
+            SELECT src AS node, CAST(count(*) AS BIGINT) AS k
+            FROM edges GROUP BY src
+        ),
+        d0 AS (
+            SELECT node, CAST(0 AS BIGINT) AS dist
+            FROM deg WHERE k >= {_BFS_SEED_DEG}
+        ){"".join(ctes)}
+        SELECT node, dist FROM d{rounds + 1}
+        WHERE (SELECT count(*) FROM d{rounds + 1})
+            = (SELECT count(*) FROM d{rounds})
+          AND (SELECT coalesce(sum(dist), 0) FROM d{rounds + 1})
+            = (SELECT coalesce(sum(dist), 0) FROM d{rounds})
+    """
+
+
+@query("graph_sssp_weighted", oracle=_sssp_oracle(), family="graph")
+def graph_sssp_weighted(spark, sf_dir):
+    """Multi-source WEIGHTED shortest paths (Bellman–Ford) over the
+    customer-supplier co-occurrence graph — the weighted completion of
+    graph_bfs_layers: edge weight is the exact integer
+    greatest(1, 10 − cooccur_count), so strongly co-purchasing pairs
+    are CLOSER, and every node gets its minimum weighted distance to
+    the nearest hub seed (degree >= 3, the BFS seed rule). Relaxes TO
+    THE TRUE FIXPOINT: reached-node count and dist sum are both
+    monotone (set grows, distances shrink), so an unchanged (count,
+    sum) pair after a round IS convergence — the min_label_fixpoint /
+    round-10 kcore discipline; bounded by |V| rounds (shortest paths
+    use <= |V|−1 edges), raising on non-termination. Each round is one
+    edges-join-frontier shuffle + a min-combine (the Pregel relax
+    step), localCheckpoint per round cutting lineage; at 100 TB the
+    production refinement is delta-frontier relaxation (join only
+    nodes whose dist improved last round — the standard BF pruning)
+    and, for huge diameters, Δ-stepping's bucketed hybrid (Meyer &
+    Sanders 2003). All-integer distances — no fp anywhere. The
+    unrolled-CTE oracle carries a convergence guard, so a truncated
+    chain loudly mismatches instead of agreeing (the kcore lesson);
+    the hypothesis property test replays the recurrence at rounds=|V|
+    against a pure-Python Dijkstra."""
+    e0 = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(
+            F.greatest(F.lit(1), F.lit(10) - F.count("*"))
+            .cast("bigint")
+            .alias("w"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= _CC_MIN_COOCCUR)
+    )
+    fwd = e0.select(
+        F.col("c").alias("src"), (F.col("s") + _CC_SUPP_OFFSET).alias("dst"), "w"
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=True)
+
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    d = deg.filter(F.col("k") >= _BFS_SEED_DEG).select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    ).localCheckpoint(eager=True)
+
+    n_all = edges.select("src").distinct().count()
+    prev = d.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("dist"), F.lit(0)).alias("s")
+    ).first()
+    for _ in range(n_all + 1):
+        prop = (
+            edges.join(d.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        d = (
+            d.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        cur = d.agg(
+            F.count("*").alias("n"), F.coalesce(F.sum("dist"), F.lit(0)).alias("s")
+        ).first()
+        if (cur["n"], cur["s"]) == (prev["n"], prev["s"]):
+            return d
+        prev = cur
+    raise RuntimeError(
+        "graph_sssp_weighted: relaxation failed to converge in |V|+1 rounds"
+    )
+
+
 _KCORE_K = 3
 _KCORE_MIN_COOCCUR = 3  # denser graph than the CC family's >= 4
 _KCORE_ROUNDS = 4  # fixture fixpoint measured at <= 3 rounds on sf0.001/0.01/0.1

@@ -414,6 +414,81 @@ def test_kcore_oracle_matches_python_peeling(n_cust, n_supp, n_orders, seed):
     n_orders=st.integers(10, 60),
     seed=st.integers(0, 2**31 - 1),
 )
+def test_sssp_oracle_matches_python_dijkstra(n_cust, n_supp, n_orders, seed):
+    # the guarded Bellman-Ford CTE chain, run with rounds = |V| (shortest
+    # paths use <= |V|-1 edges, so the chain is converged by
+    # construction), must equal a pure-Python multi-source Dijkstra over
+    # the same weighted co-occurrence graph
+    import heapq
+    from collections import defaultdict
+
+    import duckdb
+
+    from spark_ml_helper_spark.operators.graph import (
+        _BFS_SEED_DEG,
+        _CC_MIN_COOCCUR,
+        _CC_SUPP_OFFSET,
+        _sssp_oracle,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for ok in range(n_orders):
+        cust = int(rng.integers(1, n_cust + 1))
+        for line in range(int(rng.integers(1, 7))):
+            rows.append((ok, cust, int(rng.integers(1, n_supp + 1))))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders AS SELECT * FROM (VALUES "
+        + ", ".join(f"({ok}, {c})" for ok, c in
+                    sorted({(ok, c) for ok, c, _ in rows}))
+        + ") t(o_orderkey, o_custkey)"
+    )
+    con.execute(
+        "CREATE TABLE lineitem AS SELECT * FROM (VALUES "
+        + ", ".join(f"({ok}, {s})" for ok, _, s in rows)
+        + ") t(l_orderkey, l_suppkey)"
+    )
+    got = {
+        r[0]: r[1]
+        for r in con.execute(
+            _sssp_oracle(rounds=n_cust + n_supp)
+        ).fetchall()
+    }
+
+    # join-row co-occurrence counts, the family's count(*) semantics
+    pair_count = defaultdict(int)
+    for ok, c, s in rows:
+        pair_count[(c, s)] += 1
+    adj = defaultdict(list)
+    for (c, s), cnt in pair_count.items():
+        if cnt >= _CC_MIN_COOCCUR:
+            w = max(1, 10 - cnt)
+            adj[c].append((s + _CC_SUPP_OFFSET, w))
+            adj[s + _CC_SUPP_OFFSET].append((c, w))
+    seeds = [n for n, nbrs in adj.items() if len(nbrs) >= _BFS_SEED_DEG]
+    dist = {n: 0 for n in seeds}
+    heap = [(0, n) for n in seeds]
+    heapq.heapify(heap)
+    while heap:
+        du, u = heapq.heappop(heap)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, w in adj[u]:
+            nd = du + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    assert got == dist, (sorted(got.items()), sorted(dist.items()))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n_cust=st.integers(3, 12),
+    n_supp=st.integers(3, 10),
+    n_orders=st.integers(10, 60),
+    seed=st.integers(0, 2**31 - 1),
+)
 def test_bfs_oracle_matches_python_bfs(n_cust, n_supp, n_orders, seed):
     # the 3-round unrolled frontier relaxation must equal a true
     # multi-source BFS truncated at 3 hops on random bipartite
