@@ -61,6 +61,7 @@ HEADLINE = [
     "graph_louvain",    # alternating-side integer-score Louvain (round-7)
     "ml_gmm_em",        # deterministic diagonal-GMM EM twin (round-7)
     "dedup_substring",  # cross-doc duplicated-span detection (round-8)
+    "dedup_semantic",   # SemDeDup cell-restricted cosine collapse (round-10)
 ]
 
 
