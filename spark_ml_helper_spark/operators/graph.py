@@ -1380,6 +1380,57 @@ def _sssp_oracle(rounds: int = _SSSP_ROUNDS) -> str:
     """
 
 
+def sssp_fixpoint(edges, seeds, max_rounds=None):
+    """Delta-frontier Bellman–Ford to the true fixpoint over a weighted
+    edge list (``edges``: src/dst/w with both directions present,
+    materialized by the caller; ``seeds``: (node, dist) at dist 0).
+    Each round relaxes ONLY the frontier — nodes whose distance
+    improved last round — which is result-identical to full-frame
+    relaxation (any shortest path improves through an improved
+    predecessor) but joins Σ|frontier_r| ≈ O(|V|) rows across the whole
+    run instead of |V| × rounds: the standard BF pruning the
+    full-frame unrolled form (graph_bfs_layers, the oracle CTE chain)
+    pays for oracle mirroring. The per-round shape is one
+    edges⋈frontier shuffle, a map-side min-combine keyed by dst, and a
+    full-outer merge with the distance frame; an EMPTY frontier is the
+    textbook termination (no improvement can ever occur again since
+    weights are non-negative). Returns ``(dists, rounds)``; raises if
+    ``max_rounds`` (default |V|+1, the BF bound) is exhausted — at
+    100 TB the further refinement for huge-diameter graphs is
+    Δ-stepping's bucketed hybrid (Meyer & Sanders 2003)."""
+    d = seeds.localCheckpoint(eager=True)
+    f = d
+    if max_rounds is None:
+        max_rounds = edges.select("src").distinct().count() + 1
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        prop = (
+            edges.join(f.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        merged = (
+            d.join(prop, "node", "full")
+            .select(
+                "node",
+                F.least("dist", "cand").cast("bigint").alias("dist"),
+                (
+                    F.col("cand").isNotNull()
+                    & (F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+                ).alias("improved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        d = merged.select("node", "dist")
+        f = merged.where("improved").select("node", "dist")
+        if f.isEmpty():
+            return d, rounds
+    raise RuntimeError(
+        f"sssp_fixpoint: relaxation failed to converge in {max_rounds} rounds"
+    )
+
+
 @query("graph_sssp_weighted", oracle=_sssp_oracle(), family="graph")
 def graph_sssp_weighted(spark, sf_dir):
     """Multi-source WEIGHTED shortest paths (Bellman–Ford) over the
@@ -1388,17 +1439,18 @@ def graph_sssp_weighted(spark, sf_dir):
     greatest(1, 10 − cooccur_count), so strongly co-purchasing pairs
     are CLOSER, and every node gets its minimum weighted distance to
     the nearest hub seed (degree >= 3, the BFS seed rule). Relaxes TO
-    THE TRUE FIXPOINT: reached-node count and dist sum are both
-    monotone (set grows, distances shrink), so an unchanged (count,
-    sum) pair after a round IS convergence — the min_label_fixpoint /
-    round-10 kcore discipline; bounded by |V| rounds (shortest paths
-    use <= |V|−1 edges), raising on non-termination. Each round is one
-    edges-join-frontier shuffle + a min-combine (the Pregel relax
-    step), localCheckpoint per round cutting lineage; at 100 TB the
-    production refinement is delta-frontier relaxation (join only
-    nodes whose dist improved last round — the standard BF pruning)
-    and, for huge diameters, Δ-stepping's bucketed hybrid (Meyer &
-    Sanders 2003). All-integer distances — no fp anywhere. The
+    THE TRUE FIXPOINT via ``sssp_fixpoint``'s DELTA-FRONTIER rounds —
+    only nodes whose distance improved last round are joined against
+    the edge list (result-identical to full-frame relaxation, but
+    Σ|frontier| ≈ O(|V|) joined rows total instead of |V| × rounds;
+    measured on the high-diameter probe, tools/scale_probe_sssp.py),
+    terminating on the textbook empty-frontier condition, bounded by
+    |V| rounds (shortest paths use <= |V|−1 edges) and raising on
+    non-termination — the min_label_fixpoint / round-10 kcore
+    convergence discipline. localCheckpoint per round cuts lineage; at
+    100 TB the further refinement for huge diameters is
+    Δ-stepping's bucketed hybrid (Meyer & Sanders 2003). All-integer
+    distances — no fp anywhere. The
     unrolled-CTE oracle carries a convergence guard, so a truncated
     chain loudly mismatches instead of agreeing (the kcore lesson);
     the hypothesis property test replays the recurrence at rounds=|V|
@@ -1428,34 +1480,11 @@ def graph_sssp_weighted(spark, sf_dir):
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("bigint").alias("k")
     )
-    d = deg.filter(F.col("k") >= _BFS_SEED_DEG).select(
+    seeds = deg.filter(F.col("k") >= _BFS_SEED_DEG).select(
         "node", F.lit(0).cast("bigint").alias("dist")
-    ).localCheckpoint(eager=True)
-
-    n_all = edges.select("src").distinct().count()
-    prev = d.agg(
-        F.count("*").alias("n"), F.coalesce(F.sum("dist"), F.lit(0)).alias("s")
-    ).first()
-    for _ in range(n_all + 1):
-        prop = (
-            edges.join(d.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
-        )
-        d = (
-            d.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("dist").cast("bigint").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
-        cur = d.agg(
-            F.count("*").alias("n"), F.coalesce(F.sum("dist"), F.lit(0)).alias("s")
-        ).first()
-        if (cur["n"], cur["s"]) == (prev["n"], prev["s"]):
-            return d
-        prev = cur
-    raise RuntimeError(
-        "graph_sssp_weighted: relaxation failed to converge in |V|+1 rounds"
     )
+    d, _rounds = sssp_fixpoint(edges, seeds)
+    return d
 
 
 _KCORE_K = 3
