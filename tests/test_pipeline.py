@@ -1748,6 +1748,7 @@ _BNLJ_ALLOWED = {
     "vec_pca_deflate",  # same 1-row eigenvalue/trace broadcasts as pca_power
     "vec_kmeans_lloyd", "vec_pq_encode",
     "sim_ann_ivfpq",  # 1-row broadcast codebook array for map-side cell assignment
+    "dedup_semantic",  # same 1-row Lloyd codebook broadcast as vec_kmeans_lloyd
     # 4-row config frame + seed join on vec_id < cfg — constant-size
     # broadcasts at any scale
     "vec_kmeans_elbow",
