@@ -46,6 +46,7 @@ _REVERIFY_FIRST = [
     # driver-recorded ahead of the rotation backlog):
     "dedup_semantic",
     "graph_sssp_weighted",
+    "dedup_substring_remove",
     # r10 scale hardening: dedup_substring's per-gram posting list is now
     # fingerprinted + capped per its docstring; fixture hash unchanged but
     # pin so the driver re-records the hardened tree:

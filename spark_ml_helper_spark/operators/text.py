@@ -1280,3 +1280,149 @@ def dedup_substring(spark, sf_dir):
             .alias("covered_tokens"),
         )
     )
+
+
+@query(
+    "dedup_substring_remove",
+    oracle=f"""
+        WITH docs AS MATERIALIZED (
+            SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        ),
+        grams AS MATERIALIZED (
+            SELECT doc_id, pos,
+                   array_to_string(toks[pos : pos + {_SUBSTR_K} - 1], ' ') AS gram
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - {_SUBSTR_K} + 2)) AS pos
+                FROM docs
+            )
+        ),
+        gstat AS MATERIALIZED (
+            SELECT gram, min(doc_id) AS lo, max(doc_id) AS hi
+            FROM grams GROUP BY gram
+        ),
+        removable AS MATERIALIZED (
+            SELECT g.doc_id, g.pos
+            FROM grams g JOIN gstat s USING (gram)
+            WHERE s.lo <> s.hi AND g.doc_id <> s.lo
+        ),
+        isl AS MATERIALIZED (
+            SELECT doc_id, pos,
+                   sum(CASE WHEN prev IS NOT NULL AND pos - prev <= {_SUBSTR_K}
+                            THEN 0 ELSE 1 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS grp
+            FROM (
+                SELECT doc_id, pos,
+                       lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM removable
+            )
+        ),
+        spans AS MATERIALIZED (
+            SELECT doc_id, max(pos) - min(pos) + {_SUBSTR_K} AS span_len
+            FROM isl GROUP BY doc_id, grp
+        ),
+        per_doc AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_removed,
+                   CAST(sum(span_len) AS BIGINT) AS n_tokens_removed
+            FROM spans GROUP BY doc_id
+        )
+        SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+               coalesce(p.n_spans_removed, 0) AS n_spans_removed,
+               coalesce(p.n_tokens_removed, 0) AS n_tokens_removed,
+               CAST(len(d.toks) AS BIGINT) - coalesce(p.n_tokens_removed, 0)
+                   AS n_tokens_after
+        FROM docs d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    family="text",
+)
+def dedup_substring_remove(spark, sf_dir):
+    """The REMOVAL policy on top of dedup_substring's signal — Lee et
+    al. 2022 §4 (ExactSubstr-dedup): every duplicated span is dropped
+    from every document EXCEPT the canonical copy, where canonical =
+    the occurrence in the gram's MINIMUM doc_id (deterministic,
+    coordination-free — the min rides the same O(1)-state per-gram
+    aggregate the dup test uses, so "which copy survives" costs
+    nothing extra at 100 TB). Per doc: the islands of removable
+    windows (same gaps-and-islands fusion as dedup_substring, so
+    overlapping/adjacent removable windows cut as ONE maximal span)
+    and the resulting token counts — n_spans_removed,
+    n_tokens_removed, n_tokens_after; downstream slicing consumes
+    these exactly as Lee et al.'s byte-range drops. Canonical-doc
+    occurrences and single-doc repeats survive by construction
+    (removable ⊆ dedup_substring's covered set — asserted in
+    tests/test_pipeline.py). Same scale shape as dedup_substring:
+    64-bit fingerprints map-side, the (lo=min, hi=max) doc aggregate
+    is map-side combinable so Zipf-hot grams never concentrate, ONE
+    semi-join-shaped re-emission (here an inner join carrying lo),
+    and a doc-partitioned island window bounded by doc length.
+    All-integer outputs — no fp anywhere."""
+    d = table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    grams = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"CASE WHEN size(toks) >= {_SUBSTR_K} THEN "
+                    f"transform(sequence(1, size(toks) - {_SUBSTR_K} + 1), "
+                    f"i -> array_join(slice(toks, i, {_SUBSTR_K}), ' ')) "
+                    f"ELSE array() END"
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.xxhash64("gram").alias("g"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    gstat = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .select("g", "lo")
+    )
+    removable = (
+        grams.join(gstat, "g")
+        .where(F.col("doc_id") != F.col("lo"))
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = removable.select(
+        "doc_id",
+        "pos",
+        F.sum(
+            F.when(
+                F.col("pos") - F.lag("pos").over(w) <= _SUBSTR_K, 0
+            ).otherwise(1)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("grp"),
+    )
+    spans = isl.groupBy("doc_id", "grp").agg(
+        (F.max("pos") - F.min("pos") + _SUBSTR_K).alias("span_len")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans_removed"),
+        F.sum("span_len").cast("bigint").alias("n_tokens_removed"),
+    )
+    return (
+        docs.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans_removed", F.lit(0))
+            .cast("bigint")
+            .alias("n_spans_removed"),
+            F.coalesce("n_tokens_removed", F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+            (
+                F.col("n_tokens")
+                - F.coalesce("n_tokens_removed", F.lit(0))
+            ).cast("bigint").alias("n_tokens_after"),
+        )
+    )

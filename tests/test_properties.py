@@ -703,3 +703,80 @@ def test_dedup_substring_oracle_matches_python_scan(n_docs, vocab_n, seed):
     }
     want = _substr_python(docs, _SUBSTR_K)
     assert got == want, (got, want)
+
+
+def _substr_remove_python(docs, K):
+    # independent replay of the REMOVAL policy: drop positions covered
+    # by >= 1 duplicated K-gram window whose doc is NOT the gram's
+    # minimum doc (the canonical copy survives)
+    grams = {}
+    toklists = {}
+    for doc_id, text in docs:
+        toks = text.lower().split(" ")
+        toklists[doc_id] = toks
+        for i in range(len(toks) - K + 1):
+            grams.setdefault(tuple(toks[i : i + K]), set()).add(doc_id)
+    out = {}
+    for doc_id, toks in toklists.items():
+        n = len(toks)
+        removed = [False] * n
+        for i in range(n - K + 1):
+            ds = grams[tuple(toks[i : i + K])]
+            if len(ds) >= 2 and doc_id != min(ds):
+                for j in range(i, i + K):
+                    removed[j] = True
+        spans = []
+        run = 0
+        for c in removed:
+            if c:
+                run += 1
+            elif run:
+                spans.append(run)
+                run = 0
+        if run:
+            spans.append(run)
+        out[doc_id] = (n, len(spans), sum(spans), n - sum(spans))
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n_docs=st.integers(2, 12),
+    vocab_n=st.integers(2, 5),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_dedup_substring_remove_oracle_matches_python(n_docs, vocab_n, seed):
+    import duckdb
+
+    from spark_ml_helper_spark.operators.text import _SUBSTR_K
+    from spark_ml_helper_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+    rng = np.random.default_rng(seed)
+    letters = "abcde"
+    docs = []
+    for i in range(n_docs):
+        toks = [letters[int(rng.integers(0, vocab_n))] for _ in range(int(rng.integers(1, 26)))]
+        docs.append((i, " ".join(toks)))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in docs)
+        + ") t(doc_id, text)"
+    )
+    got = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(REGISTRY["dedup_substring_remove"].oracle).fetchall()
+    }
+    want = _substr_remove_python(docs, _SUBSTR_K)
+    assert got == want, (got, want)
+
+    # invariants vs the signal op: removable coverage is a subset of
+    # covered coverage (canonical copies survive), and the gram-minimum
+    # doc of every duplicated gram keeps at least its own copy
+    covered = {
+        r[0]: r[4]
+        for r in con.execute(REGISTRY["dedup_substring"].oracle).fetchall()
+    }
+    for doc_id, (_n, _spans, n_removed, _after) in want.items():
+        assert n_removed <= covered[doc_id], (doc_id, n_removed, covered[doc_id])
