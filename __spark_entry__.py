@@ -47,9 +47,10 @@ _REVERIFY_FIRST = [
     "dedup_semantic",
     "graph_sssp_weighted",
     "dedup_substring_remove",
-    # r10 scale hardening: dedup_substring's per-gram posting list is now
-    # fingerprinted + capped per its docstring; fixture hash unchanged but
-    # pin so the driver re-records the hardened tree:
+    # r10 scale hardening: dedup_substring's per-gram posting list is
+    # replaced by 64-bit fingerprints + a map-side-combinable
+    # min(doc)!=max(doc) dup test; fixture hash unchanged but pin so the
+    # driver re-records the hardened tree:
     "dedup_substring",
 ]
 
