@@ -47,6 +47,7 @@ _REVERIFY_FIRST = [
     "dedup_semantic",
     "graph_sssp_weighted",
     "dedup_substring_remove",
+    "graph_coreness",
     # r10 scale hardening: dedup_substring's per-gram posting list is
     # replaced by 64-bit fingerprints + a map-side-combinable
     # min(doc)!=max(doc) dup test; fixture hash unchanged but pin so the

@@ -1690,3 +1690,104 @@ def graph_link_prediction(spark, sf_dir):
         .orderBy(F.desc("jaccard"), "u", "v")
         .limit(_LINKPRED_TOPK)
     )
+
+
+_CORENESS_KMAX = 6
+_CORENESS_ROUNDS = 6
+
+
+def _coreness_oracle(rounds: int = _CORENESS_ROUNDS,
+                     kmax: int = _CORENESS_KMAX) -> str:
+    """Per-level guarded peel chains: for each k in 2..kmax an
+    independent ``rounds + 1``-CTE peel of the FULL edge set (the
+    k-core is unique, so independent levels equal the progressive
+    restriction the Spark side runs), each with the kcore-style
+    count-equality convergence guard — an unconverged level returns 0
+    rows and LOUDLY mismatches the Spark fixpoint. Coreness = max
+    surviving level (1 for edge-touched nodes outside every 2-core),
+    capped at kmax on both engines by construction. The property test
+    calls this with rounds = |V|."""
+    levels = []
+    union = []
+    for k in range(2, kmax + 1):
+        prev = "a0"
+        for r in range(1, rounds + 2):
+            levels.append(f"""
+        k{k}_{r} AS MATERIALIZED (
+            SELECT e.src AS node
+            FROM edges e
+            JOIN {f'k{k}_{r - 1}' if r > 1 else 'a0'} x ON x.node = e.src
+            JOIN {f'k{k}_{r - 1}' if r > 1 else 'a0'} y ON y.node = e.dst
+            GROUP BY e.src HAVING count(*) >= {k}
+        )""")
+        levels.append(f"""
+        core{k} AS MATERIALIZED (
+            SELECT node FROM k{k}_{rounds + 1}
+            WHERE (SELECT count(*) FROM k{k}_{rounds + 1})
+                = (SELECT count(*) FROM k{k}_{rounds})
+        )""")
+        union.append(f"SELECT node, {k} AS k FROM core{k}")
+    return f"""
+        WITH e0 AS (
+            SELECT o.o_custkey AS c, l.l_suppkey AS s
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2 HAVING count(*) >= {_KCORE_MIN_COOCCUR}
+        ),
+        edges AS MATERIALIZED (
+            SELECT c AS src, s + {_CC_SUPP_OFFSET} AS dst FROM e0
+            UNION ALL SELECT s + {_CC_SUPP_OFFSET}, c FROM e0
+        ),
+        a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+        {",".join(levels)},
+        lv AS ({" UNION ALL ".join(union)})
+        SELECT a0.node, CAST(coalesce(max(lv.k), 1) AS BIGINT) AS coreness
+        FROM a0 LEFT JOIN lv USING (node)
+        GROUP BY a0.node
+    """
+
+
+@query("graph_coreness", oracle=_coreness_oracle(), family="graph")
+def graph_coreness(spark, sf_dir):
+    """FULL core-number decomposition (coreness capped at k=6) over the
+    graph_kcore co-occurrence graph: coreness(v) = the largest k such
+    that v survives the k-core peel — the standard graph-curation
+    ranking (Seidman 1983; corpus-graph centrality for sampling and
+    hub detection, the per-node generalization of graph_kcore's k=3
+    membership gate). Runs ``kcore_fixpoint`` once per level with
+    PROGRESSIVE RESTRICTION: the k-core of G equals the k-core of its
+    own (k−1)-core, so level k peels only the previous level's
+    survivor subgraph — the edge frame shrinks monotonically and the
+    total work is bounded by the k=2 peel plus strictly smaller
+    repeats, each level itself delta-peeled (every edge charged at
+    most once per level). The cap is declared semantics on BOTH
+    engines (the oracle unions levels 2..6; real corpora put the
+    interesting mass far below the cap and raising it is one
+    constant). Per-level guarded oracle chains mismatch loudly on any
+    unconverged unroll; the hypothesis property test replays the
+    levels at rounds = |V| against a pure-Python exact coreness peel.
+    Exact integers throughout."""
+    edges = _cooccur_edges(spark, sf_dir, _KCORE_MIN_COOCCUR)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    out = nodes.select("node", F.lit(1).cast("bigint").alias("coreness"))
+    cur = edges
+    for k in range(2, _CORENESS_KMAX + 1):
+        deg, _rounds = kcore_fixpoint(cur, k)
+        surv = deg.select("node").localCheckpoint(eager=True)
+        if surv.isEmpty():
+            break
+        out = (
+            out.join(surv.withColumn("hit", F.lit(True)), "node", "left")
+            .select(
+                "node",
+                F.when(F.col("hit"), F.lit(k).cast("bigint"))
+                .otherwise(F.col("coreness"))
+                .alias("coreness"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = (
+            cur.join(surv.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(surv.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return out

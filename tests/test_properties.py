@@ -780,3 +780,73 @@ def test_dedup_substring_remove_oracle_matches_python(n_docs, vocab_n, seed):
     }
     for doc_id, (_n, _spans, n_removed, _after) in want.items():
         assert n_removed <= covered[doc_id], (doc_id, n_removed, covered[doc_id])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n_cust=st.integers(3, 12),
+    n_supp=st.integers(3, 10),
+    n_orders=st.integers(10, 60),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_coreness_oracle_matches_python_peel(n_cust, n_supp, n_orders, seed):
+    # the per-level guarded chains, run with rounds = |V| (converged by
+    # construction), must equal a pure-Python exact coreness peel capped
+    # at the declared KMAX
+    from collections import defaultdict
+
+    import duckdb
+
+    from spark_ml_helper_spark.operators.graph import (
+        _CC_SUPP_OFFSET,
+        _CORENESS_KMAX,
+        _KCORE_MIN_COOCCUR,
+        _coreness_oracle,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for ok in range(n_orders):
+        cust = int(rng.integers(1, n_cust + 1))
+        for line in range(int(rng.integers(1, 7))):
+            rows.append((ok, cust, int(rng.integers(1, n_supp + 1))))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders AS SELECT * FROM (VALUES "
+        + ", ".join(f"({ok}, {c})" for ok, c in
+                    sorted({(ok, c) for ok, c, _ in rows}))
+        + ") t(o_orderkey, o_custkey)"
+    )
+    con.execute(
+        "CREATE TABLE lineitem AS SELECT * FROM (VALUES "
+        + ", ".join(f"({ok}, {s})" for ok, _, s in rows)
+        + ") t(l_orderkey, l_suppkey)"
+    )
+    got = {
+        r[0]: r[1]
+        for r in con.execute(
+            _coreness_oracle(rounds=n_cust + n_supp)
+        ).fetchall()
+    }
+
+    pair_count = defaultdict(int)
+    for ok, c, s in rows:
+        pair_count[(c, s)] += 1
+    adj = defaultdict(set)
+    for (c, s), cnt in pair_count.items():
+        if cnt >= _KCORE_MIN_COOCCUR:
+            adj[c].add(s + _CC_SUPP_OFFSET)
+            adj[s + _CC_SUPP_OFFSET].add(c)
+    want = {}
+    for k in range(2, _CORENESS_KMAX + 1):
+        alive = set(adj)
+        while True:
+            dead = {n for n in alive if len(adj[n] & alive) < k}
+            if not dead:
+                break
+            alive -= dead
+        for n in alive:
+            want[n] = k
+    for n in adj:
+        want.setdefault(n, 1)
+    assert got == want, (sorted(got.items()), sorted(want.items()))
