@@ -48,6 +48,11 @@ _REVERIFY_FIRST = [
     "graph_sssp_weighted",
     "dedup_substring_remove",
     "graph_coreness",
+    "sql_priority_line_split",
+    "sql_promo_share",
+    "sql_notin_supplier_cnt",
+    "sql_disjunctive_pred",
+    "sql_scalar_max_join",
     # r10 scale hardening: dedup_substring's per-gram posting list is
     # replaced by 64-bit fingerprints + a map-side-combinable
     # min(doc)!=max(doc) dup test; fixture hash unchanged but pin so the

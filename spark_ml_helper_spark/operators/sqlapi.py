@@ -623,3 +623,164 @@ def sql_profit_by_nation_year(spark, sf_dir):
     for t in ("lineitem", "orders", "supplier", "nation", "part"):
         table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q9_SHAPE)
+
+
+_Q12_SHAPE = """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+"""
+
+
+@query("sql_priority_line_split", oracle=_Q12_SHAPE, family="sqlapi")
+def sql_priority_line_split(spark, sf_dir):
+    """TPC-H Q12-shape shipping-mode priority split (adapted to the
+    fixture schema: l_linestatus stands in for the absent l_shipmode):
+    per line status, COMPLEMENTARY CASE-count pairs — urgent/high
+    priority lines vs the rest — computed in ONE grouped pass (the
+    CASE-inside-SUM discipline; the naive form runs two filtered
+    aggregates and a join). The date band pushes to the lineitem
+    parquet scan; the fact join shuffles on the order key; the CASE
+    buckets are exact integer counts with zero fp surface. At 100 TB
+    this is one scan + one shuffle regardless of how many priority
+    buckets the CASE carries — the reason Q12 exists."""
+    for t in ("orders", "lineitem"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q12_SHAPE)
+
+
+_Q14_SHAPE = """
+    SELECT CAST(round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(100 - round(l_discount * 100) AS BIGINT)
+                       ELSE 0 END)
+               / sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(100 - round(l_discount * 100) AS BIGINT)), 6)
+               AS DOUBLE) AS promo_revenue_pct,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+@query("sql_promo_share", oracle=_Q14_SHAPE, family="sqlapi")
+def sql_promo_share(spark, sf_dir):
+    """TPC-H Q14-shape promotion-effect measurement: the percentage of
+    one month's discounted revenue attributable to PROMO parts — a
+    GLOBAL (ungrouped) conditional/total ratio from ONE pass over the
+    join, the scalar complement of sql_market_share's grouped share.
+    Money discipline: both numerator and denominator fold as exact
+    integer cents × integer discount-percent (4-decimal-scaled
+    BIGINTs), the ratio is one identical IEEE division, and the output
+    is CAST AS DOUBLE (the round-10 decimal-literal rule — 100.0 would
+    otherwise type the result DECIMAL on Spark). The month band pushes
+    to the scan; part broadcasts. One row out at any corpus scale."""
+    for t in ("lineitem", "part"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q14_SHAPE)
+
+
+_Q16_SHAPE = """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#23'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("sql_notin_supplier_cnt", oracle=_Q16_SHAPE, family="sqlapi")
+def sql_notin_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16-shape parts/supplier relationship count (lineitem
+    stands in for the absent partsupp; the negative-balance filter for
+    the absent complaints-comment LIKE): count(DISTINCT supplier) per
+    (brand, type, size) bucket, EXCLUDING suppliers from a NOT IN
+    subquery — the shape exists to stress NOT IN's three-valued-logic
+    anti-join (one NULL in the subquery would void every row; both
+    engines plan it as a null-aware anti join, here provably null-free
+    since s_suppkey is a key) stacked under a count-distinct expand.
+    The IN-list size filter prunes part before the join; the distinct
+    shuffles on the group key + suppkey then collapses. At 100 TB the
+    anti-join build side (bad suppliers) broadcasts."""
+    for t in ("part", "lineitem", "supplier"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q16_SHAPE)
+
+
+_Q19_SHAPE = """
+    SELECT CAST(round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(100 - round(l_discount * 100) AS BIGINT))
+                / 10000.0, 2) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+@query("sql_disjunctive_pred", oracle=_Q19_SHAPE, family="sqlapi")
+def sql_disjunctive_pred(spark, sf_dir):
+    """TPC-H Q19-shape discounted-revenue query: an OR of three AND
+    blocks mixing columns from BOTH join sides — the canonical
+    disjunctive-predicate planning test. Neither engine can push the
+    whole OR below the join, but both can (and Spark does — asserted
+    by the CNF-derived per-side filters in the plan) push the
+    single-side residues: p_brand IN (three brands) + the union of
+    size ranges prune part, the union of quantity ranges prunes
+    lineitem, and only the cross-side conjunctions evaluate post-join.
+    Revenue folds in exact integer cents × discount-percent with the
+    output CAST AS DOUBLE. One row out; part broadcasts at any
+    scale."""
+    for t in ("lineitem", "part"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q19_SHAPE)
+
+
+_Q15_SHAPE = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(100 - round(l_discount * 100) AS BIGINT))
+                    AS BIGINT) AS total_c4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(round(total_c4 / 10000.0, 2) AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_c4 = (SELECT max(total_c4) FROM revenue)
+"""
+
+
+@query("sql_scalar_max_join", oracle=_Q15_SHAPE, family="sqlapi")
+def sql_scalar_max_join(spark, sf_dir):
+    """TPC-H Q15-shape top supplier: the quarter's per-supplier revenue
+    CTE consumed in TWO roles — the join frame and the scalar MAX
+    threshold — with an EQUALITY against that scalar (ties return every
+    tied supplier, per spec; the equality is exact because revenue
+    folds as integer cents × discount-percent, never a rounded
+    double). Catalyst evaluates the scalar branch once as a 1-row
+    broadcast, not per row; the supplier dim broadcasts onto the
+    aggregated (small) revenue frame. The classic view-reuse shape:
+    at 100 TB the CTE materializes once, and the only corpus-scale
+    work is the one quarter-banded scan + suppkey shuffle behind it."""
+    for t in ("lineitem", "supplier"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q15_SHAPE)
