@@ -1791,3 +1791,214 @@ def graph_coreness(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
     return out
+
+
+_MST_ROUNDS = 10  # components at least halve per Borůvka round, so 10
+                  # covers 1024-node components; the oracle guard makes a
+                  # short unroll fail LOUDLY (0 rows), never silently
+
+
+def _mst_oracle(rounds: int = _MST_ROUNDS) -> str:
+    """Unrolled Borůvka chain with the round-10 convergence-guard
+    discipline: per round, each component's lexicographic-minimum
+    ((w, lo, hi) — a total order, so the forest is unique) incident
+    cross edge is selected, selected edges union into the forest, and
+    components merge via a per-round recursive-CTE min-label closure
+    over the (tiny) component graph. The final SELECT returns the
+    forest only when NO cross-component edge survives round ``rounds``
+    — an unconverged unroll returns 0 rows and mismatches the Spark
+    fixpoint loudly. The property test calls this with rounds =
+    ceil(log2 |V|) + 1 (components at least halve per round)."""
+    parts = []
+    sels = []
+    prev = "comp0"
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+        cross{r} AS MATERIALIZED (
+            SELECT e.lo, e.hi, e.w, cu.comp AS ca, cv.comp AS cb
+            FROM eu e JOIN {prev} cu ON cu.node = e.lo
+                      JOIN {prev} cv ON cv.node = e.hi
+            WHERE cu.comp <> cv.comp
+        ),
+        sel{r} AS MATERIALIZED (
+            SELECT DISTINCT lo, hi, w FROM (
+                SELECT c, lo, hi, w, row_number() OVER (
+                    PARTITION BY c ORDER BY w, lo, hi) AS rn
+                FROM (SELECT ca AS c, lo, hi, w FROM cross{r}
+                      UNION ALL SELECT cb AS c, lo, hi, w FROM cross{r})
+            ) WHERE rn = 1
+        ),
+        cgb{r} AS MATERIALIZED (
+            SELECT a, b FROM (
+                SELECT cu.comp AS a, cv.comp AS b
+                FROM sel{r} s JOIN {prev} cu ON cu.node = s.lo
+                              JOIN {prev} cv ON cv.node = s.hi
+            ) UNION
+            SELECT b, a FROM (
+                SELECT cu.comp AS a, cv.comp AS b
+                FROM sel{r} s JOIN {prev} cu ON cu.node = s.lo
+                              JOIN {prev} cv ON cv.node = s.hi
+            )
+        ),
+        walk{r}(node, lab) AS (
+            SELECT a, a FROM cgb{r}
+            UNION
+            SELECT g.b, w.lab FROM walk{r} w JOIN cgb{r} g ON g.a = w.node
+        ),
+        nl{r} AS MATERIALIZED (
+            SELECT node, min(lab) AS lab FROM walk{r} GROUP BY node
+        ),
+        comp{r} AS MATERIALIZED (
+            SELECT c.node, coalesce(n.lab, c.comp) AS comp
+            FROM {prev} c LEFT JOIN nl{r} n ON n.node = c.comp
+        )""")
+        sels.append(f"SELECT lo, hi, w FROM sel{r}")
+        prev = f"comp{r}"
+    return f"""
+        WITH RECURSIVE e0 AS (
+            SELECT o.o_custkey AS c, l.l_suppkey AS s,
+                   CAST(greatest(1, 10 - count(*)) AS BIGINT) AS w
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2 HAVING count(*) >= {_CC_MIN_COOCCUR}
+        ),
+        eu AS MATERIALIZED (
+            SELECT least(c, s + {_CC_SUPP_OFFSET}) AS lo,
+                   greatest(c, s + {_CC_SUPP_OFFSET}) AS hi, w
+            FROM e0
+        ),
+        nodes AS (
+            SELECT DISTINCT lo AS node FROM eu
+            UNION SELECT DISTINCT hi FROM eu
+        ),
+        comp0 AS MATERIALIZED (SELECT node, node AS comp FROM nodes),
+        {",".join(parts)},
+        msf AS ({" UNION ALL ".join(sels)}),
+        crossF AS (
+            SELECT 1 FROM eu e JOIN {prev} cu ON cu.node = e.lo
+                               JOIN {prev} cv ON cv.node = e.hi
+            WHERE cu.comp <> cv.comp
+        )
+        SELECT lo, hi, w FROM msf
+        WHERE (SELECT count(*) FROM crossF) = 0
+    """
+
+
+@query("graph_mst", oracle=_mst_oracle(), family="graph")
+def graph_mst(spark, sf_dir):
+    """Minimum spanning FOREST (Borůvka 1926) over the weighted
+    customer-supplier co-occurrence graph (the graph_sssp_weighted
+    edges: integer weight greatest(1, 10 − cooccur count), so the
+    forest is the cheapest backbone connecting each trading community
+    — the skeleton used for hierarchical clustering, single-linkage
+    dendrograms, and network-cost planning). Edge order is the TOTAL
+    order (w, lo, hi), so the forest is unique and hash-verifiable.
+    Borůvka is THE distributed MST algorithm (GraphX/Pregel's choice):
+    per round every component picks its minimum incident cross edge
+    (one groupBy(comp).min(struct) — a map-side-combinable aggregate,
+    never a sort), the picked edges merge components via
+    ``min_label_fixpoint`` over the COMPONENT graph (≤ |components|
+    nodes, broadcast-sized after round 1), and components at least
+    HALVE per round — O(log |V|) rounds total, each one
+    edges⋈labels shuffle. Runs to the TRUE fixpoint (no cross-
+    component edge left), bounded by log2|V|+2 rounds with a loud
+    raise; the unrolled oracle carries the same guard. Exact integers
+    throughout; the property test replays the chain against a
+    pure-Python Kruskal."""
+    e0 = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(
+            F.greatest(F.lit(1), F.lit(10) - F.count("*"))
+            .cast("bigint")
+            .alias("w"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= _CC_MIN_COOCCUR)
+    )
+    sup = F.col("s") + _CC_SUPP_OFFSET
+    eu = e0.select(
+        F.least(F.col("c"), sup).alias("lo"),
+        F.greatest(F.col("c"), sup).alias("hi"),
+        "w",
+    ).localCheckpoint(eager=True)
+    nodes = (
+        eu.select(F.col("lo").alias("node"))
+        .unionByName(eu.select(F.col("hi").alias("node")))
+        .distinct()
+    )
+    comp = nodes.select("node", F.col("node").alias("comp")).localCheckpoint(
+        eager=True
+    )
+    n_nodes = comp.count()
+    msf = eu.limit(0)
+    max_rounds = max(n_nodes, 2).bit_length() + 2
+    for _ in range(max_rounds):
+        cross = (
+            eu.join(
+                comp.withColumnRenamed("node", "lo").withColumnRenamed(
+                    "comp", "ca"
+                ),
+                "lo",
+            )
+            .join(
+                comp.withColumnRenamed("node", "hi").withColumnRenamed(
+                    "comp", "cb"
+                ),
+                "hi",
+            )
+            .where(F.col("ca") != F.col("cb"))
+            .localCheckpoint(eager=True)
+        )
+        if cross.isEmpty():
+            return msf.select("lo", "hi", "w")
+        cand = cross.select(F.col("ca").alias("cc"), "w", "lo", "hi").unionByName(
+            cross.select(F.col("cb").alias("cc"), "w", "lo", "hi")
+        )
+        sel = (
+            cand.groupBy("cc")
+            .agg(F.min(F.struct("w", "lo", "hi")).alias("e"))
+            .select(
+                F.col("e.lo").alias("lo"),
+                F.col("e.hi").alias("hi"),
+                F.col("e.w").alias("w"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        msf = msf.unionByName(sel).localCheckpoint(eager=True)
+        cg = (
+            sel.join(
+                comp.withColumnRenamed("node", "lo").withColumnRenamed(
+                    "comp", "a"
+                ),
+                "lo",
+            )
+            .join(
+                comp.withColumnRenamed("node", "hi").withColumnRenamed(
+                    "comp", "b"
+                ),
+                "hi",
+            )
+            .select("a", "b")
+            .distinct()
+        )
+        bidir = (
+            cg.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(cg.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .localCheckpoint(eager=True)
+        )
+        labels, _r = min_label_fixpoint(bidir)
+        comp = (
+            comp.join(
+                labels.withColumnRenamed("node", "comp"), "comp", "left"
+            )
+            .select("node", F.coalesce("lab", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"graph_mst: Boruvka failed to converge in {max_rounds} rounds"
+    )
