@@ -1479,19 +1479,27 @@ def graph_sssp_weighted(spark, sf_dir):
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     ).localCheckpoint(eager=True)
 
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").cast("bigint").alias("k")
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("bigint").alias("k"))
+        .localCheckpoint(eager=True)
     )
     seeds = deg.filter(F.col("k") >= _BFS_SEED_DEG).select(
         "node", F.lit(0).cast("bigint").alias("dist")
     )
-    d, _rounds = sssp_fixpoint(edges, seeds)
+    # deg's node set IS the distinct-src set, already materialized — pass
+    # the BF bound from it instead of letting sssp_fixpoint run an extra
+    # shuffle-distinct over the edge list (r10 advice).
+    d, _rounds = sssp_fixpoint(edges, seeds, max_rounds=deg.count() + 1)
     return d
 
 
 _KCORE_K = 3
 _KCORE_MIN_COOCCUR = 3  # denser graph than the CC family's >= 4
-_KCORE_ROUNDS = 4  # fixture fixpoint measured at <= 3 rounds on sf0.001/0.01/0.1
+_KCORE_ROUNDS = 4  # ORACLE unroll depth only (the Spark side peels to a true
+                   # convergence-guarded fixpoint, kcore_fixpoint); the chain
+                   # guard returns 0 rows — a LOUD mismatch — if 4 rounds was
+                   # not the fixpoint, so this is never a silent truncation
 
 
 def _kcore_oracle(rounds: int = _KCORE_ROUNDS) -> str:

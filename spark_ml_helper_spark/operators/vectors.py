@@ -1890,10 +1890,15 @@ def _semdedup_oracle() -> str:
             FROM kmf k JOIN embeddings e USING (vec_id)
         ),
         dup AS MATERIALIZED (
+            -- nrm > 0 on both sides: cosine is undefined for a zero-norm
+            -- embedding, and without the guard the engines diverge (the
+            -- numpy candidate kernel drops the NaN, NaN >= tau comparisons
+            -- keep it) — zero vectors are never dup on EITHER engine
             SELECT DISTINCT b.vec_id
             FROM vv a JOIN vv b
               ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-            WHERE {dot_ab} / (a.nrm * b.nrm) >= {_SEMDEDUP_TAU}
+            WHERE a.nrm > 0 AND b.nrm > 0
+              AND {dot_ab} / (a.nrm * b.nrm) >= {_SEMDEDUP_TAU}
         )
         SELECT v.vec_id, v.cluster, (d.vec_id IS NULL) AS keep
         FROM vv v LEFT JOIN dup d USING (vec_id)
@@ -1934,15 +1939,20 @@ def dedup_semantic(spark, sf_dir):
         l2_norm(F.col("emb")).alias("nrm"),
         "cluster",
     ).localCheckpoint(eager=True)
+    # zero-norm embeddings have undefined cosine: exclude them from the
+    # pair space (mirrored by the oracle's nrm > 0 guard) so the numpy
+    # kernel (NaN >= tau → False) and the rescore/oracle comparisons
+    # (NaN > any value) cannot diverge; such vectors are always kept.
+    vp = v.filter(F.col("nrm") > 0)
     cand = block_pair_candidates(
-        spark, v, threshold_kernel(_SEMDEDUP_TAU), key_col="cluster"
+        spark, vp, threshold_kernel(_SEMDEDUP_TAU), key_col="cluster"
     )
-    av = v.select(
+    av = vp.select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),
         F.col("nrm").alias("a_nrm"),
     )
-    bv = v.select(
+    bv = vp.select(
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("b_emb"),
         F.col("nrm").alias("b_nrm"),

@@ -850,3 +850,80 @@ def test_coreness_oracle_matches_python_peel(n_cust, n_supp, n_orders, seed):
     for n in adj:
         want.setdefault(n, 1)
     assert got == want, (sorted(got.items()), sorted(want.items()))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n_cust=st.integers(3, 12),
+    n_supp=st.integers(3, 10),
+    n_orders=st.integers(10, 60),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_mst_oracle_matches_python_kruskal(n_cust, n_supp, n_orders, seed):
+    # the guarded Boruvka CTE chain, run with rounds = ceil(log2 |V|) + 1
+    # (components at least halve per round, so the chain is converged by
+    # construction), must equal a pure-Python Kruskal over the same
+    # weighted co-occurrence graph: the edge order (w, lo, hi) is TOTAL,
+    # so the minimum spanning forest is unique and the two algorithms
+    # must agree edge-for-edge
+    from collections import defaultdict
+
+    import duckdb
+
+    from spark_ml_helper_spark.operators.graph import (
+        _CC_MIN_COOCCUR,
+        _CC_SUPP_OFFSET,
+        _mst_oracle,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for ok in range(n_orders):
+        cust = int(rng.integers(1, n_cust + 1))
+        for line in range(int(rng.integers(1, 7))):
+            rows.append((ok, cust, int(rng.integers(1, n_supp + 1))))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders AS SELECT * FROM (VALUES "
+        + ", ".join(f"({ok}, {c})" for ok, c in
+                    sorted({(ok, c) for ok, c, _ in rows}))
+        + ") t(o_orderkey, o_custkey)"
+    )
+    con.execute(
+        "CREATE TABLE lineitem AS SELECT * FROM (VALUES "
+        + ", ".join(f"({ok}, {s})" for ok, _, s in rows)
+        + ") t(l_orderkey, l_suppkey)"
+    )
+    n_nodes_max = n_cust + n_supp
+    rounds = max(n_nodes_max, 2).bit_length() + 1
+    got = {tuple(r) for r in con.execute(_mst_oracle(rounds=rounds)).fetchall()}
+
+    pair_count = defaultdict(int)
+    for ok, c, s in rows:
+        pair_count[(c, s)] += 1
+    edges = sorted(
+        (max(1, 10 - cnt), min(c, s + _CC_SUPP_OFFSET),
+         max(c, s + _CC_SUPP_OFFSET))
+        for (c, s), cnt in pair_count.items()
+        if cnt >= _CC_MIN_COOCCUR
+    )
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    want = set()
+    for w, lo, hi in edges:
+        ra, rb = find(lo), find(hi)
+        if ra != rb:
+            parent[ra] = rb
+            want.add((lo, hi, w))
+    assert got == want, (sorted(got), sorted(want))
+    # forest invariant: |edges| = |nodes| - |components|
+    nodes = {n for _, lo, hi in edges for n in (lo, hi)}
+    comps = len({find(n) for n in nodes})
+    assert len(want) == len(nodes) - comps
