@@ -1426,3 +1426,143 @@ def dedup_substring_remove(spark, sf_dir):
             ).cast("bigint").alias("n_tokens_after"),
         )
     )
+
+def substr_flag_and_audit(docs, fp=None):
+    """Factored flag-then-audit kernel shared by ``dedup_substring_audit``
+    and the synthetic-collision unit test. ``docs`` is a (doc_id, toks)
+    frame; ``fp`` maps the gram-string Column to its fingerprint Column
+    (default the production ``F.xxhash64`` — the test injects a
+    deliberately WEAK fingerprint to force collisions). Two passes:
+
+    1. FLAG (the dedup_substring fast path): per-gram fingerprint
+       stream, min(doc)≠max(doc) dup test keyed by the 64-bit
+       fingerprint — O(1) state, map-side combinable; flagged starts =
+       occurrences of surviving fingerprints. Note every occurrence of
+       a flagged fingerprint is flagged, so for each constituent gram
+       STRING the flagged subset contains ALL of its occurrences —
+       which is what makes pass 2 exact.
+    2. AUDIT (the "second exact pass" of dedup_substring's docstring):
+       re-derive the gram STRING for flagged starts only (one
+       doc_id-keyed join back to the token arrays — flagged ≪ all
+       grams, so strings travel only for the flagged sliver), then the
+       same min≠max test keyed by the EXACT string: a start is
+       CONFIRMED iff its own gram really spans ≥ 2 docs; anything else
+       was over-marked by a fingerprint collision.
+
+    Returns (doc_id, pos, gram, confirmed)."""
+    grams = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"CASE WHEN size(toks) >= {_SUBSTR_K} THEN "
+                    f"transform(sequence(1, size(toks) - {_SUBSTR_K} + 1), "
+                    f"i -> array_join(slice(toks, i, {_SUBSTR_K}), ' ')) "
+                    f"ELSE array() END"
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            (fp or F.xxhash64)(F.col("gram")).alias("g"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .select("g")
+    )
+    flagged = grams.join(dup, "g", "left_semi").select("doc_id", "pos")
+    exact = flagged.join(docs, "doc_id").select(
+        "doc_id",
+        "pos",
+        F.array_join(F.slice("toks", F.col("pos"), F.lit(_SUBSTR_K)), " ").alias(
+            "gram"
+        ),
+    )
+    estat = (
+        exact.groupBy("gram")
+        .agg(F.min("doc_id").alias("elo"), F.max("doc_id").alias("ehi"))
+        .select("gram", (F.col("elo") != F.col("ehi")).alias("confirmed"))
+    )
+    return exact.join(estat, "gram").select("doc_id", "pos", "gram", "confirmed")
+
+
+@query(
+    "dedup_substring_audit",
+    oracle=f"""
+        WITH docs AS MATERIALIZED (
+            SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        ),
+        grams AS MATERIALIZED (
+            SELECT doc_id, pos,
+                   array_to_string(toks[pos : pos + {_SUBSTR_K} - 1], ' ') AS gram
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - {_SUBSTR_K} + 2)) AS pos
+                FROM docs
+            )
+        ),
+        dup AS MATERIALIZED (
+            SELECT gram FROM grams
+            GROUP BY gram HAVING min(doc_id) <> max(doc_id)
+        ),
+        starts AS MATERIALIZED (
+            SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+        )
+        -- exact semantics: every exact-dup start confirms itself and
+        -- nothing is over-marked; the Spark side reaches these numbers
+        -- through fingerprint-flag + exact-string audit, so a REAL
+        -- xxhash64 collision shows up as a LOUD driver mismatch here
+        -- (n_flagged/n_overmarked diverge) instead of a silent
+        -- over-removal downstream
+        SELECT CAST((SELECT count(*) FROM starts) AS BIGINT)
+                   AS n_flagged_starts,
+               CAST((SELECT count(*) FROM starts) AS BIGINT)
+                   AS n_confirmed_starts,
+               CAST(0 AS BIGINT) AS n_overmarked_starts,
+               CAST((SELECT count(*) FROM dup) AS BIGINT)
+                   AS n_dup_grams_exact
+    """,
+    family="text",
+)
+def dedup_substring_audit(spark, sf_dir):
+    """The SECOND EXACT PASS promised in dedup_substring's docstring,
+    shipped as an auditable query (round-11; r10 advice): dedup_substring
+    and dedup_substring_remove trade gram strings for 64-bit xxhash64
+    fingerprints on the shuffle path, accepting that a fingerprint
+    collision can only ever OVER-mark a start (never miss one). This op
+    measures that over-marking exactly: pass 1 re-runs the fingerprint
+    flag, pass 2 re-joins the flagged starts (a sliver — dup coverage,
+    not the corpus) back to the token arrays, re-derives their gram
+    STRINGS, and re-tests min(doc)≠max(doc) keyed by the exact string.
+    Output is the audit ledger: flagged / confirmed / over-marked start
+    counts and the exact distinct dup-gram count. Expected over-marked
+    at corpus scale: ~n²/2⁶⁵ per Lee et al.'s hashed-match tolerance —
+    ≈1e-2 starts at a BILLION distinct grams — and the oracle pins the
+    exact-semantics answer (over-marked = 0), so any real collision on
+    a fixture is a loud hash mismatch, not silent data loss. Scale
+    shape: pass 1 is dedup_substring's (O(1)-state fingerprint agg);
+    pass 2's string traffic is bounded by flagged coverage and its
+    group space by the exact dup-gram set. The synthetic-collision
+    unit test (tests/test_pipeline.py) injects a deliberately weak
+    fingerprint through ``substr_flag_and_audit`` and checks the audit
+    recovers the exact answer under heavy collision pressure."""
+    d = table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    audited = substr_flag_and_audit(docs)
+    return audited.agg(
+        F.count("*").cast("bigint").alias("n_flagged_starts"),
+        F.coalesce(F.sum(F.col("confirmed").cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("n_confirmed_starts"),
+        F.coalesce(F.sum((~F.col("confirmed")).cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("n_overmarked_starts"),
+        F.count_distinct(F.when(F.col("confirmed"), F.col("gram")))
+        .cast("bigint")
+        .alias("n_dup_grams_exact"),
+    )
