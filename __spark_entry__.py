@@ -68,6 +68,10 @@ _REVERIFY_FIRST = [
     # r11 addition: the second-exact-pass collision audit for the
     # substring-dedup family (new query, verified at 3 SFs):
     "dedup_substring_audit",
+    # r11 addition: delta-stepping SSSP twin (probe showed 2.55x at 10x on
+    # the high-diameter shape; same oracle as graph_sssp_weighted so the
+    # driver hash-checks the engines agree):
+    "graph_sssp_delta",
     # r11 record rotation: the stalest §2 entries still carrying r01-r03
     # records on files edited since (aggregates/joins/windows line drift) —
     # ~10 per round so every record stays <= 5 rounds old:

@@ -62,6 +62,10 @@ HEADLINE = [
     "ml_gmm_em",        # deterministic diagonal-GMM EM twin (round-7)
     "dedup_substring",  # cross-doc duplicated-span detection (round-8)
     "dedup_semantic",   # SemDeDup cell-restricted cosine collapse (round-10)
+    "dedup_substring_remove",  # canonical-copy span removal (round-10)
+    "graph_sssp_weighted",     # delta-frontier Bellman-Ford (round-10)
+    "graph_coreness",          # full core-number decomposition (round-10)
+    "graph_mst",               # Boruvka minimum spanning forest (round-10)
 ]
 
 

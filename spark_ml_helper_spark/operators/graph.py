@@ -1494,6 +1494,167 @@ def graph_sssp_weighted(spark, sf_dir):
     return d
 
 
+_SSSP_DELTA = 3  # bucket width ~ median edge weight (weights are 1..6 here);
+                 # Meyer & Sanders' dial: smaller -> Dijkstra-like (fewer
+                 # wasted relaxations, more buckets), larger -> BF-like
+
+
+def _ds_merge(d, prop):
+    """Relax-merge for delta_stepping_fixpoint: fold min-candidates into
+    the distance frame, returning (new_d, improved). Same full-outer
+    shape as sssp_fixpoint's inline merge (new nodes can appear)."""
+    m = (
+        d.join(prop, "node", "full")
+        .select(
+            "node",
+            F.least("dist", "cand").cast("bigint").alias("dist"),
+            (
+                F.col("cand").isNotNull()
+                & (F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+            ).alias("improved"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return m.select("node", "dist"), m.where("improved").select("node", "dist")
+
+
+def delta_stepping_fixpoint(edges, seeds, delta, max_rounds):
+    """Δ-stepping SSSP (Meyer & Sanders 2003) — the huge-diameter scale
+    path sssp_fixpoint's own docstring points to, landed after the
+    probe demonstrated the crossover (tools/scale_probe_sssp.py
+    --delta-stepping, SCALE.md): on W parallel 64-hop shortcut-chains,
+    delta-frontier Bellman-Ford relaxes Σ|frontier| ≈ W·L²/2 rows
+    (every round improves every still-stale node by one) while
+    Δ-stepping relaxes ≈ 2·W·L — 15× fewer — and at the 10× width the
+    wall follows the volume: BF 255.9 s vs Δ-stepping 100.2 s (2.55×).
+    At fixture scale BF stays faster (round overhead dominates); both
+    are kept, same contract, caller picks by graph shape.
+
+    Algorithm: distances are binned into buckets of width ``delta``;
+    buckets are settled in order. Within the current bucket, LIGHT
+    edges (w <= delta) relax iteratively until no improvement lands in
+    the bucket (re-insertion semantics: an improved settled node is
+    reprocessed); then HEAVY edges (w > delta) relax ONCE from every
+    node settled in the bucket — their targets land strictly beyond it
+    (dist >= b·delta + w > (b+1)·delta), so the bucket order is safe
+    with positive integer weights. A node is relaxed-from at
+    (essentially) its final distance — the Dijkstra-like property that
+    kills the stale-value re-relaxation cascade BF pays for.
+
+    Per-round shape: one light-edges⋈frontier join (frontier =
+    in-bucket improved nodes only — checkpointed, so AQE sees its size
+    and broadcasts when small), a map-side min-combine keyed by dst,
+    the full-outer merge, and a node-keyed anti-join to refresh stale
+    pending rows. Driver state: ONE scalar per bucket (the min bucket
+    id). Raises loudly if ``max_rounds`` is exhausted."""
+    light = edges.where(F.col("w") <= delta).localCheckpoint(eager=True)
+    heavy = edges.where(F.col("w") > delta).localCheckpoint(eager=True)
+    d = seeds.localCheckpoint(eager=True)
+    f = d
+    bkt = F.floor(F.col("dist") / delta)
+    rounds = 0
+    while not f.isEmpty():
+        b = f.agg(F.min(bkt).alias("b")).first()["b"]
+        cur = f.where(bkt == b).localCheckpoint(eager=True)
+        f = f.where(bkt > b).localCheckpoint(eager=True)
+        settled = cur.select("node")
+        while not cur.isEmpty():
+            rounds += 1
+            if rounds > max_rounds:
+                raise RuntimeError(
+                    f"delta_stepping_fixpoint: not converged in {max_rounds} rounds"
+                )
+            prop = (
+                light.join(cur.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+            )
+            d, imp = _ds_merge(d, prop)
+            imp = imp.localCheckpoint(eager=True)
+            cur = imp.where(bkt == b).localCheckpoint(eager=True)
+            settled = settled.unionByName(cur.select("node"))
+            f = (
+                f.join(imp, "node", "left_anti")
+                .unionByName(imp.where(bkt > b))
+                .localCheckpoint(eager=True)
+            )
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"delta_stepping_fixpoint: not converged in {max_rounds} rounds"
+            )
+        s = d.join(settled.distinct(), "node").localCheckpoint(eager=True)
+        prop = (
+            heavy.join(s.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        d, imp = _ds_merge(d, prop)
+        imp = imp.localCheckpoint(eager=True)
+        # heavy improvements land strictly beyond bucket b (w > delta)
+        f = (
+            f.join(imp, "node", "left_anti")
+            .unionByName(imp)
+            .localCheckpoint(eager=True)
+        )
+    return d, rounds
+
+
+@query("graph_sssp_delta", oracle=_sssp_oracle(), family="graph")
+def graph_sssp_delta(spark, sf_dir):
+    """graph_sssp_weighted's Δ-STEPPING twin (Meyer & Sanders 2003):
+    identical contract — multi-source weighted shortest paths over the
+    customer-supplier co-occurrence graph, hub seeds (degree >= 3),
+    integer weights greatest(1, 10 − cooccur) — computed through
+    ``delta_stepping_fixpoint``'s bucketed relaxation instead of
+    delta-frontier Bellman-Ford, and verified against the SAME
+    convergence-guarded oracle chain, so the driver hash-checks the
+    two engines agree. Exists because the decade probe
+    (tools/scale_probe_sssp.py --delta-stepping) showed BF's
+    stale-value re-relaxation cascade dominates wall at 10× width
+    (255.9 s vs 100.2 s; Σ|frontier| ratio 15×) on high-diameter
+    shortcut-chain graphs — the 100 TB regime where distances settle
+    incrementally. On the small-diameter fixture BF wins (fewer
+    rounds); pick by graph shape, both hash-identical. Δ = 3 ≈ the
+    median edge weight; the engine-vs-engine equality test at sf0.01
+    is in tests/test_pipeline.py."""
+    e0 = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(
+            F.greatest(F.lit(1), F.lit(10) - F.count("*"))
+            .cast("bigint")
+            .alias("w"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= _CC_MIN_COOCCUR)
+    )
+    fwd = e0.select(
+        F.col("c").alias("src"), (F.col("s") + _CC_SUPP_OFFSET).alias("dst"), "w"
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=True)
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("bigint").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    seeds = deg.filter(F.col("k") >= _BFS_SEED_DEG).select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    )
+    # bound: every inner round settles >= 1 new (node, final-dist) or the
+    # bucket drains; 2|V| + bucket overhead is generous and loud
+    d, _rounds = delta_stepping_fixpoint(
+        edges, seeds, delta=_SSSP_DELTA, max_rounds=2 * deg.count() + 16
+    )
+    return d
+
+
 _KCORE_K = 3
 _KCORE_MIN_COOCCUR = 3  # denser graph than the CC family's >= 4
 _KCORE_ROUNDS = 4  # ORACLE unroll depth only (the Spark side peels to a true

@@ -4064,3 +4064,19 @@ def test_substr_audit_recovers_exact_under_collisions(spark):
     exact_dup = {(d, p) for (d, p), g in grams.items() if len(by_gram[g]) >= 2}
     confirmed = {k for k, (_, ok) in got.items() if ok}
     assert confirmed == exact_dup
+
+
+def test_sssp_delta_stepping_matches_bellman_ford(spark):
+    # graph_sssp_delta (bucketed delta-stepping) and graph_sssp_weighted
+    # (delta-frontier Bellman-Ford) are two engines for the SAME contract
+    # - identical distances on the fixture graph, node for node
+    bf = {
+        (r.node, r.dist)
+        for r in QUERIES["graph_sssp_weighted"](spark, SF_ORACLE).collect()
+    }
+    ds = {
+        (r.node, r.dist)
+        for r in QUERIES["graph_sssp_delta"](spark, SF_ORACLE).collect()
+    }
+    assert bf == ds
+    assert bf, "fixture graph produced no distances - vacuous comparison"
