@@ -88,20 +88,25 @@ _REVERIFY_FIRST = [
 ]
 
 
-def _verified_names() -> set[str]:
-    """Names with any driver CORRECTNESS row from a previous round."""
+def _latest_record_round() -> dict[str, int]:
+    """Per query name, the latest round with a driver CORRECTNESS row."""
     import glob
     import json
+    import re
 
-    seen: set[str] = set()
+    latest: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
-                seen.update(json.load(fh).keys())
+                names = json.load(fh).keys()
         except (OSError, ValueError):
             continue
-    return seen
+        for n in names:
+            latest[n] = max(latest.get(n, 0), rnd)
+    return latest
 
 
 def _ordered_names() -> list[str]:
@@ -112,15 +117,20 @@ def _ordered_names() -> list[str]:
     rotates coverage across rounds with no manual reordering — each round's
     CORRECTNESS_r{N}.json feeds the next round's ordering.
     """
-    seen = _verified_names()
+    latest = _latest_record_round()
     pins = [n for n in _REVERIFY_FIRST if n in REGISTRY]
-    unseen = [n for n in REGISTRY if n not in seen and n not in pins]
+    unseen = [n for n in REGISTRY if n not in latest and n not in pins]
     # SQL-oracled entries first within the unseen block: a hash-match row is
     # strictly stronger evidence than a rows-only run, so spend the window on
     # those before the approx/streaming/MLlib entries that can only ever get
     # a rows-only record.
     unseen.sort(key=lambda n: REGISTRY[n].oracle is None)
-    rest = [n for n in REGISTRY if n in seen and n not in pins]
+    rest = [n for n in REGISTRY if n in latest and n not in pins]
+    # Stalest record first: whatever is left of the driver's ~50-query
+    # window after pins+unseen automatically re-records the OLDEST entries,
+    # so every record converges to <= a few rounds old with no manual
+    # rotation list (r11; the verdict's rotation ask, automated).
+    rest.sort(key=lambda n: latest[n])
     return pins + unseen + rest
 
 

@@ -1449,9 +1449,11 @@ def graph_sssp_weighted(spark, sf_dir):
     terminating on the textbook empty-frontier condition, bounded by
     |V| rounds (shortest paths use <= |V|−1 edges) and raising on
     non-termination — the min_label_fixpoint / round-10 kcore
-    convergence discipline. localCheckpoint per round cuts lineage; at
-    100 TB the further refinement for huge diameters is
-    Δ-stepping's bucketed hybrid (Meyer & Sanders 2003). All-integer
+    convergence discipline. localCheckpoint per round cuts lineage; for
+    huge-diameter graphs where stale distances settle incrementally,
+    the Δ-stepping twin ``graph_sssp_delta`` (landed round 11 after the
+    decade probe showed 2.55× at 10× width) is the scale path — same
+    contract and oracle, pick by graph shape. All-integer
     distances — no fp anywhere. The
     unrolled-CTE oracle carries a convergence guard, so a truncated
     chain loudly mismatches instead of agreeing (the kcore lesson);

@@ -1208,8 +1208,10 @@ def dedup_substring(spark, sf_dir):
     bounded by doc length). Fingerprint collisions (two grams sharing
     an xxhash64) can only over-mark a start — expected collisions at a
     billion distinct grams are ~1e-2 across the corpus (Lee et al.
-    tolerate the same hashed-match expansion); a second exact pass
-    over the flagged spans removes even that at audit time. Removal
+    tolerate the same hashed-match expansion); the second exact pass
+    over the flagged spans is shipped as ``dedup_substring_audit``
+    (round 11), whose oracle pins over-marked = 0 so a real collision
+    is a loud driver mismatch. Removal
     policy (Lee et al. §4: drop one copy of each duplicated span)
     composes downstream via covered-region slicing; this op emits the
     signal every policy needs."""

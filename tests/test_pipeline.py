@@ -4080,3 +4080,26 @@ def test_sssp_delta_stepping_matches_bellman_ford(spark):
     }
     assert bf == ds
     assert bf, "fixture graph produced no distances - vacuous comparison"
+
+
+def test_delta_stepping_reinsertion_semantics(spark):
+    # a node settled within the current bucket and THEN improved within the
+    # same bucket must be re-relaxed-from (Meyer & Sanders re-insertion),
+    # or downstream nodes keep the stale distance. Graph (delta=4, all of
+    # dist 0..3 in bucket 0): s->a w=3, s->b w=1, b->a w=1, a->t w=1.
+    # Inner round 1 processes s (a=3, b=1); round 2 processes {a@3, b}
+    # (t=4, a improves 3->2 and MUST re-enter); round 3 reprocesses a@2
+    # (t improves 4->3). Without re-insertion t would end at 4.
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.operators.graph import delta_stepping_fixpoint
+
+    S, A, B, T = 0, 1, 2, 3
+    edges = spark.createDataFrame(
+        [(S, A, 3), (S, B, 1), (B, A, 1), (A, T, 1)],
+        "src long, dst long, w long",
+    ).localCheckpoint(eager=True)
+    seeds = spark.createDataFrame([(S, 0)], "node long, dist long")
+    d, rounds = delta_stepping_fixpoint(edges, seeds, delta=4, max_rounds=32)
+    got = {r.node: r.dist for r in d.collect()}
+    assert got == {S: 0, B: 1, A: 2, T: 3}, got
