@@ -4103,3 +4103,54 @@ def test_delta_stepping_reinsertion_semantics(spark):
     d, rounds = delta_stepping_fixpoint(edges, seeds, delta=4, max_rounds=32)
     got = {r.node: r.dist for r in d.collect()}
     assert got == {S: 0, B: 1, A: 2, T: 3}, got
+
+
+def test_delta_stepping_matches_dijkstra_random_graphs(spark):
+    # bucketed delta-stepping on random directed weighted graphs (light
+    # AND heavy edges under delta=3, multiple sources, unreachable nodes,
+    # empty buckets to skip) must equal a pure-Python multi-source
+    # Dijkstra, seed for seed
+    import heapq
+    from collections import defaultdict
+
+    import numpy as np
+
+    from spark_ml_helper_spark.operators.graph import delta_stepping_fixpoint
+
+    for seed in (0, 1, 2, 3):
+        rng = np.random.default_rng(seed)
+        n = 14
+        edges = {
+            (int(rng.integers(0, n)), int(rng.integers(0, n)))
+            for _ in range(30)
+        }
+        edges = [
+            (u, v, int(rng.integers(1, 10))) for (u, v) in sorted(edges) if u != v
+        ]
+        sources = sorted({int(rng.integers(0, n)) for _ in range(2)})
+
+        e_df = spark.createDataFrame(edges, "src long, dst long, w long")
+        s_df = spark.createDataFrame(
+            [(s, 0) for s in sources], "node long, dist long"
+        )
+        d, _rounds = delta_stepping_fixpoint(
+            e_df.localCheckpoint(eager=True), s_df, delta=3, max_rounds=256
+        )
+        got = {r.node: r.dist for r in d.collect()}
+
+        adj = defaultdict(list)
+        for u, v, w in edges:
+            adj[u].append((v, w))
+        dist = {s: 0 for s in sources}
+        heap = [(0, s) for s in sources]
+        heapq.heapify(heap)
+        while heap:
+            du, u = heapq.heappop(heap)
+            if du > dist.get(u, float("inf")):
+                continue
+            for v, w in adj[u]:
+                nd = du + w
+                if nd < dist.get(v, float("inf")):
+                    dist[v] = nd
+                    heapq.heappush(heap, (nd, v))
+        assert got == dist, (seed, sorted(got.items()), sorted(dist.items()))
