@@ -1353,7 +1353,7 @@ def dedup_substring_remove(spark, sf_dir):
     these exactly as Lee et al.'s byte-range drops. Canonical-doc
     occurrences and single-doc repeats survive by construction
     (removable ⊆ dedup_substring's covered set — asserted in
-    tests/test_pipeline.py). Same scale shape as dedup_substring:
+    tests/test_properties.py). Same scale shape as dedup_substring:
     64-bit fingerprints map-side, the (lo=min, hi=max) doc aggregate
     is map-side combinable so Zipf-hot grams never concentrate, ONE
     semi-join-shaped re-emission (here an inner join carrying lo),
@@ -1549,7 +1549,10 @@ def dedup_substring_audit(spark, sf_dir):
     a fixture is a loud hash mismatch, not silent data loss. Scale
     shape: pass 1 is dedup_substring's (O(1)-state fingerprint agg);
     pass 2's string traffic is bounded by flagged coverage and its
-    group space by the exact dup-gram set. The synthetic-collision
+    group space by the exact dup-gram set — measured ~9% of the gram
+    stream on this corpus (flagged_frac 0.089 at sf0.01, 0.091 at
+    sf0.1): the audit re-materializes strings for one start in eleven,
+    and only the dup sliver of a production corpus. The synthetic-collision
     unit test (tests/test_pipeline.py) injects a deliberately weak
     fingerprint through ``substr_flag_and_audit`` and checks the audit
     recovers the exact answer under heavy collision pressure."""
