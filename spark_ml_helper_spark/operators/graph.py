@@ -14,7 +14,7 @@ cluster use reliable checkpoint / a staging table, SCALE.md lesson 2).
 
 from __future__ import annotations
 
-from pyspark.sql import Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_ml_helper_spark.registry import query
@@ -288,6 +288,41 @@ def _cooccur_edges(spark, sf_dir, min_cooccur=None):
 
 
 
+def fresh_stats_checkpoint(df, eager=True):
+    """localCheckpoint that DROPS the preserved plan-statistics estimate.
+
+    ``Dataset.localCheckpoint`` carries the optimized plan's
+    ``sizeInBytes`` into the resulting ``LogicalRDD``. In a
+    SELF-REFERENTIAL join loop (the frame on the left of round r's join
+    is the checkpoint of round r−1's join) those BigInteger estimates
+    MULTIPLY every round, so their digit count grows geometrically —
+    measured on the Borůvka loop: comp stats 5 → 28 → 151 → 818 digits
+    in four rounds, and by round 9 the driver spends 60+ s per round
+    inside million-digit ``BigInteger.multiplyToomCook3`` calls during
+    planning (jstack-verified; tools/scale_probe_mst.py is the
+    regression probe). Fixture queries never showed it because their
+    graphs converge in 2–4 rounds.
+
+    Rebuilding the checkpointed internal RDD via
+    ``internalCreateDataFrame`` produces a ``LogicalRDD`` with NO
+    preserved estimate — downstream stats fall back to the engine
+    default, which compounds ADDITIVELY (digits grow linearly with
+    rounds), keeping driver planning O(1) per round for arbitrarily
+    long fixpoints. Cost: the rebuilt node loses the checkpoint's
+    outputPartitioning, so a downstream join may re-shuffle the frame
+    once — negligible against the loop's per-round shuffles, and only
+    loops that feed a frame back into ITSELF need this form (linear
+    chains like sssp_fixpoint's distance merge grow additively already
+    — their 64–72-round probes stay flat)."""
+    ck = df.localCheckpoint(eager=eager)
+    spark = ck.sparkSession
+    jdf = ck._jdf
+    fresh = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(fresh, spark)
+
+
 def min_label_fixpoint(edges, max_rounds=50, small_graph_nodes=100_000):
     """Min-label propagation to fixpoint over an undirected edge list
     (``edges``: src/dst with both directions present, already
@@ -353,6 +388,17 @@ def min_label_fixpoint(edges, max_rounds=50, small_graph_nodes=100_000):
             # an eager checkpoint + separate agg was 2 jobs/round, and job
             # submission overhead dominates these dictionary-sized rounds
             .localCheckpoint(eager=False)
+        )
+        # labels is self-referential ×3 per round (nbr_min and hop both
+        # derive from it): drop the preserved stats estimate or its
+        # digits triple every round (the Borůvka lesson — see
+        # fresh_stats_checkpoint; this path only runs above the
+        # single-task threshold, where rounds can reach O(log diameter))
+        labels = DataFrame(
+            labels.sparkSession._jsparkSession.internalCreateDataFrame(
+                labels._jdf.queryExecution().toRdd(), labels._jdf.schema(), False
+            ),
+            labels.sparkSession,
         )
         cur_sum = labels.agg(F.sum("lab")).first()[0]
         rounds += 1
@@ -2054,60 +2100,37 @@ def _mst_oracle(rounds: int = _MST_ROUNDS) -> str:
     """
 
 
-@query("graph_mst", oracle=_mst_oracle(), family="graph")
-def graph_mst(spark, sf_dir):
-    """Minimum spanning FOREST (Borůvka 1926) over the weighted
-    customer-supplier co-occurrence graph (the graph_sssp_weighted
-    edges: integer weight greatest(1, 10 − cooccur count), so the
-    forest is the cheapest backbone connecting each trading community
-    — the skeleton used for hierarchical clustering, single-linkage
-    dendrograms, and network-cost planning). Edge order is the TOTAL
-    order (w, lo, hi), so the forest is unique and hash-verifiable.
-    Borůvka is THE distributed MST algorithm (GraphX/Pregel's choice):
-    per round every component picks its minimum incident cross edge
-    (one groupBy(comp).min(struct) — a map-side-combinable aggregate,
-    never a sort), the picked edges merge components via
-    ``min_label_fixpoint`` over the COMPONENT graph (≤ |components|
-    nodes, broadcast-sized after round 1), and components at least
-    HALVE per round — O(log |V|) rounds total, each one
-    edges⋈labels shuffle. Runs to the TRUE fixpoint (no cross-
-    component edge left), bounded by log2|V|+2 rounds with a loud
-    raise; the unrolled oracle carries the same guard. Exact integers
-    throughout; the property test replays the chain against a
-    pure-Python Kruskal."""
-    e0 = (
-        table(spark, sf_dir, "orders")
-        .join(
-            table(spark, sf_dir, "lineitem"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .agg(
-            F.greatest(F.lit(1), F.lit(10) - F.count("*"))
-            .cast("bigint")
-            .alias("w"),
-            F.count("*").alias("n"),
-        )
-        .filter(F.col("n") >= _CC_MIN_COOCCUR)
-    )
-    sup = F.col("s") + _CC_SUPP_OFFSET
-    eu = e0.select(
-        F.least(F.col("c"), sup).alias("lo"),
-        F.greatest(F.col("c"), sup).alias("hi"),
-        "w",
-    ).localCheckpoint(eager=True)
+def boruvka_msf(eu, prune=True, round_edge_counts=None):
+    """Borůvka minimum-spanning-forest loop over a checkpointed
+    undirected edge list ``eu`` (lo, hi, w — (w, lo, hi) a total order,
+    so the forest is unique). Factored out of graph_mst (r11) so the
+    pruning probe (tools/scale_probe_mst.py) can run the identical
+    loop with ``prune`` toggled and record per-round edge volumes in
+    ``round_edge_counts``. With ``prune`` (the production setting),
+    each round's edge list is the PREVIOUS round's surviving cross
+    edges — intra-component edges can never become cross again, so the
+    frame shrinks with the component count instead of staying |E|
+    every round. Returns the forest DataFrame; raises loudly past the
+    log2|V|+2 round bound (components at least halve per round)."""
     nodes = (
         eu.select(F.col("lo").alias("node"))
         .unionByName(eu.select(F.col("hi").alias("node")))
         .distinct()
     )
-    comp = nodes.select("node", F.col("node").alias("comp")).localCheckpoint(
-        eager=True
+    # comp is the SELF-REFERENTIAL frame of this loop (it joins back into
+    # itself through cross/sel/labels every round) — checkpoint it with
+    # fresh_stats_checkpoint or the preserved sizeInBytes estimates
+    # compound geometrically and driver planning blows up past ~8 rounds
+    # (see the helper's docstring; tools/scale_probe_mst.py regresses it).
+    comp = fresh_stats_checkpoint(
+        nodes.select("node", F.col("node").alias("comp"))
     )
     n_nodes = comp.count()
     msf = eu.limit(0)
     max_rounds = max(n_nodes, 2).bit_length() + 2
     for _ in range(max_rounds):
+        if round_edge_counts is not None:
+            round_edge_counts.append(eu.count())
         cross = (
             eu.join(
                 comp.withColumnRenamed("node", "lo").withColumnRenamed(
@@ -2126,6 +2149,16 @@ def graph_mst(spark, sf_dir):
         )
         if cross.isEmpty():
             return msf.select("lo", "hi", "w")
+        if prune:
+            # Borůvka edge pruning (r11): components only ever GROW, so an
+            # intra-component edge can never become a cross edge again — the
+            # next round needs only this round's surviving cross edges. The
+            # edge list shrinks with the component count instead of staying
+            # |E| every round; at 100 TB that makes round r's edges⋈labels
+            # shuffle proportional to the ACTIVE frontier of the component
+            # graph, not the corpus. Forest output is unchanged (the pruned
+            # edges are exactly those the ca == cb filter would discard).
+            eu = cross.select("lo", "hi", "w")
         cand = cross.select(F.col("ca").alias("cc"), "w", "lo", "hi").unionByName(
             cross.select(F.col("cb").alias("cc"), "w", "lo", "hi")
         )
@@ -2163,13 +2196,58 @@ def graph_mst(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
         labels, _r = min_label_fixpoint(bidir)
-        comp = (
+        comp = fresh_stats_checkpoint(
             comp.join(
                 labels.withColumnRenamed("node", "comp"), "comp", "left"
-            )
-            .select("node", F.coalesce("lab", "comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            ).select("node", F.coalesce("lab", "comp").alias("comp"))
         )
     raise RuntimeError(
-        f"graph_mst: Boruvka failed to converge in {max_rounds} rounds"
+        f"boruvka_msf: Boruvka failed to converge in {max_rounds} rounds"
     )
+
+
+@query("graph_mst", oracle=_mst_oracle(), family="graph")
+def graph_mst(spark, sf_dir):
+    """Minimum spanning FOREST (Borůvka 1926) over the weighted
+    customer-supplier co-occurrence graph (the graph_sssp_weighted
+    edges: integer weight greatest(1, 10 − cooccur count), so the
+    forest is the cheapest backbone connecting each trading community
+    — the skeleton used for hierarchical clustering, single-linkage
+    dendrograms, and network-cost planning). Edge order is the TOTAL
+    order (w, lo, hi), so the forest is unique and hash-verifiable.
+    Borůvka is THE distributed MST algorithm (GraphX/Pregel's choice):
+    per round every component picks its minimum incident cross edge
+    (one groupBy(comp).min(struct) — a map-side-combinable aggregate,
+    never a sort), the picked edges merge components via
+    ``min_label_fixpoint`` over the COMPONENT graph (≤ |components|
+    nodes, broadcast-sized after round 1), and components at least
+    HALVE per round — O(log |V|) rounds total, each one
+    edges⋈labels shuffle over an edge list the r11 pruning SHRINKS
+    geometrically (see ``boruvka_msf``; probe:
+    tools/scale_probe_mst.py). Runs to the TRUE fixpoint (no cross-
+    component edge left), bounded by log2|V|+2 rounds with a loud
+    raise; the unrolled oracle carries the same guard. Exact integers
+    throughout; the property test replays the chain against a
+    pure-Python Kruskal."""
+    e0 = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(
+            F.greatest(F.lit(1), F.lit(10) - F.count("*"))
+            .cast("bigint")
+            .alias("w"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= _CC_MIN_COOCCUR)
+    )
+    sup = F.col("s") + _CC_SUPP_OFFSET
+    eu = e0.select(
+        F.least(F.col("c"), sup).alias("lo"),
+        F.greatest(F.col("c"), sup).alias("hi"),
+        "w",
+    ).localCheckpoint(eager=True)
+    return boruvka_msf(eu)
