@@ -4154,3 +4154,48 @@ def test_delta_stepping_matches_dijkstra_random_graphs(spark):
                     dist[v] = nd
                     heapq.heappush(heap, (nd, v))
         assert got == dist, (seed, sorted(got.items()), sorted(dist.items()))
+
+
+def test_fresh_stats_checkpoint_bounds_estimate_growth(spark):
+    # Dataset.localCheckpoint preserves the optimizer's sizeInBytes into
+    # the LogicalRDD, and join estimates MULTIPLY - a frame joined back
+    # into itself grows the estimate's digit count geometrically until
+    # the driver grinds in BigInteger math (the round-11 Boruvka find).
+    # fresh_stats_checkpoint must keep the digits bounded.
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.operators.graph import fresh_stats_checkpoint
+
+    def digits(df):
+        return len(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+
+    base = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v"))
+
+    plain = base.localCheckpoint(eager=True)
+    for _ in range(7):
+        plain = (
+            plain.join(
+                plain.select(F.col("k"), F.col("v").alias("v2")), "k"
+            )
+            .select("k", F.least("v", "v2").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    grown = digits(plain)
+
+    fresh = fresh_stats_checkpoint(base)
+    for _ in range(7):
+        fresh = fresh_stats_checkpoint(
+            fresh.join(
+                fresh.select(F.col("k"), F.col("v").alias("v2")), "k"
+            ).select("k", F.least("v", "v2").alias("v"))
+        )
+    bounded = digits(fresh)
+
+    # the plain chain compounds geometrically (x2 self-reference per
+    # round); the fresh chain stays pinned near the engine default
+    assert grown > bounded + 30, (grown, bounded)
+    assert bounded < 25, bounded
+    # and the data itself is identical
+    assert sorted(r.k for r in fresh.collect()) == list(range(10))
