@@ -28,63 +28,22 @@ load_all_operators()
 # verification window (~50 queries, taken from the head of ``queries()``)
 # re-records them.
 _REVERIFY_FIRST = [
-    # r10 decimal fix: the four TPC-H-shape sqlapi queries whose output
-    # expressions were DECIMAL-typed by Spark's decimal-literal division
-    # (driver hash-red in r08/r09 for the first three; sql_correlated_avg
-    # was the same defect passing by data accident) — each shared SQL
-    # string now CASTs the output AS DOUBLE (DuckDB no-op), verified at
-    # sf0.001/0.01/0.1:
-    "sql_group_vs_total",
-    "sql_market_share",
-    "sql_profit_by_nation_year",
-    "sql_correlated_avg",
-    # r10 fixpoint fix: graph_kcore now peels to convergence instead of a
-    # fixed 4-round loop (both engines); values can change on any fixture
-    # where 4 rounds was not the fixpoint:
-    "graph_kcore",
-    # r10 additions (unseen — pinned so this round's own operators are
-    # driver-recorded ahead of the rotation backlog):
-    "dedup_semantic",
-    "graph_sssp_weighted",
-    "dedup_substring_remove",
-    "graph_coreness",
-    "sql_priority_line_split",
-    "sql_promo_share",
-    "sql_notin_supplier_cnt",
-    "sql_disjunctive_pred",
-    "sql_scalar_max_join",
-    # r10 scale hardening: dedup_substring's per-gram posting list is
-    # replaced by 64-bit fingerprints + a map-side-combinable
-    # min(doc)!=max(doc) dup test; fixture hash unchanged but pin so the
-    # driver re-records the hardened tree:
-    "dedup_substring",
-    # r11: graph_mst landed in the r10 snapshot commit without a pin (judge
-    # finding); its promised Kruskal property test now exists
-    # (tests/test_properties.py::test_mst_oracle_matches_python_kruskal) —
-    # pinned until re-recorded once more:
-    "graph_mst",
-    # (dedup_semantic is already pinned above; its r11 zero-norm
-    # engine-divergence fix rides that pin)
-    # r11 addition: the second-exact-pass collision audit for the
-    # substring-dedup family (new query, verified at 3 SFs):
-    "dedup_substring_audit",
-    # r11 addition: delta-stepping SSSP twin (probe showed 2.55x at 10x on
-    # the high-diameter shape; same oracle as graph_sssp_weighted so the
-    # driver hash-checks the engines agree):
+    # r12 plan fix (judge item 1): vec_pairwise_dist_hist's deterministic
+    # 100-row sample now selects via orderBy().limit(100) —
+    # TakeOrderedAndProject (parallel per-partition top-k) instead of an
+    # unpartitioned row_number window's single-task full-payload sort.
+    # Same 100 rows, same hash (verified at sf0.001/0.01/0.1); pinned so
+    # the driver re-records the fixed tree:
+    "vec_pairwise_dist_hist",
+    # r12 plan fix (global-window audit): agg_ratio_to_report's grand
+    # total is now a 1-row aggregate broadcast-joined back instead of an
+    # unpartitioned sum window (the docstring's own at-scale form). Same
+    # integers, same hash (verified at 3 SFs):
+    "agg_ratio_to_report",
+    # r12: graph_sssp_delta's max_rounds bound widened to the
+    # re-insertion-inclusive (delta+1)|V| wave bound (round-11 advice);
+    # results unchanged, pinned with its new bench band:
     "graph_sssp_delta",
-    # r11 record rotation: the stalest §2 entries still carrying r01-r03
-    # records on files edited since (aggregates/joins/windows line drift) —
-    # ~10 per round so every record stays <= 5 rounds old:
-    "join_inner",
-    "join_left",
-    "join_full",
-    "join_semi",
-    "join_anti",
-    "agg_global",
-    "agg_distinct",
-    "agg_rollup",
-    "win_rank",
-    "win_lag_lead",
 ]
 
 

@@ -66,6 +66,8 @@ HEADLINE = [
     "graph_sssp_weighted",     # delta-frontier Bellman-Ford (round-10)
     "graph_coreness",          # full core-number decomposition (round-10)
     "graph_mst",               # Boruvka minimum spanning forest (round-10)
+    "dedup_substring_audit",   # exact second pass over flagged spans (round-11)
+    "graph_sssp_delta",        # delta-stepping SSSP twin (round-11)
 ]
 
 
@@ -133,12 +135,35 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     probe_time = round(best, 4)
 
+    # Δ-stepping per-round instrument (round-12, the ivfpq pattern):
+    # graph_sssp_delta's end-to-end wall is rounds × scheduling floor
+    # (~72 rounds on this fixture), so the STABLE number is seconds per
+    # relaxation round against pre-built inputs — reported as its own
+    # row (not summed; the end-to-end time is already in the headline).
+    from spark_ml_helper_spark.operators.graph import (
+        _SSSP_DELTA,
+        delta_stepping_fixpoint,
+        sssp_inputs,
+    )
+
+    edges, seeds, n_nodes = sssp_inputs(spark, sf_dir)
+    seeds = seeds.localCheckpoint(eager=True)
+    collect_garbage()
+    t0 = time.perf_counter()
+    _, ds_rounds = delta_stepping_fixpoint(
+        edges, seeds, delta=_SSSP_DELTA, max_rounds=(_SSSP_DELTA + 1) * n_nodes + 16
+    )
+    ds_wall = time.perf_counter() - t0
+    per_round = round(ds_wall / max(ds_rounds, 1), 4)
+
     out = {
         "metric": "headline_queries_total_warm",
         "value": round(sum(times.values()), 4),
         "unit": "sec",
         "queries": times,
         "sim_ann_ivfpq_probe_only": probe_time,
+        "graph_sssp_delta_per_round": per_round,
+        "graph_sssp_delta_rounds": ds_rounds,
         "sf": sf,
     }
     print(json.dumps(out))

@@ -1193,14 +1193,14 @@ def agg_ratio_to_report(spark, sf_dir):
     and of the grand total, the percent-of-total idiom every BI layer
     reimplements (Oracle ships it as a named function; on Spark/DuckDB
     it is a windowed-sum ratio). Denominators are EXACT INTEGER CENTS
-    summed over window frames (per-customer partitions + one global
-    frame), so both engines divide identical integers — no float
-    accumulation anywhere before the final division. The customer
-    partition parallelizes; the grand-total window degenerates to a
-    1-row broadcast-style exchange (restricted here to custkey < 50 to
-    keep the demo frame small; at scale compute the total as a
-    separate 1-row aggregate joined back — same result, explicit
-    plan)."""
+    summed exactly, so both engines divide identical integers — no
+    float accumulation anywhere before the final division. The
+    customer share is a partitioned window (parallel by key); the
+    grand total is a SEPARATE 1-row aggregate broadcast-joined back —
+    NOT a global window, which would move every row to a single task
+    (the round-12 global-window audit class). Same integers, same
+    hash, and the plan scales: one partial+final agg for the total,
+    one map-side broadcast join for the division."""
     o = table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
     c = o.select(
         "o_orderkey",
@@ -1208,15 +1208,15 @@ def agg_ratio_to_report(spark, sf_dir):
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
     )
     w_cust = Window.partitionBy("o_custkey")
-    w_all = Window.partitionBy()
-    return c.select(
+    tot = c.agg(F.sum("price_c").alias("_tot"))
+    return c.crossJoin(F.broadcast(tot)).select(
         "o_orderkey",
         "o_custkey",
         F.round(F.col("price_c") / 100.0, 2).alias("price"),
         F.round(F.col("price_c") * 1.0 / F.sum("price_c").over(w_cust), 6).alias(
             "share_of_customer"
         ),
-        F.round(F.col("price_c") * 1.0 / F.sum("price_c").over(w_all), 6).alias(
+        F.round(F.col("price_c") * 1.0 / F.col("_tot"), 6).alias(
             "share_of_total"
         ),
     )

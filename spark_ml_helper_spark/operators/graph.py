@@ -217,6 +217,10 @@ def _pagerank_ranks(spark, sf_dir):
     # partition: otherwise 10 iterations × 32-partition checkpoints leave
     # thousands of near-empty block files (and fds) behind. On an unbounded
     # vertex set, drop the coalesce and size partitions to the rank frame.
+    # Checkpoint-stats audit (round 12): ranks is referenced twice per
+    # round (dang + contribs) but the iteration count is FIXED at 10 —
+    # measured max 52 digits (+5/round), harmless; an unbounded variant
+    # would want fresh_stats_checkpoint here.
     trans = (
         edges.join(out, "src")
         .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
@@ -313,11 +317,31 @@ def fresh_stats_checkpoint(df, eager=True):
     once — negligible against the loop's per-round shuffles, and only
     loops that feed a frame back into ITSELF need this form (linear
     chains like sssp_fixpoint's distance merge grow additively already
-    — their 64–72-round probes stay flat)."""
+    — their 64–72-round probes stay flat).
+
+    COMPAT: this reaches into ``private[sql]`` Spark internals over py4j
+    (``SparkSession.internalCreateDataFrame``, ``queryExecution().toRdd``)
+    — stable across OSS Spark 3.x–4.1 but not API-guaranteed. The
+    capability check below makes a Spark upgrade that removes them fail
+    HERE with a pointed error instead of deep inside a Borůvka round
+    (and the compounding itself is pinned by
+    tests/test_pipeline.py::test_fresh_stats_checkpoint_drops_estimate,
+    which would catch a silent behavior change)."""
     ck = df.localCheckpoint(eager=eager)
     spark = ck.sparkSession
     jdf = ck._jdf
-    fresh = spark._jsparkSession.internalCreateDataFrame(
+    jss = spark._jsparkSession
+    if not hasattr(jss, "internalCreateDataFrame"):
+        raise RuntimeError(
+            "fresh_stats_checkpoint: this Spark build no longer exposes "
+            "SparkSession.internalCreateDataFrame (private[sql] internal). "
+            "Without it, localCheckpoint's preserved sizeInBytes estimates "
+            "compound geometrically in self-referential join loops "
+            "(graph.py fresh_stats_checkpoint docstring / SCALE.md round-11 "
+            "FIND). Port this helper to the new Spark version before "
+            "running Borůvka/min-label fixpoints."
+        )
+    fresh = jss.internalCreateDataFrame(
         jdf.queryExecution().toRdd(), jdf.schema(), False
     )
     return DataFrame(fresh, spark)
@@ -372,7 +396,7 @@ def min_label_fixpoint(edges, max_rounds=50, small_graph_nodes=100_000):
             .agg(F.min("lab").alias("nbr_lab"))
         )
         hop = labels.select(F.col("node").alias("ref"), F.col("lab").alias("lab2"))
-        labels = (
+        merged = (
             labels.join(nbr_min, "node", "left")
             .join(hop, F.col("lab") == F.col("ref"), "left")
             .select(
@@ -383,23 +407,15 @@ def min_label_fixpoint(edges, max_rounds=50, small_graph_nodes=100_000):
                     F.coalesce("lab2", "lab"),
                 ).alias("lab"),
             )
-            # lazy checkpoint: the agg action below both materializes the
-            # round's labels AND computes the convergence sum in ONE job —
-            # an eager checkpoint + separate agg was 2 jobs/round, and job
-            # submission overhead dominates these dictionary-sized rounds
-            .localCheckpoint(eager=False)
         )
         # labels is self-referential ×3 per round (nbr_min and hop both
-        # derive from it): drop the preserved stats estimate or its
-        # digits triple every round (the Borůvka lesson — see
-        # fresh_stats_checkpoint; this path only runs above the
-        # single-task threshold, where rounds can reach O(log diameter))
-        labels = DataFrame(
-            labels.sparkSession._jsparkSession.internalCreateDataFrame(
-                labels._jdf.queryExecution().toRdd(), labels._jdf.schema(), False
-            ),
-            labels.sparkSession,
-        )
+        # derive from it): fresh_stats_checkpoint drops the preserved
+        # stats estimate or its digits triple every round (the Borůvka
+        # lesson). eager=False so the convergence agg below both
+        # materializes the round's labels AND computes the sum in ONE
+        # job — an eager checkpoint + separate agg was 2 jobs/round, and
+        # job submission overhead dominates these dictionary-sized rounds.
+        labels = fresh_stats_checkpoint(merged, eager=False)
         cur_sum = labels.agg(F.sum("lab")).first()[0]
         rounds += 1
         if cur_sum == prev_sum:
@@ -907,7 +923,15 @@ def largestar_fixpoint(canon, max_rounds=30):
     ``(labels, rounds)`` where labels is (node, lab) with lab =
     component minimum and rounds is the star-round count. Shared by
     graph_cc_largestar and the high-diameter scale probe
-    (tools/scale_probe_cc.py)."""
+    (tools/scale_probe_cc.py).
+
+    Checkpoint-stats audit (round 12): although each round references
+    ``canon`` multiple times, the per-round groupBy aggregates reset the
+    size estimate toward the default, so digits grow ADDITIVELY —
+    measured ~+1 digit/round on a 4096-node chain (13 rounds, max 15
+    digits). No fresh_stats_checkpoint needed; the geometric-compounding
+    mechanism itself is pinned by
+    tests/test_pipeline.py::test_fresh_stats_checkpoint_bounds_estimate_growth."""
 
     def edge_sig(df):
         row = df.agg(
@@ -1205,6 +1229,9 @@ def _louvain_phase1(spark, sf_dir):
             )
             .select("node", F.col("b.c").alias("c"))
         )
+        # checkpoint-stats audit (round 12): comm self-references ×4 per
+        # round, but _LOUVAIN_ROUNDS is a small constant (oracle unrolls
+        # it), so estimates can't compound — no fresh_stats_checkpoint
         comm = (
             moved.unionByName(comm.filter(~is_mover))
             .localCheckpoint(eager=True)
@@ -1289,6 +1316,10 @@ def graph_louvain_multilevel(spark, sf_dir):
             )
             .select("node", F.col("b.c").alias("c"))
         )
+        # checkpoint-stats audit (round 12): d is self-referential here,
+        # but the move loop is FIXED at a handful of rounds (the oracle
+        # unrolls the same count), so preserved estimates can't compound
+        # far enough to matter — no fresh_stats_checkpoint needed
         d = moved.unionByName(d.filter(~is_mover)).localCheckpoint(eager=True)
     return comm.join(
         d.select(F.col("node").alias("c"), F.col("c").alias("community")), "c"
@@ -1445,7 +1476,15 @@ def sssp_fixpoint(edges, seeds, max_rounds=None):
     weights are non-negative). Returns ``(dists, rounds)``; raises if
     ``max_rounds`` (default |V|+1, the BF bound) is exhausted — at
     100 TB the further refinement for huge-diameter graphs is
-    Δ-stepping's bucketed hybrid (Meyer & Sanders 2003)."""
+    Δ-stepping's bucketed hybrid (Meyer & Sanders 2003).
+
+    Checkpoint-stats audit (round 12): the distance merge is a LINEAR
+    chain (d joins prop, which derives from the frontier, not from d
+    squared), so preserved estimates compound additively — measured
+    +2.7 digits/round on a 48-node chain (49 rounds, max 129 digits);
+    a 10k-round fixpoint stays under 30k digits, trivially cheap. No
+    fresh_stats_checkpoint needed (contrast min_label_fixpoint's ×3
+    self-reference, which does)."""
     d = seeds.localCheckpoint(eager=True)
     f = d
     if max_rounds is None:
@@ -1479,6 +1518,49 @@ def sssp_fixpoint(edges, seeds, max_rounds=None):
     )
 
 
+def sssp_inputs(spark, sf_dir):
+    """Shared input builder for the two SSSP twins (and bench.py's
+    per-round Δ-stepping instrument): the weighted customer-supplier
+    co-occurrence edge list (integer weight greatest(1, 10 − cooccur),
+    both directions, checkpointed), hub seeds (degree >= _BFS_SEED_DEG
+    at distance 0), and the materialized node count for round bounds.
+    Factored in round 12 so the bench instrument times the FIXPOINT, not
+    a third copy of the edge build."""
+    e0 = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(
+            F.greatest(F.lit(1), F.lit(10) - F.count("*"))
+            .cast("bigint")
+            .alias("w"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= _CC_MIN_COOCCUR)
+    )
+    fwd = e0.select(
+        F.col("c").alias("src"), (F.col("s") + _CC_SUPP_OFFSET).alias("dst"), "w"
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=True)
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("bigint").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    seeds = deg.filter(F.col("k") >= _BFS_SEED_DEG).select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    )
+    # deg's node set IS the distinct-src set, already materialized — the
+    # callers derive round bounds from it instead of running an extra
+    # shuffle-distinct over the edge list (r10 advice).
+    return edges, seeds, deg.count()
+
+
 @query("graph_sssp_weighted", oracle=_sssp_oracle(), family="graph")
 def graph_sssp_weighted(spark, sf_dir):
     """Multi-source WEIGHTED shortest paths (Bellman–Ford) over the
@@ -1505,40 +1587,8 @@ def graph_sssp_weighted(spark, sf_dir):
     chain loudly mismatches instead of agreeing (the kcore lesson);
     the hypothesis property test replays the recurrence at rounds=|V|
     against a pure-Python Dijkstra."""
-    e0 = (
-        table(spark, sf_dir, "orders")
-        .join(
-            table(spark, sf_dir, "lineitem"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .agg(
-            F.greatest(F.lit(1), F.lit(10) - F.count("*"))
-            .cast("bigint")
-            .alias("w"),
-            F.count("*").alias("n"),
-        )
-        .filter(F.col("n") >= _CC_MIN_COOCCUR)
-    )
-    fwd = e0.select(
-        F.col("c").alias("src"), (F.col("s") + _CC_SUPP_OFFSET).alias("dst"), "w"
-    )
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    ).localCheckpoint(eager=True)
-
-    deg = (
-        edges.groupBy(F.col("src").alias("node"))
-        .agg(F.count("*").cast("bigint").alias("k"))
-        .localCheckpoint(eager=True)
-    )
-    seeds = deg.filter(F.col("k") >= _BFS_SEED_DEG).select(
-        "node", F.lit(0).cast("bigint").alias("dist")
-    )
-    # deg's node set IS the distinct-src set, already materialized — pass
-    # the BF bound from it instead of letting sssp_fixpoint run an extra
-    # shuffle-distinct over the edge list (r10 advice).
-    d, _rounds = sssp_fixpoint(edges, seeds, max_rounds=deg.count() + 1)
+    edges, seeds, n_nodes = sssp_inputs(spark, sf_dir)
+    d, _rounds = sssp_fixpoint(edges, seeds, max_rounds=n_nodes + 1)
     return d
 
 
@@ -1594,7 +1644,12 @@ def delta_stepping_fixpoint(edges, seeds, delta, max_rounds):
     and broadcasts when small), a map-side min-combine keyed by dst,
     the full-outer merge, and a node-keyed anti-join to refresh stale
     pending rows. Driver state: ONE scalar per bucket (the min bucket
-    id). Raises loudly if ``max_rounds`` is exhausted."""
+    id). Raises loudly if ``max_rounds`` is exhausted.
+
+    Checkpoint-stats audit (round 12): every frame fed back into the
+    loop is first filtered/aggregated, which resets the preserved
+    estimate — measured digits PLATEAU at ~217 across 387 checkpoints
+    on a 48-node chain. No fresh_stats_checkpoint needed."""
     light = edges.where(F.col("w") <= delta).localCheckpoint(eager=True)
     heavy = edges.where(F.col("w") > delta).localCheckpoint(eager=True)
     d = seeds.localCheckpoint(eager=True)
@@ -1666,39 +1721,16 @@ def graph_sssp_delta(spark, sf_dir):
     rounds); pick by graph shape, both hash-identical. Δ = 3 ≈ the
     median edge weight; the engine-vs-engine equality test at sf0.01
     is in tests/test_pipeline.py."""
-    e0 = (
-        table(spark, sf_dir, "orders")
-        .join(
-            table(spark, sf_dir, "lineitem"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .agg(
-            F.greatest(F.lit(1), F.lit(10) - F.count("*"))
-            .cast("bigint")
-            .alias("w"),
-            F.count("*").alias("n"),
-        )
-        .filter(F.col("n") >= _CC_MIN_COOCCUR)
-    )
-    fwd = e0.select(
-        F.col("c").alias("src"), (F.col("s") + _CC_SUPP_OFFSET).alias("dst"), "w"
-    )
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    ).localCheckpoint(eager=True)
-    deg = (
-        edges.groupBy(F.col("src").alias("node"))
-        .agg(F.count("*").cast("bigint").alias("k"))
-        .localCheckpoint(eager=True)
-    )
-    seeds = deg.filter(F.col("k") >= _BFS_SEED_DEG).select(
-        "node", F.lit(0).cast("bigint").alias("dist")
-    )
-    # bound: every inner round settles >= 1 new (node, final-dist) or the
-    # bucket drains; 2|V| + bucket overhead is generous and loud
+    edges, seeds, n_nodes = sssp_inputs(spark, sf_dir)
+    # bound: with in-bucket re-insertion a node can be improved up to
+    # delta-1 extra times inside its bucket before settling, and each
+    # processed bucket adds one heavy wave — so the re-insertion-
+    # inclusive worst case is (delta+1)·|V| light waves plus bucket
+    # overhead, not 2|V| (round-11 advice: an adversarial graph could
+    # exceed the tighter bound and hit a spurious not-converged error)
     d, _rounds = delta_stepping_fixpoint(
-        edges, seeds, delta=_SSSP_DELTA, max_rounds=2 * deg.count() + 16
+        edges, seeds, delta=_SSSP_DELTA,
+        max_rounds=(_SSSP_DELTA + 1) * n_nodes + 16,
     )
     return d
 
@@ -1764,7 +1796,12 @@ def kcore_fixpoint(edges, k, max_rounds=None):
     chain exactly. Returns ``(degrees, rounds)`` where degrees =
     (node, k) for the surviving core with k = degree within it; an
     empty removed set IS the fixpoint; raises after ``max_rounds``
-    (default |V|+1 — every non-final round removes >= 1 node)."""
+    (default |V|+1 — every non-final round removes >= 1 node).
+
+    Checkpoint-stats audit (round 12): anti-join + left-join + select
+    between checkpoints keeps the preserved estimate bounded — measured
+    digits plateau at 20 across 42 checkpoints on the 40-node staircase
+    peel. No fresh_stats_checkpoint needed."""
     kk = k
     deg = (
         edges.groupBy(F.col("src").alias("node"))

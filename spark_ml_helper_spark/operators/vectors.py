@@ -973,17 +973,19 @@ def vec_pairwise_dist_hist(spark, sf_dir):
     partition-independent — sample_deterministic's idiom), so the
     all-pairs stage is a FIXED 4 950 pairs regardless of corpus size:
     the quadratic is bounded by construction, never data-proportional.
+    The sample itself is selected with orderBy().limit(100), which
+    Spark plans as TakeOrderedAndProject — a parallel per-partition
+    top-k followed by a 100-row driver merge — NOT an unpartitioned
+    row_number() window, which would sort the ENTIRE table (payload
+    included) on a single task. Same 100 rows, scale-safe selection.
     Distances accumulate left-to-right in both engines (the dot()/
     list_sum discipline), so floor(dist/0.5) buckets identically;
     bucket ids and counts are exact integers."""
-    from spark_ml_helper_spark.functions.vector_math import sq_norm
-
     e = table(spark, sf_dir, "embeddings")
-    w = Window.orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id")
     samp = (
-        e.select("vec_id", "embedding", F.row_number().over(w).alias("rn"))
-        .where(F.col("rn") <= 100)
-        .select("vec_id", "embedding")
+        e.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id")
+        .limit(100)
     )
     a = samp.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
     b = samp.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))

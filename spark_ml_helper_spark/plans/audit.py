@@ -64,6 +64,128 @@ def scan_read_schemas(df: DataFrame) -> list[str]:
     return re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
 
 
+def parse_plan_tree(plan: str) -> list[dict]:
+    """Parse the tree section(s) of ``explain('formatted')`` into a flat
+    node list ``[{'id', 'name', 'depth'}]`` in pre-order. A node's subtree
+    is the contiguous run of following nodes with strictly greater depth —
+    enough structure to ask "is there an aggregate below this window?"
+    without reaching into Catalyst internals. Detail-section headers like
+    ``(4) Window`` start with '(' and are ignored by construction."""
+    nodes = []
+    for line in plan.splitlines():
+        m = re.match(r"^([ :+|\-]*)([A-Za-z][\w .]*?)\s*\((\d+)\)\s*$", line)
+        if not m:
+            continue
+        indent, name, nid = m.groups()
+        nodes.append({"id": int(nid), "name": name.strip(), "depth": len(indent)})
+    return nodes
+
+
+def _top_level_group_texts(s: str) -> list:
+    """The top-level ``[...]`` group contents of a detail Arguments string."""
+    depth = 0
+    groups = []
+    buf = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            else:
+                buf.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            if depth == 0:
+                groups.append("".join(buf))
+            else:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
+    return groups
+
+
+def _global_window_ids(plan: str) -> set:
+    """Window-node ids whose spec has NO partition clause but DOES sort.
+
+    The formatted Arguments line renders the spec as top-level bracket
+    groups, and the four shapes are distinguishable:
+      ``[funcs], [partition], [order]`` — partitioned + ordered: fine
+      ``[funcs], [partition]``          — partition-only: fine
+      ``[funcs], [order ... ASC/DESC]`` — GLOBAL SORT: every row to one task
+      ``[funcs]``                       — global unordered agg frame: also
+                                          single-partition (flagged too)
+    A 2-group spec is an order spec (not a partition spec) iff it carries
+    sort directions."""
+    out = set()
+    for m in re.finditer(
+        r"^\((\d+)\) Window(?:InPandas)?\s*$((?:\n(?!\().*)*)", plan, re.M
+    ):
+        nid, block = int(m.group(1)), m.group(2)
+        am = re.search(r"^Arguments: (.*)$", block, re.M)
+        if not am:
+            continue
+        groups = _top_level_group_texts(am.group(1))
+        if len(groups) >= 3:
+            continue  # [funcs], [partition], [order]
+        if len(groups) == 2 and not re.search(r"\b(ASC|DESC)\b", groups[1]):
+            continue  # [funcs], [partition] — partition-only, parallel
+        out.add(nid)
+    return out
+
+
+#: Nodes below a global window that bound its input to a small frame:
+#: aggregates reduce to group cardinality; limit-style nodes cap rows.
+_REDUCING_NODES = frozenset(
+    {
+        "HashAggregate",
+        "SortAggregate",
+        "ObjectHashAggregate",
+        "TakeOrderedAndProject",
+        "CollectLimit",
+        "GlobalLimit",
+    }
+)
+
+
+def global_window_risks(df_or_plan) -> list:
+    """Scale-killer detector: WindowExec with NO partition spec over a
+    NON-REDUCED input. An unpartitioned window forces every input row —
+    payload included — through a single task (SinglePartition exchange +
+    one-task sort), which is a full-table single-machine sort at 100 TB.
+    It is legitimate only when the input is already reduced (an aggregate
+    or limit below bounds the frame to group-cardinality / top-k rows).
+    Returns one finding string per risky Window node; [] is a clean plan.
+    The vec_pairwise_dist_hist round-11 defect (row_number over the full
+    embeddings table to keep 100 rows) is exactly this class — fixed with
+    orderBy().limit() → TakeOrderedAndProject, which this rule accepts."""
+    plan = (
+        df_or_plan
+        if isinstance(df_or_plan, str)
+        else explain_formatted(df_or_plan)
+    )
+    nodes = parse_plan_tree(plan)
+    global_ids = _global_window_ids(plan)
+    risks = []
+    for i, n in enumerate(nodes):
+        if n["name"] not in ("Window", "WindowInPandas"):
+            continue
+        if n["id"] not in global_ids:
+            continue  # has a PARTITION BY — parallel by construction
+        reduced = False
+        for m in nodes[i + 1 :]:
+            if m["depth"] <= n["depth"]:
+                break
+            if m["name"].split(" ")[0] in _REDUCING_NODES:
+                reduced = True
+                break
+        if not reduced:
+            risks.append(
+                f"Window({n['id']}): global sort over non-reduced input "
+                "(single-task full-frame sort at scale)"
+            )
+    return risks
+
+
 def has_nested_loop(df: DataFrame) -> bool:
     return "BroadcastNestedLoopJoin" in explain_formatted(df)
 

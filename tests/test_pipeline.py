@@ -1779,6 +1779,9 @@ _BNLJ_ALLOWED = {
     "agg_bloom_filter",
     # 1-row exact-count frame crossJoined onto the 1-row estimate
     "agg_hll_manual",
+    # r12: grand total as a 1-row aggregate broadcast-joined back —
+    # replaced the unpartitioned sum window (global-window audit fix)
+    "agg_ratio_to_report",
 }
 # fast, declarative families — plan construction triggers no jobs here
 _AUDIT_FAMILIES = {
@@ -1818,6 +1821,78 @@ def test_plan_audit_no_new_nested_loops(spark):
             cart.append(name)
     assert not bnlj, f"new BroadcastNestedLoopJoin in: {bnlj}"
     assert not cart, f"CartesianProduct (always a defect here) in: {cart}"
+
+
+# Documented-trade sites where a global (unpartitioned, ordered) window
+# over a non-reduced frame is the SEMANTIC — each docstring states the
+# exactness/scale trade and names the scale-path alternative:
+#   sort_multi               total order IS the contract; rank column demo
+#   feature_quantile_bucket  exact ntile; scale path = approx_percentile
+#                            cutpoints + width_bucket (shuffle-free)
+#   join_nearest_value       merge-pattern nearest join; scale path =
+#                            range-partition by value + seam replication
+#   corpus_pack_sequences    global token cumsum; scale path = per-shard
+#                            packing with chained shard offsets
+#   ml_eval_auc              exact ROC rank-sum; scale path = binned AUC
+#   ml_eval_calibration      exact quantile bins; scale path = approx bins
+# Everything else must keep windows partitioned or inputs reduced
+# (aggregate/limit below) — the vec_pairwise_dist_hist round-11 defect
+# class. The sweep over ALL families runs in tools/plan_audit.py.
+_GLOBAL_WINDOW_ALLOWED = {
+    "sort_multi", "feature_quantile_bucket", "join_nearest_value",
+    "corpus_pack_sequences", "ml_eval_auc", "ml_eval_calibration",
+}
+
+
+def test_plan_audit_no_new_global_windows(spark):
+    from spark_ml_helper_spark.plans.audit import global_window_risks
+    from spark_ml_helper_spark.registry import REGISTRY
+
+    risky = []
+    for name, spec in REGISTRY.items():
+        if spec.family not in _AUDIT_FAMILIES:
+            continue
+        if name in _GLOBAL_WINDOW_ALLOWED:
+            continue
+        if global_window_risks(spec.fn(spark, SF_ORACLE)):
+            risky.append(name)
+    assert not risky, (
+        f"global window over non-reduced input (single-task sort at "
+        f"scale) in: {risky} — partition the window, reduce its input, "
+        f"or document the trade and add to _GLOBAL_WINDOW_ALLOWED"
+    )
+    # the whitelist stays honest: the documented-trade sites really do
+    # carry the global window they claim (drop them from the list the
+    # day their plans stop needing it)
+    for name in sorted(_GLOBAL_WINDOW_ALLOWED):
+        assert global_window_risks(REGISTRY[name].fn(spark, SF_ORACLE)), (
+            f"{name} no longer plans a global window — remove it from "
+            f"_GLOBAL_WINDOW_ALLOWED"
+        )
+
+
+def test_global_window_detector_shapes(spark):
+    # the four plan shapes the detector must separate: global-ordered
+    # (risk), partitioned (fine), reduced-input (fine), limited (fine),
+    # partition-only (fine — no sort, stays parallel)
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.plans.audit import global_window_risks
+
+    df = spark.range(1000).withColumn("g", F.col("id") % 3)
+    risky = df.select(F.row_number().over(W.orderBy("id")).alias("rn"))
+    assert global_window_risks(risky)
+    part = df.select(F.row_number().over(W.partitionBy("g").orderBy("id")).alias("rn"))
+    assert not global_window_risks(part)
+    reduced = df.groupBy("g").count().select(
+        F.row_number().over(W.orderBy("g")).alias("rn"))
+    assert not global_window_risks(reduced)
+    limited = df.orderBy("id").limit(10).select(
+        F.row_number().over(W.orderBy("id")).alias("rn"))
+    assert not global_window_risks(limited)
+    part_only = df.select(F.sum("id").over(W.partitionBy("g")).alias("s"))
+    assert not global_window_risks(part_only)
 
 
 def test_daily_kpis_internally_consistent(spark):
