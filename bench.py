@@ -136,17 +136,25 @@ def main() -> None:
     probe_time = round(best, 4)
 
     # Δ-stepping per-round instrument (round-12, the ivfpq pattern):
-    # graph_sssp_delta's end-to-end wall is rounds × scheduling floor
-    # (~72 rounds on this fixture), so the STABLE number is seconds per
-    # relaxation round against pre-built inputs — reported as its own
-    # row (not summed; the end-to-end time is already in the headline).
+    # graph_sssp_delta's end-to-end wall is rounds × scheduling floor,
+    # so the STABLE number is seconds per relaxation round against
+    # pre-built inputs — reported as its own row (not summed; the
+    # end-to-end time is already in the headline). PINNED to sf0.01:
+    # TPC-H scaling DILUTES co-occurrence counts (10× customers ×
+    # 10× suppliers, constant lines/order), so the >=4-cooccur graph
+    # DEGENERATES at sf0.1 (2 edges, 0 hub seeds, 0 rounds — the
+    # headline row there times the edge-build scan, not the loop);
+    # sf0.01 is where the bucket loop actually runs (18 rounds).
     from spark_ml_helper_spark.operators.graph import (
         _SSSP_DELTA,
         delta_stepping_fixpoint,
         sssp_inputs,
     )
 
-    edges, seeds, n_nodes = sssp_inputs(spark, sf_dir)
+    ds_sf_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if not os.path.isdir(ds_sf_dir):
+        ds_sf_dir = sf_dir
+    edges, seeds, n_nodes = sssp_inputs(spark, ds_sf_dir)
     seeds = seeds.localCheckpoint(eager=True)
     collect_garbage()
     t0 = time.perf_counter()
@@ -164,6 +172,7 @@ def main() -> None:
         "sim_ann_ivfpq_probe_only": probe_time,
         "graph_sssp_delta_per_round": per_round,
         "graph_sssp_delta_rounds": ds_rounds,
+        "graph_sssp_delta_instrument_sf": 0.01,
         "sf": sf,
     }
     print(json.dumps(out))
