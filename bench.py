@@ -135,6 +135,28 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     probe_time = round(best, 4)
 
+    # SemDeDup apply-only instrument (round-12, same pattern): time the
+    # ONLINE pair stage against a pre-trained cell assignment — the
+    # amortized-production shape the dedup_semantic band's caveat
+    # adjudicates (~2.5 s of its ~4 s end-to-end is per-invocation
+    # Lloyd re-training). Own row, not summed.
+    from spark_ml_helper_spark.operators.vectors import _km_train, semdedup_apply
+
+    _, _, km_final = _km_train(spark, sf_dir)
+    km_final = km_final.localCheckpoint(eager=True)
+
+    def semdedup_only() -> None:
+        semdedup_apply(km_final).write.format("noop").mode("overwrite").save()
+
+    semdedup_only()  # warm-up
+    best = float("inf")
+    for _ in range(2):
+        collect_garbage()
+        t0 = time.perf_counter()
+        semdedup_only()
+        best = min(best, time.perf_counter() - t0)
+    semdedup_time = round(best, 4)
+
     # Δ-stepping per-round instrument (round-12, the ivfpq pattern):
     # graph_sssp_delta's end-to-end wall is rounds × scheduling floor,
     # so the STABLE number is seconds per relaxation round against
@@ -170,6 +192,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sim_ann_ivfpq_probe_only": probe_time,
+        "dedup_semantic_apply_only": semdedup_time,
         "graph_sssp_delta_per_round": per_round,
         "graph_sssp_delta_rounds": ds_rounds,
         "graph_sssp_delta_instrument_sf": 0.01,

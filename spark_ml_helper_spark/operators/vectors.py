@@ -1929,12 +1929,24 @@ def dedup_semantic(spark, sf_dir):
     on (cluster, block) keys only — never the pair space; cell count
     scales ∝ √n to hold Σ|cell|² near-linear (SCALE.md vectors row).
     Output: (vec_id, cluster, keep) for every embedding."""
+    _, _, final = _km_train(spark, sf_dir)
+    return semdedup_apply(final)
+
+
+def semdedup_apply(final):
+    """The ONLINE SemDeDup stage against a pre-trained cell assignment
+    (``final``: vec_id, emb, cluster from ``_km_train``) — factored out
+    (round 12, the ivfpq train/probe pattern) so bench.py can time the
+    amortized-production shape separately from the per-invocation Lloyd
+    re-training that dominates dedup_semantic's end-to-end band
+    (~2.5 s of ~4 s at sf0.1). Pure refactor: dedup_semantic's result
+    (and its driver hash) is unchanged."""
     from spark_ml_helper_spark.functions.blockpairs import (
         block_pair_candidates,
         threshold_kernel,
     )
 
-    _, _, final = _km_train(spark, sf_dir)
+    spark = final.sparkSession
     v = final.select(
         "vec_id",
         F.col("emb").alias("embedding"),
