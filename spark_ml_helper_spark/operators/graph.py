@@ -471,6 +471,31 @@ def _union_find_single_task(edges):
     return edges.coalesce(1).mapInPandas(uf, schema="node bigint, lab bigint")
 
 
+def cc_inputs(spark, sf_dir):
+    """Shared input builder for graph_cc and bench.py's per-round
+    min-label instrument: the bidirectional ≥ 4-co-occurrence
+    customer-supplier edge list, checkpointed. Factored in round 13 (the
+    sssp_inputs precedent) so the instrument times the FIXPOINT, not a
+    second copy of the edge build."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _CC_MIN_COOCCUR)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + _CC_SUPP_OFFSET).alias("s"),
+        )
+    )
+    return (
+        e0.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionByName(e0.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+
+
 @query(
     "graph_cc",
     oracle=f"""
@@ -512,23 +537,7 @@ def graph_cc(spark, sf_dir):
     dial (it bounds edge count and, at web scale, keeps hub vertices
     from gluing everything into one giant component). At extreme scale
     swap in large-star/small-star exactly as dedup_clusters documents."""
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e0 = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("o_custkey", "l_suppkey")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= _CC_MIN_COOCCUR)
-        .select(
-            F.col("o_custkey").alias("c"),
-            (F.col("l_suppkey") + _CC_SUPP_OFFSET).alias("s"),
-        )
-    )
-    edges = (
-        e0.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .unionByName(e0.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
+    edges = cc_inputs(spark, sf_dir)
     labels, _ = min_label_fixpoint(edges)
     return labels.select("node", F.col("lab").alias("cluster_id"))
 
@@ -2137,7 +2146,7 @@ def _mst_oracle(rounds: int = _MST_ROUNDS) -> str:
     """
 
 
-def boruvka_msf(eu, prune=True, round_edge_counts=None):
+def boruvka_msf(eu, prune=True, round_edge_counts=None, rounds_out=None):
     """Borůvka minimum-spanning-forest loop over a checkpointed
     undirected edge list ``eu`` (lo, hi, w — (w, lo, hi) a total order,
     so the forest is unique). Factored out of graph_mst (r11) so the
@@ -2148,7 +2157,12 @@ def boruvka_msf(eu, prune=True, round_edge_counts=None):
     edges — intra-component edges can never become cross again, so the
     frame shrinks with the component count instead of staying |E|
     every round. Returns the forest DataFrame; raises loudly past the
-    log2|V|+2 round bound (components at least halve per round)."""
+    log2|V|+2 round bound (components at least halve per round).
+
+    ``rounds_out``: optional list; one marker int appended per executed
+    round — a FREE round counter for bench.py's per-round instrument
+    (``round_edge_counts`` also counts rounds but pays an eu.count()
+    action per round, which would pollute a timing instrument)."""
     nodes = (
         eu.select(F.col("lo").alias("node"))
         .unionByName(eu.select(F.col("hi").alias("node")))
@@ -2165,7 +2179,9 @@ def boruvka_msf(eu, prune=True, round_edge_counts=None):
     n_nodes = comp.count()
     msf = eu.limit(0)
     max_rounds = max(n_nodes, 2).bit_length() + 2
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
+        if rounds_out is not None:
+            rounds_out.append(rnd)
         if round_edge_counts is not None:
             round_edge_counts.append(eu.count())
         cross = (
@@ -2243,6 +2259,35 @@ def boruvka_msf(eu, prune=True, round_edge_counts=None):
     )
 
 
+def mst_inputs(spark, sf_dir):
+    """Shared input builder for graph_mst and bench.py's per-round
+    Borůvka instrument: the undirected weighted co-occurrence edge list
+    (lo, hi, w), checkpointed — (w, lo, hi) a total order, so the forest
+    downstream is unique. Factored in round 13 (the sssp_inputs
+    precedent) so the instrument times the LOOP, not the edge build."""
+    e0 = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(
+            F.greatest(F.lit(1), F.lit(10) - F.count("*"))
+            .cast("bigint")
+            .alias("w"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= _CC_MIN_COOCCUR)
+    )
+    sup = F.col("s") + _CC_SUPP_OFFSET
+    return e0.select(
+        F.least(F.col("c"), sup).alias("lo"),
+        F.greatest(F.col("c"), sup).alias("hi"),
+        "w",
+    ).localCheckpoint(eager=True)
+
+
 @query("graph_mst", oracle=_mst_oracle(), family="graph")
 def graph_mst(spark, sf_dir):
     """Minimum spanning FOREST (Borůvka 1926) over the weighted
@@ -2266,25 +2311,4 @@ def graph_mst(spark, sf_dir):
     raise; the unrolled oracle carries the same guard. Exact integers
     throughout; the property test replays the chain against a
     pure-Python Kruskal."""
-    e0 = (
-        table(spark, sf_dir, "orders")
-        .join(
-            table(spark, sf_dir, "lineitem"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .agg(
-            F.greatest(F.lit(1), F.lit(10) - F.count("*"))
-            .cast("bigint")
-            .alias("w"),
-            F.count("*").alias("n"),
-        )
-        .filter(F.col("n") >= _CC_MIN_COOCCUR)
-    )
-    sup = F.col("s") + _CC_SUPP_OFFSET
-    eu = e0.select(
-        F.least(F.col("c"), sup).alias("lo"),
-        F.greatest(F.col("c"), sup).alias("hi"),
-        "w",
-    ).localCheckpoint(eager=True)
-    return boruvka_msf(eu)
+    return boruvka_msf(mst_inputs(spark, sf_dir))

@@ -70,10 +70,21 @@ def parse_plan_tree(plan: str) -> list[dict]:
     is the contiguous run of following nodes with strictly greater depth —
     enough structure to ask "is there an aggregate below this window?"
     without reaching into Catalyst internals. Detail-section headers like
-    ``(4) Window`` start with '(' and are ignored by construction."""
+    ``(4) Window`` start with '(' and are ignored by construction.
+
+    Codegen-starred lines — ``+- * HashAggregate (3)``, the rendering
+    non-AQE plans use for whole-stage-codegen nodes — parse like their
+    unstarred twins: the star is consumed OUTSIDE the indent group, so
+    depth stays comparable with unstarred siblings (round-13 advice: the
+    old indent class dropped these nodes entirely, and a reducing
+    aggregate vanishing from the tree false-positived
+    ``global_window_risks`` on reduced-input global windows whenever AQE
+    was off)."""
     nodes = []
     for line in plan.splitlines():
-        m = re.match(r"^([ :+|\-]*)([A-Za-z][\w .]*?)\s*\((\d+)\)\s*$", line)
+        m = re.match(
+            r"^([ :+|\-]*)(?:\*\s*)?([A-Za-z][\w .]*?)\s*\((\d+)\)\s*$", line
+        )
         if not m:
             continue
         indent, name, nid = m.groups()
@@ -147,17 +158,56 @@ _REDUCING_NODES = frozenset(
 )
 
 
+def _all_leaf_paths_reduced(nodes: list, i: int) -> bool:
+    """True iff EVERY leaf path under ``nodes[i]`` passes through a
+    reducing node. A single reducing node anywhere in the subtree is not
+    enough: a HashAggregate on the BUILD side of a join bounds that
+    branch only, while the probe side still streams its full frame into
+    the window above (the round-13 advice's audit false negative). The
+    pre-order walk keeps a covered-ancestor stack, so a leaf counts as
+    bounded only when a reducing node dominates it."""
+    wdepth = nodes[i]["depth"]
+    j = i + 1
+    sub = []
+    while j < len(nodes) and nodes[j]["depth"] > wdepth:
+        sub.append(nodes[j])
+        j += 1
+    if not sub:
+        return False  # no visible input — conservatively non-reduced
+    stack: list = []  # (depth, covered-by-reducing-ancestor-or-self)
+    for k, n in enumerate(sub):
+        while stack and stack[-1][0] >= n["depth"]:
+            stack.pop()
+        covered = (stack[-1][1] if stack else False) or (
+            n["name"].split(" ")[0] in _REDUCING_NODES
+        )
+        stack.append((n["depth"], covered))
+        is_leaf = k + 1 == len(sub) or sub[k + 1]["depth"] <= n["depth"]
+        if is_leaf and not covered:
+            return False
+    return True
+
+
 def global_window_risks(df_or_plan) -> list:
     """Scale-killer detector: WindowExec with NO partition spec over a
     NON-REDUCED input. An unpartitioned window forces every input row —
     payload included — through a single task (SinglePartition exchange +
     one-task sort), which is a full-table single-machine sort at 100 TB.
     It is legitimate only when the input is already reduced (an aggregate
-    or limit below bounds the frame to group-cardinality / top-k rows).
-    Returns one finding string per risky Window node; [] is a clean plan.
-    The vec_pairwise_dist_hist round-11 defect (row_number over the full
-    embeddings table to keep 100 rows) is exactly this class — fixed with
-    orderBy().limit() → TakeOrderedAndProject, which this rule accepts."""
+    or limit below bounds the frame to group-cardinality / top-k rows) —
+    and "below" means DOMINATING: every leaf path under the window must
+    cross a reducing node, so an aggregate on one join branch cannot
+    vouch for the other branch's full-size probe stream
+    (_all_leaf_paths_reduced). Returns one finding string per risky
+    Window node; [] is a clean plan. The vec_pairwise_dist_hist round-11
+    defect (row_number over the full embeddings table to keep 100 rows)
+    is exactly this class — fixed with orderBy().limit() →
+    TakeOrderedAndProject, which this rule accepts.
+
+    Known limitation: a ReusedExchange leaf is opaque here (its referent
+    subtree is parsed elsewhere in the tree, not under the window), so
+    it reads as non-reduced — a conservative direction: the detector may
+    flag, never silently pass, such plans."""
     plan = (
         df_or_plan
         if isinstance(df_or_plan, str)
@@ -171,14 +221,7 @@ def global_window_risks(df_or_plan) -> list:
             continue
         if n["id"] not in global_ids:
             continue  # has a PARTITION BY — parallel by construction
-        reduced = False
-        for m in nodes[i + 1 :]:
-            if m["depth"] <= n["depth"]:
-                break
-            if m["name"].split(" ")[0] in _REDUCING_NODES:
-                reduced = True
-                break
-        if not reduced:
+        if not _all_leaf_paths_reduced(nodes, i):
             risks.append(
                 f"Window({n['id']}): global sort over non-reduced input "
                 "(single-task full-frame sort at scale)"
