@@ -18,6 +18,14 @@ Besides registry query names, the bench.py auxiliary instruments
 accepted — their amortized state (trained index / cell assignment)
 is built once outside the timed runs, mirroring bench.py, so an
 instrument drift can be solo-adjudicated like any headline query.
+
+Box-state SENTINEL (round-13 protocol): agg_group is timed FIRST (same
+warm-up + N-run-median protocol) and its median is carried in every
+output line. An adjudication compares the target's median to its band
+AFTER dividing by sentinel_ratio = sentinel_here / sentinel_in_the_
+band_header (BASELINE.md) — rounds 11 and 12 each burned adjudication
+effort on drift that was global box temperature, visible as control
+queries elevated by the same factor.
 """
 
 from __future__ import annotations
@@ -89,19 +97,31 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    for name in args:
-        if name in INSTRUMENTS:
-            materialize_fn = INSTRUMENTS[name]()
-        else:
-            materialize_fn = lambda: materialize(name)  # noqa: B023
+    def timed_runs(materialize_fn, n: int) -> list:
         materialize_fn()  # warm-up: JIT, file listing, code cache
         runs = []
-        for _ in range(n_runs):
+        for _ in range(n):
             gc.collect()
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             materialize_fn()
             runs.append(round(time.perf_counter() - t0, 3))
+        return runs
+
+    # box-state sentinel FIRST (round-13 protocol; see module docstring)
+    from tools.measure import SENTINEL_QUERY
+
+    sentinel = round(
+        statistics.median(timed_runs(lambda: materialize(SENTINEL_QUERY), n_runs)),
+        3,
+    )
+
+    for name in args:
+        if name in INSTRUMENTS:
+            materialize_fn = INSTRUMENTS[name]()
+        else:
+            materialize_fn = lambda: materialize(name)  # noqa: B023
+        runs = timed_runs(materialize_fn, n_runs)
         print(
             json.dumps(
                 {
@@ -110,6 +130,7 @@ def main() -> None:
                     "runs": runs,
                     "best": min(runs),
                     "median": round(statistics.median(runs), 3),
+                    "sentinel": {"query": SENTINEL_QUERY, "sec": sentinel},
                 }
             ),
             flush=True,

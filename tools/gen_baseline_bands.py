@@ -7,17 +7,27 @@ watch threshold (1.5x median — an in-bench or isolated draw above it
 triggers the drift protocol: re-measure alone, diff the plan only if
 the isolated number also moved).
 
-Usage: python -m tools.gen_baseline_bands [-n RUNS]   (default 3)
+Usage: python -m tools.gen_baseline_bands [-n RUNS]
+           [--adjudicate name=cause ...]            (RUNS default 3)
 Honors SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS. Prints markdown to
 stdout (pipe into BASELINE.md by hand — the table is a measurement,
 reviewed before committing, not a build artifact).
 
-Regeneration DIFF (round-12 protocol): the output includes an
-old-vs-new median ratio column read from BASELINE.md's current band
-table, and a closing list of queries whose median moved >1.25x in
-either direction. Those moves REQUIRE solo adjudication (re-measure
-with tools/bench_isolated -n 5 on an idle box, name a cause) before
-the new band is committed — regenerating bands silently rebases the
+Box-state SENTINEL (round-13 protocol): agg_group is timed FIRST, its
+median recorded in the table header. Two tables (or a table and a
+bench_isolated adjudication) drawn on different-temperature boxes
+compare through the ratio of their sentinels — rounds 11 and 12 each
+burned an adjudication on drift that was global box state, visible as
+equal elevation of control queries. The regeneration diff below is
+sentinel-NORMALIZED for the same reason.
+
+Regeneration DIFF + GATE (round-12 protocol, hardened round-13): the
+"vs prev band" column shows the old-vs-new median ratio (raw and
+sentinel-normalized) read from BASELINE.md's current band table. Any
+query whose NORMALIZED median moved >1.25x in either direction REQUIRES
+an adjudication — re-measure solo with tools/bench_isolated -n 5, name
+a cause, and pass it as --adjudicate name=cause. Without one the tool
+REFUSES to emit the table (exit 2): silently regenerating rebases the
 watch thresholds, which is how dedup_substring's 1.02->1.44 s move
 slipped through in round 11.
 """
@@ -26,38 +36,41 @@ from __future__ import annotations
 
 import gc
 import os
-import re
 import statistics
 import sys
 import time
 
-DIFF_THRESHOLD = 1.25
+from tools.measure import (
+    DIFF_THRESHOLD,
+    SENTINEL_QUERY,
+    adjudication_gate,
+    compute_movers,
+    parse_prev_block,
+)
 
 
-def _old_medians() -> dict:
-    """Median column of the LAST generated band table in BASELINE.md."""
+def _prev_block() -> tuple[dict, float | None]:
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BASELINE.md"
     )
     try:
         text = open(path).read()
     except OSError:
-        return {}
-    # take the final generated block (earlier rounds' tables may remain)
-    blocks = text.split("<!-- generated: python -m tools.gen_baseline_bands")
-    out = {}
-    for m in re.finditer(
-        r"^\| `(\w+)` \| [\d.]+-[\d.]+ \| ([\d.]+) \| [\d.]+ \|", blocks[-1], re.M
-    ):
-        out[m.group(1)] = float(m.group(2))
-    return out
+        return {}, None
+    return parse_prev_block(text)
 
 
 def main() -> None:
     args = sys.argv[1:]
     n_runs = 3
-    if args and args[0] == "-n":
-        n_runs = int(args[1])
+    adjudicated: dict[str, str] = {}
+    it = iter(args)
+    for a in it:
+        if a == "-n":
+            n_runs = int(next(it))
+        elif a == "--adjudicate":
+            name, _, cause = next(it).partition("=")
+            adjudicated[name] = cause or "adjudicated (no cause given)"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -76,9 +89,8 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    rows = []
-    for name in HEADLINE:
-        materialize(name)
+    def measure(name: str) -> list:
+        materialize(name)  # warm-up: JIT, file listing, code cache
         runs = []
         for _ in range(n_runs):
             gc.collect()
@@ -86,6 +98,16 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(name)
             runs.append(time.perf_counter() - t0)
+        return runs
+
+    # sentinel FIRST: the box-temperature reading at band-draw time
+    sentinel = statistics.median(measure(SENTINEL_QUERY))
+    print(f"sentinel {SENTINEL_QUERY} median={sentinel:.2f}s",
+          file=sys.stderr, flush=True)
+
+    rows = []
+    for name in HEADLINE:
+        runs = measure(name)
         med = statistics.median(runs)
         rows.append((name, min(runs), max(runs), med, 1.5 * med))
         print(
@@ -95,34 +117,49 @@ def main() -> None:
             flush=True,
         )
 
-    old = _old_medians()
+    old, old_sentinel = _prev_block()
+    movers, tags = compute_movers(rows, old, sentinel, old_sentinel)
+    missing = adjudication_gate(movers, adjudicated)
+    if missing:
+        print(
+            f"REFUSING to emit the band table: {len(missing)} median(s) "
+            f"moved >{DIFF_THRESHOLD}× (sentinel-normalized) vs the "
+            "previous table without an adjudication. Re-measure each solo "
+            "(python -m tools.bench_isolated -n 5 <name>), name a cause, "
+            "and re-run with --adjudicate name=cause:",
+            file=sys.stderr,
+        )
+        for name, o, m, raw, norm in movers:
+            if name in missing:
+                print(f"- {name}: {o:.2f} → {m:.2f} s ({raw:.2f}× raw, "
+                      f"{norm:.2f}× normalized)", file=sys.stderr)
+        sys.exit(2)
+
     print(f"<!-- generated: python -m tools.gen_baseline_bands -n {n_runs}, "
           f"sf={sf_dir}, local[{cpus}] -->")
+    print(f"<!-- sentinel {SENTINEL_QUERY} median={sentinel:.2f}s"
+          + (f"; prev sentinel {old_sentinel:.2f}s (box ratio "
+             f"{sentinel / old_sentinel:.2f}×)" if old_sentinel else "")
+          + " -->")
     print("| bench query | isolated band (s) | median (s) | watch ≥ (s) "
           "| vs prev band |")
     print("|---|---|---|---|---|")
-    movers = []
     for name, lo, hi, med, watch in rows:
-        if name in old and old[name] > 0:
-            ratio = med / old[name]
-            tag = f"{ratio:.2f}×"
-            if ratio > DIFF_THRESHOLD or ratio < 1 / DIFF_THRESHOLD:
-                tag += " ⚠"
-                movers.append((name, old[name], med, ratio))
-        else:
-            tag = "new"
-        print(f"| `{name}` | {lo:.2f}-{hi:.2f} | {med:.2f} | {watch:.2f} | {tag} |")
+        print(f"| `{name}` | {lo:.2f}-{hi:.2f} | {med:.2f} | {watch:.2f} "
+              f"| {tags[name]} |")
     total = sum(r[3] for r in rows)
     print(f"\nMedian-sum across the {len(rows)}-query suite: {total:.1f} s.")
     if movers:
-        print(f"\n**Regeneration diff — medians moved >{DIFF_THRESHOLD}× vs the "
-              "previous band table (solo adjudication REQUIRED before "
-              "committing the new bands):**")
-        for name, o, m, r in movers:
-            print(f"- `{name}`: {o:.2f} → {m:.2f} s ({r:.2f}×)")
+        print(f"\n**Regeneration diff — sentinel-normalized medians moved "
+              f">{DIFF_THRESHOLD}× vs the previous band table (each "
+              "solo-adjudicated before this table was emitted):**")
+        for name, o, m, raw, norm in movers:
+            print(f"- `{name}`: {o:.2f} → {m:.2f} s ({raw:.2f}× raw, "
+                  f"{norm:.2f}× normalized) — ADJUDICATED: "
+                  f"{adjudicated[name]}")
     else:
-        print(f"\nRegeneration diff: no median moved >{DIFF_THRESHOLD}× vs the "
-              "previous band table.")
+        print(f"\nRegeneration diff: no sentinel-normalized median moved "
+              f">{DIFF_THRESHOLD}× vs the previous band table.")
 
 
 if __name__ == "__main__":
