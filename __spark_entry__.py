@@ -27,23 +27,14 @@ load_all_operators()
 # only recorded result is a FAIL — surfaced first so the driver's per-round
 # verification window (~50 queries, taken from the head of ``queries()``)
 # re-records them.
-_REVERIFY_FIRST = [
-    # r12 plan fix (judge item 1): vec_pairwise_dist_hist's deterministic
-    # 100-row sample now selects via orderBy().limit(100) —
-    # TakeOrderedAndProject (parallel per-partition top-k) instead of an
-    # unpartitioned row_number window's single-task full-payload sort.
-    # Same 100 rows, same hash (verified at sf0.001/0.01/0.1); pinned so
-    # the driver re-records the fixed tree:
-    "vec_pairwise_dist_hist",
-    # r12 plan fix (global-window audit): agg_ratio_to_report's grand
-    # total is now a 1-row aggregate broadcast-joined back instead of an
-    # unpartitioned sum window (the docstring's own at-scale form). Same
-    # integers, same hash (verified at 3 SFs):
-    "agg_ratio_to_report",
-    # r12: graph_sssp_delta's max_rounds bound widened to the
-    # re-insertion-inclusive (delta+1)|V| wave bound (round-11 advice);
-    # results unchanged, pinned with its new bench band:
-    "graph_sssp_delta",
+_REVERIFY_FIRST: list[str] = [
+    # r13 touched NO query's result or plan shape that needs re-pinning:
+    # graph_cc/graph_mst were refactored onto factored input builders
+    # (cc_inputs/mst_inputs — same expressions, plan-identical, oracle
+    # re-verified at sf0.01 this round), and the global-window audit /
+    # bench / band-protocol work is tooling-only. Empty pins give the
+    # driver's full ~50-query window to the stalest-first rotation — the
+    # r03-r04 record tail (76 entries) drains in this round + next.
 ]
 
 

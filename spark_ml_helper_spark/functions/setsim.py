@@ -94,12 +94,21 @@ def exact_jaccard_pairs(sets: DataFrame, tau: float, out_col: str) -> DataFrame:
     return cross.unionByName(within)
 
 
-def rep_jaccard_pairs(rep_sets: DataFrame, tau: float, out_col: str) -> DataFrame:
+def rep_jaccard_pairs(
+    rep_sets: DataFrame, tau: float, out_col: str, counters: dict | None = None
+) -> DataFrame:
     """PPJoin core over COLLAPSED representative sets: (rep_id, elems) →
     (ra, rb, <out_col>) for distinct-content pairs with Jaccard ≥ tau.
     Exposed separately so graph consumers (dedup_clusters) can run on the
     rep-level pair graph — whose node count is the number of DISTINCT
-    contents, not documents — and expand membership only at label time."""
+    contents, not documents — and expand membership only at label time.
+
+    ``counters``: optional dict; when given, records ``n_reps``,
+    ``postings`` (exploded prefix rows) and ``candidates`` (pairs
+    surviving the prefix+length+positional filters, BEFORE the exact
+    rescore) — the quantities tools/scale_probe_setsim.py charts against
+    n²/2 to evidence the prefix filter's 100 TB claim. Each costs one
+    extra count() action, so production callers leave it None."""
     vocab = (
         rep_sets.select(F.explode("elems").alias("elem"))
         .groupBy("elem")
@@ -142,6 +151,11 @@ def rep_jaccard_pairs(rep_sets: DataFrame, tau: float, out_col: str) -> DataFram
         .select("ra", "rb")
         .distinct()
     )
+    if counters is not None:
+        counters["n_reps"] = ranked.count()
+        counters["postings"] = post.count()
+        cand = cand.localCheckpoint(eager=True)  # count once, rescore from memory
+        counters["candidates"] = cand.count()
     inter = F.size(F.array_intersect("a_ranks", "b_ranks")).cast("double")
     union = F.size("a_ranks") + F.size("b_ranks") - F.size(F.array_intersect("a_ranks", "b_ranks"))
     jac = inter / union
