@@ -1870,6 +1870,17 @@ _GLOBAL_WINDOW_ALLOWED = {
     "pipeline_pretrain_report", "ml_pca",
 }
 
+# The global-window sweep covers MORE families than the BNLJ sweep
+# (r13: corpus_token_budget's FN hid in a family CI never swept).
+# Still excluded: graph/ml/streaming/scale, whose plan CONSTRUCTION
+# executes fixpoints / MLlib fits / stream runs (minutes, not plan
+# inspection) — those are swept per-round by tools/plan_audit.py over
+# the whole registry.
+_GLOBAL_WINDOW_FAMILIES = _AUDIT_FAMILIES | {
+    "corpus", "curation", "text", "functions", "pipeline",
+    "multimodal", "sources", "udfs",
+}
+
 
 def test_plan_audit_no_new_global_windows(spark):
     from spark_ml_helper_spark.plans.audit import global_window_risks
@@ -1877,7 +1888,7 @@ def test_plan_audit_no_new_global_windows(spark):
 
     risky = []
     for name, spec in REGISTRY.items():
-        if spec.family not in _AUDIT_FAMILIES:
+        if spec.family not in _GLOBAL_WINDOW_FAMILIES:
             continue
         if name in _GLOBAL_WINDOW_ALLOWED:
             continue

@@ -8,10 +8,18 @@ triggers the drift protocol: re-measure alone, diff the plan only if
 the isolated number also moved).
 
 Usage: python -m tools.gen_baseline_bands [-n RUNS]
-           [--adjudicate name=cause ...]            (RUNS default 3)
+           [--adjudicate name=cause ...] [--emit-pending]
+                                                    (RUNS default 3)
 Honors SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS. Prints markdown to
 stdout (pipe into BASELINE.md by hand — the table is a measurement,
 reviewed before committing, not a build artifact).
+
+Every measurement is also dumped to /tmp/smhs_bands_pending.json, and
+--emit-pending re-runs the diff/gate/emit stage FROM that dump without
+re-measuring — adjudication needs bench_isolated runs in between, and
+re-measuring the whole suite afterwards on a drifted box would just
+draw a different mover set (measure once, adjudicate, then emit the
+SAME numbers).
 
 Box-state SENTINEL (round-13 protocol): agg_group is timed FIRST, its
 median recorded in the table header. Two tables (or a table and a
@@ -35,10 +43,13 @@ slipped through in round 11.
 from __future__ import annotations
 
 import gc
+import json
 import os
 import statistics
 import sys
 import time
+
+PENDING_PATH = "/tmp/smhs_bands_pending.json"
 
 from tools.measure import (
     DIFF_THRESHOLD,
@@ -64,6 +75,7 @@ def main() -> None:
     args = sys.argv[1:]
     n_runs = 3
     adjudicated: dict[str, str] = {}
+    emit_pending = False
     it = iter(args)
     for a in it:
         if a == "-n":
@@ -71,51 +83,64 @@ def main() -> None:
         elif a == "--adjudicate":
             name, _, cause = next(it).partition("=")
             adjudicated[name] = cause or "adjudicated (no cause given)"
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        elif a == "--emit-pending":
+            emit_pending = True
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from bench import HEADLINE
 
-    from spark_ml_helper_spark.registry import REGISTRY, load_all_operators
-    from spark_ml_helper_spark.session import get_spark
+    if emit_pending:
+        with open(PENDING_PATH) as fh:
+            pend = json.load(fh)
+        sf_dir, cpus, n_runs = pend["sf_dir"], pend["cpus"], pend["n_runs"]
+        sentinel = pend["sentinel"]
+        rows = [tuple(r) for r in pend["rows"]]
+    else:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        from bench import HEADLINE
 
-    load_all_operators()
-    spark = get_spark(app_name="smhs-baseline-bands", cpus=cpus)
-    spark.sparkContext.setLogLevel("ERROR")
+        from spark_ml_helper_spark.registry import REGISTRY, load_all_operators
+        from spark_ml_helper_spark.session import get_spark
 
-    def materialize(name: str) -> None:
-        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        load_all_operators()
+        spark = get_spark(app_name="smhs-baseline-bands", cpus=cpus)
+        spark.sparkContext.setLogLevel("ERROR")
 
-    def measure(name: str) -> list:
-        materialize(name)  # warm-up: JIT, file listing, code cache
-        runs = []
-        for _ in range(n_runs):
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-            t0 = time.perf_counter()
-            materialize(name)
-            runs.append(time.perf_counter() - t0)
-        return runs
+        def materialize(name: str) -> None:
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
-    # sentinel FIRST: the box-temperature reading at band-draw time
-    sentinel = statistics.median(measure(SENTINEL_QUERY))
-    print(f"sentinel {SENTINEL_QUERY} median={sentinel:.2f}s",
-          file=sys.stderr, flush=True)
+        def measure(name: str) -> list:
+            materialize(name)  # warm-up: JIT, file listing, code cache
+            runs = []
+            for _ in range(n_runs):
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                materialize(name)
+                runs.append(time.perf_counter() - t0)
+            return runs
 
-    rows = []
-    for name in HEADLINE:
-        runs = measure(name)
-        med = statistics.median(runs)
-        rows.append((name, min(runs), max(runs), med, 1.5 * med))
-        print(
-            f"| `{name}` | {min(runs):.2f}-{max(runs):.2f} | {med:.2f} "
-            f"| {1.5 * med:.2f} |",
-            file=sys.stderr,
-            flush=True,
-        )
+        # sentinel FIRST: the box-temperature reading at band-draw time
+        sentinel = statistics.median(measure(SENTINEL_QUERY))
+        print(f"sentinel {SENTINEL_QUERY} median={sentinel:.2f}s",
+              file=sys.stderr, flush=True)
+
+        rows = []
+        for name in HEADLINE:
+            runs = measure(name)
+            med = statistics.median(runs)
+            rows.append((name, min(runs), max(runs), med, 1.5 * med))
+            print(
+                f"| `{name}` | {min(runs):.2f}-{max(runs):.2f} | {med:.2f} "
+                f"| {1.5 * med:.2f} |",
+                file=sys.stderr,
+                flush=True,
+            )
+        with open(PENDING_PATH, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "cpus": cpus, "n_runs": n_runs,
+                       "sentinel": sentinel, "rows": rows}, fh)
 
     old, old_sentinel = _prev_block()
     movers, tags = compute_movers(rows, old, sentinel, old_sentinel)
@@ -126,7 +151,8 @@ def main() -> None:
             f"moved >{DIFF_THRESHOLD}× (sentinel-normalized) vs the "
             "previous table without an adjudication. Re-measure each solo "
             "(python -m tools.bench_isolated -n 5 <name>), name a cause, "
-            "and re-run with --adjudicate name=cause:",
+            "then emit THESE measurements (saved to "
+            f"{PENDING_PATH}) with --emit-pending --adjudicate name=cause:",
             file=sys.stderr,
         )
         for name, o, m, raw, norm in movers:
