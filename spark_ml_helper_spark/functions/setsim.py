@@ -168,7 +168,25 @@ def rep_jaccard_pairs(
     )
 
 
-def smallvocab_jaccard_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks: int = 4) -> DataFrame:
+#: Target rows per matmul block. The block-pair kernel allocates
+#: (rows_a × rows_b) float64 intersection/jaccard matrices, so per-task
+#: memory is ~(BLOCK_TARGET_ROWS² × 8 B) × 2.5 ≈ 320 MB at 4000 — the
+#: executor-memory dial. Round-13 probe find (tools/scale_probe_setsim):
+#: a FIXED n_blocks=4 at 200k distinct contents allocates a 50k×50k
+#: (20 GB) matrix and kills the Arrow worker; block count must scale
+#: with the collapsed rep count.
+BLOCK_TARGET_ROWS = 4000
+
+
+def _auto_blocks(n_reps: int) -> int:
+    """Block count for the matmul kernels: enough blocks that a block
+    pair's float64 matrix stays ~BLOCK_TARGET_ROWS², never fewer than
+    the fixture-tuned 4 (fixture plans unchanged: rep counts there are
+    ≤ ~4k, so the auto value IS 4)."""
+    return max(4, -(-n_reps // BLOCK_TARGET_ROWS))
+
+
+def smallvocab_jaccard_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks: int | None = None) -> DataFrame:
     """Same contract as exact_jaccard_pairs, specialized for a SMALL element
     vocabulary: represent each distinct set as a multi-hot row over the
     ranked vocab, partition sets into blocks, and compute ALL pairwise
@@ -208,7 +226,8 @@ def smallvocab_jaccard_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks
     )
     vdim = vocab.count()  # bounded by assumption; one tiny job
 
-    G = n_blocks
+    # ranked is checkpointed — the count is a cheap job, paid only on auto
+    G = n_blocks if n_blocks is not None else _auto_blocks(ranked.count())
     blocks = ranked.withColumn("g", (F.col("rep_id") % G).cast("int"))
     spark = sets.sparkSession
 
@@ -289,7 +308,7 @@ def smallvocab_jaccard_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks
     return cross.unionByName(within)
 
 
-def containment_rep_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks: int = 4):
+def containment_rep_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks: int | None = None):
     """DIRECTED set-containment core: collapse identical sets, then find
     every ordered REPRESENTATIVE pair with C(A→B) = |A∩B| / |A| ≥ tau,
     ra ≠ rb. Returns (rep_pairs, membership): rep_pairs has columns
@@ -334,7 +353,8 @@ def containment_rep_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks: i
     )
     vdim = vocab.count()
 
-    G = n_blocks
+    # ranked is checkpointed — the count is a cheap job, paid only on auto
+    G = n_blocks if n_blocks is not None else _auto_blocks(ranked.count())
     blocks = ranked.withColumn("g", (F.col("rep_id") % G).cast("int"))
     spark = sets.sparkSession
 
@@ -410,7 +430,7 @@ def containment_rep_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks: i
     return rep_pairs, membership
 
 
-def smallvocab_containment_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks: int = 4) -> DataFrame:
+def smallvocab_containment_pairs(sets: DataFrame, tau: float, out_col: str, n_blocks: int | None = None) -> DataFrame:
     """Doc-level expansion of containment_rep_pairs: (a_id, b_id,
     <out_col>) for every ORDERED doc pair with C(A→B) ≥ tau, a_id ≠ b_id.
     On a duplicate-heavy corpus this output is quadratic in group sizes

@@ -1942,6 +1942,27 @@ def test_min_label_distributed_equals_union_find(spark):
         assert rounds >= 1
 
 
+def test_setsim_auto_blocks():
+    # round-13 probe find, fixed in the library: the block-matmul
+    # kernels derive block count from the collapsed rep count so a
+    # block pair's float64 matrix stays ~BLOCK_TARGET_ROWS² (fixed
+    # n_blocks=4 at 200k reps allocated a 20 GB matrix and killed the
+    # Arrow worker). Floor 4 keeps fixture plans byte-identical.
+    from spark_ml_helper_spark.functions.setsim import (
+        BLOCK_TARGET_ROWS,
+        _auto_blocks,
+    )
+
+    assert _auto_blocks(1) == 4
+    assert _auto_blocks(4 * BLOCK_TARGET_ROWS) == 4       # fixture regime
+    assert _auto_blocks(4 * BLOCK_TARGET_ROWS + 1) == 5
+    assert _auto_blocks(200_000) == 50                    # the probe cell
+    # ceiling division: never a block larger than the target
+    for n in (1, 3999, 4000, 4001, 123_456):
+        blocks = _auto_blocks(n)
+        assert n <= blocks * BLOCK_TARGET_ROWS
+
+
 def test_band_regeneration_protocol_pure_logic():
     # round-13 measurement protocol (judge items 1 + 6), Spark-free:
     # sentinel-normalized mover detection + the adjudication gate that

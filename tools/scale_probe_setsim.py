@@ -108,17 +108,13 @@ def _single(op: str, n_docs: int, vocab: int) -> None:
         return rep_jaccard_pairs(rep_sets, TAU, "jac", counters=c).count()
 
     def run_containment() -> int:
-        # block count MUST scale with docs: the per-task kernel allocates
-        # a (n_docs/n_blocks)² float64 pair matrix, so fixed n_blocks=4
-        # at 200k docs is a 50k×50k = 20 GB allocation that kills the
-        # Arrow worker (measured: EOFException from PythonArrowOutput).
-        # n_docs/4000 caps the matrix at 4k² = 128 MB/task — the dial a
-        # production caller sets from executor memory, and the first
-        # thing this probe itself found.
-        n_blocks = max(4, n_docs // 4000)
-        return smallvocab_containment_pairs(
-            sets, TAU, "cont", n_blocks=n_blocks
-        ).count()
+        # exercises the library's AUTO block scaling (setsim._auto_blocks,
+        # this probe's first find): a fixed n_blocks=4 at 200k docs
+        # allocated a 50k×50k = 20 GB float64 pair matrix and killed the
+        # Arrow worker (EOFException from PythonArrowOutput); the library
+        # now derives block count from the collapsed rep count so a block
+        # pair's matrix stays ~BLOCK_TARGET_ROWS².
+        return smallvocab_containment_pairs(sets, TAU, "cont").count()
 
     fn = run_jaccard if op == "jaccard" else run_containment
     pairs = fn()  # warm-up (also fills counters for jaccard)
