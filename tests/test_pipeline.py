@@ -2011,6 +2011,32 @@ def test_band_regeneration_protocol_pure_logic():
     assert medians == {"b": 2.10} and sent == 0.69
 
 
+def test_bench_compare_pure_logic():
+    # tools/bench_compare: a bench drawn on a 1.4x-hotter box than the
+    # band table must NOT read as a watch crossing after sentinel
+    # normalization; a real regression must survive it.
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.bench_compare import compare
+
+    bands = {"a": (1.0, 1.5), "b": (2.0, 3.0)}
+    bench = {
+        "queries": {"a": 1.40, "b": 5.60},
+        # box 1.4x hotter than at band-draw time (sentinel 0.7 vs 0.5)
+        "box_sentinel": {"query": "agg_group", "sec": 0.70},
+    }
+    rows, box = compare(bench, bands, band_sentinel=0.50)
+    assert abs(box - 1.4) < 1e-9
+    by = {r[0]: r for r in rows}
+    assert not by["a"][5]          # 1.40/1.4 = 1.00 — box drift absorbed
+    assert by["b"][5]              # 5.60/1.4 = 4.00 > watch 3.0 — real
+    # no sentinel anywhere → raw comparison (conservative)
+    rows_raw, box_raw = compare({"queries": {"a": 1.6}}, bands, None)
+    assert box_raw == 1.0 and rows_raw[0][5]
+
+
 def test_source_audit_pinned_inventory():
     # The judge's standing source audit as CI (round 12): driver-side
     # collect() sites, row-at-a-time Python UDFs, bare pass lines, and
