@@ -158,14 +158,46 @@ _REDUCING_NODES = frozenset(
 )
 
 
-def _all_leaf_paths_reduced(nodes: list, i: int) -> bool:
+def _reuse_referents(plan: str) -> dict:
+    """ReusedExchange node id → referent operator id.
+
+    The tree line renders a reuse as a bare leaf (``+- ReusedExchange
+    (8)``); the referent lives only in the detail section
+    (``(8) ReusedExchange [Reuses operator id: 4]``), so resolution needs
+    the full plan text, not just the parsed tree."""
+    return {
+        int(a): int(b)
+        for a, b in re.findall(
+            r"^\((\d+)\) ReusedExchange\b.*?Reuses operator id: (\d+)",
+            plan,
+            re.M,
+        )
+    }
+
+
+def _all_leaf_paths_reduced(
+    nodes: list, i: int, reuse: dict | None = None, _seen: frozenset = frozenset()
+) -> bool:
     """True iff EVERY leaf path under ``nodes[i]`` passes through a
     reducing node. A single reducing node anywhere in the subtree is not
     enough: a HashAggregate on the BUILD side of a join bounds that
     branch only, while the probe side still streams its full frame into
     the window above (the round-13 advice's audit false negative). The
     pre-order walk keeps a covered-ancestor stack, so a leaf counts as
-    bounded only when a reducing node dominates it."""
+    bounded only when a reducing node dominates it.
+
+    A ``ReusedExchange`` leaf is resolved through ``reuse`` (the
+    detail-section referent map): the leaf carries exactly the rows its
+    referent exchange emits, so it counts as bounded iff every leaf path
+    under the REFERENT crosses a reducing node — recursively, with a
+    visited set so a malformed self-referential map degrades to the
+    conservative non-reduced reading instead of recursing forever.
+    (Reducing nodes ABOVE the referent elsewhere in the tree do not
+    vouch for the reuse: they bound a different edge of the DAG, not the
+    exchange's own output.) In practice Spark's ReuseExchange picks the
+    innermost common exchange, so the reducing aggregate usually stays
+    visible above the reuse leaf and this path rarely fires — it exists
+    so the detector is exact, not merely conservative, on reuse plans."""
     wdepth = nodes[i]["depth"]
     j = i + 1
     sub = []
@@ -184,8 +216,31 @@ def _all_leaf_paths_reduced(nodes: list, i: int) -> bool:
         stack.append((n["depth"], covered))
         is_leaf = k + 1 == len(sub) or sub[k + 1]["depth"] <= n["depth"]
         if is_leaf and not covered:
-            return False
+            if not _reuse_leaf_reduced(nodes, n, reuse, _seen):
+                return False
     return True
+
+
+def _reuse_leaf_reduced(
+    nodes: list, leaf: dict, reuse: dict | None, _seen: frozenset
+) -> bool:
+    """Resolve an uncovered leaf through the exchange-reuse map.
+
+    Bounded iff the leaf is a ReusedExchange whose referent subtree is
+    itself all-leaf-paths-reduced. Anything unresolvable (no map, unknown
+    referent id, reuse cycle) stays non-reduced — the conservative
+    direction: the detector may flag, never silently pass."""
+    if leaf["name"].split(" ")[0] != "ReusedExchange" or not reuse:
+        return False
+    ref_id = reuse.get(leaf["id"])
+    if ref_id is None or ref_id in _seen:
+        return False
+    for r, cand in enumerate(nodes):
+        if cand["id"] == ref_id:
+            return _all_leaf_paths_reduced(
+                nodes, r, reuse, _seen | {leaf["id"]}
+            )
+    return False
 
 
 def global_window_risks(df_or_plan) -> list:
@@ -204,10 +259,12 @@ def global_window_risks(df_or_plan) -> list:
     is exactly this class — fixed with orderBy().limit() →
     TakeOrderedAndProject, which this rule accepts.
 
-    Known limitation: a ReusedExchange leaf is opaque here (its referent
-    subtree is parsed elsewhere in the tree, not under the window), so
-    it reads as non-reduced — a conservative direction: the detector may
-    flag, never silently pass, such plans."""
+    A ReusedExchange leaf is resolved through the detail section's
+    ``[Reuses operator id: N]`` referent (_reuse_leaf_reduced): it counts
+    as bounded iff the referent exchange's own subtree is reduced.
+    Unresolvable reuse (missing detail line, cycle) stays non-reduced —
+    the conservative direction: the detector may flag, never silently
+    pass, such plans."""
     plan = (
         df_or_plan
         if isinstance(df_or_plan, str)
@@ -215,13 +272,14 @@ def global_window_risks(df_or_plan) -> list:
     )
     nodes = parse_plan_tree(plan)
     global_ids = _global_window_ids(plan)
+    reuse = _reuse_referents(plan)
     risks = []
     for i, n in enumerate(nodes):
         if n["name"] not in ("Window", "WindowInPandas"):
             continue
         if n["id"] not in global_ids:
             continue  # has a PARTITION BY — parallel by construction
-        if not _all_leaf_paths_reduced(nodes, i):
+        if not _all_leaf_paths_reduced(nodes, i, reuse):
             risks.append(
                 f"Window({n['id']}): global sort over non-reduced input "
                 "(single-task full-frame sort at scale)"

@@ -2151,6 +2151,102 @@ def test_global_window_detector_shapes_no_aqe(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+# A global window over a join where exchange reuse SWALLOWS one branch's
+# reducing aggregate: the tree shows a bare ReusedExchange leaf and the
+# referent (id 4) lives elsewhere. Handcrafted because Spark's
+# ReuseExchange picks the innermost common exchange, so real plans keep
+# the aggregate visible above the reuse leaf — the detail-line format is
+# pinned against real output by test_global_window_reuse_real_plan.
+_REUSE_PLAN = """== Physical Plan ==
+Window (9)
++- * Sort (8)
+   +- Exchange (7)
+      +- * SortMergeJoin Inner (6)
+         :- * Sort (5)
+         :  +- Exchange (4)
+         :     +- * HashAggregate (3)
+         :        +- * HashAggregate (2)
+         :           +- * Range (1)
+         +- * Sort (10)
+            +- ReusedExchange (11)
+
+
+(9) Window
+Input [2]: [k#1L, t#2L]
+Arguments: [row_number() windowspecdefinition(t#2L ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS rn#3], [t#2L ASC NULLS FIRST]
+
+(11) ReusedExchange [Reuses operator id: 4]
+Output [2]: [k#4L, sum#5L]
+"""
+
+
+def test_global_window_reuse_resolution():
+    # The round-12 docstring declared ReusedExchange leaves a known
+    # conservative limitation (always read as non-reduced); round 13
+    # resolves them through the detail section's referent id. Both
+    # directions, plus the degrade-to-conservative paths.
+    from spark_ml_helper_spark.plans.audit import global_window_risks
+
+    # referent subtree is aggregate-bounded → the reuse leaf is too
+    assert not global_window_risks(_REUSE_PLAN)
+    # referent subtree is a raw scan → still a single-task sort risk
+    raw = _REUSE_PLAN.replace(
+        """         :  +- Exchange (4)
+         :     +- * HashAggregate (3)
+         :        +- * HashAggregate (2)
+         :           +- * Range (1)""",
+        """         :  +- Exchange (4)
+         :     +- * Project (3)
+         :        +- * Filter (2)
+         :           +- * Range (1)""",
+    )
+    assert global_window_risks(raw)
+    # self-referential map (malformed) → conservative flag, no recursion
+    cycle = _REUSE_PLAN.replace(
+        "[Reuses operator id: 4]", "[Reuses operator id: 11]"
+    )
+    assert global_window_risks(cycle)
+    # missing referent detail line → conservative flag
+    missing = _REUSE_PLAN.replace(
+        "(11) ReusedExchange [Reuses operator id: 4]", "(11) Placeholder"
+    )
+    assert global_window_risks(missing)
+
+
+def test_global_window_reuse_real_plan(spark):
+    # Pin the referent-map parse against REAL Spark rendering (non-AQE,
+    # no broadcast: a self-join of an aggregated frame plans a
+    # ReusedExchange). Here the reducing aggregate stays visible above
+    # the reuse leaf (innermost-exchange reuse), so the window is clean
+    # with or without resolution — the assertion that matters is that
+    # _reuse_referents finds the real detail line.
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.plans.audit import (
+        _reuse_referents,
+        explain_formatted,
+        global_window_risks,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.range(100).withColumn("k", F.col("id") % 7)
+        agg = df.groupBy("k").agg(F.sum("id").alias("s"))
+        j = agg.alias("a").join(agg.alias("b"), "k").select(
+            F.col("a.k"), (F.col("a.s") + F.col("b.s")).alias("t")
+        )
+        w = j.withColumn("rn", F.row_number().over(W.orderBy("t")))
+        plan = explain_formatted(w)
+        assert "ReusedExchange" in plan, plan
+        assert _reuse_referents(plan), plan  # detail-line format parsed
+        assert not global_window_risks(plan)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_daily_kpis_internally_consistent(spark):
     rows = QUERIES["pipeline_daily_kpis"](spark, SF_ORACLE).collect()
     assert len(rows) == 30

@@ -927,3 +927,156 @@ def test_mst_oracle_matches_python_kruskal(n_cust, n_supp, n_orders, seed):
     nodes = {n for _, lo, hi in edges for n in (lo, hi)}
     comps = len({find(n) for n in nodes})
     assert len(want) == len(nodes) - comps
+
+
+# ---------------------------------------------------------------------------
+# Global-window audit detector vs randomly generated plan trees (round 13).
+# The audit gate every registry plan passes through (plans/audit.py) parses
+# explain('formatted') TEXT — so the property worth sweeping is
+# renderer/parser agreement: for a random operator tree rendered in Spark's
+# tree ASCII (codegen stars, multi-child ':-' branches, ReusedExchange
+# leaves with detail-section referents), the detector's verdict must equal
+# the ground truth computed on the STRUCTURE the renderer started from.
+# ---------------------------------------------------------------------------
+
+_GW_REDUCING = {
+    "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+    "TakeOrderedAndProject", "CollectLimit", "GlobalLimit",
+}
+_GW_INTERNAL = [
+    "Project", "Filter", "Sort", "Exchange", "HashAggregate",
+    "SortAggregate", "GlobalLimit", "TakeOrderedAndProject",
+    "SortMergeJoin Inner", "Union", "BroadcastHashJoin LeftOuter",
+]
+_GW_LEAVES = ["Scan parquet t", "Range", "ColumnarToRow", "ReusedExchange"]
+
+
+def _gw_build(rng, depth_left):
+    """Random operator tree: dict(name, children). Leaves may be
+    ReusedExchange placeholders (resolved to a referent later)."""
+    if depth_left == 0 or rng.random() < 0.25:
+        return {"name": rng.choice(_GW_LEAVES), "children": []}
+    name = rng.choice(_GW_INTERNAL)
+    n_kids = rng.choice([1, 1, 1, 2, 2, 3]) if "Join" in name or name == "Union" else 1
+    return {
+        "name": name,
+        "children": [_gw_build(rng, depth_left - 1) for _ in range(n_kids)],
+    }
+
+
+def _gw_assign_ids(node, counter):
+    node["id"] = next(counter)
+    for c in node["children"]:
+        _gw_assign_ids(c, counter)
+
+
+def _gw_render(node, rng):
+    """Spark explain('formatted') tree ASCII: non-last children prefix
+    ':- ' (continuation ':  '), last child '+- ' (continuation '   ');
+    whole-stage-codegen nodes carry a '* ' star after the branch glyph."""
+    lines = [f"{node['name']} ({node['id']})"]
+
+    def walk(n, cont):
+        kids = n["children"]
+        for k, c in enumerate(kids):
+            last = k + 1 == len(kids)
+            glyph, ext = ("+- ", "   ") if last else (":- ", ":  ")
+            star = "* " if rng.random() < 0.5 else ""
+            lines.append(f"{cont}{glyph}{star}{c['name']} ({c['id']})")
+            walk(c, cont + ext)
+
+    walk(node, "")
+    return "\n".join(lines)
+
+
+def _gw_truth(root, reuse_env):
+    """Ground truth of plans/audit._all_leaf_paths_reduced on the
+    STRUCTURE (root's own name not counted), mirroring its contract:
+    every leaf path must cross a reducing node; an uncovered
+    ReusedExchange leaf is bounded iff its referent's subtree is."""
+
+    def walk(n, anc_covered):
+        covered = anc_covered or n["name"].split(" ")[0] in _GW_REDUCING
+        if not n["children"]:
+            if covered:
+                return True
+            ref = reuse_env.get(n.get("id"))
+            return _gw_truth(ref, reuse_env) if ref is not None else False
+        return all(walk(c, covered) for c in n["children"])
+
+    if not root["children"]:
+        return False
+    return all(walk(c, False) for c in root["children"])
+
+
+@settings(max_examples=150, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), depth=st.integers(1, 5))
+def test_global_window_detector_matches_structural_truth(seed, depth):
+    import itertools
+    import random
+
+    from spark_ml_helper_spark.plans.audit import global_window_risks
+
+    rng = random.Random(seed)
+    tree = {"name": "Window", "children": [_gw_build(rng, depth)]}
+    _gw_assign_ids(tree, itertools.count(1))
+
+    # Resolve ReusedExchange placeholder leaves: each points at an
+    # Exchange node whose subtree does NOT contain the leaf (Spark's
+    # reuse graph is a DAG). Unresolvable ones become plain scans.
+    def collect(n, acc):
+        acc.append(n)
+        for c in n["children"]:
+            collect(c, acc)
+        return acc
+
+    nodes = collect(tree, [])
+
+    def contains(n, target):
+        return n is target or any(contains(c, target) for c in n["children"])
+
+    reuse_env, detail_lines = {}, []
+    for n in nodes:
+        if n["name"] != "ReusedExchange":
+            continue
+        def reuse_free(e):
+            return e["name"] != "ReusedExchange" and all(
+                reuse_free(c) for c in e["children"]
+            )
+
+        # referents are reuse-free subtrees: two reuse leaves pointing
+        # into each other's referents would make the ground-truth walk
+        # cyclic (the detector's _seen guard has its own unit test)
+        cands = [
+            e for e in nodes
+            if e["name"] == "Exchange"
+            and e["children"]
+            and not contains(e, n)
+            and reuse_free(e)
+        ]
+        if not cands:
+            n["name"] = "Range"  # unresolvable placeholder -> plain leaf
+            continue
+        ref = rng.choice(cands)
+        reuse_env[n["id"]] = ref
+        detail_lines.append(
+            f"({n['id']}) ReusedExchange [Reuses operator id: {ref['id']}]"
+            f"\nOutput [1]: [x#{n['id']}L]"
+        )
+
+    plan = (
+        "== Physical Plan ==\n"
+        + _gw_render(tree, rng)
+        + "\n\n\n"
+        + f"({tree['id']}) Window\nInput [1]: [x#1L]\n"
+        + "Arguments: [row_number() windowspecdefinition(x#1L ASC NULLS "
+        + "FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        + "currentrow$())) AS rn#2], [x#1L ASC NULLS FIRST]\n\n"
+        + "\n\n".join(detail_lines)
+        + "\n"
+    )
+    want_clean = _gw_truth(tree, reuse_env)
+    got = global_window_risks(plan)
+    assert bool(got) != want_clean, (
+        f"detector={got} truth_reduced={want_clean}\n{plan}"
+    )
