@@ -2013,28 +2013,47 @@ def test_band_regeneration_protocol_pure_logic():
 
 def test_bench_compare_pure_logic():
     # tools/bench_compare: a bench drawn on a 1.4x-hotter box than the
-    # band table must NOT read as a watch crossing after sentinel
-    # normalization; a real regression must survive it.
+    # band table must NOT read as a watch crossing after box
+    # normalization; a real regression must survive it. The box
+    # estimate is the MEDIAN of per-query bench/band ratios (>=5
+    # matched queries) — robust both to an elevated cheap sentinel
+    # (round-13 measured case: sentinel 1.64x while heavies ran 1.10x,
+    # so sentinel-only normalization would MASK a 1.4x regression) and
+    # to the few genuine regressions themselves.
     import sys
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     from tools.bench_compare import compare
 
-    bands = {"a": (1.0, 1.5), "b": (2.0, 3.0)}
-    bench = {
-        "queries": {"a": 1.40, "b": 5.60},
-        # box 1.4x hotter than at band-draw time (sentinel 0.7 vs 0.5)
-        "box_sentinel": {"query": "agg_group", "sec": 0.70},
+    bands = {
+        "a": (1.0, 1.5), "b": (2.0, 3.0), "c": (1.0, 1.5),
+        "d": (4.0, 6.0), "e": (0.5, 0.75), "f": (3.0, 4.5),
     }
-    rows, box = compare(bench, bands, band_sentinel=0.50)
-    assert abs(box - 1.4) < 1e-9
+    bench = {
+        # five queries at exactly 1.4x band, one real 2.8x regression
+        "queries": {"a": 1.40, "b": 5.60, "c": 1.40, "d": 5.60,
+                    "e": 0.70, "f": 4.20},
+        # sentinel reads 2.0x — hotter than the heavies' true 1.4x
+        # (the cheap-plan-sensitive drift measured in round 13)
+        "box_sentinel": {"query": "agg_group", "sec": 1.00},
+    }
+    rows, box, diag = compare(bench, bands, band_sentinel=0.50)
+    assert abs(box - 1.4) < 1e-9          # median-of-ratios, not 2.0
+    assert diag["source"] == "median-of-ratios"
+    assert abs(diag["sentinel_ratio"] - 2.0) < 1e-9
     by = {r[0]: r for r in rows}
-    assert not by["a"][5]          # 1.40/1.4 = 1.00 — box drift absorbed
-    assert by["b"][5]              # 5.60/1.4 = 4.00 > watch 3.0 — real
+    for clean in "acdef":
+        assert not by[clean][5], clean    # 1.4x box drift absorbed
+    assert by["b"][5]  # 5.60/1.4 = 4.00 > watch 3.0 — survives; the
+    #                    2.0x sentinel would have masked it (2.80 < 3.0)
+    # <5 matched queries → sentinel fallback
+    few = {"queries": {"a": 1.40}, "box_sentinel": bench["box_sentinel"]}
+    rows_f, box_f, diag_f = compare(few, bands, band_sentinel=0.50)
+    assert diag_f["source"] == "sentinel" and abs(box_f - 2.0) < 1e-9
     # no sentinel anywhere → raw comparison (conservative)
-    rows_raw, box_raw = compare({"queries": {"a": 1.6}}, bands, None)
-    assert box_raw == 1.0 and rows_raw[0][5]
+    rows_raw, box_raw, diag_raw = compare({"queries": {"a": 1.6}}, bands, None)
+    assert box_raw == 1.0 and rows_raw[0][5] and diag_raw["source"] == "raw"
 
 
 def test_source_audit_pinned_inventory():
