@@ -1998,6 +1998,23 @@ def test_band_regeneration_protocol_pure_logic():
     # the gate: unadjudicated movers block emission; named causes pass
     assert adjudication_gate(movers, {}) == ["b"]
     assert adjudication_gate(movers, {"b": "plan change: new shuffle"}) == []
+    # >=5 common rows: the box estimate is the MEDIAN of per-query
+    # ratios, so an over-reading cheap sentinel (2.0x vs the heavies'
+    # true 1.4x) neither masks the real mover nor flags the drifters
+    rows6 = [
+        ("p", 1.0, 1.2, 1.40, 2.10), ("q", 2.0, 2.2, 2.80, 4.20),
+        ("r", 0.5, 0.6, 0.70, 1.05), ("s", 3.0, 3.3, 4.20, 6.30),
+        ("t", 1.5, 1.7, 2.10, 3.15), ("real", 1.0, 1.1, 2.80, 4.20),
+    ]
+    old6 = {"p": 1.0, "q": 2.0, "r": 0.5, "s": 3.0, "t": 1.5, "real": 1.0}
+    movers6, tags6 = compute_movers(rows6, old6, sentinel_new=1.0,
+                                    sentinel_old=0.5)
+    assert [m[0] for m in movers6] == ["real"], movers6
+    # sentinel normalization (2.0x) would have read 'real' as
+    # 2.80/2.0 = 1.40x > 1.25 — still caught here — but would have
+    # flagged NOTHING if the true mover were 1.4x-masked; check the
+    # median path records the honest 2.0x normalized ratio instead
+    assert abs(movers6[0][4] - 2.0) < 1e-9
     # header round-trip: a generated block parses back (medians+sentinel)
     block = (
         "old text\n"

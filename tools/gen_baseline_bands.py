@@ -27,11 +27,16 @@ bench_isolated adjudication) drawn on different-temperature boxes
 compare through the ratio of their sentinels — rounds 11 and 12 each
 burned an adjudication on drift that was global box state, visible as
 equal elevation of control queries. The regeneration diff below is
-sentinel-NORMALIZED for the same reason.
+box-NORMALIZED for the same reason, using the MEDIAN of per-query
+old-vs-new ratios over the common rows as the primary estimate
+(tools/measure.compute_movers; the sentinel is the under-5-rows
+fallback and cross-check — a cheap sentinel over-reads scheduler heat
+~1.35x vs the heavy rows, measured round 13, which in the masking
+direction would hide a real heavy mover).
 
 Regeneration DIFF + GATE (round-12 protocol, hardened round-13): the
 "vs prev band" column shows the old-vs-new median ratio (raw and
-sentinel-normalized) read from BASELINE.md's current band table. Any
+box-normalized) read from BASELINE.md's current band table. Any
 query whose NORMALIZED median moved >1.25x in either direction REQUIRES
 an adjudication — re-measure solo with tools/bench_isolated -n 5, name
 a cause, and pass it as --adjudicate name=cause. Without one the tool
@@ -148,7 +153,7 @@ def main() -> None:
     if missing:
         print(
             f"REFUSING to emit the band table: {len(missing)} median(s) "
-            f"moved >{DIFF_THRESHOLD}× (sentinel-normalized) vs the "
+            f"moved >{DIFF_THRESHOLD}× (box-normalized) vs the "
             "previous table without an adjudication. Re-measure each solo "
             "(python -m tools.bench_isolated -n 5 <name>), name a cause, "
             "then emit THESE measurements (saved to "
@@ -176,7 +181,7 @@ def main() -> None:
     total = sum(r[3] for r in rows)
     print(f"\nMedian-sum across the {len(rows)}-query suite: {total:.1f} s.")
     if movers:
-        print(f"\n**Regeneration diff — sentinel-normalized medians moved "
+        print(f"\n**Regeneration diff — box-normalized medians moved "
               f">{DIFF_THRESHOLD}× vs the previous band table (each "
               "solo-adjudicated before this table was emitted):**")
         for name, o, m, raw, norm in movers:
@@ -184,7 +189,7 @@ def main() -> None:
                   f"{norm:.2f}× normalized) — ADJUDICATED: "
                   f"{adjudicated[name]}")
     else:
-        print(f"\nRegeneration diff: no sentinel-normalized median moved "
+        print(f"\nRegeneration diff: no box-normalized median moved "
               f">{DIFF_THRESHOLD}× vs the previous band table.")
 
 

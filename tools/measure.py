@@ -41,6 +41,11 @@ def parse_prev_block(baseline_text: str) -> tuple[dict, float | None]:
     return medians, float(sm.group(1)) if sm else None
 
 
+#: Minimum common queries for the median-of-ratios box estimate; below
+#: this a single genuine mover IS the median, so fall back to sentinels.
+MIN_COMMON_FOR_MEDIAN = 5
+
+
 def compute_movers(
     rows: list,
     old_medians: dict,
@@ -50,16 +55,29 @@ def compute_movers(
 ) -> tuple[list, dict]:
     """``rows``: [(name, lo, hi, median, watch)]. Returns
     (movers, tags): movers = [(name, old, new, raw_ratio, norm_ratio)]
-    whose SENTINEL-NORMALIZED median moved >threshold in either
-    direction; tags[name] = the "vs prev band" cell text. When either
-    sentinel is missing (pre-r13 table / sentinel row failed), the
-    normalized ratio falls back to the raw ratio — strictly more
-    conservative (raw movers were the r11-r12 protocol)."""
-    box = (
-        sentinel_new / sentinel_old
-        if sentinel_new and sentinel_old
-        else 1.0
+    whose BOX-NORMALIZED median moved >threshold in either direction;
+    tags[name] = the "vs prev band" cell text.
+
+    Box estimate between the two table draws: the MEDIAN of per-query
+    new/old median ratios over the common rows (same estimator as
+    tools/bench_compare, same measured reason: a cheap sentinel
+    over-reads scheduler heat ~1.35× vs the heavy rows, which in the
+    masking direction hides a real heavy mover). Falls back to the
+    sentinel ratio under MIN_COMMON_FOR_MEDIAN common rows, then to raw
+    (pre-r13 tables) — each fallback strictly more conservative."""
+    import statistics
+
+    ratios = sorted(
+        med / old_medians[name]
+        for name, _lo, _hi, med, _watch in rows
+        if name in old_medians and old_medians[name] > 0
     )
+    if len(ratios) >= MIN_COMMON_FOR_MEDIAN:
+        box = statistics.median(ratios)
+    elif sentinel_new and sentinel_old:
+        box = sentinel_new / sentinel_old
+    else:
+        box = 1.0
     movers, tags = [], {}
     for name, _lo, _hi, med, _watch in rows:
         if name not in old_medians or old_medians[name] <= 0:
