@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entry_mod
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 QUERIES = entry_mod.queries()
 
@@ -4662,3 +4662,57 @@ def test_fresh_stats_checkpoint_bounds_estimate_growth(spark):
     assert bounded < 25, bounded
     # and the data itself is identical
     assert sorted(r.k for r in fresh.collect()) == list(range(10))
+
+
+def test_shuffle_ledger_parsers():
+    # tools/shuffle_ledger: the three SQLMetrics string forms — plain
+    # count with separators, simple size, and the multi-line
+    # "total (min, med, max)" statistical form.
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.shuffle_ledger import parse_count, parse_size
+
+    assert parse_size("4.6 KiB") == 4.6 * 1024
+    assert parse_size("0.0 B") == 0.0
+    assert parse_size(
+        "total (min, med, max (stageId: taskId))\n"
+        "1024.0 KiB (256.0 KiB, 256.0 KiB, 256.0 KiB (stage 0.0: task 2))"
+    ) == 1024.0 * 1024
+    assert parse_size("not a size") is None
+    assert parse_count("1,234") == 1234
+    assert parse_count(
+        "total (min, med, max (stageId: taskId))\n803 ms (200 ms, …)"
+    ) == 803
+
+
+def test_shuffle_ledger_reads_real_metrics(spark):
+    # End-to-end: the status-store extraction must see agg_group's
+    # executed plan and report the map-side-combine shape — a shuffle
+    # orders of magnitude smaller than the scan (the exchange carries
+    # group cardinality, not input rows) and zero spill. Volumes are
+    # plan+data properties: stable across box temperature, unlike walls.
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.shuffle_ledger import collect_execution_metrics
+
+    from spark_ml_helper_spark.registry import REGISTRY
+
+    store = spark._jsparkSession.sharedState().statusStore()
+    first = store.executionsList().size()
+    REGISTRY["agg_group"].fn(spark, SF_SMOKE).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    last = store.executionsList().size()
+    rec = collect_execution_metrics(store, first, last)
+    assert rec["n_execs"] >= 1
+    assert rec["shuffle_write_bytes"] > 0
+    assert rec["scan_bytes"] > 0
+    # partial aggregation: shuffled bytes ≪ scanned bytes (measured
+    # ~5 KB vs ~5 MB at sf0.01; the margin here is deliberately loose)
+    assert rec["shuffle_write_bytes"] < rec["scan_bytes"] / 10, rec
+    assert rec["spill_bytes"] == 0.0, rec
+    assert rec["max_node_rows"] >= rec["shuffle_records"] > 0

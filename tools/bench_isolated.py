@@ -26,6 +26,14 @@ AFTER dividing by sentinel_ratio = sentinel_here / sentinel_in_the_
 band_header (BASELINE.md) — rounds 11 and 12 each burned adjudication
 effort on drift that was global box temperature, visible as control
 queries elevated by the same factor.
+
+Caveat (measured round 13): the cheap sentinel over-reads scheduler/JVM
+heat ~1.35x relative to heavy CPU-bound rows, so for a solo
+adjudication ALSO pass 2-3 heavy control queries (the round-12 judge
+practice: dedup_simhash, vec_pca_power) and prefer the controls' median
+band-ratio as the box estimate when it disagrees with the sentinel —
+the multi-query consumers (tools/bench_compare, compute_movers) already
+use median-of-ratios for exactly this reason.
 """
 
 from __future__ import annotations
