@@ -139,6 +139,17 @@ def main(argv=None):
     for a in it:
         if a == "--sf":
             sf_dir = next(it)
+        elif a in ("-h", "--help"):
+            print(
+                "usage: python -m spark_ml_helper_spark.check "
+                "[--sf SF_DIR] [name ...]\n"
+                "Runs each registry query AND its DuckDB oracle on the "
+                "same parquet tables\n(default: all queries at "
+                "/root/testdata/sf0.01) and compares row count,\n"
+                "schema, and order-insensitive value hash — the driver's "
+                "correctness gate."
+            )
+            return 0
         else:
             names.append(a)
     load_all_operators()
