@@ -4697,17 +4697,20 @@ def test_shuffle_ledger_reads_real_metrics(spark):
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-    from tools.shuffle_ledger import collect_execution_metrics
+    from tools.shuffle_ledger import collect_execution_metrics, max_execution_id
 
     from spark_ml_helper_spark.registry import REGISTRY
 
     store = spark._jsparkSession.sharedState().statusStore()
-    first = store.executionsList().size()
+    # the store is listener-fed (async): drain before each window edge
+    # or a fast query lands outside its own id window
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10000)
+    after_id = max_execution_id(store)
     REGISTRY["agg_group"].fn(spark, SF_SMOKE).write.format("noop").mode(
         "overwrite"
     ).save()
-    last = store.executionsList().size()
-    rec = collect_execution_metrics(store, first, last)
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10000)
+    rec = collect_execution_metrics(store, after_id)
     assert rec["n_execs"] >= 1
     assert rec["shuffle_write_bytes"] > 0
     assert rec["scan_bytes"] > 0

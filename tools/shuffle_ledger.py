@@ -31,12 +31,17 @@ Usage:  python -m tools.shuffle_ledger [name ...]     (default: bench.py
 Prints one JSON line per query.
 
 Mechanism: SharedState.statusStore() (the SQLAppStatusStore backing the
-SQL UI, populated with or without the UI) — executionsList() growth
-around the materialization delimits the query's executions;
-executionMetrics() yields formatted metric strings ("1,234", "4.6 KiB",
-or the multi-line "total (min, med, max)" form — parsers below handle
-all three). Pure observation: no listener registration, no event-log
-config, no effect on the measured plans.
+SQL UI, populated with or without the UI) — the query's executions are
+the ids above the pre-materialization max (id windowing, NOT list
+indices: the store evicts beyond spark.sql.ui.retainedExecutions=1000,
+measured as 126/429 empty windows on the index-based first draft; a
+single query staying under the cap is safe — the largest fixpoint here
+triggers 134). The listener bus is drained before each window edge
+(the store is fed asynchronously; fast queries otherwise land outside
+their window). executionMetrics() yields formatted metric strings
+("1,234", "4.6 KiB", or the multi-line "total (min, med, max)" form —
+parsers below handle all three). Pure observation: no listener
+registration, no event-log config, no effect on the measured plans.
 """
 
 from __future__ import annotations
@@ -71,19 +76,41 @@ def parse_count(s: str) -> int | None:
     return int(m.group(1).replace(",", "")) if m else None
 
 
-def collect_execution_metrics(store, first: int, last: int) -> dict:
-    """Aggregate SQLMetrics over executionsList()[first:last] (py4j)."""
-    agg: dict[str, list[str]] = {}
+def max_execution_id(store) -> int:
+    """Largest executionId currently in the store (-1 when empty).
+
+    Windowing by EXECUTION ID, not list index: the store retains only
+    `spark.sql.ui.retainedExecutions` (default 1000) entries, so on a
+    long multi-query sweep the oldest executions are EVICTED — list
+    size plateaus (every query after the cap read n_execs=0, measured:
+    126/429) and indices shift under concurrent eviction. Ids are
+    monotonic and the executions just produced are the newest, never
+    the evicted ones, so an id window stays correct at any sweep
+    length."""
     execs = store.executionsList()
-    for i in range(first, last):
+    n = execs.size()
+    return max(
+        (execs.apply(i).executionId() for i in range(n)), default=-1
+    )
+
+
+def collect_execution_metrics(store, after_id: int) -> dict:
+    """Aggregate SQLMetrics over every execution with id > after_id."""
+    agg: dict[str, list[str]] = {}
+    n_execs = 0
+    execs = store.executionsList()
+    for i in range(execs.size()):
         e = execs.apply(i)
+        if e.executionId() <= after_id:
+            continue
+        n_execs += 1
         vals = store.executionMetrics(e.executionId())
         mets = e.metrics()
         for j in range(mets.size()):
             m = mets.apply(j)
             if vals.contains(m.accumulatorId()):
                 agg.setdefault(m.name(), []).append(vals.apply(m.accumulatorId()))
-    out = {"n_execs": last - first}
+    out = {"n_execs": n_execs}
     for name, key in SUMMED_SIZES.items():
         out[key] = round(
             sum(v for v in map(parse_size, agg.get(name, [])) if v), 1
@@ -123,14 +150,30 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     store = spark._jsparkSession.sharedState().statusStore()
 
+    def drain_listener_bus() -> None:
+        """The status store is fed ASYNCHRONOUSLY by the listener bus:
+        right after save() returns, the execution (or its final metric
+        values) may not be in the store yet, which mis-attributes fast
+        queries to their successor's [first, last) window (observed:
+        126/429 entries read n_execs=0 before this drain). The same
+        barrier Spark's own test suites use; degrade to a fixed sleep
+        if the private accessor moves."""
+        try:
+            spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10000)
+        except Exception:
+            import time
+
+            time.sleep(1.0)
+
     for name in names:
-        first = store.executionsList().size()
+        drain_listener_bus()
+        after_id = max_execution_id(store)
         REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
-        last = store.executionsList().size()
+        drain_listener_bus()
         rec = {"query": name, "sf_dir": sf_dir}
-        rec.update(collect_execution_metrics(store, first, last))
+        rec.update(collect_execution_metrics(store, after_id))
         print(json.dumps(rec), flush=True)
 
 
