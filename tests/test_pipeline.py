@@ -4719,3 +4719,26 @@ def test_shuffle_ledger_reads_real_metrics(spark):
     assert rec["shuffle_write_bytes"] < rec["scan_bytes"] / 10, rec
     assert rec["spill_bytes"] == 0.0, rec
     assert rec["max_node_rows"] >= rec["shuffle_records"] > 0
+
+
+def test_bench_compare_parses_current_baseline():
+    # Format-drift guard: bench_compare/load_bands is regex-coupled to
+    # BASELINE.md's generated band table. If a future table tweak broke
+    # the parse, the comparator would silently report "0 queries
+    # compared" and the watch gate would pass vacuously — pin that it
+    # reads the real file: full band set, sentinel header, sane values.
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.bench_compare import load_bands
+
+    baseline = Path(__file__).resolve().parent.parent / "BASELINE.md"
+    bands, sentinel = load_bands(str(baseline))
+    assert len(bands) >= 40, f"only {len(bands)} bands parsed"
+    assert sentinel and 0.05 < sentinel < 10, sentinel
+    for name, (med, watch) in bands.items():
+        assert 0 < med <= watch, (name, med, watch)
+        # both columns print 2-decimal-rounded independently: the gap
+        # can reach 0.005 + 1.5*0.005 = 0.0125 absolute
+        assert abs(watch - 1.5 * med) <= 0.0125 + 1e-9, (name, med, watch)
