@@ -1825,7 +1825,14 @@ def test_plan_audit_no_new_nested_loops(spark):
 
 # Documented-trade sites where a global (unpartitioned, ordered) window
 # over a non-reduced frame is the SEMANTIC — each docstring states the
-# exactness/scale trade and names the scale-path alternative:
+# exactness/scale trade and names the scale-path alternative. Round 13:
+# every claim below is now MEASURED (tools/window_volume_report reads
+# each executed Window node's input rows from the per-node SQLMetrics;
+# numbers at sf0.01/sf0.1 in its docstring): ml_pca's windows see 8/8
+# rows (input-independent), auc/calibration 500/2,000 (distinct-score,
+# sub-linear), pareto 1,500/14,999 (group cardinality), and the
+# full-stream trades sit at exactly their declared table cardinality
+# (largest: feature_quantile_bucket at orders, 150k @ sf0.1).
 #   sort_multi               total order IS the contract; rank column demo
 #   feature_quantile_bucket  exact ntile; scale path = approx_percentile
 #                            cutpoints + width_bucket (shuffle-free)
@@ -4742,3 +4749,52 @@ def test_bench_compare_parses_current_baseline():
         # both columns print 2-decimal-rounded independently: the gap
         # can reach 0.005 + 1.5*0.005 = 0.0125 absolute
         assert abs(watch - 1.5 * med) <= 0.0125 + 1e-9, (name, med, watch)
+
+
+def test_window_volume_default_matches_whitelist():
+    # tools/window_volume_report carries a copy of the CI whitelist as
+    # its default query set (a tool importing the test module would be
+    # worse) — keep the copy honest.
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.window_volume_report import DEFAULT_QUERIES
+
+    assert set(DEFAULT_QUERIES) == _GLOBAL_WINDOW_ALLOWED
+
+
+def test_window_volume_measures_bounded_claims(spark):
+    # The two strongest whitelist claims, verified at RUNTIME from the
+    # executed plan's per-node metrics (not from docstrings): ml_pca's
+    # global windows each see exactly k=8 rows regardless of input
+    # size, and win_pareto_frontier's window input is customer-group
+    # cardinality, not the orders stream it is computed from.
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.shuffle_ledger import max_execution_id
+    from tools.window_volume_report import window_input_rows
+
+    from spark_ml_helper_spark.registry import REGISTRY
+    from spark_ml_helper_spark.sources.parquet import table
+
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def measure(name):
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10000)
+        after = max_execution_id(store)
+        REGISTRY[name].fn(spark, SF_ORACLE).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10000)
+        return window_input_rows(store, after)
+
+    pca = measure("ml_pca")
+    assert pca and all(r == 8 for _, _, r in pca), pca
+    n_cust = table(spark, SF_ORACLE, "customer").count()
+    pareto = measure("win_pareto_frontier")
+    assert pareto and all(
+        r is not None and r <= n_cust for _, _, r in pareto
+    ), (pareto, n_cust)
