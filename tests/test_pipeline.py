@@ -1735,7 +1735,11 @@ def test_active_users_monotone_and_bounded(spark):
 # aggregate, percentile cutpoints, an hour spine, a G-row marginal table) —
 # constant-size at any corpus scale. A NEW name appearing here means an
 # operator grew an unplanned non-equi join; run tools/plan_audit.py to see
-# the full-registry picture.
+# the full-registry picture. Round 13: the TINY claim is MEASURED from the
+# executed plans (tools/bnlj_volume_report reads the build-side
+# BroadcastExchange's row metric): registry-wide max build frame is 720
+# rows at sf0.01 / 1,000 at sf0.1 (time spine / value-band spine), runtime
+# CI pin in test_bnlj_build_side_is_tiny_at_runtime.
 _BNLJ_ALLOWED = {
     "abc_analysis", "agg_heavy_hitters",
     "basket_lift", "class_balance", "corpus_bigram_lm",
@@ -4798,3 +4802,32 @@ def test_window_volume_measures_bounded_claims(spark):
     assert pareto and all(
         r is not None and r <= n_cust for _, _, r in pareto
     ), (pareto, n_cust)
+
+
+def test_bnlj_build_side_is_tiny_at_runtime(spark):
+    # The BNLJ whitelist's claim ("broadcast of a constant-size
+    # stat/spine frame") measured from the executed plan: the
+    # BroadcastExchange actually feeding the nested-loop join carries
+    # single-digit rows. Two representative sites; the full-registry
+    # sweep (tools/bnlj_volume_report) records the registry-wide max.
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.bnlj_volume_report import bnlj_build_rows
+    from tools.shuffle_ledger import max_execution_id
+
+    from spark_ml_helper_spark.registry import REGISTRY
+
+    store = spark._jsparkSession.sharedState().statusStore()
+    for name in ("agg_ratio_to_report", "class_balance"):
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10000)
+        after = max_execution_id(store)
+        REGISTRY[name].fn(spark, SF_ORACLE).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10000)
+        joins = bnlj_build_rows(store, after)
+        assert joins, f"{name} no longer plans a BNLJ — update this test"
+        for _, r in joins:
+            assert r is not None and r <= 8, (name, joins)

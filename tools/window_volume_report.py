@@ -67,59 +67,78 @@ def _parse_rows(s: str) -> int | None:
     return int(m.group(1).replace(",", "")) if m else None
 
 
-def window_input_rows(store, after_id: int) -> list:
-    """[(execution_id, node_name, input_rows)] for every Window node in
-    executions with id > after_id. input_rows is the max row metric over
-    the window's descendant frontier (max across join branches), None if
-    no descendant exposes one (e.g. a driver-local ExistingRDD leaf —
-    exactly the case the static audit cannot size either)."""
-    out = []
+def plan_graph_maps(store, eid: int) -> tuple[dict, dict, "object"]:
+    """(node-by-id, children-by-id, metric-values) of one executed plan.
+    Children map follows data flow: edge fromId → toId means fromId
+    FEEDS toId, so children[to] lists the nodes below it."""
+    g = store.planGraph(eid)
+    vals = store.executionMetrics(eid)
+    nodes, edges = g.allNodes(), g.edges()
+    byid: dict = {}
+    children: dict = {}
+    for j in range(nodes.size()):
+        n = nodes.apply(j)
+        byid[n.id()] = n
+    for j in range(edges.size()):
+        e = edges.apply(j)
+        children.setdefault(e.toId(), []).append(e.fromId())
+    return byid, children, vals
+
+
+def node_rows(byid: dict, vals, nid: int) -> int | None:
+    """The node's own row metric, if it exposes one."""
+    n = byid.get(nid)
+    if n is None:
+        return None
+    mets = n.metrics()
+    for k in range(mets.size()):
+        m = mets.apply(k)
+        if m.name() in _ROW_METRICS and vals.contains(m.accumulatorId()):
+            return _parse_rows(vals.apply(m.accumulatorId()))
+    return None
+
+
+def descendant_frontier_rows(
+    byid: dict, children: dict, vals, nid: int
+) -> int | None:
+    """Max row metric over the first row-bearing descendant frontier of
+    ``nid`` (max across join branches); None if no descendant exposes
+    one (e.g. a driver-local ExistingRDD leaf — exactly the case the
+    static audit cannot size either)."""
+    seen: set = set()
+    frontier = list(children.get(nid, []))
+    got = None
+    while frontier:
+        c = frontier.pop()
+        if c in seen:
+            continue
+        seen.add(c)
+        r = node_rows(byid, vals, c)
+        if r is not None:
+            got = r if got is None else max(got, r)
+        else:
+            frontier.extend(children.get(c, []))
+    return got
+
+
+def iter_execution_ids(store, after_id: int):
     execs = store.executionsList()
     for i in range(execs.size()):
         eid = execs.apply(i).executionId()
-        if eid <= after_id:
-            continue
-        g = store.planGraph(eid)
-        vals = store.executionMetrics(eid)
-        nodes, edges = g.allNodes(), g.edges()
-        byid: dict = {}
-        children: dict = {}
-        for j in range(nodes.size()):
-            n = nodes.apply(j)
-            byid[n.id()] = n
-        for j in range(edges.size()):
-            e = edges.apply(j)
-            children.setdefault(e.toId(), []).append(e.fromId())
+        if eid > after_id:
+            yield eid
 
-        def rows_of(nid):
-            n = byid.get(nid)
-            if n is None:
-                return None
-            mets = n.metrics()
-            for k in range(mets.size()):
-                m = mets.apply(k)
-                if m.name() in _ROW_METRICS and vals.contains(
-                    m.accumulatorId()
-                ):
-                    return _parse_rows(vals.apply(m.accumulatorId()))
-            return None
 
+def window_input_rows(store, after_id: int) -> list:
+    """[(execution_id, node_name, input_rows)] for every Window node in
+    executions with id > after_id."""
+    out = []
+    for eid in iter_execution_ids(store, after_id):
+        byid, children, vals = plan_graph_maps(store, eid)
         for nid, n in byid.items():
             if n.name() not in _WINDOW_NODES:
                 continue
-            seen: set = set()
-            frontier = list(children.get(nid, []))
-            got = None
-            while frontier:
-                c = frontier.pop()
-                if c in seen:
-                    continue
-                seen.add(c)
-                r = rows_of(c)
-                if r is not None:
-                    got = r if got is None else max(got, r)
-                else:
-                    frontier.extend(children.get(c, []))
+            got = descendant_frontier_rows(byid, children, vals, nid)
             out.append((eid, n.name(), got))
     return out
 
