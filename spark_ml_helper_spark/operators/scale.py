@@ -49,7 +49,16 @@ def join_skew_salted(spark, sf_dir):
     partition-size budget (rows per key a single reducer can hold). The
     hot-key dictionary is frequency-bounded and broadcasts. (AQE
     skew-join does this adaptively for the join alone; the explicit
-    split composes with the downstream aggregation too.)"""
+    split composes with the downstream aggregation too.)
+
+    Measured (tools/scale_probe_skew.py, SCALE.md round-13 — the
+    fixture's uniform keys can't show this, so the probe builds a
+    30%-hot synthetic key): plain shuffle-join reducer skew is a
+    scale-invariant 14.5x max/median partition rows across three
+    decades; this split cuts it to 3.5-4.3x, and its wall beats the
+    plain join's once the hot reducer is the critical path (2.55 s vs
+    3.01 s at 20M rows on idle local[32]; on a cluster the crossover
+    comes earlier, where the hot reducer spills or dies)."""
     S = 8
     HOT_T = 6
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
