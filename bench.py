@@ -261,6 +261,16 @@ def main() -> None:
         # global box-state drift (the cause of every investigated
         # "regression" in rounds 11 AND 12) instead of re-adjudicating.
         "box_sentinel": {"query": "agg_group", "sec": times["agg_group"]},
+        # heavy sentinel (round-14, judge item 3): the cheap sentinel
+        # over-reads scheduler heat ~1.35x vs heavy CPU-bound plans
+        # (measured round 13), so a second fixed control — dedup_simhash,
+        # a stable non-iterative shuffle-heavy plan untouched since
+        # round 7 — brackets the box factor from the other side.
+        # tools/bench_compare uses the pair as its masking cross-check.
+        "box_sentinel_heavy": {
+            "query": "dedup_simhash",
+            "sec": times["dedup_simhash"],
+        },
         "sf": sf,
     }
     print(json.dumps(out))

@@ -232,8 +232,14 @@ def _reuse_leaf_reduced(
     direction: the detector may flag, never silently pass."""
     if leaf["name"].split(" ")[0] != "ReusedExchange" or not reuse:
         return False
+    # Cycle guard keys on the LEAF id — the same id space _seen
+    # accumulates below. Guarding on ref_id (an Exchange id, disjoint
+    # space) let a mutual cycle (reuse A → exchange E ⊃ reuse B →
+    # exchange F ⊃ reuse A) recurse to RecursionError (round-14 advice).
+    if leaf["id"] in _seen:
+        return False
     ref_id = reuse.get(leaf["id"])
-    if ref_id is None or ref_id in _seen:
+    if ref_id is None:
         return False
     for r, cand in enumerate(nodes):
         if cand["id"] == ref_id:

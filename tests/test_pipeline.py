@@ -1997,14 +1997,23 @@ def test_band_regeneration_protocol_pure_logic():
     ]
     old = {"a": 0.80, "b": 0.80}
     # hot box: sentinel 0.69 vs 0.50 at band time = 1.38x global elevation
-    movers, tags = compute_movers(rows, old, sentinel_new=0.69,
-                                  sentinel_old=0.50)
+    movers, tags, diag = compute_movers(rows, old, sentinel_new=0.69,
+                                        sentinel_old=0.50)
     assert [m[0] for m in movers] == ["b"], movers  # 'a' absorbed by box
     assert tags["c"] == "new"
     assert "⚠" in tags["b"] and "⚠" not in tags["a"]
+    # <5 common rows → sentinel fallback is the box estimate
+    assert diag["source"] == "sentinel" and abs(diag["box"] - 1.38) < 1e-9
+    # heavy sentinel present → it wins the fallback (tracks heavy-plan
+    # heat better than the cheap control — measured round 13)
+    _, _, diag_h = compute_movers(rows, old, sentinel_new=0.69,
+                                  sentinel_old=0.50,
+                                  heavy_new=1.40, heavy_old=1.00)
+    assert diag_h["source"] == "heavy-sentinel"
+    assert abs(diag_h["box"] - 1.40) < 1e-9
     # no sentinel in the previous table → raw-ratio fallback flags both
-    movers_raw, _ = compute_movers(rows, old, sentinel_new=0.69,
-                                   sentinel_old=None)
+    movers_raw, _, _ = compute_movers(rows, old, sentinel_new=0.69,
+                                      sentinel_old=None)
     assert [m[0] for m in movers_raw] == ["a", "b"]
     # the gate: unadjudicated movers block emission; named causes pass
     assert adjudication_gate(movers, {}) == ["b"]
@@ -2018,15 +2027,32 @@ def test_band_regeneration_protocol_pure_logic():
         ("t", 1.5, 1.7, 2.10, 3.15), ("real", 1.0, 1.1, 2.80, 4.20),
     ]
     old6 = {"p": 1.0, "q": 2.0, "r": 0.5, "s": 3.0, "t": 1.5, "real": 1.0}
-    movers6, tags6 = compute_movers(rows6, old6, sentinel_new=1.0,
-                                    sentinel_old=0.5)
+    movers6, tags6, diag6 = compute_movers(rows6, old6, sentinel_new=1.0,
+                                           sentinel_old=0.5)
     assert [m[0] for m in movers6] == ["real"], movers6
     # sentinel normalization (2.0x) would have read 'real' as
     # 2.80/2.0 = 1.40x > 1.25 — still caught here — but would have
     # flagged NOTHING if the true mover were 1.4x-masked; check the
     # median path records the honest 2.0x normalized ratio instead
     assert abs(movers6[0][4] - 2.0) < 1e-9
-    # header round-trip: a generated block parses back (medians+sentinel)
+    # benign here: the median box (1.4x) sits INSIDE the sentinel
+    # bracket (cheap 2.0x), so no masking stop
+    assert diag6["masking"] is None
+    # MASKING direction (round-14 advice): every common row moved 2.8x
+    # together while BOTH fixed sentinels stayed ~flat — the median box
+    # equals the move, zero movers flag, and without the hard stop the
+    # table would emit silently rebased. compute_movers must surface it.
+    rows_mask = [(n, 1.0, 1.2, o * 2.8, o * 4.2)
+                 for n, o in old6.items()]
+    movers_m, _, diag_m = compute_movers(rows_mask, old6,
+                                         sentinel_new=0.52,
+                                         sentinel_old=0.50,
+                                         heavy_new=1.05, heavy_old=1.00)
+    assert movers_m == []                      # the absorption the advice names
+    assert diag_m["source"] == "median-of-ratios"
+    assert diag_m["masking"] and "moved TOGETHER" in diag_m["masking"]
+    # header round-trip: a generated block parses back
+    # (medians + sentinel pair; heavy absent → None for pre-r14 tables)
     block = (
         "old text\n"
         "<!-- generated: python -m tools.gen_baseline_bands -n 5, x -->\n"
@@ -2035,8 +2061,14 @@ def test_band_regeneration_protocol_pure_logic():
         "|---|---|---|---|\n"
         "| `b` | 2.00-2.20 | 2.10 | 3.15 |\n"
     )
-    medians, sent = parse_prev_block(block)
-    assert medians == {"b": 2.10} and sent == 0.69
+    medians, sent, heavy = parse_prev_block(block)
+    assert medians == {"b": 2.10} and sent == 0.69 and heavy is None
+    block_pair = block.replace(
+        "median=0.69s -->",
+        "median=0.69s; heavy sentinel dedup_simhash median=1.55s -->",
+    )
+    medians2, sent2, heavy2 = parse_prev_block(block_pair)
+    assert medians2 == {"b": 2.10} and sent2 == 0.69 and heavy2 == 1.55
 
 
 def test_bench_compare_pure_logic():
@@ -2070,18 +2102,40 @@ def test_bench_compare_pure_logic():
     assert abs(box - 1.4) < 1e-9          # median-of-ratios, not 2.0
     assert diag["source"] == "median-of-ratios"
     assert abs(diag["sentinel_ratio"] - 2.0) < 1e-9
+    # median (1.4x) under the cheap sentinel (2.0x): no masking stop
+    assert diag["masking"] is None
     by = {r[0]: r for r in rows}
     for clean in "acdef":
         assert not by[clean][5], clean    # 1.4x box drift absorbed
     assert by["b"][5]  # 5.60/1.4 = 4.00 > watch 3.0 — survives; the
     #                    2.0x sentinel would have masked it (2.80 < 3.0)
-    # <5 matched queries → sentinel fallback
-    few = {"queries": {"a": 1.40}, "box_sentinel": bench["box_sentinel"]}
-    rows_f, box_f, diag_f = compare(few, bands, band_sentinel=0.50)
-    assert diag_f["source"] == "sentinel" and abs(box_f - 2.0) < 1e-9
+    # <5 matched queries → heavy-sentinel fallback beats the cheap one
+    few = {"queries": {"a": 1.40}, "box_sentinel": bench["box_sentinel"],
+           "box_sentinel_heavy": {"query": "dedup_simhash", "sec": 2.10}}
+    rows_f, box_f, diag_f = compare(few, bands, band_sentinel=0.50,
+                                    band_heavy=1.50)
+    assert diag_f["source"] == "heavy-sentinel" and abs(box_f - 1.4) < 1e-9
+    few2 = {"queries": {"a": 1.40}, "box_sentinel": bench["box_sentinel"]}
+    rows_f2, box_f2, diag_f2 = compare(few2, bands, band_sentinel=0.50)
+    assert diag_f2["source"] == "sentinel" and abs(box_f2 - 2.0) < 1e-9
     # no sentinel anywhere → raw comparison (conservative)
     rows_raw, box_raw, diag_raw = compare({"queries": {"a": 1.6}}, bands, None)
     assert box_raw == 1.0 and rows_raw[0][5] and diag_raw["source"] == "raw"
+    # MASKING direction (round-14 advice): the whole suite runs 2.8x its
+    # bands while BOTH fixed sentinels read ~1.0x — the median box IS
+    # the regression, every normalized ratio reads 1.0x, zero normalized
+    # crossings. diag['masking'] must fire so main() exits 3 and reports
+    # RAW crossings instead of the vacuously-clean normalized ones.
+    uniform = {
+        "queries": {n: med * 2.8 for n, (med, _w) in bands.items()},
+        "box_sentinel": {"query": "agg_group", "sec": 0.52},
+        "box_sentinel_heavy": {"query": "dedup_simhash", "sec": 1.55},
+    }
+    rows_m, box_m, diag_m = compare(uniform, bands, band_sentinel=0.50,
+                                    band_heavy=1.50)
+    assert abs(box_m - 2.8) < 1e-9
+    assert not any(r[5] for r in rows_m)      # normalized gate is blind
+    assert diag_m["masking"] and "moved TOGETHER" in diag_m["masking"]
 
 
 def test_source_audit_pinned_inventory():
@@ -2258,6 +2312,34 @@ def test_global_window_reuse_resolution():
         "(11) ReusedExchange [Reuses operator id: 4]", "(11) Placeholder"
     )
     assert global_window_risks(missing)
+    # MUTUAL cycle (round-14 advice): reuse 12 → exchange 7 whose subtree
+    # holds reuse 11 → exchange 4 whose subtree holds reuse 12. The old
+    # guard compared referent EXCHANGE ids against a _seen set of LEAF
+    # ids (disjoint spaces) and recursed to RecursionError; the fix keys
+    # the guard on the leaf id, degrading to the conservative flag.
+    mutual = """== Physical Plan ==
+Window (9)
++- * Sort (8)
+   +- * SortMergeJoin Inner (6)
+      :- * Sort (3)
+      :  +- Exchange (4)
+      :     +- ReusedExchange (12)
+      +- * Sort (5)
+         +- Exchange (7)
+            +- ReusedExchange (11)
+
+
+(9) Window
+Input [2]: [k#1L, t#2L]
+Arguments: [row_number() windowspecdefinition(t#2L ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS rn#3], [t#2L ASC NULLS FIRST]
+
+(12) ReusedExchange [Reuses operator id: 7]
+Output [2]: [k#4L, sum#5L]
+
+(11) ReusedExchange [Reuses operator id: 4]
+Output [2]: [k#6L, sum#7L]
+"""
+    assert global_window_risks(mutual)
 
 
 def test_global_window_reuse_real_plan(spark):
@@ -4745,9 +4827,14 @@ def test_bench_compare_parses_current_baseline():
     from tools.bench_compare import load_bands
 
     baseline = Path(__file__).resolve().parent.parent / "BASELINE.md"
-    bands, sentinel = load_bands(str(baseline))
+    bands, sentinel, heavy = load_bands(str(baseline))
     assert len(bands) >= 40, f"only {len(bands)} bands parsed"
     assert sentinel and 0.05 < sentinel < 10, sentinel
+    # heavy sentinel present from the round-14 table on; must be the
+    # slower of the pair (a cheap/heavy swap in the header would break
+    # the bracket semantics silently)
+    if heavy is not None:
+        assert sentinel < heavy < 30, (sentinel, heavy)
     for name, (med, watch) in bands.items():
         assert 0 < med <= watch, (name, med, watch)
         # both columns print 2-decimal-rounded independently: the gap

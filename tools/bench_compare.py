@@ -1,4 +1,5 @@
-"""Box-normalized bench-vs-band comparison (round-13 protocol).
+"""Box-normalized bench-vs-band comparison (round-13 protocol, round-14
+sentinel pair + hard-stop).
 
 Reads a driver bench record (BENCH_r{N}.json or a raw bench.py JSON
 line) and BASELINE.md's current band table, estimates the box-state
@@ -10,28 +11,42 @@ generated a spurious adjudication hunt in round 11 AND round 12
 temperature, not plans).
 
 Box estimate: MEDIAN-OF-RATIOS over all matched queries (bench[q] /
-band_median[q]), not the single cheap sentinel. Measured motivation
-(round 13, this box): after a 19-minute pytest run the `agg_group`
-sentinel read 1.64x its band-draw value while the 40 heavy queries'
-median ratio was ~1.10x — cheap sub-second plans feel scheduler/JVM
-heat far more than CPU-bound ones. Dividing by the sentinel alone
-over-corrects ~1.5x, which in the masking direction would let a real
-~1.4x heavy-query regression normalize to under-band and pass silently.
-The median of 40 per-query ratios is robust to any few genuine
-regressions (they're outliers against the median, so they survive
-normalization and still flag), costs nothing extra to measure, and the
-sentinel is kept as a cross-check: when the two estimates disagree
->1.25x either way the report says so loudly —
-  sentinel >> median: cheap-plan-sensitive drift (today's case; trust
-                      the median);
-  median >> sentinel: the heavy queries moved TOGETHER while the cheap
-                      control stayed flat — that is what a real global
-                      code/config regression looks like; do NOT trust
-                      the normalization until adjudicated.
+band_median[q]), not a single sentinel. Measured motivation (round 13,
+this box): after a 19-minute pytest run the `agg_group` sentinel read
+1.64x its band-draw value while the 40 heavy queries' median ratio was
+~1.10x — cheap sub-second plans feel scheduler/JVM heat far more than
+CPU-bound ones. Dividing by the cheap sentinel alone over-corrects
+~1.5x, which in the masking direction would let a real ~1.4x
+heavy-query regression normalize to under-band and pass silently. The
+median of 40 per-query ratios is robust to any few genuine regressions
+(they're outliers against the median, so they survive normalization
+and still flag), and costs nothing extra to measure.
+
+SENTINEL PAIR cross-check (round 14, judge item 3 + advice): the
+median-of-ratios has its own blind spot — if MOST queries genuinely
+regressed together (a global code/config regression), the median IS
+the regression, every normalized ratio reads ~1.0x, and the old report
+passed with a print-only warning. The fixed sentinels exist precisely
+because they cannot regress with the suite (same two plans every
+round), so the check is now:
+  sentinels >> median: cheap-plan-sensitive drift (round-13's measured
+                       case; trust the median) — NOTE only.
+  median >> sentinels: the measured queries moved TOGETHER while the
+                       fixed controls stayed flat — the signature of a
+                       real global regression. The tool REPORTS RAW
+                       band crossings instead of normalized ones and
+                       exits with the distinct code 3, so automation
+                       reading the exit code cannot pass the exact
+                       scenario normalization exists to adjudicate.
+The heavy sentinel (`dedup_simhash`, band-stable non-iterative plan)
+is the reference when present: the cheap one over-reads heat ~1.35x,
+which only loosens the masking check in the false-alarm direction.
 
 Usage: python -m tools.bench_compare BENCH_r13.json
-Pure file parsing — no SparkSession. Exit 1 if any normalized watch
-crossing exists (so the round's closing gate can assert cleanliness).
+Pure file parsing — no SparkSession.
+Exit 0 clean; exit 1 normalized watch crossing(s); exit 3 masking-
+direction sentinel disagreement (raw crossings reported, normalized
+column untrustworthy until adjudicated).
 """
 
 from __future__ import annotations
@@ -39,17 +54,20 @@ from __future__ import annotations
 import json
 import os
 import re
-import statistics
 import sys
 
-from tools.measure import SENTINEL_QUERY, parse_prev_block
+from tools.measure import (
+    DISAGREE_THRESHOLD,
+    HEAVY_SENTINEL_QUERY,
+    SENTINEL_QUERY,
+    box_estimate,
+    masking_disagreement,
+    parse_prev_block,
+)
 
 #: Below this many matched queries the median-of-ratios is too fragile
-#: (one regression IS the median at n=1-2) — fall back to the sentinel.
+#: (one regression IS the median at n=1-2) — fall back to the sentinels.
 MIN_QUERIES_FOR_MEDIAN = 5
-
-#: Sentinel-vs-median disagreement that triggers the loud cross-check.
-DISAGREE_THRESHOLD = 1.25
 
 
 def load_bench(path: str) -> dict:
@@ -59,8 +77,10 @@ def load_bench(path: str) -> dict:
     return d.get("parsed", d)
 
 
-def load_bands(baseline_path: str) -> tuple[dict, float | None]:
-    """{query: (median, watch)} of the last generated table + sentinel."""
+def load_bands(baseline_path: str) -> tuple[dict, float | None, float | None]:
+    """{query: (median, watch)} of the last generated table, plus the
+    cheap and heavy sentinels from its header (None where absent —
+    pre-r13 tables have neither, the r13 table has cheap only)."""
     text = open(baseline_path).read()
     blocks = text.split("<!-- generated: python -m tools.gen_baseline_bands")
     bands = {}
@@ -70,27 +90,37 @@ def load_bands(baseline_path: str) -> tuple[dict, float | None]:
         re.M,
     ):
         bands[m.group(1)] = (float(m.group(2)), float(m.group(3)))
-    _, sentinel = parse_prev_block(text)
-    return bands, sentinel
+    _, sentinel, heavy = parse_prev_block(text)
+    return bands, sentinel, heavy
+
+
+def _sentinel_ratio(bench: dict, key: str, query: str, band: float | None):
+    sent = bench.get(key, {})
+    if band and sent.get("query") == query and sent.get("sec"):
+        return sent["sec"] / band
+    return None
 
 
 def compare(
-    bench: dict, bands: dict, band_sentinel: float | None
+    bench: dict,
+    bands: dict,
+    band_sentinel: float | None,
+    band_heavy: float | None = None,
 ) -> tuple[list, float, dict]:
     """[(name, sec, norm_sec, median, watch, crossed)], box_ratio, diag.
 
     box_ratio is the median of per-query bench/band ratios when >=
-    MIN_QUERIES_FOR_MEDIAN queries match, else the sentinel ratio, else
-    1.0 (raw). diag carries {'source', 'sentinel_ratio'} so callers can
-    print the cross-check.
+    MIN_QUERIES_FOR_MEDIAN queries match, else the heavy then cheap
+    sentinel ratio, else 1.0 (raw). diag carries {'source',
+    'sentinel_ratio', 'heavy_ratio', 'masking'}; 'masking' non-None
+    means the normalized column is NOT trustworthy (median >> both
+    fixed sentinels — see module docstring) and main() exits 3.
     """
-    sent = bench.get("box_sentinel", {})
-    sentinel_ratio = (
-        sent["sec"] / band_sentinel
-        if band_sentinel
-        and sent.get("query") == SENTINEL_QUERY
-        and sent.get("sec")
-        else None
+    sentinel_ratio = _sentinel_ratio(
+        bench, "box_sentinel", SENTINEL_QUERY, band_sentinel
+    )
+    heavy_ratio = _sentinel_ratio(
+        bench, "box_sentinel_heavy", HEAVY_SENTINEL_QUERY, band_heavy
     )
     matched = [
         (name, sec, bands[name])
@@ -98,45 +128,68 @@ def compare(
         if name in bands
     ]
     ratios = [sec / med for _, sec, (med, _) in matched if med > 0]
-    if len(ratios) >= MIN_QUERIES_FOR_MEDIAN:
-        box, source = statistics.median(ratios), "median-of-ratios"
-    elif sentinel_ratio:
-        box, source = sentinel_ratio, "sentinel"
-    else:
-        box, source = 1.0, "raw"
+    box, source = box_estimate(ratios, sentinel_ratio, heavy_ratio)
     rows = [
         (name, sec, sec / box, med, watch, sec / box > watch)
         for name, sec, (med, watch) in matched
     ]
-    return rows, box, {"source": source, "sentinel_ratio": sentinel_ratio}
+    diag = {
+        "source": source,
+        "sentinel_ratio": sentinel_ratio,
+        "heavy_ratio": heavy_ratio,
+        "masking": (
+            masking_disagreement(box, sentinel_ratio, heavy_ratio)
+            if source == "median-of-ratios"
+            else None
+        ),
+    }
+    return rows, box, diag
 
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     bench_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        here, "BENCH_r12.json"
+        here, "BENCH_r13.json"
     )
     bench = load_bench(bench_path)
-    bands, band_sentinel = load_bands(os.path.join(here, "BASELINE.md"))
-    rows, box, diag = compare(bench, bands, band_sentinel)
+    bands, band_sentinel, band_heavy = load_bands(
+        os.path.join(here, "BASELINE.md")
+    )
+    rows, box, diag = compare(bench, bands, band_sentinel, band_heavy)
     if band_sentinel is None:
         print("NOTE: band table carries no sentinel header (pre-r13).",
               file=sys.stderr)
-    sr = diag["sentinel_ratio"]
+    sr, hr = diag["sentinel_ratio"], diag["heavy_ratio"]
     print(f"box ratio ({diag['source']}): {box:.2f}×"
-          + (f"; sentinel ratio: {sr:.2f}×" if sr else ""))
-    if sr and box and max(sr / box, box / sr) > DISAGREE_THRESHOLD:
-        if sr > box:
-            print(f"NOTE: sentinel ({sr:.2f}×) well above query median "
-                  f"({box:.2f}×) — cheap-plan-sensitive box drift; the "
-                  f"median estimate is the trustworthy one.")
-        else:
-            print(f"WARNING: query median ({box:.2f}×) well above sentinel "
-                  f"({sr:.2f}×) — heavies moved together while the cheap "
-                  f"control stayed flat. That is the signature of a REAL "
-                  f"global regression; adjudicate before trusting the "
-                  f"normalized column.")
+          + (f"; cheap sentinel ratio: {sr:.2f}×" if sr else "")
+          + (f"; heavy sentinel ratio: {hr:.2f}×" if hr else ""))
+    if sr and hr:
+        print(f"sentinel bracket [{min(sr, hr):.2f}×, {max(sr, hr):.2f}×] "
+              "(heavy tracks heavy-plan heat; cheap over-reads ~1.35×)")
+    masking = diag["masking"]
+    if masking:
+        print(f"WARNING: {masking}")
+        print("Reporting RAW band crossings (normalized column suppressed "
+              "until the global move is adjudicated):")
+        raw_crossings = [
+            (name, sec, med, watch)
+            for name, sec, _n, med, watch, _c in rows
+            if sec > watch
+        ]
+        for name, sec, med, watch in sorted(
+            raw_crossings, key=lambda r: -r[1] / r[3]
+        ):
+            print(f"{name:28s} bench {sec:6.2f}s  band med {med:5.2f}  "
+                  f"watch {watch:5.2f}  {sec / med:4.2f}× RAW-WATCH")
+        print(f"\n{len(rows)} queries compared; {len(raw_crossings)} RAW "
+              "watch crossing(s); exit 3 (masking-direction sentinel "
+              "disagreement).")
+        sys.exit(3)
+    if sr and box and sr / box > DISAGREE_THRESHOLD:
+        print(f"NOTE: cheap sentinel ({sr:.2f}×) well above query median "
+              f"({box:.2f}×) — cheap-plan-sensitive box drift; the "
+              f"median estimate is the trustworthy one.")
     crossings = [r for r in rows if r[5]]
     for name, sec, norm, med, watch, crossed in sorted(
         rows, key=lambda r: -r[2] / r[3]

@@ -28,12 +28,18 @@ effort on drift that was global box temperature, visible as control
 queries elevated by the same factor.
 
 Caveat (measured round 13): the cheap sentinel over-reads scheduler/JVM
-heat ~1.35x relative to heavy CPU-bound rows, so for a solo
-adjudication ALSO pass 2-3 heavy control queries (the round-12 judge
-practice: dedup_simhash, vec_pca_power) and prefer the controls' median
-band-ratio as the box estimate when it disagrees with the sentinel —
-the multi-query consumers (tools/bench_compare, compute_movers) already
-use median-of-ratios for exactly this reason.
+heat ~1.35x relative to heavy CPU-bound rows. Since round 14 every
+line therefore ALSO carries a fixed HEAVY sentinel (dedup_simhash,
+timed right after the cheap one with the same protocol): the pair
+brackets the box factor — normalize a heavy target by the heavy
+sentinel's band ratio, a sub-second target by the cheap one's. For the
+strongest adjudication still pass same-family control queries (the
+round-12/13 judge practice: the untouched siblings of the mover) —
+uniform family elevation is the protocol's named box-state signature.
+Run-order matters: put the TARGET LAST (round-14 measured confound —
+the first query after session start reads ~1.4x hot while the box
+settles; dedup_substring_remove read 2.17 first-in-list vs 1.51
+last-in-list on the same tree within minutes).
 """
 
 from __future__ import annotations
@@ -116,11 +122,21 @@ def main() -> None:
             runs.append(round(time.perf_counter() - t0, 3))
         return runs
 
-    # box-state sentinel FIRST (round-13 protocol; see module docstring)
-    from tools.measure import SENTINEL_QUERY
+    # box-state sentinel PAIR FIRST (round-13 protocol, round-14 heavy
+    # addition; see module docstring): the cheap sentinel over-reads
+    # scheduler heat ~1.35x vs heavy plans, so every adjudication line
+    # carries BOTH — the pair brackets the box factor without needing
+    # the full suite median.
+    from tools.measure import HEAVY_SENTINEL_QUERY, SENTINEL_QUERY
 
     sentinel = round(
         statistics.median(timed_runs(lambda: materialize(SENTINEL_QUERY), n_runs)),
+        3,
+    )
+    heavy = round(
+        statistics.median(
+            timed_runs(lambda: materialize(HEAVY_SENTINEL_QUERY), n_runs)
+        ),
         3,
     )
 
@@ -139,6 +155,10 @@ def main() -> None:
                     "best": min(runs),
                     "median": round(statistics.median(runs), 3),
                     "sentinel": {"query": SENTINEL_QUERY, "sec": sentinel},
+                    "heavy_sentinel": {
+                        "query": HEAVY_SENTINEL_QUERY,
+                        "sec": heavy,
+                    },
                 }
             ),
             flush=True,

@@ -58,6 +58,7 @@ PENDING_PATH = "/tmp/smhs_bands_pending.json"
 
 from tools.measure import (
     DIFF_THRESHOLD,
+    HEAVY_SENTINEL_QUERY,
     SENTINEL_QUERY,
     adjudication_gate,
     compute_movers,
@@ -65,14 +66,14 @@ from tools.measure import (
 )
 
 
-def _prev_block() -> tuple[dict, float | None]:
+def _prev_block() -> tuple[dict, float | None, float | None]:
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BASELINE.md"
     )
     try:
         text = open(path).read()
     except OSError:
-        return {}, None
+        return {}, None, None
     return parse_prev_block(text)
 
 
@@ -98,6 +99,7 @@ def main() -> None:
             pend = json.load(fh)
         sf_dir, cpus, n_runs = pend["sf_dir"], pend["cpus"], pend["n_runs"]
         sentinel = pend["sentinel"]
+        heavy_sentinel = pend.get("heavy_sentinel")
         rows = [tuple(r) for r in pend["rows"]]
     else:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,9 +129,15 @@ def main() -> None:
                 runs.append(time.perf_counter() - t0)
             return runs
 
-        # sentinel FIRST: the box-temperature reading at band-draw time
+        # sentinel PAIR FIRST: the box-temperature reading at band-draw
+        # time. Cheap + heavy bracket the box factor (round 14 — the
+        # cheap one alone over-reads scheduler heat ~1.35x vs heavy
+        # plans, measured round 13).
         sentinel = statistics.median(measure(SENTINEL_QUERY))
-        print(f"sentinel {SENTINEL_QUERY} median={sentinel:.2f}s",
+        heavy_sentinel = statistics.median(measure(HEAVY_SENTINEL_QUERY))
+        print(f"sentinel {SENTINEL_QUERY} median={sentinel:.2f}s; "
+              f"heavy sentinel {HEAVY_SENTINEL_QUERY} "
+              f"median={heavy_sentinel:.2f}s",
               file=sys.stderr, flush=True)
 
         rows = []
@@ -145,10 +153,28 @@ def main() -> None:
             )
         with open(PENDING_PATH, "w") as fh:
             json.dump({"sf_dir": sf_dir, "cpus": cpus, "n_runs": n_runs,
-                       "sentinel": sentinel, "rows": rows}, fh)
+                       "sentinel": sentinel,
+                       "heavy_sentinel": heavy_sentinel, "rows": rows}, fh)
 
-    old, old_sentinel = _prev_block()
-    movers, tags = compute_movers(rows, old, sentinel, old_sentinel)
+    old, old_sentinel, old_heavy = _prev_block()
+    movers, tags, diag = compute_movers(
+        rows, old, sentinel, old_sentinel,
+        heavy_new=heavy_sentinel, heavy_old=old_heavy,
+    )
+    if diag["masking"] and "box" not in adjudicated:
+        # Round-14 advice: a median box estimate far above BOTH fixed
+        # sentinels means the suite moved together while the controls
+        # stayed flat — a uniform real regression that median
+        # normalization absorbs (compute_movers would flag ZERO movers
+        # and the table would emit silently rebased). Refuse; after
+        # adjudicating the global move, re-emit these same measurements
+        # with --adjudicate box=<cause>.
+        print(f"REFUSING to emit the band table: {diag['masking']}\n"
+              "After adjudicating (solo re-measures + a named cause), "
+              f"re-emit THESE measurements (saved to {PENDING_PATH}) "
+              "with --emit-pending --adjudicate box=<cause>.",
+              file=sys.stderr)
+        sys.exit(3)
     missing = adjudication_gate(movers, adjudicated)
     if missing:
         print(
@@ -169,8 +195,13 @@ def main() -> None:
     print(f"<!-- generated: python -m tools.gen_baseline_bands -n {n_runs}, "
           f"sf={sf_dir}, local[{cpus}] -->")
     print(f"<!-- sentinel {SENTINEL_QUERY} median={sentinel:.2f}s"
+          + (f"; heavy sentinel {HEAVY_SENTINEL_QUERY} "
+             f"median={heavy_sentinel:.2f}s" if heavy_sentinel else "")
           + (f"; prev sentinel {old_sentinel:.2f}s (box ratio "
              f"{sentinel / old_sentinel:.2f}×)" if old_sentinel else "")
+          + (f"; prev heavy {old_heavy:.2f}s (heavy ratio "
+             f"{heavy_sentinel / old_heavy:.2f}×)"
+             if old_heavy and heavy_sentinel else "")
           + " -->")
     print("| bench query | isolated band (s) | median (s) | watch ≥ (s) "
           "| vs prev band |")
@@ -180,6 +211,9 @@ def main() -> None:
               f"| {tags[name]} |")
     total = sum(r[3] for r in rows)
     print(f"\nMedian-sum across the {len(rows)}-query suite: {total:.1f} s.")
+    if diag["masking"]:
+        print(f"\n**Masking disagreement ADJUDICATED before emission** "
+              f"({diag['masking']}) — cause: {adjudicated['box']}")
     if movers:
         print(f"\n**Regeneration diff — box-normalized medians moved "
               f">{DIFF_THRESHOLD}× vs the previous band table (each "
