@@ -2030,10 +2030,22 @@ def graph_coreness(spark, sf_dir):
     levels at rounds = |V| against a pure-Python exact coreness peel.
     Exact integers throughout."""
     edges = _cooccur_edges(spark, sf_dir, _KCORE_MIN_COOCCUR)
+    return coreness_decomposition(edges)
+
+
+def coreness_decomposition(edges, kmax=None):
+    """The graph_coreness level loop, factored (round 14) so the pinned
+    synthetic-fixture bench row (operators/graph_bench.py) times the
+    SAME progressive-restriction decomposition the registry query runs —
+    plan-identical for the registry caller (the loop body is byte-moved,
+    kmax defaults to the declared cap), re-oracled at sf0.01 in the
+    same round."""
+    if kmax is None:
+        kmax = _CORENESS_KMAX
     nodes = edges.select(F.col("src").alias("node")).distinct()
     out = nodes.select("node", F.lit(1).cast("bigint").alias("coreness"))
     cur = edges
-    for k in range(2, _CORENESS_KMAX + 1):
+    for k in range(2, kmax + 1):
         deg, _rounds = kcore_fixpoint(cur, k)
         surv = deg.select("node").localCheckpoint(eager=True)
         if surv.isEmpty():

@@ -2376,6 +2376,61 @@ def test_global_window_reuse_real_plan(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_synth_graph_bench_fixtures(spark, monkeypatch):
+    # The round-14 synthetic band fixtures replaced the degenerate sf0.1
+    # co-occurrence walls (1 edge at sf0.1 — the round-12 fixture find).
+    # Pin that the generators CANNOT degenerate: at a scaled-down pin
+    # every level/round carries the exact expected mass (closed forms),
+    # and the loops actually iterate.
+    from pyspark.sql import functions as F
+
+    import spark_ml_helper_spark.operators.graph_bench as gb
+    from spark_ml_helper_spark.operators.graph import (
+        boruvka_msf,
+        coreness_decomposition,
+        delta_stepping_fixpoint,
+        sssp_fixpoint,
+    )
+
+    monkeypatch.setattr(gb, "SSSP_WIDTH", 40)
+    monkeypatch.setattr(gb, "MST_PATHS", 16)
+    monkeypatch.setattr(gb, "CORE_COPIES", 10)
+
+    # layered DAG: every one of the L*W nodes is reached, and the
+    # delta-frontier loop runs a real >=diameter-round relaxation
+    edges, seeds = gb._layered_dag(spark)
+    dist, rounds = sssp_fixpoint(edges, seeds, max_rounds=gb.SSSP_LAYERS + 2)
+    assert dist.count() == gb.SSSP_LAYERS * 40
+    assert rounds >= gb.SSSP_LAYERS - 1
+    # the delta-stepping row's DAG: identical distances to Bellman-Ford
+    e2, s2 = gb._layered_dag(spark, L=gb.SSSP_DELTA_LAYERS)
+    d_delta, _ = delta_stepping_fixpoint(
+        e2, s2, delta=gb.SSSP_BENCH_DELTA, max_rounds=50
+    )
+    d_bf, _ = sssp_fixpoint(e2, s2, max_rounds=gb.SSSP_DELTA_LAYERS + 2)
+    assert d_delta.count() == gb.SSSP_DELTA_LAYERS * 40
+    assert (
+        d_delta.agg(F.sum("dist")).first()[0]
+        == d_bf.agg(F.sum("dist")).first()[0]
+    )
+
+    # tournament-path bundle: the MSF of disjoint paths is every edge,
+    # and the pairwise-merge tournament forces log2(path_len) rounds
+    rounds_out: list = []
+    forest = boruvka_msf(gb.mst_bench_inputs(spark), rounds_out=rounds_out)
+    assert forest.count() == 16 * (gb.MST_PATH_LEN - 1)
+    assert len(rounds_out) >= 3
+
+    # clique bundle: a size-s clique has coreness s-1, exact per-level
+    # counts — the row can never quietly turn into a scan wall
+    out = coreness_decomposition(gb.coreness_bench_edges(spark))
+    got = {
+        r["coreness"]: r["n"]
+        for r in out.groupBy("coreness").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {s - 1: 10 * s for s in gb.CORE_SIZES}
+
+
 def test_daily_kpis_internally_consistent(spark):
     rows = QUERIES["pipeline_daily_kpis"](spark, SF_ORACLE).collect()
     assert len(rows) == 30

@@ -140,9 +140,15 @@ def main() -> None:
         3,
     )
 
+    from spark_ml_helper_spark.operators.graph_bench import SYNTH_GRAPH_BENCH
+
     for name in args:
         if name in INSTRUMENTS:
             materialize_fn = INSTRUMENTS[name]()
+        elif name in SYNTH_GRAPH_BENCH:
+            # pinned synthetic fixpoint row (round 14): solo adjudication
+            # measures the same loop-only quantity as bench.py / the band
+            materialize_fn = SYNTH_GRAPH_BENCH[name](spark)
         else:
             materialize_fn = lambda: materialize(name)  # noqa: B023
         runs = timed_runs(materialize_fn, n_runs)
