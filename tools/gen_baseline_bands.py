@@ -1,11 +1,14 @@
 """Generate the BASELINE.md current-band table.
 
-Runs every bench.py HEADLINE query in ISOLATION (one warm-up, then N
-timed runs with GC between, the bench_isolated protocol) and prints a
-markdown table: per-query isolated band (min-max), median, and the
-watch threshold (1.5x median — an in-bench or isolated draw above it
-triggers the drift protocol: re-measure alone, diff the plan only if
-the isolated number also moved).
+Runs every bench.py HEADLINE query (one warm-up pass, then N timed
+INTERLEAVED round-robin passes with GC between runs — round 14; the
+old sequential per-query protocol entangled row position with the
+box's slow thermal swings, measured as opposite-sign intra-draw
+gradients inflating late rows 2x in one draw and early rows 2.9x in
+the next) and prints a markdown table: per-query band (min-max),
+median, and the watch threshold (1.5x median — an in-bench or isolated
+draw above it triggers the drift protocol: re-measure alone, diff the
+plan only if the isolated number also moved).
 
 Usage: python -m tools.gen_baseline_bands [-n RUNS]
            [--adjudicate name=cause ...] [--emit-pending]
@@ -100,6 +103,8 @@ def main() -> None:
         sf_dir, cpus, n_runs = pend["sf_dir"], pend["cpus"], pend["n_runs"]
         sentinel = pend["sentinel"]
         heavy_sentinel = pend.get("heavy_sentinel")
+        sentinel_end = pend.get("sentinel_end")
+        heavy_end = pend.get("heavy_sentinel_end")
         rows = [tuple(r) for r in pend["rows"]]
     else:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -151,9 +156,37 @@ def main() -> None:
               f"median={heavy_sentinel:.2f}s",
               file=sys.stderr, flush=True)
 
+        # INTERLEAVED passes (round 14): a sequential draw (n runs per
+        # query, queries back to back) entangles ROW POSITION with the
+        # box's slow thermal/scheduler swings — measured this round as
+        # two opposite-sign gradients hours apart (draw A: start
+        # sentinel 1.44x band, LATE rows inflated to 2x their
+        # fresh-session solo values; draw B: start sentinel hot at
+        # 0.84 s, END sentinel 0.29 s = 0.35x start, EARLY rows
+        # inflated 2.9x). Round-robin passes make every row sample the
+        # same box trajectory, so box state is common-mode across rows
+        # and the median-of-ratios normalization actually removes it.
+        runners = {
+            name: (
+                SYNTH_GRAPH_BENCH[name](spark)
+                if name in SYNTH_GRAPH_BENCH
+                else (lambda n=name: materialize(n))
+            )
+            for name in HEADLINE
+        }
+        for name in HEADLINE:
+            runners[name]()  # warm-up pass: JIT, plan cache, file listing
+        all_runs: dict[str, list] = {name: [] for name in HEADLINE}
+        for _ in range(n_runs):
+            for name in HEADLINE:
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                runners[name]()
+                all_runs[name].append(time.perf_counter() - t0)
         rows = []
         for name in HEADLINE:
-            runs = measure(name)
+            runs = all_runs[name]
             med = statistics.median(runs)
             rows.append((name, min(runs), max(runs), med, 1.5 * med))
             print(
@@ -162,10 +195,25 @@ def main() -> None:
                 file=sys.stderr,
                 flush=True,
             )
+        # END-of-draw sentinel pair (round 14): a 40-query draw is ~10
+        # minutes of sustained 32-thread load, and the box heats UNDER
+        # the draw itself (measured: late rows read up to 2x their
+        # fresh-session solo values while the start sentinels read only
+        # ~1.4x). Recording the pair again at the end turns that
+        # intra-draw drift into a number the adjudication can cite.
+        sentinel_end = statistics.median(measure(SENTINEL_QUERY))
+        heavy_end = statistics.median(measure(HEAVY_SENTINEL_QUERY))
+        print(f"end sentinels: {SENTINEL_QUERY} {sentinel_end:.2f}s "
+              f"({sentinel_end / sentinel:.2f}x draw-start), "
+              f"{HEAVY_SENTINEL_QUERY} {heavy_end:.2f}s "
+              f"({heavy_end / heavy_sentinel:.2f}x)",
+              file=sys.stderr, flush=True)
         with open(PENDING_PATH, "w") as fh:
             json.dump({"sf_dir": sf_dir, "cpus": cpus, "n_runs": n_runs,
                        "sentinel": sentinel,
-                       "heavy_sentinel": heavy_sentinel, "rows": rows}, fh)
+                       "heavy_sentinel": heavy_sentinel,
+                       "sentinel_end": sentinel_end,
+                       "heavy_sentinel_end": heavy_end, "rows": rows}, fh)
 
     old, old_sentinel, old_heavy = _prev_block()
     movers, tags, diag = compute_movers(
@@ -214,6 +262,12 @@ def main() -> None:
              f"{heavy_sentinel / old_heavy:.2f}×)"
              if old_heavy and heavy_sentinel else "")
           + " -->")
+    if sentinel_end:
+        print(f"<!-- intra-draw drift: sentinel {sentinel:.2f}→"
+              f"{sentinel_end:.2f}s ({sentinel_end / sentinel:.2f}×)"
+              + (f", heavy {heavy_sentinel:.2f}→{heavy_end:.2f}s "
+                 f"({heavy_end / heavy_sentinel:.2f}×)" if heavy_end else "")
+              + " -->")
     print("| bench query | isolated band (s) | median (s) | watch ≥ (s) "
           "| vs prev band |")
     print("|---|---|---|---|---|")
