@@ -9,7 +9,17 @@ Protocol: one warm-up execution per query (JIT + code cache + file
 listing), then TWO timed runs, keeping the faster (min-of-2: single-run
 times at this scale carry multi-second JVM/GC jitter — measured
 dedup_minhash swinging 8 s ↔ 15 s run-to-run with an identical plan).
-Between queries both the Python and JVM collectors run so one query's
+The warm-up pass and the two timed passes are INTERLEAVED round-robin
+across the whole suite (round 14): the box's thermal/scheduler state
+swings on the ~10-minute timescale of a full bench session, so
+back-to-back per-query runs entangle a query's number with its POSITION
+in the suite (measured: graph_sssp_weighted min-of-2 read 4.46 s late
+in a sequential session vs 3.44 s solo median on the same tree;
+gen_baseline_bands measured opposite-sign intra-draw gradients the same
+day). Round-robin makes box state common-mode across rows — the same
+fix the band generator got, so BENCH-vs-band comparisons sample the
+same way on both sides.
+Between runs both the Python and JVM collectors run so one query's
 localCheckpoint blocks are reclaimed before the next is timed (the
 ContextCleaner frees them only after Python drops its references). Each
 run materializes the full result through the noop sink (count() alone
@@ -101,22 +111,30 @@ def main() -> None:
 
     from spark_ml_helper_spark.operators.graph_bench import SYNTH_GRAPH_BENCH
 
-    times: dict[str, float] = {}
+    runners = {
+        # synthetic fixpoint rows: inputs built + checkpointed here,
+        # OUTSIDE the timed runs — the row times the loop
+        name: (
+            SYNTH_GRAPH_BENCH[name](spark)
+            if name in SYNTH_GRAPH_BENCH
+            else (lambda n=name: materialize(n))
+        )
+        for name in HEADLINE
+    }
     for name in HEADLINE:
-        if name in SYNTH_GRAPH_BENCH:
-            # pinned synthetic fixpoint row: inputs built + checkpointed
-            # here, OUTSIDE the timed runs — the row times the loop
-            run = SYNTH_GRAPH_BENCH[name](spark)
-        else:
-            run = lambda n=name: materialize(n)
-        run()  # warm-up: plan cache, JIT, file listing
-        best = float("inf")
-        for _ in range(2):
+        runners[name]()  # warm-up pass: plan cache, JIT, file listing
+    best_times = {name: float("inf") for name in HEADLINE}
+    for _ in range(2):
+        for name in HEADLINE:
             collect_garbage()
             t0 = time.perf_counter()
-            run()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 4)
+            runners[name]()
+            best_times[name] = min(
+                best_times[name], time.perf_counter() - t0
+            )
+    times: dict[str, float] = {
+        name: round(best_times[name], 4) for name in HEADLINE
+    }
 
     # IVFADC train/probe split (round-8 factoring): time the ONLINE
     # ivfpq_probe against a pre-materialized train_ivfpq index — the

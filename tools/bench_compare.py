@@ -216,4 +216,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:
+        # piping into head closes stdout mid-report; the report already
+        # served its purpose — don't let the traceback mask the output
+        sys.exit(0)
