@@ -109,31 +109,17 @@ def main() -> None:
         gc.collect()  # drop Python-side DataFrame refs → ContextCleaner frees blocks
         spark.sparkContext._jvm.System.gc()
 
-    from spark_ml_helper_spark.operators.graph_bench import SYNTH_GRAPH_BENCH
+    # the warm-up + interleaved timed passes live in benchlib so this
+    # harness and tools/gen_baseline_bands cannot drift apart (the
+    # synthetic fixpoint rows' inputs are built there too, outside the
+    # timed runs)
+    from spark_ml_helper_spark.benchlib import make_runners, run_interleaved
 
-    runners = {
-        # synthetic fixpoint rows: inputs built + checkpointed here,
-        # OUTSIDE the timed runs — the row times the loop
-        name: (
-            SYNTH_GRAPH_BENCH[name](spark)
-            if name in SYNTH_GRAPH_BENCH
-            else (lambda n=name: materialize(n))
-        )
-        for name in HEADLINE
-    }
-    for name in HEADLINE:
-        runners[name]()  # warm-up pass: plan cache, JIT, file listing
-    best_times = {name: float("inf") for name in HEADLINE}
-    for _ in range(2):
-        for name in HEADLINE:
-            collect_garbage()
-            t0 = time.perf_counter()
-            runners[name]()
-            best_times[name] = min(
-                best_times[name], time.perf_counter() - t0
-            )
+    all_runs = run_interleaved(
+        spark, make_runners(spark, HEADLINE, materialize), HEADLINE, 2
+    )
     times: dict[str, float] = {
-        name: round(best_times[name], 4) for name in HEADLINE
+        name: round(min(all_runs[name]), 4) for name in HEADLINE
     }
 
     # IVFADC train/probe split (round-8 factoring): time the ONLINE

@@ -63,11 +63,12 @@ SSSP_WIDTH = 20_000
 #: settles at ~4 s.
 SSSP_DELTA_LAYERS = 4
 
-#: Delta for the delta-stepping row: weights span 1..5, diameter-5
-#: longest path -> max dist <= 25; delta=10 gives 3 buckets, each with
-#: real settle iterations, without the 40-bucket x ~1 s/round cost the
-#: graph.py default (delta=3) produced on this fixture (measured 66 s
-#: round 14; delta=6's 5 buckets still cost 7.7 s).
+#: Delta for the delta-stepping row: weights span 1..5 and the L=4 DAG
+#: has a 3-edge longest path -> max dist <= 15; delta=10 gives 2 real
+#: buckets, each with multi-iteration settles, without the many-bucket
+#: x ~1 s/round cost the graph.py default (delta=3) produced on larger
+#: pins (measured round 14: L=24/delta=3 cost 66 s, L=6/delta=6's 5
+#: buckets still 7.7 s; the accepted pin converges in ~8 rounds).
 SSSP_BENCH_DELTA = 10
 
 #: Borůvka fixture: MST_PATHS disjoint paths of MST_PATH_LEN nodes,
@@ -96,8 +97,12 @@ CORE_COPIES = 2_000
 CORE_SIZES = (3, 4)
 
 
-def _layered_dag(spark, L=None):
-    L, W = (L or SSSP_LAYERS), SSSP_WIDTH
+def layered_dag(spark, L=None, W=None):
+    """CANONICAL layered-DAG generator — tools/scale_probe_sssp imports
+    this (at probe sizes) so the probe's round-growth evidence and the
+    band rows measure the same shape by construction (round-14 review
+    finding: the probe carried a copied twin of these expressions)."""
+    L, W = (L or SSSP_LAYERS), (W or SSSP_WIDTH)
     base = spark.range(L - 1).selectExpr("id AS l").crossJoin(
         spark.range(W).selectExpr("id AS i")
     )
@@ -129,7 +134,7 @@ def _noop(df) -> None:
 
 
 def make_sssp_weighted(spark):
-    edges, seeds = _layered_dag(spark)
+    edges, seeds = layered_dag(spark)
 
     def run() -> None:
         dist, _rounds = sssp_fixpoint(edges, seeds, max_rounds=SSSP_LAYERS + 2)
@@ -139,8 +144,11 @@ def make_sssp_weighted(spark):
 
 
 def make_sssp_delta(spark):
-    edges, seeds = _layered_dag(spark, L=SSSP_DELTA_LAYERS)
-    # bucket count = ceil(max_dist / delta); max dist <= 5 * (L - 1)
+    edges, seeds = layered_dag(spark, L=SSSP_DELTA_LAYERS)
+    # Bound, not estimate: buckets <= 5*L/delta (max dist is really
+    # 5*(L-1)) plus up to L settle iterations and slack — the L=4 pin
+    # converges in ~8 of these 10; a non-converged run under-reports,
+    # which the fixture test's distance-sum equality would catch.
     max_rounds = (
         (5 * SSSP_DELTA_LAYERS) // SSSP_BENCH_DELTA + SSSP_DELTA_LAYERS + 4
     )
@@ -154,16 +162,20 @@ def make_sssp_delta(spark):
     return run
 
 
-def mst_bench_inputs(spark):
+def mst_bench_inputs(spark, paths=None, path_len=None):
     # w(j) = 1 + v2(j+1), the 2-adic valuation via bit_count((x&-x)-1),
     # applied to the WITHIN-PATH index j so every path merges pairwise.
+    # CANONICAL tournament generator — tools/scale_probe_mst calls this
+    # with paths=1, path_len=N (a single path is the bundle's edge case)
+    # so probe and band rows share one generator (round-14 review).
+    paths, path_len = (paths or MST_PATHS), (path_len or MST_PATH_LEN)
     return (
-        spark.range(MST_PATHS)
+        spark.range(paths)
         .selectExpr("id AS c")
-        .crossJoin(spark.range(MST_PATH_LEN - 1).selectExpr("id AS j"))
+        .crossJoin(spark.range(path_len - 1).selectExpr("id AS j"))
         .select(
-            (F.col("c") * MST_PATH_LEN + F.col("j")).alias("lo"),
-            (F.col("c") * MST_PATH_LEN + F.col("j") + 1).alias("hi"),
+            (F.col("c") * path_len + F.col("j")).alias("lo"),
+            (F.col("c") * path_len + F.col("j") + 1).alias("hi"),
             (
                 1
                 + F.bit_count(

@@ -2051,6 +2051,16 @@ def test_band_regeneration_protocol_pure_logic():
     assert movers_m == []                      # the absorption the advice names
     assert diag_m["source"] == "median-of-ratios"
     assert diag_m["masking"] and "moved TOGETHER" in diag_m["masking"]
+    # round-14 review finding: a heat-inflated CHEAP sentinel must not
+    # raise the trigger — the HEAVY sentinel is the reference. Real
+    # uniform 1.9x move, cheap reads 1.6x from scheduler heat, heavy
+    # 1.05x: a max(cheap, heavy) reference would pass (1.9 <= 1.6*1.25
+    # = 2.0); the heavy reference fires (1.9 > 1.05*1.25 = 1.31).
+    rows_heat = [(n, 1.0, 1.2, o * 1.9, o * 2.85) for n, o in old6.items()]
+    _, _, diag_heat = compute_movers(rows_heat, old6, sentinel_new=0.80,
+                                     sentinel_old=0.50,
+                                     heavy_new=1.05, heavy_old=1.00)
+    assert diag_heat["masking"], diag_heat
     # header round-trip: a generated block parses back
     # (medians + sentinel pair; heavy absent → None for pre-r14 tables)
     block = (
@@ -2398,12 +2408,12 @@ def test_synth_graph_bench_fixtures(spark, monkeypatch):
 
     # layered DAG: every one of the L*W nodes is reached, and the
     # delta-frontier loop runs a real >=diameter-round relaxation
-    edges, seeds = gb._layered_dag(spark)
+    edges, seeds = gb.layered_dag(spark)
     dist, rounds = sssp_fixpoint(edges, seeds, max_rounds=gb.SSSP_LAYERS + 2)
     assert dist.count() == gb.SSSP_LAYERS * 40
     assert rounds >= gb.SSSP_LAYERS - 1
     # the delta-stepping row's DAG: identical distances to Bellman-Ford
-    e2, s2 = gb._layered_dag(spark, L=gb.SSSP_DELTA_LAYERS)
+    e2, s2 = gb.layered_dag(spark, L=gb.SSSP_DELTA_LAYERS)
     d_delta, _ = delta_stepping_fixpoint(
         e2, s2, delta=gb.SSSP_BENCH_DELTA, max_rounds=50
     )

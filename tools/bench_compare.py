@@ -39,8 +39,10 @@ round), so the check is now:
                        reading the exit code cannot pass the exact
                        scenario normalization exists to adjudicate.
 The heavy sentinel (`dedup_simhash`, band-stable non-iterative plan)
-is the reference when present: the cheap one over-reads heat ~1.35x,
-which only loosens the masking check in the false-alarm direction.
+is the masking reference when present, with the cheap one only a
+fallback: the cheap sentinel OVER-reads scheduler heat ~1.35x, so
+referencing it (or max of the pair) on a heat-noisy box would raise
+the trigger and let a real uniform regression slip under it.
 
 Usage: python -m tools.bench_compare BENCH_r13.json
 Pure file parsing — no SparkSession.
@@ -219,6 +221,9 @@ if __name__ == "__main__":
     try:
         main()
     except BrokenPipeError:
-        # piping into head closes stdout mid-report; the report already
-        # served its purpose — don't let the traceback mask the output
-        sys.exit(0)
+        # piping into head closes stdout mid-report. Exit NON-zero
+        # (141 = 128+SIGPIPE convention): the report was truncated
+        # before main() could sys.exit with its real verdict, and a
+        # success code here would convert a failing gate into a pass
+        # under `set -o pipefail` (round-14 review finding).
+        sys.exit(141)

@@ -118,6 +118,10 @@ def main() -> None:
         spark = get_spark(app_name="smhs-baseline-bands", cpus=cpus)
         spark.sparkContext.setLogLevel("ERROR")
 
+        from spark_ml_helper_spark.benchlib import (
+            make_runners,
+            run_interleaved,
+        )
         from spark_ml_helper_spark.operators.graph_bench import (
             SYNTH_GRAPH_BENCH,
         )
@@ -166,24 +170,12 @@ def main() -> None:
         # inflated 2.9x). Round-robin passes make every row sample the
         # same box trajectory, so box state is common-mode across rows
         # and the median-of-ratios normalization actually removes it.
-        runners = {
-            name: (
-                SYNTH_GRAPH_BENCH[name](spark)
-                if name in SYNTH_GRAPH_BENCH
-                else (lambda n=name: materialize(n))
-            )
-            for name in HEADLINE
-        }
-        for name in HEADLINE:
-            runners[name]()  # warm-up pass: JIT, plan cache, file listing
-        all_runs: dict[str, list] = {name: [] for name in HEADLINE}
-        for _ in range(n_runs):
-            for name in HEADLINE:
-                gc.collect()
-                spark.sparkContext._jvm.System.gc()
-                t0 = time.perf_counter()
-                runners[name]()
-                all_runs[name].append(time.perf_counter() - t0)
+        # The loop itself lives in benchlib, SHARED with bench.py, so
+        # bench and band sampling cannot drift apart.
+        all_runs = run_interleaved(
+            spark, make_runners(spark, HEADLINE, materialize), HEADLINE,
+            n_runs,
+        )
         rows = []
         for name in HEADLINE:
             runs = all_runs[name]

@@ -34,6 +34,7 @@ callers are tools/gen_baseline_bands.py and tools/bench_isolated.py.
 from __future__ import annotations
 
 import re
+import statistics
 
 DIFF_THRESHOLD = 1.25
 SENTINEL_QUERY = "agg_group"  # cheapest, most plan-stable headline row
@@ -92,10 +93,8 @@ def box_estimate(
     than the cheap one — measured round 13), else the cheap sentinel
     ratio, else 1.0 (raw). Shared by compute_movers and bench_compare so
     the two consumers can't drift apart."""
-    import statistics
-
     if len(ratios) >= MIN_COMMON_FOR_MEDIAN:
-        return statistics.median(sorted(ratios)), "median-of-ratios"
+        return statistics.median(ratios), "median-of-ratios"
     if heavy_ratio:
         return heavy_ratio, "heavy-sentinel"
     if sentinel_ratio:
@@ -111,13 +110,17 @@ def masking_disagreement(
     moved together while the controls stayed flat — a uniform real
     regression that box normalization would absorb (normalized ratios
     read 1.0x and every gate passes). Returns a human-readable reason
-    string when box > DISAGREE_THRESHOLD x the closest sentinel, else
-    None. The HEAVY sentinel is the reference when present (the cheap
-    one over-reads heat ~1.35x, which only widens the allowance in the
-    non-masking direction — comparing against max(cheap, heavy) keeps
-    the check conservative about false alarms)."""
-    refs = [r for r in (sentinel_ratio, heavy_ratio) if r]
-    if not refs or box <= max(refs) * DISAGREE_THRESHOLD:
+    string when box > DISAGREE_THRESHOLD x the reference sentinel, else
+    None. The HEAVY sentinel is the reference when present and the
+    cheap one only a fallback: the cheap sentinel OVER-reads scheduler
+    heat ~1.35x, so taking max(cheap, heavy) would RAISE the trigger on
+    a heat-noisy box and let a real uniform regression slip under it —
+    the false-NEGATIVE direction, the exact hole this check closes
+    (round-14 review finding). A heat-inflated cheap-only reference
+    still errs toward missing, never toward false alarms; there is
+    simply no better control on pre-r14 records."""
+    ref = heavy_ratio or sentinel_ratio
+    if not ref or box <= ref * DISAGREE_THRESHOLD:
         return None
     named = []
     if sentinel_ratio:

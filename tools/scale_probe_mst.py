@@ -41,27 +41,16 @@ def main() -> None:
     spark = get_spark(app_name="smhs-mst-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # path graph with binary-tournament weights: w(i) = 1 + v2(i+1)
-    # (trailing zeros of i+1 via the bit trick bit_count((x & -x) - 1)).
+    # path graph with binary-tournament weights: w(i) = 1 + v2(i+1).
     # Every component's min incident edge pairs it with exactly one
     # neighbor, so rounds = log2 N and min_label_fixpoint sees perfect
     # matchings (no long merge chains) — isolating the edge-list term.
-    eu = (
-        spark.range(n - 1)
-        .select(
-            F.col("id").alias("lo"),
-            (F.col("id") + 1).alias("hi"),
-            (
-                1
-                + F.bit_count(
-                    (F.col("id") + 1).bitwiseAND(-(F.col("id") + 1)) - 1
-                )
-            )
-            .cast("bigint")
-            .alias("w"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    # Canonical generator (operators/graph_bench.py, paths=1 is the
+    # single-path edge case of the bench bundle) — probe and band rows
+    # share one generator by construction (round 14).
+    from spark_ml_helper_spark.operators.graph_bench import mst_bench_inputs
+
+    eu = mst_bench_inputs(spark, paths=1, path_len=n)
 
     def signature(msf):
         r = msf.agg(

@@ -38,27 +38,11 @@ def main() -> None:
 
     spark = get_spark(app_name="smhs-sssp-probe")
 
-    base = spark.range(L - 1).selectExpr("id AS l").crossJoin(
-        spark.range(W).selectExpr("id AS i")
-    )
-    edges = (
-        base.selectExpr(
-            "l * CAST({w} AS BIGINT) + i AS src".format(w=W),
-            "(l + 1) * CAST({w} AS BIGINT) + i AS dst".format(w=W),
-            "CAST(1 + (i + l) % 5 AS BIGINT) AS w",
-        )
-        .unionByName(
-            base.selectExpr(
-                "l * CAST({w} AS BIGINT) + i AS src".format(w=W),
-                "(l + 1) * CAST({w} AS BIGINT) + (i + 1) % {w} AS dst".format(w=W),
-                "CAST(1 + (i + l) % 5 AS BIGINT) AS w",
-            )
-        )
-        .localCheckpoint(eager=True)
-    )
-    seeds = spark.range(W).select(
-        F.col("id").alias("node"), F.lit(0).cast("bigint").alias("dist")
-    )
+    # canonical generator (operators/graph_bench.py) — the band rows and
+    # this probe measure the same shape by construction (round 14)
+    from spark_ml_helper_spark.operators.graph_bench import layered_dag
+
+    edges, seeds = layered_dag(spark, L=L, W=W)
 
     def summarize(d):
         r = d.agg(
