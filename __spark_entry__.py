@@ -28,13 +28,23 @@ load_all_operators()
 # verification window (~50 queries, taken from the head of ``queries()``)
 # re-records them.
 _REVERIFY_FIRST: list[str] = [
-    # r13 touched NO query's result or plan shape that needs re-pinning:
-    # graph_cc/graph_mst were refactored onto factored input builders
-    # (cc_inputs/mst_inputs — same expressions, plan-identical, oracle
-    # re-verified at sf0.01 this round), and the global-window audit /
-    # bench / band-protocol work is tooling-only. Empty pins give the
-    # driver's full ~50-query window to the stalest-first rotation — the
-    # r03-r04 record tail (76 entries) drains in this round + next.
+    # r15 flipped the last ten rows-only Structured Streaming runs to full
+    # SQL oracles (append/update emission on a bounded stream is
+    # batch-boundary-independent — streaming/runs.py module docstring).
+    # Their latest driver records are the old weaker rows-only checks, so
+    # pin them for hash-gated re-records; the remaining ~40 window slots
+    # still drain the entire 21-name r05 record tail (verdict r14 item 1)
+    # plus most of the r06 ring.
+    "stream_run_dedup",
+    "stream_run_watermark",
+    "stream_watermark",
+    "stream_run_stateful",
+    "stream_run_transform_state",
+    "stream_run_file_sink",
+    "stream_run_exactly_once",
+    "stream_run_stream_join_outer",
+    "stream_run_session_append",
+    "stream_run_rocksdb",
 ]
 
 

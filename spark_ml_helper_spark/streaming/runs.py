@@ -4,17 +4,24 @@ Each operator here actually executes a streaming query: file-source stream
 over the events parquet → transformation under test → memory sink, with
 Trigger.AvailableNow so the run is bounded.
 
-Oracle status (round-7 flips): runs whose bounded-input result is
-DETERMINISTIC regardless of micro-batch boundaries carry full SQL oracles —
-complete-mode aggregations re-emit the whole result each batch, so the
-final memory table equals the batch twin (tumbling/session/sliding/
-static_join, plus foreach_batch's last complete snapshot), and the
-stream-stream inner join buffers both fully-present sides before any
-watermark eviction can drop a row. Runs whose OUTPUT depends on where the
-watermark lands between batches (append-mode watermarked aggs, dedup-
-within-watermark, update-mode stateful folds, outer-join NULL emission)
-stay rows-only by design; their semantics are oracle-checked via the batch
-twins in streaming/batch_equiv.py.
+Oracle status: every run here carries a full SQL oracle. Round 7 flipped
+the boundary-independent ones (complete-mode aggregations re-emit the whole
+result each batch; the stream-stream inner join buffers both fully-present
+sides before any watermark eviction can drop a row). Round 15 flipped the
+REST by proving the append/update-mode emission sets are ALSO
+batch-boundary-independent on a bounded stream: the watermark is a
+monotone function of data only (floor-to-millisecond max event time minus
+the delay — EventTimeStatsAccum collects max in ms), emission in batch k
+is "state with end ≤ watermark_k", so the union over all batches is
+"end ≤ final watermark" no matter where the planner cut the batches, and
+Trigger.AvailableNow runs a final no-data micro-batch
+(spark.sql.streaming.noDataMicroBatches.enabled, default true) that
+advances the watermark over the WHOLE input and flushes every finalized
+window/session/expired-outer row. Update-mode folds over a single-batch
+source equal the batch aggregate outright. The one arrival-order-defined
+output (which duplicate survives dropDuplicatesWithinWatermark) is
+projected away — see stream_run_dedup. Verified empirically at three SFs:
+repeated runs are bit-identical and hash-match the oracles below.
 
 Scale design: identical code runs against kafka/file sources on a cluster —
 watermark + windowed state keeps state bounded regardless of stream length;
@@ -40,6 +47,82 @@ from spark_ml_helper_spark.streaming.batch_equiv import (
 )
 
 _MULTIFILE_CACHE: dict[str, str] = {}
+
+# Spark's watermark is floor-to-millisecond(max event time) − delay
+# (EventTimeStatsAccum tracks max in ms); append-mode state flushes when
+# window/session end ≤ watermark. The round-15 flips reuse this fragment so
+# every oracle encodes the exact same threshold the engine evicts against.
+_WM_MS = "date_trunc('milliseconds', (SELECT max(ts) FROM events))"
+
+WATERMARK_APPEND_ORACLE = f"""
+    SELECT w_start, n FROM (
+        SELECT date_trunc('hour', ts) AS w_start, count(*) AS n
+        FROM events GROUP BY 1
+    ) w
+    WHERE w.w_start + INTERVAL '1 hour' <= {_WM_MS} - INTERVAL '30 minutes'
+"""
+
+FILE_SINK_ORACLE = f"""
+    SELECT w_start, event_type, n, sum_value FROM (
+        SELECT date_trunc('hour', ts) AS w_start, event_type,
+               count(*) AS n, round(sum(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    ) w
+    WHERE w.w_start + INTERVAL '1 hour' <= {_WM_MS} - INTERVAL '1 hour'
+"""
+
+EXACTLY_ONCE_ORACLE = f"""
+    SELECT w_start, event_type, n FROM (
+        SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ) w
+    WHERE w.w_start + INTERVAL '1 hour' <= {_WM_MS} - INTERVAL '1 hour'
+"""
+
+ROCKSDB_APPEND_ORACLE = f"""
+    SELECT w_start, event_type, n, sum_v FROM (
+        SELECT date_trunc('hour', ts) AS w_start, event_type,
+               count(*) AS n, round(sum(value), 6) AS sum_v
+        FROM events GROUP BY 1, 2
+    ) w
+    WHERE w.w_start + INTERVAL '1 hour' <= {_WM_MS} - INTERVAL '30 minutes'
+"""
+
+STATEFUL_TOTALS_ORACLE = """
+    SELECT user_id, round(sum(value), 6) AS total_v, count(*) AS n_events
+    FROM events GROUP BY 1
+"""
+
+SESSION_APPEND_ORACLE = f"""
+    SELECT * FROM ({{session}}) s
+    WHERE s.s_end <= {_WM_MS} - INTERVAL '30 minutes'
+""".format(session=SESSION_ORACLE)
+
+STREAM_JOIN_OUTER_ORACLE = """
+    WITH v AS (
+        SELECT user_id AS v_user, event_id AS v_id, ts AS v_ts
+        FROM events WHERE event_type = 'view'
+    ), b AS (
+        SELECT user_id AS b_user, ts AS b_ts, value AS b_value
+        FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+        SELECT v.v_user, v.v_id, v.v_ts, b.b_ts, round(b.b_value, 6) AS b_value
+        FROM v JOIN b ON v.v_user = b.b_user
+         AND b.b_ts >= v.v_ts AND b.b_ts <= v.v_ts + INTERVAL '1 hour'
+    ), wm AS (
+        SELECT least(
+            date_trunc('milliseconds', (SELECT max(v_ts) FROM v)),
+            date_trunc('milliseconds', (SELECT max(b_ts) FROM b))
+        ) - INTERVAL '30 minutes' AS w
+    )
+    SELECT * FROM pairs
+    UNION ALL
+    SELECT v.v_user, v.v_id, v.v_ts,
+           CAST(NULL AS TIMESTAMP) AS b_ts, CAST(NULL AS DOUBLE) AS b_value
+    FROM v, wm
+    WHERE v.v_ts + INTERVAL '1 hour' < wm.w
+      AND v.v_id NOT IN (SELECT v_id FROM pairs)
+"""
 
 
 def _events_stream(spark, sf_dir, path=None, max_files_per_trigger=None):
@@ -140,12 +223,28 @@ def stream_run_session(spark, sf_dir):
     return _run(agg, "complete")
 
 
-@query("stream_run_dedup", oracle=None, family="streaming")
+@query(
+    "stream_run_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    family="streaming",
+)
 def stream_run_dedup(spark, sf_dir):
-    """Streaming stateful dedup within a watermark: first (user_id,
-    event_type, ts-bucket) occurrence survives; dedup state is dropped once
-    the watermark passes (bounded state — THE requirement for infinite
+    """Streaming stateful dedup within a watermark: the first (user_id,
+    event_type) occurrence survives; dedup state is dropped once the
+    watermark passes (bounded state — THE requirement for infinite
     streams).
+
+    Round-15 flip: the operator's GUARANTEE is the surviving key set —
+    exactly one row per key while its state lives inside the watermark —
+    and on this bounded single-batch source (no maxFilesPerTrigger → the
+    file source takes all staged files in one micro-batch, and the
+    watermark starts at 0 so no state is evicted mid-batch) that set is
+    exactly DISTINCT(user_id, event_type). The surviving row's PAYLOAD
+    (its ts) is arrival-order-defined, not a data property — measured at
+    sf0.001: 11/75 survivors carry a ts from a later staged file than the
+    key's earliest, i.e. task completion order picked the winner — so the
+    output projects to the key columns and the entry is hash-gated on the
+    guarantee instead of rows-only on the accident.
 
     MEASURED state decade (tools/scale_probe_stream.py, SCALE.md round-6
     table; fixed 1.2M-event stream, key cardinality 5k→50k→500k): peak
@@ -164,15 +263,21 @@ def stream_run_dedup(spark, sf_dir):
     dedup = e.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
-    return _run(dedup, "append")
+    return _run(dedup, "append").select("user_id", "event_type")
 
 
-@query("stream_run_watermark", oracle=None, family="streaming")
+@query("stream_run_watermark", oracle=WATERMARK_APPEND_ORACLE, family="streaming")
 def stream_run_watermark(spark, sf_dir):
     """Watermarked windowed aggregation in APPEND mode over a multi-batch
     file stream: windows emit only once the 30-min watermark passes their
-    end — the late-data/finality contract. Bounded state; rows-only by
-    nature (what emits depends on batch boundaries).
+    end — the late-data/finality contract. Bounded state.
+
+    Round-15 flip: batch boundaries decide WHEN a window emits, never
+    WHETHER — the watermark is monotone in data only, batch k flushes
+    windows with end ≤ watermark_k, and AvailableNow's final no-data
+    micro-batch advances the watermark over the whole input — so the
+    union of all emissions is exactly "window end ≤ floor_ms(max ts) −
+    30 min", which is what the oracle computes.
 
     MEASURED state decade (tools/scale_probe_stream.py, SCALE.md round-6
     table): state rows are keys × windows-inside-the-watermark —
@@ -207,23 +312,31 @@ def stream_run_watermark(spark, sf_dir):
     return spark.table(name)
 
 
-@query("stream_watermark", oracle=None, family="streaming")
+@query("stream_watermark", oracle=WATERMARK_APPEND_ORACLE, family="streaming")
 def stream_watermark(spark, sf_dir):
     """SURVEY §2.H `stream_watermark` — the late-data drop policy: a
     30-min watermark ahead of a windowed agg in append mode, so a window
     emits exactly once, when the watermark passes its end, and events
     arriving later than 30 min behind max(ts) are dropped from state.
-    Delegates to stream_run_watermark (same program); registered under
-    the survey name so the §2 inventory maps 1:1 to queries()."""
+    Delegates to stream_run_watermark (same program, same round-15
+    boundary-independence oracle); registered under the survey name so
+    the §2 inventory maps 1:1 to queries()."""
     return stream_run_watermark(spark, sf_dir)
 
 
-@query("stream_run_stateful", oracle=None, family="streaming")
+@query("stream_run_stateful", oracle=STATEFUL_TOTALS_ORACLE, family="streaming")
 def stream_run_stateful(spark, sf_dir):
     """Custom stateful operator via applyInPandasWithState: per-user
     running total + event count carried in explicit state across
     micro-batches (the arbitrary-state API — what you reach for when
     windows/dedup can't express the state machine).
+
+    Round-15 flip: update mode emits one row per (key, batch the key
+    appeared in); with the bounded source taken in a single micro-batch
+    (no maxFilesPerTrigger) that is exactly one FINAL row per user —
+    the batch GROUP BY — so the run is hash-gated against it.
+    Cross-batch state carry is exercised by the state-store scale probe
+    (tools/scale_probe_stream.py) and the multi-batch runs below.
 
     State is one (double, bigint) row per live user — ∝ keys, not
     stream length, the same shape the round-6 state-store decade
@@ -259,13 +372,16 @@ def stream_run_stateful(spark, sf_dir):
     return _run(out, "update")
 
 
-@query("stream_run_transform_state", oracle=None, family="streaming")
+@query("stream_run_transform_state", oracle=STATEFUL_TOTALS_ORACLE, family="streaming")
 def stream_run_transform_state(spark, sf_dir):
     """Per-user running totals via transformWithStateInPandas — Spark 4's
     arbitrary-state API (successor to applyInPandasWithState): explicit
     typed ValueState owned by a StatefulProcessor, RocksDB-backed state
     store, update output mode. Same semantics as stream_run_stateful; the
-    two entries exercise both generations of the stateful API.
+    two entries exercise both generations of the stateful API, and both
+    carry the same round-15 single-batch GROUP BY oracle (the fallback
+    path computes the identical state machine, so the hash gate holds on
+    either branch).
 
     Environment gate: the TWS Python state-server protocol speaks
     protobuf; this container ships a broken google.protobuf (no
@@ -365,14 +481,17 @@ def stream_run_static_join(spark, sf_dir):
     return _run(agg, "complete")
 
 
-@query("stream_run_file_sink", oracle=None, family="streaming")
+@query("stream_run_file_sink", oracle=FILE_SINK_ORACLE, family="streaming")
 def stream_run_file_sink(spark, sf_dir):
     """End-to-end streaming ETL shape: file-source stream → windowed agg →
     PARQUET file sink with a checkpoint dir (exactly-once via checkpoint +
     sink manifest), Trigger.AvailableNow. This is the production
     batch-as-a-stream backfill pattern; the memory-sink runs above test
     semantics, this one tests the durable-sink path. Returns the re-read
-    sink output (rows-only; semantics match stream_tumbling's oracle)."""
+    sink output. Round-15 flip: the committed file set is exactly the
+    finalized windows — end ≤ floor_ms(max ts) − 1 h (the 1-hour
+    watermark), batch-boundary-independent — so the durable sink is
+    hash-gated end to end."""
     base = staging_dir(prefix="smhs_fsink_")
     out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
     ev = _events_stream(spark, sf_dir)
@@ -510,15 +629,17 @@ def stream_run_sliding(spark, sf_dir):
     return _run(agg, "complete")
 
 
-@query("stream_run_exactly_once", oracle=None, family="streaming")
+@query("stream_run_exactly_once", oracle=EXACTLY_ONCE_ORACLE, family="streaming")
 def stream_run_exactly_once(spark, sf_dir):
     """Exactly-once replay protection: the SAME bounded file stream is
     executed TWICE against one checkpoint directory into one parquet
     sink. The second run's source offset log shows all files already
     committed, so it processes zero new data and the sink is NOT
     double-appended — re-running a failed/duplicate job is safe. The
-    returned frame is the sink after both runs; the test asserts it
-    equals the single-run batch twin exactly (no duplicated windows)."""
+    returned frame is the sink after both runs; round-15 flip: a
+    double-append (or any finality drift) would double counts or add
+    windows, so the hash gate against the single-run finalized-window
+    oracle IS the exactly-once assertion."""
     base = staging_dir(prefix="smhs_eo_")
     out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
 
@@ -546,7 +667,7 @@ def stream_run_exactly_once(spark, sf_dir):
     return spark.read.parquet(out)
 
 
-@query("stream_run_stream_join_outer", oracle=None, family="streaming")
+@query("stream_run_stream_join_outer", oracle=STREAM_JOIN_OUTER_ORACLE, family="streaming")
 def stream_run_stream_join_outer(spark, sf_dir):
     """Stream-stream LEFT OUTER join with watermarks on both sides — the
     semantics the inner join (stream_run_stream_join) cannot show: a
@@ -558,9 +679,13 @@ def stream_run_stream_join_outer(spark, sf_dir):
     micro-batch so the watermark genuinely advances mid-stream and
     null-expiry fires; unmatched rows younger than the FINAL watermark
     are still buffered when the bounded stream ends and are correctly
-    NOT emitted — the documented at-least-once-per-expired-row
-    contract, and the reason the test asserts the outer result is a
-    superset of the inner result rather than a full anti-join. State
+    NOT emitted. Round-15 flip: that makes the emitted set an exact
+    data function — all matched pairs (watermark eviction never drops
+    a row that could still match, the engine's correctness guarantee)
+    plus null rows for unmatched views whose match window provably
+    closed, v_ts + 1 h < min(floor_ms(max view ts), floor_ms(max
+    purchase ts)) − 30 min (the global watermark is the min over both
+    sides' per-source watermarks) — which the oracle reproduces. State
     size is bounded by watermark horizon × arrival rate per key, same
     as the inner form; at 100 TB the RocksDB state store holds the
     window."""
@@ -601,7 +726,7 @@ def stream_run_stream_join_outer(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-@query("stream_run_session_append", oracle=None, family="streaming")
+@query("stream_run_session_append", oracle=SESSION_APPEND_ORACLE, family="streaming")
 def stream_run_session_append(spark, sf_dir):
     """Session windows in APPEND mode — the production form
     stream_run_session (complete mode) cannot show: a session row
@@ -611,9 +736,12 @@ def stream_run_session_append(spark, sf_dir):
     keeps it open and emits nothing. The run feeds the time-ranged
     files two per micro-batch so the watermark advances and sessions
     genuinely close mid-stream; sessions still open when the bounded
-    stream ends stay in state and are correctly not emitted (the test
-    asserts the append result is a prefix-in-time subset of the
-    complete-mode result). This emit-once-on-close contract is what
+    stream ends stay in state and are correctly not emitted. Round-15
+    flip: the emitted set is exactly the sessions with end ≤
+    floor_ms(max ts) − 30 min — boundary-independent — so the oracle is
+    the complete-mode islands SQL filtered by that watermark (the test
+    additionally asserts the prefix-in-time-subset relation to the
+    complete-mode run). This emit-once-on-close contract is what
     lets a downstream sink treat each session row as final —
     complete mode re-emits the whole table every batch and cannot.
     State per key is one open session row; the watermark horizon
@@ -636,7 +764,7 @@ def stream_run_session_append(spark, sf_dir):
     return _run(agg, "append")
 
 
-@query("stream_run_rocksdb", oracle=None, family="streaming")
+@query("stream_run_rocksdb", oracle=ROCKSDB_APPEND_ORACLE, family="streaming")
 def stream_run_rocksdb(spark, sf_dir):
     """Watermarked tumbling aggregation under the ROCKSDB state-store
     provider — the 100 TB state path every scale note in this repo
@@ -651,8 +779,12 @@ def stream_run_rocksdb(spark, sf_dir):
     operable. Output is the same hourly per-type windowed count the
     default-provider runs produce (the test asserts result equality
     provider-to-provider — the store is an implementation detail,
-    never a semantics change). The conf is set/restored around the
-    run, matching the shuffle-partition pattern of the join runs."""
+    never a semantics change); round-15 flip: append-mode finality is
+    boundary-independent, so the run is hash-gated on the finalized
+    windows (end ≤ floor_ms(max ts) − 30 min) — a provider that
+    corrupted or dropped state would break the hash. The conf is
+    set/restored around the run, matching the shuffle-partition
+    pattern of the join runs."""
     prev = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
