@@ -143,19 +143,25 @@ def make_sssp_weighted(spark):
     return run
 
 
+def sssp_delta_max_rounds() -> int:
+    """Pinned round budget for the Δ-stepping band row. Bound, not
+    estimate: buckets <= 5*L/delta (max dist is really 5*(L-1)) plus up
+    to L settle iterations and slack — the L=4 pin converges in ~8 of
+    these 10. delta_stepping_fixpoint RAISES on budget exhaustion (it
+    does not silently under-report), so an insufficient pin would crash
+    bench.py; the fixture test therefore runs under THIS same budget so
+    CI exercises the production pin (round-15 advisor finding — the old
+    test passed max_rounds=50 and never verified the 10)."""
+    return (5 * SSSP_DELTA_LAYERS) // SSSP_BENCH_DELTA + SSSP_DELTA_LAYERS + 4
+
+
 def make_sssp_delta(spark):
     edges, seeds = layered_dag(spark, L=SSSP_DELTA_LAYERS)
-    # Bound, not estimate: buckets <= 5*L/delta (max dist is really
-    # 5*(L-1)) plus up to L settle iterations and slack — the L=4 pin
-    # converges in ~8 of these 10; a non-converged run under-reports,
-    # which the fixture test's distance-sum equality would catch.
-    max_rounds = (
-        (5 * SSSP_DELTA_LAYERS) // SSSP_BENCH_DELTA + SSSP_DELTA_LAYERS + 4
-    )
 
     def run() -> None:
         dist, _rounds = delta_stepping_fixpoint(
-            edges, seeds, delta=SSSP_BENCH_DELTA, max_rounds=max_rounds
+            edges, seeds, delta=SSSP_BENCH_DELTA,
+            max_rounds=sssp_delta_max_rounds(),
         )
         _noop(dist)
 

@@ -2061,6 +2061,16 @@ def test_band_regeneration_protocol_pure_logic():
                                      sentinel_old=0.50,
                                      heavy_new=1.05, heavy_old=1.00)
     assert diag_heat["masking"], diag_heat
+    # round-15 advisor finding: the heavy sentinel is itself a live
+    # query on the engine's shuffle/write path, so a plan-wide real
+    # regression moves it WITH the suite (box 2.0x ≈ heavy 2.0x) while
+    # the cheap control stays flat — a heavy-only reference stayed
+    # SILENT here; the min-of-sentinels reference must fire.
+    rows_co = [(n, 1.0, 1.2, o * 2.0, o * 3.0) for n, o in old6.items()]
+    _, _, diag_co = compute_movers(rows_co, old6, sentinel_new=0.525,
+                                   sentinel_old=0.50,
+                                   heavy_new=2.00, heavy_old=1.00)
+    assert diag_co["masking"] and "moved TOGETHER" in diag_co["masking"]
     # header round-trip: a generated block parses back
     # (medians + sentinel pair; heavy absent → None for pre-r14 tables)
     block = (
@@ -2415,10 +2425,13 @@ def test_synth_graph_bench_fixtures(spark, monkeypatch):
     dist, rounds = sssp_fixpoint(edges, seeds, max_rounds=gb.SSSP_LAYERS + 2)
     assert dist.count() == gb.SSSP_LAYERS * 40
     assert rounds >= gb.SSSP_LAYERS - 1
-    # the delta-stepping row's DAG: identical distances to Bellman-Ford
+    # the delta-stepping row's DAG: identical distances to Bellman-Ford,
+    # converging INSIDE the production band row's pinned round budget
+    # (delta_stepping_fixpoint raises on exhaustion, so running the test
+    # under the same budget is what verifies the pin — round-15 advice)
     e2, s2 = gb.layered_dag(spark, L=gb.SSSP_DELTA_LAYERS)
     d_delta, _ = delta_stepping_fixpoint(
-        e2, s2, delta=gb.SSSP_BENCH_DELTA, max_rounds=50
+        e2, s2, delta=gb.SSSP_BENCH_DELTA, max_rounds=gb.sssp_delta_max_rounds()
     )
     d_bf, _ = sssp_fixpoint(e2, s2, max_rounds=gb.SSSP_DELTA_LAYERS + 2)
     assert d_delta.count() == gb.SSSP_DELTA_LAYERS * 40

@@ -38,11 +38,14 @@ round), so the check is now:
                        exits with the distinct code 3, so automation
                        reading the exit code cannot pass the exact
                        scenario normalization exists to adjudicate.
-The heavy sentinel (`dedup_simhash`, band-stable non-iterative plan)
-is the masking reference when present, with the cheap one only a
-fallback: the cheap sentinel OVER-reads scheduler heat ~1.35x, so
-referencing it (or max of the pair) on a heat-noisy box would raise
-the trigger and let a real uniform regression slip under it.
+The masking reference is the MIN of the available sentinel ratios
+(round-15, advisor finding — tools/measure.masking_disagreement): the
+heavy sentinel (`dedup_simhash`) is itself a live query on the
+engine's shuffle/write path, so a plan-wide real regression moves it
+WITH the suite and a heavy-only reference stays silent; min() falls
+back to the flat cheap control in that case, while on a merely hot
+box (cheap over-reads scheduler heat ~1.35x) min stays at the heavy
+ratio and fires no false alarm.
 
 Usage: python -m tools.bench_compare BENCH_r13.json
 Pure file parsing — no SparkSession.
@@ -81,8 +84,19 @@ def load_bench(path: str) -> dict:
 
 def load_bands(baseline_path: str) -> tuple[dict, float | None, float | None]:
     """{query: (median, watch)} of the last generated table, plus the
-    cheap and heavy sentinels from its header (None where absent —
-    pre-r13 tables have neither, the r13 table has cheap only)."""
+    cheap and heavy sentinel REFERENCES.
+
+    Round-15 (advisor finding): the header sentinels are sequential
+    solo medians taken FIRST after session start — the documented
+    ~1.4x settle confound inflates the cheap one — while bench.py's
+    box_sentinel values are min-of-2 interleaved reads, so ratios of
+    the two compared unlike quantities and biased the bracket low
+    (extra exit-3 false alarms). Both sentinel queries are ordinary
+    rows of the interleaved band table, so the table medians ARE the
+    like-for-like reference; the header values remain only as the
+    fallback for tables that predate the rows (and for
+    gen_baseline_bands' band-to-band diff, where header-vs-header is
+    like-for-like already)."""
     text = open(baseline_path).read()
     blocks = text.split("<!-- generated: python -m tools.gen_baseline_bands")
     bands = {}
@@ -92,7 +106,17 @@ def load_bands(baseline_path: str) -> tuple[dict, float | None, float | None]:
         re.M,
     ):
         bands[m.group(1)] = (float(m.group(2)), float(m.group(3)))
-    _, sentinel, heavy = parse_prev_block(text)
+    _, header_sentinel, header_heavy = parse_prev_block(text)
+    sentinel = (
+        bands[SENTINEL_QUERY][0]
+        if SENTINEL_QUERY in bands
+        else header_sentinel
+    )
+    heavy = (
+        bands[HEAVY_SENTINEL_QUERY][0]
+        if HEAVY_SENTINEL_QUERY in bands
+        else header_heavy
+    )
     return bands, sentinel, heavy
 
 

@@ -129,6 +129,15 @@ def main() -> None:
     # the full suite median.
     from tools.measure import HEAVY_SENTINEL_QUERY, SENTINEL_QUERY
 
+    # throwaway SETTLE run before the cheap sentinel's timed block
+    # (round-15, advisor finding): the first query after session start
+    # reads ~1.4x hot while the box settles (measured round 14), and the
+    # cheap sentinel used to BE that first query — its own single
+    # warm-up doesn't absorb the settle, so the recorded cheap sentinel
+    # carried the confound into every bracket that referenced it. One
+    # untimed heavy execution burns the settle window instead.
+    materialize(HEAVY_SENTINEL_QUERY)
+
     sentinel = round(
         statistics.median(timed_runs(lambda: materialize(SENTINEL_QUERY), n_runs)),
         3,

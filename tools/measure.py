@@ -111,15 +111,20 @@ def masking_disagreement(
     regression that box normalization would absorb (normalized ratios
     read 1.0x and every gate passes). Returns a human-readable reason
     string when box > DISAGREE_THRESHOLD x the reference sentinel, else
-    None. The HEAVY sentinel is the reference when present and the
-    cheap one only a fallback: the cheap sentinel OVER-reads scheduler
-    heat ~1.35x, so taking max(cheap, heavy) would RAISE the trigger on
-    a heat-noisy box and let a real uniform regression slip under it —
-    the false-NEGATIVE direction, the exact hole this check closes
-    (round-14 review finding). A heat-inflated cheap-only reference
-    still errs toward missing, never toward false alarms; there is
-    simply no better control on pre-r14 records."""
-    ref = heavy_ratio or sentinel_ratio
+    None. The reference is the MIN of the available sentinel ratios
+    (round-15, advisor finding): the heavy sentinel is itself a live
+    registry query sharing the engine's shuffle/write path, so a
+    plan-wide real regression moves it WITH the suite — box ≈
+    heavy_ratio and a heavy-only reference stays silent, which is the
+    exact scenario this check exists to catch. min() covers both
+    failure modes: on a merely hot box the cheap sentinel reads HIGH
+    (over-reads scheduler heat ~1.35x, measured round 13), so min
+    stays at the heavy ratio and no false alarm fires; on a
+    co-regressed heavy plan the heavy ratio is inflated, so min falls
+    back to the flat cheap control and the stop fires. max() would
+    fail the first case, heavy-only failed the second."""
+    refs = [r for r in (heavy_ratio, sentinel_ratio) if r]
+    ref = min(refs) if refs else None
     if not ref or box <= ref * DISAGREE_THRESHOLD:
         return None
     named = []
