@@ -4168,6 +4168,38 @@ def test_stream_outer_join_expires_unmatched_views(spark):
     assert null_ids.isdisjoint({r["v_id"] for r in matched})
 
 
+def test_stream_append_emission_batch_boundary_independent(spark):
+    # The round-15 oracle flips rest on ONE claim: on a bounded
+    # AvailableNow stream, append-mode emission is a pure data function
+    # — batch boundaries decide WHEN a window emits, never WHETHER,
+    # because the watermark is monotone in data only and the final
+    # no-data micro-batch flushes everything with end <= final
+    # watermark. Pin it structurally: the SAME watermarked windowed
+    # aggregation run under three different micro-batch cuts (1, 2 and
+    # all-8 files per trigger) must emit IDENTICAL final sets. If a
+    # Spark upgrade ever changes the flush/watermark semantics, this
+    # fails before the driver's oracle gate does.
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.streaming.runs import _events_stream, _run
+
+    def final_set(mfpt):
+        e = (
+            _events_stream(spark, SF_ORACLE, max_files_per_trigger=mfpt)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "30 minutes")
+        )
+        agg = (
+            e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("w_start"), "event_type", "n")
+        )
+        return {tuple(r) for r in _run(agg, "append").collect()}
+
+    one, two, whole = final_set(1), final_set(2), final_set(None)
+    assert one and one == two == whole
+
+
 def test_stream_session_append_emits_closed_sessions_once(spark):
     app = QUERIES["stream_run_session_append"](spark, SF_ORACLE).collect()
     comp = QUERIES["stream_run_session"](spark, SF_ORACLE).collect()
