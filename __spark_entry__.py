@@ -27,25 +27,14 @@ load_all_operators()
 # only recorded result is a FAIL — surfaced first so the driver's per-round
 # verification window (~50 queries, taken from the head of ``queries()``)
 # re-records them.
-_REVERIFY_FIRST: list[str] = [
-    # r15 flipped the last ten rows-only Structured Streaming runs to full
-    # SQL oracles (append/update emission on a bounded stream is
-    # batch-boundary-independent — streaming/runs.py module docstring).
-    # Their latest driver records are the old weaker rows-only checks, so
-    # pin them for hash-gated re-records; the remaining ~40 window slots
-    # still drain the entire 21-name r05 record tail (verdict r14 item 1)
-    # plus most of the r06 ring.
-    "stream_run_dedup",
-    "stream_run_watermark",
-    "stream_watermark",
-    "stream_run_stateful",
-    "stream_run_transform_state",
-    "stream_run_file_sink",
-    "stream_run_exactly_once",
-    "stream_run_stream_join_outer",
-    "stream_run_session_append",
-    "stream_run_rocksdb",
-]
+#
+# r16: emptied (verdict r15 item 1). The r15 pins served their purpose — all
+# ten streaming flips now carry hash-gated driver records (CORRECTNESS_r15
+# 50/50) — so the full 50-query window goes to the stalest-first tail and
+# drains the r06 record ring (28 names). Round 16's streaming-oracle
+# boundary hardening (ADVICE r15) was verified locally to be hash-neutral at
+# sf0.01/sf0.001 before landing, so no re-pin is needed.
+_REVERIFY_FIRST: list[str] = []
 
 
 def _latest_record_round() -> dict[str, int]:

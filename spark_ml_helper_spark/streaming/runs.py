@@ -98,6 +98,21 @@ SESSION_APPEND_ORACLE = f"""
     WHERE s.s_end <= {_WM_MS} - INTERVAL '30 minutes'
 """.format(session=SESSION_ORACLE)
 
+# Null-expiry threshold is STRICT `<` — deliberately different from the
+# `<=` every windowed/session oracle uses, because the engine's two
+# eviction predicates genuinely differ at the boundary: aggregation state
+# flushes on window.end <= watermark (WatermarkSupport's LessThanOrEqual),
+# but a buffered outer-join row whose match-window end EQUALS the
+# watermark is kept — a purchase with b_ts == wm is not yet provably late,
+# so the view cannot null-expire. Measured, not assumed:
+# tools/probe_stream_expiry_boundary.py constructs both boundary cases
+# (end == wm at ms precision) and observes 1 join null row (strict) vs 2
+# agg windows (<=); pinned by tests test_stream_expiry_boundary_*.
+# The wm CTE yields ZERO rows when either side is empty: DuckDB's least()
+# would ignore a NULL max and keep expiring off the non-empty side, but
+# Spark's global watermark is the MIN over both sides' source watermarks
+# and never advances past 0 while one side has no data — so the oracle
+# must emit no null rows at all in that case (ADVICE r15).
 STREAM_JOIN_OUTER_ORACLE = """
     WITH v AS (
         SELECT user_id AS v_user, event_id AS v_id, ts AS v_ts
@@ -109,11 +124,12 @@ STREAM_JOIN_OUTER_ORACLE = """
         SELECT v.v_user, v.v_id, v.v_ts, b.b_ts, round(b.b_value, 6) AS b_value
         FROM v JOIN b ON v.v_user = b.b_user
          AND b.b_ts >= v.v_ts AND b.b_ts <= v.v_ts + INTERVAL '1 hour'
+    ), maxima AS (
+        SELECT date_trunc('milliseconds', (SELECT max(v_ts) FROM v)) AS max_v,
+               date_trunc('milliseconds', (SELECT max(b_ts) FROM b)) AS max_b
     ), wm AS (
-        SELECT least(
-            date_trunc('milliseconds', (SELECT max(v_ts) FROM v)),
-            date_trunc('milliseconds', (SELECT max(b_ts) FROM b))
-        ) - INTERVAL '30 minutes' AS w
+        SELECT least(max_v, max_b) - INTERVAL '30 minutes' AS w
+        FROM maxima WHERE max_v IS NOT NULL AND max_b IS NOT NULL
     )
     SELECT * FROM pairs
     UNION ALL
@@ -141,8 +157,16 @@ def _events_stream(spark, sf_dir, path=None, max_files_per_trigger=None):
     return raw
 
 
-def _run(df, mode="complete"):
-    """Execute to a memory sink under AvailableNow; return the result table."""
+def _run(df, mode="complete", require_single_input_batch=False):
+    """Execute to a memory sink under AvailableNow; return the result table.
+
+    ``require_single_input_batch`` asserts the run consumed ALL input in
+    ONE data micro-batch (plus watermark-only no-data batches). The
+    dedup/stateful update-mode oracles are correct ONLY under that premise
+    (their docstrings prove single-batch == batch GROUP BY / DISTINCT);
+    before r16 the premise lived in docstrings alone, so an edit adding
+    maxFilesPerTrigger to their source would surface only as a driver-gate
+    hash fail. Now it fails HERE, in pytest (ADVICE r15)."""
     name = "m" + uuid.uuid4().hex[:12]
     q = (
         df.writeStream.format("memory")
@@ -152,6 +176,16 @@ def _run(df, mode="complete"):
         .start()
     )
     q.awaitTermination()
+    if require_single_input_batch:
+        data_batches = [p for p in q.recentProgress if p.numInputRows > 0]
+        if len(data_batches) > 1:
+            raise AssertionError(
+                f"single-micro-batch oracle premise violated: {len(data_batches)} "
+                "data micro-batches consumed input (expected 1). This query's "
+                "update/append-mode oracle equals the batch aggregate only when "
+                "the bounded source is taken whole — do not set "
+                "maxFilesPerTrigger on its _events_stream."
+            )
     return df.sparkSession.table(name)
 
 
@@ -263,7 +297,9 @@ def stream_run_dedup(spark, sf_dir):
     dedup = e.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
-    return _run(dedup, "append").select("user_id", "event_type")
+    return _run(dedup, "append", require_single_input_batch=True).select(
+        "user_id", "event_type"
+    )
 
 
 @query("stream_run_watermark", oracle=WATERMARK_APPEND_ORACLE, family="streaming")
@@ -346,7 +382,14 @@ def stream_run_stateful(spark, sf_dir):
     RocksDB provider (`spark.sql.streaming.stateStore.providerClass`)
     carries the same rows in 3–7× fewer resident bytes, and
     GroupStateTimeout (here NoTimeout for the bounded fixture) is the
-    knob that expires dead keys on a real unbounded stream."""
+    knob that expires dead keys on a real unbounded stream.
+
+    Rounding path (ADVICE r15): the fold emits the RAW float total and
+    F.round is applied on the output DataFrame — Spark HALF_UP, the same
+    engine rounding every other oracled entry hashes through — instead of
+    Python round() inside the fold (banker's half-even, which disagrees
+    with DuckDB's half-away round for totals within ~1 ulp of a 6th-
+    decimal boundary)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -359,7 +402,7 @@ def stream_run_stateful(spark, sf_dir):
             total += float(pdf["value"].sum())
             n += len(pdf)
         state.update((total, n))
-        yield pd.DataFrame({"user_id": [key[0]], "total_v": [round(total, 6)], "n_events": [n]})
+        yield pd.DataFrame({"user_id": [key[0]], "total_v": [total], "n_events": [n]})
 
     e = _events_stream(spark, sf_dir).select("user_id", "value")
     out = e.groupBy("user_id").applyInPandasWithState(
@@ -369,7 +412,9 @@ def stream_run_stateful(spark, sf_dir):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run(out, "update")
+    return _run(out, "update", require_single_input_batch=True).select(
+        "user_id", F.round("total_v", 6).alias("total_v"), "n_events"
+    )
 
 
 @query("stream_run_transform_state", oracle=STATEFUL_TOTALS_ORACLE, family="streaming")
@@ -410,8 +455,9 @@ def stream_run_transform_state(spark, sf_dir):
                 total += float(pdf["value"].sum())
                 n += len(pdf)
             self._state.update((total, n))
+            # raw total out; F.round on the DataFrame (see stream_run_stateful)
             yield pd.DataFrame(
-                {"user_id": [key[0]], "total_v": [round(total, 6)], "n_events": [n]}
+                {"user_id": [key[0]], "total_v": [total], "n_events": [n]}
             )
 
         def close(self) -> None:
@@ -434,7 +480,9 @@ def stream_run_transform_state(spark, sf_dir):
             outputMode="update",
             timeMode="none",
         )
-        return _run(out, "update")
+        return _run(out, "update", require_single_input_batch=True).select(
+            "user_id", F.round("total_v", 6).alias("total_v"), "n_events"
+        )
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -454,7 +502,7 @@ def _stateful_fallback(spark, sf_dir):
             total += float(pdf["value"].sum())
             n += len(pdf)
         state.update((total, n))
-        yield pd.DataFrame({"user_id": [key[0]], "total_v": [round(total, 6)], "n_events": [n]})
+        yield pd.DataFrame({"user_id": [key[0]], "total_v": [total], "n_events": [n]})
 
     e = _events_stream(spark, sf_dir).select("user_id", "value")
     out = e.groupBy("user_id").applyInPandasWithState(
@@ -464,7 +512,9 @@ def _stateful_fallback(spark, sf_dir):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run(out, "update")
+    return _run(out, "update", require_single_input_batch=True).select(
+        "user_id", F.round("total_v", 6).alias("total_v"), "n_events"
+    )
 
 
 @query("stream_run_static_join", oracle=STATIC_JOIN_ORACLE, family="streaming")

@@ -4241,6 +4241,51 @@ def test_rocksdb_provider_matches_default_provider(spark):
     assert {k(r) for r in rocks} == {k(r) for r in default}
 
 
+def test_stream_expiry_boundary_join_strict_agg_inclusive(spark):
+    # ADVICE r15: STREAM_JOIN_OUTER_ORACLE null-expires on STRICT
+    # `v_ts + 1h < wm` while the windowed oracles flush on `end <= wm`.
+    # tools/probe_stream_expiry_boundary.py CONSTRUCTS the ms-exact
+    # boundary case (match-window end / window end == final watermark)
+    # and measured that the engine genuinely uses opposite boundaries:
+    # a buffered outer-join row whose match window ends AT the watermark
+    # is kept (a purchase at exactly wm is not yet provably late), while
+    # an aggregation window ending AT the watermark emits. Pin both, so
+    # a Spark upgrade that moves either boundary fails here before the
+    # driver's oracle gate.
+    from tools.probe_stream_expiry_boundary import (
+        probe_agg_boundary,
+        probe_join_boundary,
+    )
+
+    nulls = probe_join_boundary(spark)
+    assert [r.v_id for r in nulls] == [40], (
+        "join null-expiry boundary moved: expected ONLY the end==wm-1ms "
+        f"view (strict <), got v_ids={sorted(r.v_id for r in nulls)}"
+    )
+    wins = probe_agg_boundary(spark)
+    assert len(wins) == 2, (
+        "append-mode flush boundary moved: expected the end==wm window "
+        f"to emit (<=), got {len(wins)} windows"
+    )
+
+
+def test_run_single_input_batch_premise_asserted(spark):
+    # The dedup/stateful update-mode oracles require the bounded source
+    # to be taken in ONE data micro-batch; _run now asserts it (ADVICE
+    # r15). A multi-batch run under the flag must fail in pytest, not at
+    # the driver's hash gate.
+    from spark_ml_helper_spark.streaming.runs import _events_stream, _run
+
+    multi = _events_stream(spark, SF_ORACLE, max_files_per_trigger=1).select(
+        "user_id", "event_type", "ts"
+    )
+    with pytest.raises(AssertionError, match="single-micro-batch"):
+        _run(multi, "append", require_single_input_batch=True)
+    # and the premise currently HOLDS for the whole-source form
+    whole = _events_stream(spark, SF_ORACLE).select("user_id", "event_type", "ts")
+    assert _run(whole, "append", require_single_input_batch=True).count() > 0
+
+
 # Shuffle budget per headline query: the exchange count each plan is
 # ALLOWED — a new Exchange (lost broadcast, extra repartition, lost
 # bucketing) fails here before it ever shows up in the bench numbers.
@@ -4867,6 +4912,38 @@ def test_fresh_stats_checkpoint_bounds_estimate_growth(spark):
     assert grown > bounded + 30, (grown, bounded)
     assert bounded < 25, bounded
     # and the data itself is identical
+    assert sorted(r.k for r in fresh.collect()) == list(range(10))
+
+
+def test_fresh_stats_checkpoint_fallback_without_internal_api(spark, monkeypatch):
+    # Verdict r15 item 3: fresh_stats_checkpoint's fast path is the
+    # tree's only private[sql] dependency. A Spark upgrade that drops
+    # SparkSession.internalCreateDataFrame must NOT strand the
+    # Borůvka/min-label fixpoints — the public-API fallback
+    # (createDataFrame over the checkpointed RDD) must deliver the same
+    # two properties: bounded stats digits under self-referential join
+    # compounding, and identical data. Force the fallback branch by
+    # monkeypatching the capability probe.
+    from pyspark.sql import functions as F
+
+    from spark_ml_helper_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "_has_internal_create", lambda jss: False)
+
+    def digits(df):
+        return len(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+
+    base = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    fresh = G.fresh_stats_checkpoint(base)
+    for _ in range(7):
+        fresh = G.fresh_stats_checkpoint(
+            fresh.join(
+                fresh.select(F.col("k"), F.col("v").alias("v2")), "k"
+            ).select("k", F.least("v", "v2").alias("v"))
+        )
+    assert digits(fresh) < 25, digits(fresh)
     assert sorted(r.k for r in fresh.collect()) == list(range(10))
 
 
