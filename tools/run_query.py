@@ -2,12 +2,13 @@
 
     python -m tools.run_query <name> [--sf-dir DIR] [--out PATH]
                               [--format parquet|csv|json] [--show N]
-                              [--explain] [--list [substr]]
+                              [--explain] [--oracle] [--list [substr]]
 
 Examples:
     python -m tools.run_query --list dedup
     python -m tools.run_query dedup_minhash --show 20
     python -m tools.run_query agg_group --explain
+    python -m tools.run_query agg_group --oracle      # print the DuckDB twin SQL
     python -m tools.run_query text_tfidf --out /tmp/tfidf --format parquet
 
 With --out the result writes through the requested sink; otherwise the
@@ -31,6 +32,8 @@ def main() -> None:
     ap.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
     ap.add_argument("--show", type=int, default=20, help="rows to print without --out")
     ap.add_argument("--explain", action="store_true", help="print the physical plan, don't execute")
+    ap.add_argument("--oracle", action="store_true",
+                    help="print the query's DuckDB oracle SQL, don't execute")
     ap.add_argument("--list", nargs="?", const="", default=None, metavar="SUBSTR",
                     help="list query names (optionally filtered), then exit")
     args = ap.parse_args()
@@ -53,6 +56,14 @@ def main() -> None:
 
         close = difflib.get_close_matches(args.name, REGISTRY, n=5)
         ap.error(f"unknown query {args.name!r}; close matches: {close}")
+
+    if args.oracle:
+        # no Spark session needed — the oracle is a plain SQL string over
+        # the ten pre-registered parquet views (run it in DuckDB as-is)
+        o = REGISTRY[args.name].oracle
+        print(o.strip() if o else f"{args.name}: rows-only (no SQL oracle; "
+              "see COVERAGE.md §'Rows-only irreducibility')")
+        return
 
     from spark_ml_helper_spark.session import get_spark
 
