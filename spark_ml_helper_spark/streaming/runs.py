@@ -177,16 +177,38 @@ def _run(df, mode="complete", require_single_input_batch=False):
     )
     q.awaitTermination()
     if require_single_input_batch:
-        data_batches = [p for p in q.recentProgress if p.numInputRows > 0]
-        if len(data_batches) > 1:
-            raise AssertionError(
-                f"single-micro-batch oracle premise violated: {len(data_batches)} "
-                "data micro-batches consumed input (expected 1). This query's "
-                "update/append-mode oracle equals the batch aggregate only when "
-                "the bounded source is taken whole — do not set "
-                "maxFilesPerTrigger on its _events_stream."
-            )
+        _assert_single_input_batch(q.recentProgress)
     return df.sparkSession.table(name)
+
+
+def _assert_single_input_batch(progress):
+    """Assert a finished run's progress shows EXACTLY one data micro-batch.
+
+    ``recentProgress`` retains only the last
+    ``spark.sql.streaming.numRecentProgressUpdates`` entries (default 100),
+    so a >100-batch run could rotate its data batches out of the window and
+    the old count-based check would silently pass (ADVICE r16). Guard: the
+    retained history must start at batchId 0 — i.e. be COMPLETE — before
+    the count means anything; a truncated window fails loudly as
+    unverifiable (and a run long enough to truncate has certainly taken
+    more than one data batch anyway)."""
+    if not progress or progress[0].batchId != 0:
+        first = progress[0].batchId if progress else None
+        raise AssertionError(
+            "single-micro-batch oracle premise UNVERIFIABLE: progress history "
+            f"is truncated (earliest retained batchId={first!r}, expected 0; "
+            "numRecentProgressUpdates window overflowed). A run with that many "
+            "micro-batches cannot have consumed the bounded source whole."
+        )
+    data_batches = [p for p in progress if p.numInputRows > 0]
+    if len(data_batches) > 1:
+        raise AssertionError(
+            f"single-micro-batch oracle premise violated: {len(data_batches)} "
+            "data micro-batches consumed input (expected 1). This query's "
+            "update/append-mode oracle equals the batch aggregate only when "
+            "the bounded source is taken whole — do not set "
+            "maxFilesPerTrigger on its _events_stream."
+        )
 
 
 def _multifile_events(spark, sf_dir, n_files=8):

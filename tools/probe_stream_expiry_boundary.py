@@ -26,7 +26,9 @@ watermark over the whole input — same machinery as streaming/runs.py):
    closes well before it (control). Expected: 1 emitted window (strict)
    or 2 (`<=`, what the repo's _WM_MS oracles assume).
 
-MEASURED RESULT (2026-08-16, Spark 4.1.2 local, this probe):
+MEASURED RESULT (2026-08-16, Spark 4.1.2 local, this probe; re-measured
+same day on the production type chain — timestamp_ntz stream +
+cast("timestamp") before withWatermark — identical outcome):
   join null-expiry rows: 1  -> STRICT `<` (window end == wm does NOT expire)
   append-mode windows:   2  -> `<=`      (window end == wm DOES emit)
 
@@ -37,7 +39,8 @@ one-side state watermark from StreamingJoinHelper is applied as
 ``value < stateValueWatermark`` (keep-on-equal: a purchase with
 b_ts == wm is not yet provably late, so the view must keep waiting).
 STREAM_JOIN_OUTER_ORACLE's strict `<` is therefore EXACT, not a bug —
-pinned structurally by tests/test_pipeline.py::test_stream_expiry_boundary.
+pinned structurally by
+tests/test_pipeline.py::test_stream_expiry_boundary_join_strict_agg_inclusive.
 
 Run: python -m tools.probe_stream_expiry_boundary
 """
@@ -53,11 +56,19 @@ from spark_ml_helper_spark.session import get_spark, staging_dir
 
 
 def _stage(spark, rows):
-    """Write crafted events as ONE parquet file; return the directory."""
+    """Write crafted events as ONE parquet file; return the directory.
+
+    ts is staged as timestamp_ntz — the type _events_stream yields — so the
+    CI-pinned boundary runs the production type chain exactly: NTZ on the
+    stream, then cast("timestamp") immediately before withWatermark (the
+    cast every runs.py query performs, identity on the stored micros under
+    the pinned UTC session; withWatermark itself REJECTS raw NTZ with
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). ADVICE r16; previously the probe
+    staged session-tz TimestampType directly."""
     out = os.path.join(staging_dir(prefix="smhs_probe_wm_"), "events")
     df = spark.createDataFrame(
         rows, "user_id bigint, event_id bigint, event_type string, ts string, value double"
-    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     df.coalesce(1).write.mode("overwrite").parquet(out)
     return out
 
@@ -87,12 +98,14 @@ def probe_join_boundary(spark) -> list:
     path = _stage(spark, rows)
     schema = spark.read.parquet(path).schema
     src = lambda: spark.readStream.schema(schema).parquet(path)  # noqa: E731
+    # NTZ stream -> cast("timestamp") before withWatermark: the exact
+    # production chain (runs.py stream_run_stream_join / _outer).
     views = (
         src()
         .filter(F.col("event_type") == "view")
         .select(
             F.col("user_id").alias("v_user"),
-            F.col("ts").alias("v_ts"),
+            F.col("ts").cast("timestamp").alias("v_ts"),
             F.col("event_id").alias("v_id"),
         )
         .withWatermark("v_ts", "30 minutes")
@@ -102,7 +115,7 @@ def probe_join_boundary(spark) -> list:
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("b_user"),
-            F.col("ts").alias("b_ts"),
+            F.col("ts").cast("timestamp").alias("b_ts"),
             F.col("value").alias("b_value"),
         )
         .withWatermark("b_ts", "30 minutes")
@@ -130,6 +143,7 @@ def probe_agg_boundary(spark) -> list:
     agg = (
         spark.readStream.schema(schema)
         .parquet(path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ -> tz, as in runs.py
         .withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("n"))
