@@ -4,6 +4,8 @@ broadcast, no accidental cartesian products)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -4286,6 +4288,31 @@ def test_run_single_input_batch_premise_asserted(spark):
     assert _run(whole, "append", require_single_input_batch=True).count() > 0
 
 
+def test_single_batch_premise_rejects_truncated_progress():
+    # recentProgress keeps only the last numRecentProgressUpdates entries
+    # (default 100); a >100-batch run whose data batches rotated out of the
+    # window would make a bare count-based check pass vacuously (ADVICE
+    # r16). The check must treat an incomplete history (earliest retained
+    # batchId != 0) as a loud failure, not evidence of compliance.
+    from collections import namedtuple
+
+    from spark_ml_helper_spark.streaming.runs import _assert_single_input_batch
+
+    P = namedtuple("P", ["batchId", "numInputRows"])
+    # complete history, one data batch + watermark no-data batch: OK
+    _assert_single_input_batch([P(0, 500), P(1, 0)])
+    # complete history, two data batches: premise violated
+    with pytest.raises(AssertionError, match="premise violated"):
+        _assert_single_input_batch([P(0, 300), P(1, 200), P(2, 0)])
+    # truncated history (window overflowed): unverifiable, must fail even
+    # though the RETAINED slice shows only one data batch
+    with pytest.raises(AssertionError, match="UNVERIFIABLE"):
+        _assert_single_input_batch([P(101, 500), P(102, 0)])
+    # empty history: equally unverifiable
+    with pytest.raises(AssertionError, match="UNVERIFIABLE"):
+        _assert_single_input_batch([])
+
+
 # Shuffle budget per headline query: the exchange count each plan is
 # ALLOWED — a new Exchange (lost broadcast, extra repartition, lost
 # bucketing) fails here before it ever shows up in the bench numbers.
@@ -5108,3 +5135,55 @@ def test_bnlj_build_side_is_tiny_at_runtime(spark):
         assert joins, f"{name} no longer plans a BNLJ — update this test"
         for _, r in joins:
             assert r is not None and r <= 8, (name, joins)
+
+
+# ---------------------------------------------------------------------------
+# README worked examples — executed, not just proofread (VERDICT r16 item 4).
+# Extracts every `python -m tools.run_query ...` / `smh-run ...` invocation
+# from README.md plus each per-family table's `Try` name, and executes them
+# at sf0.001 through the real CLI entry point (spark_ml_helper_spark.cli),
+# so a renamed query or dropped flag rots the docs loudly. Names + flags
+# only — output text is not asserted (the oracle gate owns values).
+
+
+def _readme_example_invocations():
+    import re
+    import shlex
+
+    readme = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "README.md")
+    with open(readme, encoding="utf-8") as fh:
+        text = fh.read()
+    seen, cases = set(), []
+
+    def add(argv):
+        key = tuple(argv)
+        if key not in seen:
+            seen.add(key)
+            cases.append(argv)
+
+    for line in text.splitlines():
+        code = line.split("  #", 1)[0].strip()
+        m = re.match(r"(?:python -m tools\.run_query|smh-run)\s+(\S.*)$", code)
+        if m:
+            add(shlex.split(m.group(1)))
+    # the "One representative query per family" table: | family | `name` | … |
+    sec = re.search(r"One representative query per family.*?(?=\n## )", text, re.S)
+    if sec:
+        for m in re.finditer(r"^\|[^|`]+\|\s*`([a-z0-9_]+)`\s*\|", sec.group(0), re.M):
+            add([m.group(1), "--show", "3"])
+    assert len(cases) >= 20, f"README example extraction broke: only {cases}"
+    return cases
+
+
+@pytest.mark.parametrize(
+    "argv", _readme_example_invocations(), ids=lambda a: " ".join(a)[:60]
+)
+def test_readme_examples_execute(spark, tmp_path, argv):
+    from spark_ml_helper_spark.cli import main
+
+    argv = list(argv)
+    if "--out" in argv:  # redirect the doc's illustrative /tmp path
+        argv[argv.index("--out") + 1] = str(tmp_path / "out")
+    if "--list" not in argv:  # pin docs-scale runs to the smoke fixture
+        argv += ["--sf-dir", SF_SMOKE]
+    main(argv)
