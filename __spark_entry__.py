@@ -28,12 +28,13 @@ load_all_operators()
 # verification window (~50 queries, taken from the head of ``queries()``)
 # re-records them.
 #
-# r16: emptied (verdict r15 item 1). The r15 pins served their purpose — all
-# ten streaming flips now carry hash-gated driver records (CORRECTNESS_r15
-# 50/50) — so the full 50-query window goes to the stalest-first tail and
-# drains the r06 record ring (28 names). Round 16's streaming-oracle
-# boundary hardening (ADVICE r15) was verified locally to be hash-neutral at
-# sf0.01/sf0.001 before landing, so no re-pin is needed.
+# r17: stays empty (verdict r16 item 1) — the 50-query window keeps taking
+# stalest-first, which drains the r07 record ring (22 names: the six
+# stream_run_* originals, ml_gmm_em, the sql_* subquery family, …) and most
+# of r08. Round 17's only semantics-adjacent edits (the _run premise-check
+# truncation guard and the boundary probe's NTZ type alignment) are
+# assertion/tooling hardening verified locally to be hash-neutral, so no
+# re-pin is needed. Target: oldest latest-record >= r08 after this round.
 _REVERIFY_FIRST: list[str] = []
 
 
