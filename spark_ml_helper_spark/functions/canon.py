@@ -21,10 +21,25 @@ DuckDB twins (paste into oracle SQL):
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 SEP = "|"
+
+
+def round_half_up(x: float, digits: int) -> float:
+    """Driver-side round() with HALF_UP ties — the mode F.round and
+    DuckDB's round() share. Python's builtin round() is banker's
+    half-even, which disagrees exactly on the 0.5·10^-digits grid; any
+    driver-side fold state that the oracle replays through SQL round()
+    must use this instead (r17 verdict item 1 closed the class: the
+    Mann-Whitney test replay hit the grid at rank-biserial 0.3515625).
+    Decimal(repr(x)) reproduces Spark's BigDecimal.valueOf(double)
+    shortest-representation semantics."""
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def join_str_array(a: Column) -> Column:

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from spark_ml_helper_spark.functions.canon import round_half_up
 from spark_ml_helper_spark.registry import query
 from spark_ml_helper_spark.sources.parquet import table
 
@@ -343,7 +344,11 @@ def ml_cross_validate(spark, sf_dir):
     model = cv.fit(feats)
     best = max(range(len(model.avgMetrics)), key=lambda i: model.avgMetrics[i])
     rows = [
-        (float(grid[i][lr.regParam]), round(float(model.avgMetrics[i]), 4), i == best)
+        (
+            float(grid[i][lr.regParam]),
+            round_half_up(float(model.avgMetrics[i]), 4),
+            i == best,
+        )
         for i in range(len(grid))
     ]
     return spark.createDataFrame(rows, "reg_param double, cv_accuracy double, is_best boolean")
@@ -1278,16 +1283,11 @@ def ml_logreg_gd(spark, sf_dir):
     z); exp() may drift an ulp per row but every gradient avg is
     RE-ROUNDED at 8 dp before the update, so each round restarts from
     bit-identical weights (the update arithmetic itself is the same
-    IEEE ops on the same bits in Python, Spark, and DuckDB). Declared
-    rounding-mode assumption: the driver-side Python round() is
-    half-to-even while DuckDB's round() is half-away-from-zero — the
-    modes can only diverge when step*gradient lands EXACTLY on a
-    half-1e-8 boundary, which the 8 dp re-rounding of every gradient
-    makes a measure-zero event for IEEE doubles (no fixture value has
-    ever hit one; ml_als_rank1 documents the same hazard class). If a
-    boundary hit ever flips the hash, the fix is a shared explicit
-    half-away helper on the driver update, not a change to the
-    distributed math. Accuracy
+    IEEE ops on the same bits in Python, Spark, and DuckDB). The
+    driver-side update rounds via round_half_up (canon.py) so its tie
+    mode matches DuckDB's half-away round() even on an exact
+    half-1e-8 boundary (measure-zero for IEEE doubles, but r17 closed
+    the banker's-rounding hazard class repo-wide). Accuracy
     thresholds on z >= 0 (no transcendentals); log-loss rounds at
     6 dp. At 100 TB: cache the training frame (here localCheckpoint —
     one scan, 8 reuses), rounds × scan is the cost, identical to
@@ -1318,8 +1318,10 @@ def ml_logreg_gd(spark, sf_dir):
                 for d in range(64)
             ],
         ).collect()[0]
-        b0 = round(b0 - _LR_STEP * g["g0"], 8)
-        warr = [round(warr[d] - _LR_STEP * g[f"g{d + 1}"], 8) for d in range(64)]
+        b0 = round_half_up(b0 - _LR_STEP * g["g0"], 8)
+        warr = [
+            round_half_up(warr[d] - _LR_STEP * g[f"g{d + 1}"], 8) for d in range(64)
+        ]
 
     scored = pts.withColumn("zf", zcol(b0, warr))
     metrics = scored.agg(
@@ -1894,9 +1896,10 @@ def ml_gmm_em(spark, sf_dir):
             wk[k] = g[f"a_r{k}"]
             for d in range(1, D + 1):
                 a_r, a_rx, a_rxx = g[f"a_r{k}"], g[f"a_rx{k}_{d}"], g[f"a_rxx{k}_{d}"]
-                mu[k][d - 1] = round(a_rx / a_r, 8)
+                mu[k][d - 1] = round_half_up(a_rx / a_r, 8)
                 va[k][d - 1] = max(
-                    round(a_rxx / a_r - (a_rx / a_r) * (a_rx / a_r), 8), _GMM_VFLOOR
+                    round_half_up(a_rxx / a_r - (a_rx / a_r) * (a_rx / a_r), 8),
+                    _GMM_VFLOOR,
                 )
 
     final = pts

@@ -221,6 +221,18 @@ def test_holt_winters_oracle_matches_python_replay(n, seed):
         assert got[d] == exp, (i, got[d], exp)
 
 
+def _round_half_up(x: float, digits: int) -> float:
+    """round() with HALF_UP ties, matching Spark's F.round and DuckDB's
+    round — Python round() is banker's half-even, which disagrees on
+    exact half-grid values (e.g. rank-biserial 0.3515625 at 6 digits:
+    HALF_UP 0.351563, half-even 0.351562; hypothesis found it at
+    n1=16, n2=8, seed=44729)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def _mw_python(g1, g2):
     from collections import Counter
 
@@ -235,11 +247,15 @@ def _mw_python(g1, g2):
         ties3 += c * c * c - c
     u1 = r1 - n1 * (n1 + 1) / 2.0
     var_u = n1 * n2 / 12.0 * ((n + 1) - ties3 / (n * (n - 1.0)))
-    z = round((u1 - n1 * n2 / 2.0) / var_u**0.5, 6)
-    return n1, n2, u1, round(1.0 - 2.0 * u1 / (n1 * n2), 6), z
+    z = _round_half_up((u1 - n1 * n2 / 2.0) / var_u**0.5, 6)
+    return n1, n2, u1, _round_half_up(1.0 - 2.0 * u1 / (n1 * n2), 6), z
 
 
 @settings(max_examples=50, deadline=None)
+# pinned regression: rank-biserial lands exactly on the 5e-7 half-grid
+# (0.3515625), where banker's rounding in the replay disagreed with the
+# engine/oracle HALF_UP (r17 verdict item 1)
+@example(n1=16, n2=8, seed=44729)
 @given(
     n1=st.integers(2, 25),
     n2=st.integers(2, 25),
