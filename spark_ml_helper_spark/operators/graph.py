@@ -21,6 +21,46 @@ from spark_ml_helper_spark.registry import query
 from spark_ml_helper_spark.sources.parquet import table
 
 
+#: bounded_loop_frame thresholds (r18). A loop input under SMALL_LOOP_ROWS
+#: is "small": its per-round cost is task scheduling, not data, so its
+#: partition count is capped at ceil(rows / LOOP_ROWS_PER_PART) by a NARROW
+#: coalesce. Above the threshold the caller's partitioning is kept
+#: untouched — at cluster scale the loop frames must stay distributed and
+#: a blind coalesce would serialize real work. Both knobs are plain module
+#: constants (not magic inline numbers) so a deployment can retune them;
+#: the defaults keep partitions in the guide's 100 MB–1 GB band for the
+#: narrow (id, id, weight) rows these loops carry.
+SMALL_LOOP_ROWS = 4_000_000
+LOOP_ROWS_PER_PART = 500_000
+
+
+def bounded_loop_frame(df, n_rows):
+    """Adaptive-parallelism guard for fixpoint loop inputs — the
+    min_label_fixpoint "adaptive parallelism" strategy (round 4)
+    generalized to the whole family (r18, guide §2.2/§6).
+
+    A fixpoint re-scans its edge frame EVERY round, so a small frame
+    that arrived over-partitioned (synthetic generators multiply
+    partition counts through crossJoin/union; map-only broadcast-join
+    chains never hit an exchange, so AQE never re-coalesces them) pays
+    task launches proportional to the partition count per round, not to
+    the data: measured on the coreness clique-bundle fixture, the 36k-row
+    edge list carried 128 partitions and every deg/restrict pass cost
+    1-1.6 s of pure scheduling at local[32]. The fix is a NARROW coalesce
+    (no shuffle, no row movement across executors beyond block reads)
+    down to ceil(n_rows / LOOP_ROWS_PER_PART) partitions, only when the
+    caller-supplied row count is under SMALL_LOOP_ROWS. Large inputs are
+    returned unchanged, so cluster-scale behavior is untouched. Row
+    VALUES are never affected (all loop arithmetic in this family is
+    exact-integer, and coalesce is order-stable within partitions)."""
+    if n_rows >= SMALL_LOOP_ROWS:
+        return df
+    parts = max(1, -(-int(n_rows) // LOOP_ROWS_PER_PART))
+    if df.rdd.getNumPartitions() <= parts:
+        return df
+    return df.coalesce(parts)
+
+
 def _copurchase_edges(spark, sf_dir):
     """Undirected distinct part-part edges: two parts co-occurring in one
     order, canonicalized src < dst. Built as groupBy(order) →
@@ -255,7 +295,10 @@ def _pagerank_ranks(spark, sf_dir):
                 ).alias("rank"),
             )
             .coalesce(1)
-            .localCheckpoint()
+            # lazy (r18): the next iteration's dangling-mass broadcast
+            # build materializes this checkpoint in the same job — the
+            # eager form paid one extra job per iteration
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -618,16 +661,28 @@ def graph_label_prop(spark, sf_dir):
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     )
-    w = Window.partitionBy("node").orderBy(F.desc("c"), "lab")
     for _ in range(_LPA_ROUNDS):
+        # top-1 by (max count, min label) as a min-struct aggregate
+        # instead of a row_number window (r18, guide §2.4): the window
+        # re-shuffled the (node, lab, c) frame by node AND sorted every
+        # partition; the argmin aggregate is map-side combinable and
+        # needs no sort. (-c, lab) lexicographic min IS (desc c, asc lab)
+        # rank-1 — exact integer arithmetic, so the selected labels are
+        # identical. Checkpoints are lazy: a fixed-round loop with no
+        # convergence action materializes once at the caller's action,
+        # each round's persist riding the same job (r18 consolidation).
         labels = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"), "lab")
             .agg(F.count("*").alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "lab")
-            .localCheckpoint(eager=True)
+            .groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lab").alias("lab"))
+                ).alias("b")
+            )
+            .select("node", F.col("b.lab").alias("lab"))
+            .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("lab").alias("community"))
 
@@ -1249,7 +1304,11 @@ def _louvain_phase1(spark, sf_dir):
         )
         # checkpoint-stats audit (round 12): comm self-references ×4 per
         # round, but _LOUVAIN_ROUNDS is a small constant (oracle unrolls
-        # it), so estimates can't compound — no fresh_stats_checkpoint
+        # it), so estimates can't compound — no fresh_stats_checkpoint.
+        # EAGER on purpose (r18 measured): a lazy chain here ran the six
+        # rounds as one mega-DAG job and read 4.4-4.8 s warm vs 3.5 s
+        # with per-round materialization — the ×4 in-round reuse of comm
+        # plans better against a materialized LogicalRDD.
         comm = (
             moved.unionByName(comm.filter(~is_mover))
             .localCheckpoint(eager=True)
@@ -1477,7 +1536,7 @@ def _sssp_oracle(rounds: int = _SSSP_ROUNDS) -> str:
     """
 
 
-def sssp_fixpoint(edges, seeds, max_rounds=None):
+def sssp_fixpoint(edges, seeds, max_rounds=None, n_edges=None):
     """Delta-frontier Bellman–Ford to the true fixpoint over a weighted
     edge list (``edges``: src/dst/w with both directions present,
     materialized by the caller; ``seeds``: (node, dist) at dist 0).
@@ -1494,7 +1553,10 @@ def sssp_fixpoint(edges, seeds, max_rounds=None):
     weights are non-negative). Returns ``(dists, rounds)``; raises if
     ``max_rounds`` (default |V|+1, the BF bound) is exhausted — at
     100 TB the further refinement for huge-diameter graphs is
-    Δ-stepping's bucketed hybrid (Meyer & Sanders 2003).
+    Δ-stepping's bucketed hybrid (Meyer & Sanders 2003). ``n_edges``
+    (r18): pass the edge-row count when known to skip the one metadata
+    count that feeds bounded_loop_frame; either way the loop-frame bound
+    only ever narrows SMALL over-partitioned inputs.
 
     Checkpoint-stats audit (round 12): the distance merge is a LINEAR
     chain (d joins prop, which derives from the frontier, not from d
@@ -1507,6 +1569,13 @@ def sssp_fixpoint(edges, seeds, max_rounds=None):
     f = d
     if max_rounds is None:
         max_rounds = edges.select("src").distinct().count() + 1
+    # bound the edge frame's per-round task count (r18, bounded_loop_frame):
+    # the relaxation re-scans edges every round, so one metadata count
+    # (skipped when the caller already knows the size) amortizes over the
+    # run; a large frame is returned unchanged
+    if n_edges is None:
+        n_edges = edges.count()
+    edges = bounded_loop_frame(edges, n_edges)
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
@@ -1525,11 +1594,15 @@ def sssp_fixpoint(edges, seeds, max_rounds=None):
                     & (F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
                 ).alias("improved"),
             )
-            .localCheckpoint(eager=True)
+            # lazy checkpoint + frontier count below: ONE job materializes
+            # the round's merge AND answers the termination test (the old
+            # eager-checkpoint-then-isEmpty pair was two jobs per round —
+            # r18 job consolidation, the min_label_fixpoint lesson)
+            .localCheckpoint(eager=False)
         )
         d = merged.select("node", "dist")
         f = merged.where("improved").select("node", "dist")
-        if f.isEmpty():
+        if f.count() == 0:
             return d, rounds
     raise RuntimeError(
         f"sssp_fixpoint: relaxation failed to converge in {max_rounds} rounds"
@@ -1629,12 +1702,14 @@ def _ds_merge(d, prop):
                 & (F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
             ).alias("improved"),
         )
-        .localCheckpoint(eager=True)
+        # lazy (r18): the caller's next full action (the in-bucket
+        # frontier count) materializes the merge in the same job
+        .localCheckpoint(eager=False)
     )
     return m.select("node", "dist"), m.where("improved").select("node", "dist")
 
 
-def delta_stepping_fixpoint(edges, seeds, delta, max_rounds):
+def delta_stepping_fixpoint(edges, seeds, delta, max_rounds, n_edges=None):
     """Δ-stepping SSSP (Meyer & Sanders 2003) — the huge-diameter scale
     path sssp_fixpoint's own docstring points to, landed after the
     probe demonstrated the crossover (tools/scale_probe_sssp.py
@@ -1668,18 +1743,34 @@ def delta_stepping_fixpoint(edges, seeds, delta, max_rounds):
     loop is first filtered/aggregated, which resets the preserved
     estimate — measured digits PLATEAU at ~217 across 387 checkpoints
     on a 48-node chain. No fresh_stats_checkpoint needed."""
-    light = edges.where(F.col("w") <= delta).localCheckpoint(eager=True)
-    heavy = edges.where(F.col("w") > delta).localCheckpoint(eager=True)
+    # r18 job consolidation across the loop (the min_label_fixpoint
+    # lesson — job submission overhead dominates dictionary-sized
+    # rounds): every per-round frame is a LAZY localCheckpoint whose
+    # materialization rides the next full action (the in-bucket frontier
+    # count, or the next bucket's min-bucket agg), the old
+    # eager-checkpoint + isEmpty pairs are gone (the min-bucket agg
+    # returns NULL on an empty frontier, which IS the emptiness test),
+    # and the edge frame's per-round task count is bounded once at entry
+    # (bounded_loop_frame; pass n_edges when known to skip the metadata
+    # count).
+    if n_edges is None:
+        n_edges = edges.count()
+    edges = bounded_loop_frame(edges, n_edges)
+    light = edges.where(F.col("w") <= delta).localCheckpoint(eager=False)
+    heavy = edges.where(F.col("w") > delta).localCheckpoint(eager=False)
     d = seeds.localCheckpoint(eager=True)
     f = d
     bkt = F.floor(F.col("dist") / delta)
     rounds = 0
-    while not f.isEmpty():
+    while True:
         b = f.agg(F.min(bkt).alias("b")).first()["b"]
-        cur = f.where(bkt == b).localCheckpoint(eager=True)
-        f = f.where(bkt > b).localCheckpoint(eager=True)
+        if b is None:  # empty frontier — the textbook termination
+            return d, rounds
+        cur = f.where(bkt == b).localCheckpoint(eager=False)
+        f = f.where(bkt > b).localCheckpoint(eager=False)
+        n_cur = cur.count()
         settled = cur.select("node")
-        while not cur.isEmpty():
+        while n_cur:
             rounds += 1
             if rounds > max_rounds:
                 raise RuntimeError(
@@ -1691,34 +1782,34 @@ def delta_stepping_fixpoint(edges, seeds, delta, max_rounds):
                 .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
             )
             d, imp = _ds_merge(d, prop)
-            imp = imp.localCheckpoint(eager=True)
-            cur = imp.where(bkt == b).localCheckpoint(eager=True)
+            imp = imp.localCheckpoint(eager=False)
+            cur = imp.where(bkt == b).localCheckpoint(eager=False)
+            n_cur = cur.count()
             settled = settled.unionByName(cur.select("node"))
             f = (
                 f.join(imp, "node", "left_anti")
                 .unionByName(imp.where(bkt > b))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
         rounds += 1
         if rounds > max_rounds:
             raise RuntimeError(
                 f"delta_stepping_fixpoint: not converged in {max_rounds} rounds"
             )
-        s = d.join(settled.distinct(), "node").localCheckpoint(eager=True)
+        s = d.join(settled.distinct(), "node").localCheckpoint(eager=False)
         prop = (
             heavy.join(s.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
         )
         d, imp = _ds_merge(d, prop)
-        imp = imp.localCheckpoint(eager=True)
+        imp = imp.localCheckpoint(eager=False)
         # heavy improvements land strictly beyond bucket b (w > delta)
         f = (
             f.join(imp, "node", "left_anti")
             .unionByName(imp)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-    return d, rounds
 
 
 @query("graph_sssp_delta", oracle=_sssp_oracle(), family="graph")
@@ -1800,7 +1891,7 @@ def _kcore_oracle(rounds: int = _KCORE_ROUNDS) -> str:
     """
 
 
-def kcore_fixpoint(edges, k, max_rounds=None):
+def kcore_fixpoint(edges, k, max_rounds=None, n_surv_out=None):
     """Delta-peel k-core decomposition over an undirected edge list
     (``edges``: src/dst with both directions present, materialized by
     the caller). Maintains each survivor's degree WITHIN the current
@@ -1815,27 +1906,49 @@ def kcore_fixpoint(edges, k, max_rounds=None):
     (node, k) for the surviving core with k = degree within it; an
     empty removed set IS the fixpoint; raises after ``max_rounds``
     (default |V|+1 — every non-final round removes >= 1 node).
+    ``n_surv_out`` (r18): optional list; the final survivor count is
+    appended, tracked arithmetically from the per-round removed counts
+    the convergence test already pays for — callers that need emptiness
+    (coreness_decomposition's level loop) get it without an extra job.
 
     Checkpoint-stats audit (round 12): anti-join + left-join + select
     between checkpoints keeps the preserved estimate bounded — measured
     digits plateau at 20 across 42 checkpoints on the 40-node staircase
     peel. No fresh_stats_checkpoint needed."""
     kk = k
+    # lazy checkpoint + one agg: a single job materializes deg AND yields
+    # both the node count (round bound) and the edge count (Σ degree =
+    # directed edge rows — the loop-frame bound needs EDGE volume, not
+    # node count: a dense small-|V| graph must keep its partitioning)
+    # (r18 job consolidation — the min_label_fixpoint lesson: job
+    # submission overhead dominates these dictionary-sized rounds)
     deg = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count("*").cast("bigint").alias("k"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    counts = deg.agg(F.count("*").alias("n"), F.sum("k").alias("e")).first()
+    n_nodes = counts["n"] or 0
     if max_rounds is None:
-        max_rounds = deg.count() + 1
+        max_rounds = n_nodes + 1
+    edges = bounded_loop_frame(edges, counts["e"] or 0)
+    n_surv = n_nodes
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
+        # ONE job per round: counting the lazily-checkpointed removed
+        # set materializes it, answers the convergence test, AND
+        # materializes the PREVIOUS round's lazily-checkpointed deg
+        # update that it derives from
         removed = (
-            deg.where(F.col("k") < kk).select("node").localCheckpoint(eager=True)
+            deg.where(F.col("k") < kk).select("node").localCheckpoint(eager=False)
         )
-        if removed.isEmpty():
+        n_removed = removed.count()
+        if n_removed == 0:
+            if n_surv_out is not None:
+                n_surv_out.append(n_surv)
             return deg, rounds
+        n_surv -= n_removed
         dec = (
             edges.join(removed.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .groupBy(F.col("src").alias("node"))
@@ -1848,7 +1961,7 @@ def kcore_fixpoint(edges, k, max_rounds=None):
                 "node",
                 (F.col("k") - F.coalesce("dec", F.lit(0))).cast("bigint").alias("k"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     raise RuntimeError(
         f"kcore_fixpoint: peel failed to converge in {max_rounds} rounds"
@@ -2051,14 +2164,24 @@ def coreness_decomposition(edges, kmax=None):
     same round."""
     if kmax is None:
         kmax = _CORENESS_KMAX
+    # one metadata count bounds the edge frame's task count for EVERY
+    # level's peel + restriction pass (r18, bounded_loop_frame): the
+    # decomposition re-scans the edge frame ~2x per level, so the count
+    # amortizes over the whole run; on the clique-bundle bench fixture
+    # this removed 128-task scheduling walls from every deg/restrict pass
+    edges = bounded_loop_frame(edges, edges.count())
     nodes = edges.select(F.col("src").alias("node")).distinct()
     out = nodes.select("node", F.lit(1).cast("bigint").alias("coreness"))
     cur = edges
     for k in range(2, kmax + 1):
-        deg, _rounds = kcore_fixpoint(cur, k)
-        surv = deg.select("node").localCheckpoint(eager=True)
-        if surv.isEmpty():
+        n_surv: list = []
+        deg, _rounds = kcore_fixpoint(cur, k, n_surv_out=n_surv)
+        if n_surv[0] == 0:
             break
+        # deg is already a materialized checkpoint — a projection over it
+        # is cheap per use; the old eager surv checkpoint + isEmpty pair
+        # was two extra jobs per level (r18)
+        surv = deg.select("node")
         out = (
             out.join(surv.withColumn("hit", F.lit(True)), "node", "left")
             .select(
@@ -2067,12 +2190,14 @@ def coreness_decomposition(edges, kmax=None):
                 .otherwise(F.col("coreness"))
                 .alias("coreness"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: materialized by the next level's first job (or the
+            # caller's action) — an eager job per level bought nothing
+            .localCheckpoint(eager=False)
         )
         cur = (
             cur.join(surv.withColumnRenamed("node", "src"), "src", "left_semi")
             .join(surv.withColumnRenamed("node", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return out
 
@@ -2167,7 +2292,7 @@ def _mst_oracle(rounds: int = _MST_ROUNDS) -> str:
     """
 
 
-def boruvka_msf(eu, prune=True, round_edge_counts=None, rounds_out=None):
+def boruvka_msf(eu, prune=True, round_edge_counts=None, rounds_out=None, n_edges=None):
     """Borůvka minimum-spanning-forest loop over a checkpointed
     undirected edge list ``eu`` (lo, hi, w — (w, lo, hi) a total order,
     so the forest is unique). Factored out of graph_mst (r11) so the
@@ -2183,7 +2308,23 @@ def boruvka_msf(eu, prune=True, round_edge_counts=None, rounds_out=None):
     ``rounds_out``: optional list; one marker int appended per executed
     round — a FREE round counter for bench.py's per-round instrument
     (``round_edge_counts`` also counts rounds but pays an eu.count()
-    action per round, which would pollute a timing instrument)."""
+    action per round, which would pollute a timing instrument).
+    ``n_edges`` (r18): pass the edge count when known to skip the one
+    metadata count that feeds bounded_loop_frame at entry.
+
+    r18 job consolidation (the min_label_fixpoint lesson): the
+    per-round frames are LAZY localCheckpoints — the round's single
+    cross-edge count job materializes the cross frame and answers
+    termination, min_label's own first action materializes bidir, and
+    the next round's count materializes comp/sel — so a round costs
+    ~3 driver actions instead of 7. msf is no longer checkpointed at
+    all: it is a linear unionByName chain over already-checkpointed
+    sel frames, so its lineage grows one node per round (additive,
+    not self-referential) and the final select replays checkpointed
+    blocks only."""
+    if n_edges is None:
+        n_edges = eu.count()
+    eu = bounded_loop_frame(eu, n_edges)
     nodes = (
         eu.select(F.col("lo").alias("node"))
         .unionByName(eu.select(F.col("hi").alias("node")))
@@ -2195,7 +2336,7 @@ def boruvka_msf(eu, prune=True, round_edge_counts=None, rounds_out=None):
     # compound geometrically and driver planning blows up past ~8 rounds
     # (see the helper's docstring; tools/scale_probe_mst.py regresses it).
     comp = fresh_stats_checkpoint(
-        nodes.select("node", F.col("node").alias("comp"))
+        nodes.select("node", F.col("node").alias("comp")), eager=False
     )
     n_nodes = comp.count()
     msf = eu.limit(0)
@@ -2219,9 +2360,9 @@ def boruvka_msf(eu, prune=True, round_edge_counts=None, rounds_out=None):
                 "hi",
             )
             .where(F.col("ca") != F.col("cb"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if cross.isEmpty():
+        if cross.count() == 0:
             return msf.select("lo", "hi", "w")
         if prune:
             # Borůvka edge pruning (r11): components only ever GROW, so an
@@ -2245,9 +2386,9 @@ def boruvka_msf(eu, prune=True, round_edge_counts=None, rounds_out=None):
                 F.col("e.w").alias("w"),
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        msf = msf.unionByName(sel).localCheckpoint(eager=True)
+        msf = msf.unionByName(sel)
         cg = (
             sel.join(
                 comp.withColumnRenamed("node", "lo").withColumnRenamed(
@@ -2267,13 +2408,14 @@ def boruvka_msf(eu, prune=True, round_edge_counts=None, rounds_out=None):
         bidir = (
             cg.select(F.col("a").alias("src"), F.col("b").alias("dst"))
             .unionByName(cg.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         labels, _r = min_label_fixpoint(bidir)
         comp = fresh_stats_checkpoint(
             comp.join(
                 labels.withColumnRenamed("node", "comp"), "comp", "left"
-            ).select("node", F.coalesce("lab", "comp").alias("comp"))
+            ).select("node", F.coalesce("lab", "comp").alias("comp")),
+            eager=False,
         )
     raise RuntimeError(
         f"boruvka_msf: Boruvka failed to converge in {max_rounds} rounds"

