@@ -1637,6 +1637,13 @@ def vec_pca_power(spark, sf_dir):
             cov.join(F.broadcast(v), "j")
             .groupBy("i")
             .agg(F.sum(F.col("c") * F.col("vj")).alias("wi"))
+            # w feeds BOTH the norm and the normalized vector; without a
+            # checkpoint the multiply-aggregate ran twice per round (r18).
+            # Lazy: the norm broadcast build materializes it. Using ONE
+            # materialized w for both consumers also removes any chance
+            # of the two evaluations drifting an ulp apart — the 9 dp
+            # re-round absorbed that by design, now it cannot arise.
+            .localCheckpoint(eager=False)
         )
         nrm = w.agg(F.round(F.sqrt(F.sum(F.col("wi") * F.col("wi"))), 9).alias("nrm"))
         v = (
@@ -1802,24 +1809,33 @@ def _km_train(spark, sf_dir):
             )
         )
 
+    # Centroid update as ONE k-keyed aggregate of 64 per-dimension
+    # avg expressions reassembled with F.array (r18, guide §2.3): the
+    # previous posexplode form multiplied the corpus 64x into a
+    # (cluster, dim) shuffle and needed a SECOND shuffle to collect the
+    # dims back into an array. The per-dimension avg values are the same
+    # aggregates over the same rows (re-rounded at 7 dp, which is what
+    # absorbs engine/order float drift by design), so the trained
+    # centroids are unchanged — re-verified against the DuckDB chain.
+    dim = 64  # fixture embedding width, fixed across the registry
+    upd_aggs = [
+        F.round(F.avg(F.col("emb")[d]), 7).alias(f"v{d}") for d in range(dim)
+    ]
     for _ in range(_KM_ROUNDS):
         assigned = assign(cent)
         upd = (
-            assigned.select("cluster", F.posexplode("emb").alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(F.round(F.avg("x"), 7).alias("v"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "v"))),
-                    lambda s: s["v"],
-                ).alias("newc")
+            assigned.groupBy("cluster")
+            .agg(*upd_aggs)
+            .select(
+                "cluster", F.array(*[F.col(f"v{d}") for d in range(dim)]).alias("newc")
             )
         )
         cent = (
             cent.join(upd, "cluster", "left")
             .select("cluster", F.coalesce("newc", "cent").alias("cent"))
-            .localCheckpoint()
+            # lazy (r18): the next round's codebook broadcast build (or
+            # the caller's first action) materializes it in the same job
+            .localCheckpoint(eager=False)
         )
     return pts, cent, assign(cent)
 
@@ -2128,18 +2144,25 @@ def _pq_train(spark, sf_dir):
             )
         )
 
+    # Codebook update as ONE (sub, cluster)-keyed aggregate of 8
+    # per-dimension avg expressions reassembled with F.array (r18, the
+    # _km_train recipe): the posexplode form multiplied the subvector
+    # stream 8x into a (sub, cluster, dim) shuffle and needed a second
+    # shuffle to collect dims back into arrays. Same aggregates over the
+    # same rows, re-rounded at 7 dp (the drift absorber) — centroids
+    # unchanged, re-verified against the DuckDB chain.
+    upd_aggs = [
+        F.round(F.avg(F.col("sv")[d]), 7).alias(f"v{d}") for d in range(_PQ_SUBDIM)
+    ]
     for _ in range(_PQ_ROUNDS):
         assigned = assign(cent)
         upd = (
-            assigned.select("sub", "cluster", F.posexplode("sv").alias("dim", "x"))
-            .groupBy("sub", "cluster", "dim")
-            .agg(F.round(F.avg("x"), 7).alias("v"))
-            .groupBy("sub", "cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "v"))),
-                    lambda s: s["v"],
-                ).alias("newc")
+            assigned.groupBy("sub", "cluster")
+            .agg(*upd_aggs)
+            .select(
+                "sub",
+                "cluster",
+                F.array(*[F.col(f"v{d}") for d in range(_PQ_SUBDIM)]).alias("newc"),
             )
         )
         cent = (
@@ -2698,17 +2721,20 @@ def train_ivfpq(spark, sf_dir):
     Same math, same 6 dp grid, same (d², cell) tie-break as the
     oracle's row_number window."""
     e = table(spark, sf_dir, "embeddings")
-    # IVF coarse codebook: per-label mean, rounded — deterministic
-    ex = e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+    # IVF coarse codebook: per-label mean, rounded — deterministic.
+    # ONE label-keyed aggregate of 64 per-dimension avgs reassembled
+    # with F.array (r18, the _km_train recipe — replaces posexplode +
+    # a second collect_list shuffle; same values on the 6 dp grid).
+    ivf_aggs = [
+        F.round(F.avg(F.col("embedding")[d].cast("double")), 6).alias(f"m{d}")
+        for d in range(64)
+    ]
     ivfc = (
-        ex.groupBy(F.col("label").alias("c_label"), (F.col("pos0") + 1).alias("pos"))
-        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mv"))
-        .groupBy("c_label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
-                lambda s: s.getField("mv"),
-            ).alias("centroid")
+        e.groupBy(F.col("label").alias("c_label"))
+        .agg(*ivf_aggs)
+        .select(
+            "c_label",
+            F.array(*[F.col(f"m{d}") for d in range(64)]).alias("centroid"),
         )
     )
     # 1-row frame; eager checkpoint so the corpus-scan centroid
