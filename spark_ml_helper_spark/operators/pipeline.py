@@ -498,19 +498,18 @@ def sim_ann_ivf(spark, sf_dir):
     vec_id."""
     e = table(spark, sf_dir, "embeddings")
     # codebook: per-label mean, rounded — deterministic across engines.
-    # ONE label-keyed aggregate of 64 per-dimension avgs reassembled with
-    # F.array (r18, the _km_train recipe): replaces posexplode (64x row
-    # fan-out) + a second collect_list shuffle; same values, same 6 dp grid.
-    cent_aggs = [
-        F.round(F.avg(F.col("embedding")[d].cast("double")), 6).alias(f"m{d}")
-        for d in range(64)
-    ]
+    # Posexplode → (label, pos) partial agg on purpose (r18 measured: the
+    # 64-wide single-aggregate variant regressed wall ~0.7 s from
+    # whole-stage codegen compile at that width; see _km_train's note).
+    ex = e.select("label", F.posexplode("embedding").alias("pos0", "v"))
     cent = (
-        e.groupBy(F.col("label").alias("c_label"))
-        .agg(*cent_aggs)
-        .select(
-            "c_label",
-            F.array(*[F.col(f"m{d}") for d in range(64)]).alias("centroid"),
+        ex.groupBy(F.col("label").alias("c_label"), (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mv"))
+        .groupBy("c_label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s.getField("mv")
+            ).alias("centroid")
         )
     )
     vn = e.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))

@@ -1809,33 +1809,32 @@ def _km_train(spark, sf_dir):
             )
         )
 
-    # Centroid update as ONE k-keyed aggregate of 64 per-dimension
-    # avg expressions reassembled with F.array (r18, guide §2.3): the
-    # previous posexplode form multiplied the corpus 64x into a
-    # (cluster, dim) shuffle and needed a SECOND shuffle to collect the
-    # dims back into an array. The per-dimension avg values are the same
-    # aggregates over the same rows (re-rounded at 7 dp, which is what
-    # absorbs engine/order float drift by design), so the trained
-    # centroids are unchanged — re-verified against the DuckDB chain.
-    dim = 64  # fixture embedding width, fixed across the registry
-    upd_aggs = [
-        F.round(F.avg(F.col("emb")[d]), 7).alias(f"v{d}") for d in range(dim)
-    ]
+    # Update stays the posexplode → (cluster, dim) partial-agg form ON
+    # PURPOSE (r18 measured): a single 64-wide avg aggregate halves the
+    # exchanges on paper but regressed wall time ~0.5 s/query (64 agg
+    # buffers × 5 rounds of whole-stage codegen compilation dominates at
+    # this width — the 8-wide PQ variant in _pq_train DID win and keeps
+    # the one-aggregate form). Shuffle volume is identical either way:
+    # the explode is pre-combine, so each map partition emits k×64
+    # partial cells in both forms.
     for _ in range(_KM_ROUNDS):
         assigned = assign(cent)
         upd = (
-            assigned.groupBy("cluster")
-            .agg(*upd_aggs)
-            .select(
-                "cluster", F.array(*[F.col(f"v{d}") for d in range(dim)]).alias("newc")
+            assigned.select("cluster", F.posexplode("emb").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("x"), 7).alias("v"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                    lambda s: s["v"],
+                ).alias("newc")
             )
         )
         cent = (
             cent.join(upd, "cluster", "left")
             .select("cluster", F.coalesce("newc", "cent").alias("cent"))
-            # lazy (r18): the next round's codebook broadcast build (or
-            # the caller's first action) materializes it in the same job
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
     return pts, cent, assign(cent)
 
@@ -2722,19 +2721,20 @@ def train_ivfpq(spark, sf_dir):
     oracle's row_number window."""
     e = table(spark, sf_dir, "embeddings")
     # IVF coarse codebook: per-label mean, rounded — deterministic.
-    # ONE label-keyed aggregate of 64 per-dimension avgs reassembled
-    # with F.array (r18, the _km_train recipe — replaces posexplode +
-    # a second collect_list shuffle; same values on the 6 dp grid).
-    ivf_aggs = [
-        F.round(F.avg(F.col("embedding")[d].cast("double")), 6).alias(f"m{d}")
-        for d in range(64)
-    ]
+    # Kept in the posexplode → (label, pos) partial-agg form on purpose
+    # (r18 measured): the 64-wide single-aggregate variant regressed
+    # wall ~0.7 s from whole-stage codegen compilation at that width
+    # (see _km_train; the 8-wide PQ form is the one that wins).
+    ex = e.select("label", F.posexplode("embedding").alias("pos0", "v"))
     ivfc = (
-        e.groupBy(F.col("label").alias("c_label"))
-        .agg(*ivf_aggs)
-        .select(
-            "c_label",
-            F.array(*[F.col(f"m{d}") for d in range(64)]).alias("centroid"),
+        ex.groupBy(F.col("label").alias("c_label"), (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mv"))
+        .groupBy("c_label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s.getField("mv"),
+            ).alias("centroid")
         )
     )
     # 1-row frame; eager checkpoint so the corpus-scan centroid
