@@ -49,6 +49,11 @@ def _collapse_identical_sets(sets: DataFrame):
       same call a production dedup job makes caching its id dictionary.
       At cluster scale prefer reliable checkpointing / a staging table:
       localCheckpoint state dies with an executor."""
+    # NOTE (r18): an explicit repartition(defaultParallelism, doc_id) here
+    # (the hash_documents fix) was tried and measured WORSE for the
+    # PPJoin/matmul consumers — their wall cost is the posting/cogroup
+    # stages, not this per-row map, and the extra partitions cascade into
+    # every downstream scan of the checkpoints. Left on the scan layout.
     canon = (
         sets.filter(F.size("elems") > 0)
         .select("doc_id", F.sort_array("elems").alias("elems"))

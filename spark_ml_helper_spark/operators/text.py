@@ -730,7 +730,15 @@ def hash_documents(documents):
     """(doc_id, text) → (doc_id, tok_hashes, skey): the deterministic
     tokenize + md5-mod-p hash + set-digest stage every MinHash op shares.
     Per-row, shuffle-free (the repartition only spreads the single-row-
-    group fixture across cores)."""
+    group fixture across cores). NOTE (r18): AQE folds this coalescible
+    repartition back to ONE partition by bytes at fixture scale, so the
+    md5/minhash CPU runs serially — but pinning it to defaultParallelism
+    was MEASURED WORSE end-to-end (alternating in-process A/B, medians:
+    1 part 4.17 s, 32 parts 5.08 s, 8 parts 3.81 s for dedup_incremental):
+    the extra partitions cascade into every downstream scan of the
+    checkpoint and cost more than the ~0.3 s of serialized hashing. At
+    real corpus scale the scan arrives multi-partition and AQE keeps it
+    so; left as-is on purpose."""
     return (
         documents.repartition("doc_id")
         .select("doc_id", F.array_distinct(_tokens()).alias("tokset"))
