@@ -28,14 +28,32 @@ load_all_operators()
 # verification window (~50 queries, taken from the head of ``queries()``)
 # re-records them.
 #
-# r17: stays empty (verdict r16 item 1) — the 50-query window keeps taking
-# stalest-first, which drains the r07 record ring (22 names: the six
-# stream_run_* originals, ml_gmm_em, the sql_* subquery family, …) and most
-# of r08. Round 17's only semantics-adjacent edits (the _run premise-check
-# truncation guard and the boundary probe's NTZ type alignment) are
-# assertion/tooling hardening verified locally to be hash-neutral, so no
-# re-pin is needed. Target: oldest latest-record >= r08 after this round.
-_REVERIFY_FIRST: list[str] = []
+# r18 (optimization round): every query whose implementation changed this
+# round goes first so the driver re-records it — the HALF_UP rounding sweep
+# (ml_logreg_gd, ml_gmm_em, ml_cross_validate), the graph fixpoint
+# consolidation (kcore/coreness/sssp x2/mst/label_prop/pagerank), and the
+# PQ-width codebook update (vec_pq_encode + its three ADC/IVFPQ consumers)
+# plus vec_pca_power's once-per-round w checkpoint. All were locally
+# oracle-verified at sf0.01+sf0.001 (hash-neutral by design); the pins make
+# the driver confirm it. The stalest-first tail then drains the r08/r09
+# record ring as before.
+_REVERIFY_FIRST: list[str] = [
+    "ml_logreg_gd",
+    "ml_gmm_em",
+    "ml_cross_validate",
+    "graph_kcore",
+    "graph_coreness",
+    "graph_sssp_weighted",
+    "graph_sssp_delta",
+    "graph_mst",
+    "graph_label_prop",
+    "graph_pagerank",
+    "vec_pca_power",
+    "vec_pq_encode",
+    "sim_pq_adc",
+    "sim_ann_ivfpq",
+    "pipeline_pq_retrieval",
+]
 
 
 def _latest_record_round() -> dict[str, int]:
