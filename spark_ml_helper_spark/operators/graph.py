@@ -27,9 +27,14 @@ from spark_ml_helper_spark.sources.parquet import table
 #: coalesce. Above the threshold the caller's partitioning is kept
 #: untouched — at cluster scale the loop frames must stay distributed and
 #: a blind coalesce would serialize real work. Both knobs are plain module
-#: constants (not magic inline numbers) so a deployment can retune them;
-#: the defaults keep partitions in the guide's 100 MB–1 GB band for the
-#: narrow (id, id, weight) rows these loops carry.
+#: constants (not magic inline numbers) so a deployment can retune them.
+#: 500k narrow (id, id, weight) rows is ~10-25 MB per partition — an order
+#: of magnitude under the guide's 100 MB-1 GB scan band ON PURPOSE: the
+#: target here is task-scheduling amortization for frames re-scanned every
+#: loop round, not scan throughput, and a loop-frame partition also feeds
+#: joins/aggregates whose per-task state multiplies the input size
+#: (ADVICE r18: the old comment claimed the scan band and would have
+#: misled a retune).
 SMALL_LOOP_ROWS = 4_000_000
 LOOP_ROWS_PER_PART = 500_000
 
@@ -50,14 +55,25 @@ def bounded_loop_frame(df, n_rows):
     (no shuffle, no row movement across executors beyond block reads)
     down to ceil(n_rows / LOOP_ROWS_PER_PART) partitions, only when the
     caller-supplied row count is under SMALL_LOOP_ROWS. Large inputs are
-    returned unchanged, so cluster-scale behavior is untouched. Row
-    VALUES are never affected (all loop arithmetic in this family is
-    exact-integer, and coalesce is order-stable within partitions)."""
+    returned unchanged, so cluster-scale behavior is untouched.
+
+    r19: the coalesce is applied UNCONDITIONALLY for small inputs —
+    ``coalesce(n)`` on a frame already at <= n partitions is a no-op by
+    definition (coalesce never raises the partition count), so the old
+    ``df.rdd.getNumPartitions()`` probe bought nothing and cost a full
+    physical-planning pass (``toRdd``) per loop entry — and, on a
+    non-materialized input, could even materialize shuffle stages at
+    call time (ADVICE r18). No probe, no hidden job, any input welcome.
+
+    Row VALUES are never affected: the loops in this family do per-row
+    arithmetic plus order-independent aggregates (min/count/exact-integer
+    sums), and coalesce is order-stable within partitions. NOTE: a
+    consumer folding FLOATS in partition order (an FP Σ, pagerank-style)
+    must NOT rely on this helper for bit-stability — partition counts
+    change the fold tree (ADVICE r18 rewording)."""
     if n_rows >= SMALL_LOOP_ROWS:
         return df
     parts = max(1, -(-int(n_rows) // LOOP_ROWS_PER_PART))
-    if df.rdd.getNumPartitions() <= parts:
-        return df
     return df.coalesce(parts)
 
 
@@ -2315,13 +2331,21 @@ def boruvka_msf(eu, prune=True, round_edge_counts=None, rounds_out=None, n_edges
     r18 job consolidation (the min_label_fixpoint lesson): the
     per-round frames are LAZY localCheckpoints — the round's single
     cross-edge count job materializes the cross frame and answers
-    termination, min_label's own first action materializes bidir, and
-    the next round's count materializes comp/sel — so a round costs
+    termination, min_label's own first action materializes sel, and
+    the next round's count materializes comp — so a round costs
     ~3 driver actions instead of 7. msf is no longer checkpointed at
     all: it is a linear unionByName chain over already-checkpointed
     sel frames, so its lineage grows one node per round (additive,
     not self-referential) and the final select replays checkpointed
-    blocks only."""
+    blocks only.
+
+    r19 round fusion (see the loop-body comment): sel carries its
+    endpoint component ids, so the component graph is a narrow
+    projection of sel — the per-round sel⋈comp⋈comp rebuild, its two
+    distinct shuffles, and bidir's own localCheckpoint (one Catalyst
+    ``toRdd`` compile per round, the r18 verdict's residual-cost item)
+    are gone: 2 lazy checkpoints per round instead of 3, and the only
+    joins left in a round are the two cross⋈comp lookups."""
     if n_edges is None:
         n_edges = eu.count()
     eu = bounded_loop_frame(eu, n_edges)
@@ -2374,42 +2398,48 @@ def boruvka_msf(eu, prune=True, round_edge_counts=None, rounds_out=None, n_edges
             # graph, not the corpus. Forest output is unchanged (the pruned
             # edges are exactly those the ca == cb filter would discard).
             eu = cross.select("lo", "hi", "w")
-        cand = cross.select(F.col("ca").alias("cc"), "w", "lo", "hi").unionByName(
-            cross.select(F.col("cb").alias("cc"), "w", "lo", "hi")
+        # r19 round fusion: the endpoint component ids (ca, cb) are
+        # carried THROUGH the min-struct aggregate instead of re-joining
+        # sel against comp to rebuild them. (w, lo, hi) is a total order,
+        # so appending (ca, cb) to the struct can never change which edge
+        # the lexicographic min selects, and an edge's (ca, cb) is a
+        # function of (lo, hi) this round — the selected edges are
+        # IDENTICAL to the old sel, and the distinct over 5 columns
+        # collapses exactly the same both-endpoint double-picks the old
+        # 3-column distinct did. The component graph (bidir) is then a
+        # narrow select/union over the checkpointed sel frame: the old
+        # shape paid sel⋈comp⋈comp + a distinct PER UNION BRANCH (12
+        # Exchanges/round, plans/r19/graph_mst_round_bidir_before.txt)
+        # plus a third localCheckpoint compile; the new bidir has ZERO
+        # exchanges and needs no checkpoint of its own
+        # (plans/r19/graph_mst_round_bidir_after.txt). bidir may carry a
+        # duplicate (ca, cb) pair when both components picked different
+        # edges between the same pair — the old cg.distinct() collapsed
+        # those — but min_label_fixpoint is multigraph-safe (min over
+        # duplicated neighbors, distinct node set), so the labels are
+        # unchanged and the dedup shuffle is saved.
+        cand = cross.select(
+            F.col("ca").alias("cc"), "w", "lo", "hi", "ca", "cb"
+        ).unionByName(
+            cross.select(F.col("cb").alias("cc"), "w", "lo", "hi", "ca", "cb")
         )
         sel = (
             cand.groupBy("cc")
-            .agg(F.min(F.struct("w", "lo", "hi")).alias("e"))
+            .agg(F.min(F.struct("w", "lo", "hi", "ca", "cb")).alias("e"))
             .select(
                 F.col("e.lo").alias("lo"),
                 F.col("e.hi").alias("hi"),
                 F.col("e.w").alias("w"),
+                F.col("e.ca").alias("ca"),
+                F.col("e.cb").alias("cb"),
             )
             .distinct()
             .localCheckpoint(eager=False)
         )
-        msf = msf.unionByName(sel)
-        cg = (
-            sel.join(
-                comp.withColumnRenamed("node", "lo").withColumnRenamed(
-                    "comp", "a"
-                ),
-                "lo",
-            )
-            .join(
-                comp.withColumnRenamed("node", "hi").withColumnRenamed(
-                    "comp", "b"
-                ),
-                "hi",
-            )
-            .select("a", "b")
-            .distinct()
-        )
-        bidir = (
-            cg.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-            .unionByName(cg.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-            .localCheckpoint(eager=False)
-        )
+        msf = msf.unionByName(sel.select("lo", "hi", "w"))
+        bidir = sel.select(
+            F.col("ca").alias("src"), F.col("cb").alias("dst")
+        ).unionByName(sel.select(F.col("cb").alias("src"), F.col("ca").alias("dst")))
         labels, _r = min_label_fixpoint(bidir)
         comp = fresh_stats_checkpoint(
             comp.join(
