@@ -787,7 +787,11 @@ def pipeline_pretrain_report(spark, sf_dir):
         .withColumn("bitsum", F.expr(_SPARK_BITSUM))
         .withColumn("sh", F.expr(_SPARK_SH))
         .drop("th", "bitsum")
-        .localCheckpoint()  # signature build feeds every later branch once
+        # signature build feeds every later branch once — including, since
+        # r19, the shingle branches (they used to re-scan + re-split the
+        # parquet twice). Lazy: the final job's first broadcast build
+        # materializes it, so the query is ONE driver job instead of two.
+        .localCheckpoint(eager=False)
     )
     q = feat.withColumn(
         "q_pass",
@@ -805,17 +809,22 @@ def pipeline_pretrain_report(spark, sf_dir):
     nr = ex.withColumn(
         "near_keep", F.col("exact_keep") & (F.row_number().over(wsh) == 1)
     )
-    shingles = d.select(
+    # r19: shingles derive from feat's already-split token array instead of
+    # re-scanning and re-splitting the parquet in two more subtrees (the
+    # before plan carried 4 parquet scans of documents; after: zero beyond
+    # the checkpoint build — plans/r19/pipeline_pretrain_report_*.txt).
+    # t IS split(lower(text), ' '), so the shingle stream is identical.
+    shingles = feat.select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.when(
-                    F.size(F.split(F.lower(F.col("text")), " ")) < 4,
+                    F.size("t") < 4,
                     F.expr("cast(array() as array<string>)"),
                 ).otherwise(
                     F.expr(
-                        "transform(sequence(0, size(split(lower(text), ' ')) - 4), "
-                        "i -> array_join(slice(split(lower(text), ' '), i + 1, 4), ' '))"
+                        "transform(sequence(0, size(t) - 4), "
+                        "i -> array_join(slice(t, i + 1, 4), ' '))"
                     )
                 )
             )
@@ -835,27 +844,28 @@ def pipeline_pretrain_report(spark, sf_dir):
         & (F.col("doc_id") % 97 != 0)
         & F.col("contaminated").isNull(),
     )
-    tot = dc.agg(
-        F.floor(
-            F.sum(F.when(F.col("decon_keep"), F.col("n_tokens")).otherwise(0)) * 0.5
-        )
-        .cast("bigint")
-        .alias("budget")
+    # r19 fusion: the token budget is the GLOBAL sum of the same
+    # decon-kept tokens the cumulative window below folds — computing it
+    # as a whole-frame window aggregate rides the single-partition window
+    # stage the budget fill already pays, instead of a separate agg +
+    # crossJoin whose broadcast build recomputed the ENTIRE dc subtree
+    # (both dedup windows + the contam join + 2 parquet scans ran TWICE —
+    # the duplicated operator tree in
+    # plans/r19/pipeline_pretrain_report_before.txt nodes 35-72).
+    # n_tokens is an exact integer, so the window sum is order-independent
+    # and floor(sum * 0.5) is bit-identical to the old aggregate's.
+    decon_tokens = F.sum(
+        F.when(F.col("decon_keep"), F.col("n_tokens")).otherwise(0)
     )
+    budget = F.floor(decon_tokens.over(Window.partitionBy()) * 0.5).cast("bigint")
     wcum = Window.orderBy(
         F.when(F.col("decon_keep"), 0).otherwise(1),
         F.col("ttr").desc(),
         "doc_id",
     ).rowsBetween(Window.unboundedPreceding, 0)
-    flags = dc.crossJoin(F.broadcast(tot)).withColumn(
+    flags = dc.withColumn(
         "budget_keep",
-        F.col("decon_keep")
-        & (
-            F.sum(F.when(F.col("decon_keep"), F.col("n_tokens")).otherwise(0)).over(
-                wcum
-            )
-            <= F.col("budget")
-        ),
+        F.col("decon_keep") & (decon_tokens.over(wcum) <= budget),
     )
     stages = [
         ("input", F.lit(True)),
