@@ -720,7 +720,10 @@ def dedup_incremental(spark, sf_dir):
         "is_batch", F.col("doc_id") % 10 == 0
     # one materialization of the CPU-dense tokenize+hash stage: it
     # feeds index reps, batch reps and the decision join (branches
-    # Catalyst won't share exchanges across)
+    # Catalyst won't share exchanges across). Kept EAGER on purpose
+    # (r19 A/B: folding it into the consumer job's broadcast-build
+    # thread read 4.5 s vs 4.2 s median — the serial hash stage delays
+    # every build when lazy; the reps checkpoints below are lazy)
     ).localCheckpoint(eager=True)
     index_reps, index_bands = build_dedup_index(docs.filter(~F.col("is_batch")))
     return incremental_decisions(docs.filter(F.col("is_batch")), index_reps, index_bands)
@@ -776,8 +779,11 @@ def build_dedup_index(hashed_docs):
         .agg(F.min("doc_id").alias("set_id"), F.first("tok_hashes").alias("tok_hashes"))
         # reps IS the persisted artifact — materialize once so bands,
         # rescore and exact-match consumers don't each re-run the
-        # collapse groupBy (in production they read the same parquet)
-        .localCheckpoint(eager=True)
+        # collapse groupBy (in production they read the same parquet).
+        # Lazy (r19): the decision pass's first broadcast build
+        # materializes it inside the consumer job — one driver job
+        # fewer per snapshot, same single materialization
+        .localCheckpoint(eager=False)
     )
     return reps, _rep_bands(reps, "set_id")
 
@@ -790,8 +796,9 @@ def incremental_decisions(batch_docs, index_reps, index_bands):
         batch_docs.groupBy("skey")
         .agg(F.min("doc_id").alias("brep"), F.first("tok_hashes").alias("tok_hashes"))
         # four consumers (bands, rescore, exacts, decision join) —
-        # materialize once instead of re-running the groupBy per branch
-        .localCheckpoint(eager=True)
+        # materialize once instead of re-running the groupBy per branch;
+        # lazy (r19): rides the first consumer job like reps above
+        .localCheckpoint(eager=False)
     )
     cand = (
         _rep_bands(batch_reps, "skey")
@@ -811,35 +818,59 @@ def incremental_decisions(batch_docs, index_reps, index_bands):
         .withColumn("jac", F.round(inter / union, 6))
         .filter(F.col("jac") >= 0.8)
     )
-    w_best = Window.partitionBy("skey").orderBy(F.desc("jac"), "set_id")
-    best_near = (
-        near.withColumn("rn", F.row_number().over(w_best))
-        .filter(F.col("rn") == 1)
-        .select("skey", F.col("set_id").alias("nr_id"), F.col("jac").alias("nr_jac"))
+    # r19 decision-stage fusion (guide §2.4/§3 — fewer exchanges, which
+    # the r18 A/B showed is the lever here, not partitioning): the old
+    # shape resolved exact matches (a batch_reps⋈index_reps join), best
+    # near matches (a per-skey row_number window over `near`), and then
+    # attached BOTH to every batch doc through a
+    # doc⋈reps⋈exacts⋈best_near chain — three skey-shuffled joins of the
+    # per-doc frame plus the window's sort exchange
+    # (plans/r19/dedup_incremental_before.txt). Both match kinds are
+    # "best index match per skey" under one priority order — exact
+    # first, then jac DESC, then set_id — so they fuse into ONE
+    # min-struct aggregate over the union of (pri=0, exact) and
+    # (pri=1, near-candidate) rows:
+    #   min(struct(pri, -jac, set_id)) = the exact match when one exists
+    #   (index_reps is unique per skey, so there is at most one), else
+    #   the (jac DESC, set_id) rank-1 near row the old window picked —
+    #   negation of a positive double is exact, so order and tiebreak
+    #   are bit-identical, and the aggregate gets map-side partials and
+    #   no per-partition sort.
+    # The decision then needs ONE set-level left join (batch_reps ⋈
+    # best) and ONE doc-level attach: per-doc rows cross a single join
+    # (broadcast-eligible — the batch side is the small side by the
+    # operator's own scale contract) instead of three.
+    exact_m = batch_reps.join(index_reps.select("skey", "set_id"), "skey").select(
+        "skey", F.lit(0).alias("pri"), F.lit(-1.0).alias("nj"), "set_id"
     )
-    exacts = batch_reps.join(index_reps.select("skey", "set_id"), "skey").select(
-        "skey", F.col("set_id").alias("ex_id")
+    near_m = near.select(
+        "skey", F.lit(1).alias("pri"), (-F.col("jac")).alias("nj"), "set_id"
     )
-    ex, nr, brep = F.col("ex_id"), F.col("nr_id"), F.col("brep")
-    not_rep = F.col("doc_id") != brep
+    best = (
+        exact_m.unionByName(near_m)
+        .groupBy("skey")
+        .agg(F.min(F.struct("pri", "nj", "set_id")).alias("m"))
+    )
+    set_dec = batch_reps.select("skey", "brep").join(best, "skey", "left")
+    m = F.col("m")
+    is_ex = m.isNotNull() & (m["pri"] == 0)
+    is_nr = m.isNotNull() & (m["pri"] == 1)
+    not_rep = F.col("doc_id") != F.col("brep")
     return (
         batch_docs.select("doc_id", "skey")
-        .join(batch_reps.select("skey", "brep"), "skey")
-        .join(exacts, "skey", "left")
-        .join(best_near, "skey", "left")
+        .join(set_dec, "skey")
         .select(
             "doc_id",
-            F.when(ex.isNotNull(), F.lit("dup_exact_index"))
-            .when(nr.isNotNull(), F.lit("dup_near_index"))
+            F.when(is_ex, F.lit("dup_exact_index"))
+            .when(is_nr, F.lit("dup_near_index"))
             .when(not_rep, F.lit("dup_exact_batch"))
             .otherwise(F.lit("new"))
             .alias("decision"),
-            F.when(ex.isNotNull(), ex)
-            .when(nr.isNotNull(), nr)
-            .when(not_rep, brep)
+            F.when(is_ex | is_nr, m["set_id"])
+            .when(not_rep, F.col("brep"))
             .alias("match_id"),
-            F.when(ex.isNotNull(), F.lit(1.0))
-            .when(nr.isNotNull(), F.col("nr_jac"))
+            F.when(is_ex, F.lit(1.0))
+            .when(is_nr, -m["nj"])
             .when(not_rep, F.lit(1.0))
             .alias("jac"),
         )
