@@ -1649,7 +1649,9 @@ def vec_pca_power(spark, sf_dir):
         v = (
             w.join(F.broadcast(nrm))
             .select(F.col("i").alias("j"), F.round(F.col("wi") / F.col("nrm"), 9).alias("vj"))
-            .localCheckpoint()
+            # lazy (r19): the next iteration's broadcast(v) build
+            # materializes it — one job per power iteration instead of two
+            .localCheckpoint(eager=False)
         )
     wf = (
         cov.join(F.broadcast(v), "j").groupBy("i").agg(F.sum(F.col("c") * F.col("vj")).alias("wi"))
@@ -1834,7 +1836,13 @@ def _km_train(spark, sf_dir):
         cent = (
             cent.join(upd, "cluster", "left")
             .select("cluster", F.coalesce("newc", "cent").alias("cent"))
-            .localCheckpoint()
+            # lazy (r19, the graph-family job-consolidation lesson): the
+            # NEXT round's centroid broadcast build scans this frame and
+            # materializes it inside its own job — one driver job per
+            # training round instead of two (eager checkpoint + broadcast
+            # build). Values unchanged: the checkpoint is still
+            # materialized exactly once, first touch.
+            .localCheckpoint(eager=False)
         )
     return pts, cent, assign(cent)
 
@@ -2169,7 +2177,9 @@ def _pq_train(spark, sf_dir):
             .select(
                 "sub", "cluster", F.coalesce("newc", "cent").alias("cent")
             )
-            .localCheckpoint()
+            # lazy (r19): next round's broadcast build materializes it —
+            # one job per training round instead of two (see _km_train)
+            .localCheckpoint(eager=False)
         )
     final = assign(cent).select("vec_id", "sub", "cluster", "dist")
     return pts, cent, final
@@ -2464,7 +2474,9 @@ def vec_kmeans_elbow(spark, sf_dir):
         cent = (
             cent.join(upd, ["cfg", "cluster"], "left")
             .select("cfg", "cluster", F.coalesce("newc", "cent").alias("cent"))
-            .localCheckpoint()
+            # lazy (r19): next round's broadcast build materializes it —
+            # one job per training round instead of two (see _km_train)
+            .localCheckpoint(eager=False)
         )
     final = assign(cent)
     curve = final.groupBy(F.col("cfg").cast("bigint").alias("k")).agg(
@@ -3083,7 +3095,11 @@ def vec_pca_deflate(spark, sf_dir):
                     F.col("i").alias("j"),
                     F.round(F.col("wi") / F.col("nrm"), 9).alias("vj"),
                 )
-                .localCheckpoint()
+                # lazy (r19): the next iteration's broadcast(v) build
+                # materializes it — one job per power iteration instead
+                # of two (the vec_pca_power r18 recipe, applied to the
+                # deflation twin)
+                .localCheckpoint(eager=False)
             )
         wf = (
             mat.join(F.broadcast(v), "j")
