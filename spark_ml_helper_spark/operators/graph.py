@@ -1798,7 +1798,12 @@ def delta_stepping_fixpoint(edges, seeds, delta, max_rounds, n_edges=None):
                 .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
             )
             d, imp = _ds_merge(d, prop)
-            imp = imp.localCheckpoint(eager=False)
+            # imp is a narrow Filter+Project over the merge frame _ds_merge
+            # just checkpointed — re-checkpointing it bought nothing and
+            # cost a Catalyst toRdd compile per iteration (r19; the r18
+            # verdict's compile-floor item). cur/f below stay checkpointed
+            # (cur carries exact stats into the next relaxation join; f is
+            # the loop's self-referential remainder).
             cur = imp.where(bkt == b).localCheckpoint(eager=False)
             n_cur = cur.count()
             settled = settled.unionByName(cur.select("node"))
@@ -1812,15 +1817,20 @@ def delta_stepping_fixpoint(edges, seeds, delta, max_rounds, n_edges=None):
             raise RuntimeError(
                 f"delta_stepping_fixpoint: not converged in {max_rounds} rounds"
             )
-        s = d.join(settled.distinct(), "node").localCheckpoint(eager=False)
+        # s is consumed exactly once (the heavy relaxation's probe side) —
+        # inlining it into prop's plan drops a per-bucket checkpoint
+        # compile; d and settled's parents are already checkpointed, so
+        # the join is one narrow plan over materialized blocks (r19)
+        s = d.join(settled.distinct(), "node")
         prop = (
             heavy.join(s.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
         )
         d, imp = _ds_merge(d, prop)
-        imp = imp.localCheckpoint(eager=False)
-        # heavy improvements land strictly beyond bucket b (w > delta)
+        # heavy improvements land strictly beyond bucket b (w > delta);
+        # imp rides the merge checkpoint, un-checkpointed (see the light
+        # loop note)
         f = (
             f.join(imp, "node", "left_anti")
             .unionByName(imp)
@@ -1952,13 +1962,17 @@ def kcore_fixpoint(edges, k, max_rounds=None, n_surv_out=None):
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
-        # ONE job per round: counting the lazily-checkpointed removed
-        # set materializes it, answers the convergence test, AND
-        # materializes the PREVIOUS round's lazily-checkpointed deg
-        # update that it derives from
-        removed = (
-            deg.where(F.col("k") < kk).select("node").localCheckpoint(eager=False)
-        )
+        # ONE job per round: counting the removed set materializes the
+        # PREVIOUS round's lazily-checkpointed deg update it derives
+        # from AND answers the convergence test. removed itself is a
+        # narrow Filter+Project over that checkpoint — NOT re-
+        # checkpointed (r19): its three consumers re-evaluate the
+        # trivial filter against deg's in-memory blocks, which A/B'd
+        # faster than paying a Catalyst toRdd compile per round
+        # (5/5 paired passes, median 2.75 -> 2.57 s on the coreness
+        # bench fixture; the delta-stepping trim measured the same
+        # direction at -14%)
+        removed = deg.where(F.col("k") < kk).select("node")
         n_removed = removed.count()
         if n_removed == 0:
             if n_surv_out is not None:
