@@ -1096,3 +1096,19 @@ def test_global_window_detector_matches_structural_truth(seed, depth):
     assert bool(got) != want_clean, (
         f"detector={got} truth_reduced={want_clean}\n{plan}"
     )
+
+
+def test_round_half_up_passes_nonfinite_through():
+    """round_half_up must propagate inf/NaN like the builtin round() it
+    replaced, not raise decimal.InvalidOperation mid-fold (ADVICE r18):
+    a diverging ml_logreg_gd gradient should yield an inspectable
+    non-finite result, never a crash inside the training loop."""
+    import math
+
+    from spark_ml_helper_spark.functions.canon import round_half_up
+
+    assert round_half_up(float("inf"), 6) == float("inf")
+    assert round_half_up(float("-inf"), 6) == float("-inf")
+    assert math.isnan(round_half_up(float("nan"), 6))
+    # the finite path is unchanged (the pinned half-grid case)
+    assert round_half_up(0.3515625, 6) == 0.351563
