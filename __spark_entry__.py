@@ -28,31 +28,32 @@ load_all_operators()
 # verification window (~50 queries, taken from the head of ``queries()``)
 # re-records them.
 #
-# r18 (optimization round): every query whose implementation changed this
-# round goes first so the driver re-records it — the HALF_UP rounding sweep
-# (ml_logreg_gd, ml_gmm_em, ml_cross_validate), the graph fixpoint
-# consolidation (kcore/coreness/sssp x2/mst/label_prop/pagerank), and the
-# PQ-width codebook update (vec_pq_encode + its three ADC/IVFPQ consumers)
-# plus vec_pca_power's once-per-round w checkpoint. All were locally
-# oracle-verified at sf0.01+sf0.001 (hash-neutral by design); the pins make
-# the driver confirm it. The stalest-first tail then drains the r08/r09
+# r19 (second optimization round): every query whose implementation changed
+# this round goes first so the driver re-records it — the Borůvka round
+# fusion + bounded_loop_frame probe removal + kcore/Δ-stepping checkpoint
+# trims (graph family), the pretrain-funnel budget/shingle fusion, the
+# incremental-dedup decision fusion, and the lazy per-round training
+# checkpoints (k-means/PQ/elbow/power-iteration consumers). All were locally
+# oracle-verified at sf0.01+sf0.001 (several also at sf0.1); the pins make
+# the driver confirm it. The stalest-first tail then drains the oldest
 # record ring as before.
 _REVERIFY_FIRST: list[str] = [
-    "ml_logreg_gd",
-    "ml_gmm_em",
-    "ml_cross_validate",
+    "graph_mst",
     "graph_kcore",
     "graph_coreness",
-    "graph_sssp_weighted",
     "graph_sssp_delta",
-    "graph_mst",
-    "graph_label_prop",
-    "graph_pagerank",
-    "vec_pca_power",
+    "graph_sssp_weighted",
+    "pipeline_pretrain_report",
+    "dedup_incremental",
+    "vec_kmeans_lloyd",
+    "vec_kmeans_elbow",
+    "dedup_semantic",
     "vec_pq_encode",
     "sim_pq_adc",
     "sim_ann_ivfpq",
     "pipeline_pq_retrieval",
+    "vec_pca_power",
+    "vec_pca_deflate",
 ]
 
 
